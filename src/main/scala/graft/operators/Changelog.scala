@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog-envelope helpers: the Spark-native shape of the reference's
+  * `DataStream<Event>` (SURVEY.md §1.1, §7.1).
+  *
+  * Envelope columns: `__op` (INSERT/UPDATE/REPLACE/DELETE), `__seq` (source
+  * offset, monotone per key) + the table's payload columns ("after" image).
+  */
+object Changelog {
+  val OpCol = "__op"
+  val SeqCol = "__seq"
+
+  /** Wrap a plain batch DataFrame as an insert-only changelog (snapshot load). */
+  def fromSnapshot(df: DataFrame, seq: Column): DataFrame =
+    df.withColumn(OpCol, lit("INSERT")).withColumn(SeqCol, seq)
+
+  /** Materialize the changelog into final table state: per primary key keep
+    * the payload of the highest `__seq`, then drop keys whose last op is DELETE.
+    *
+    * This is the reference's `ValuesDatabase` semantics
+    * (flink-cdc-pipeline-connector-values/.../ValuesDatabase.java:236-377) and
+    * the dedup the DSQL sink relies on before upsert.
+    *
+    * Scale note: implemented as `groupBy(pk).agg(max_by(struct(*), seq))` — a
+    * single hash aggregation with map-side partial aggregation. This beats the
+    * classic `row_number() OVER (PARTITION BY pk ORDER BY seq DESC) = 1`
+    * formulation, which shuffles the SAME data but then SORTS every partition;
+    * max_by needs no sort and its partial aggregation collapses hot keys
+    * before the shuffle (each map task emits one row per key, so a key with
+    * 10k updates ships once per task — this is what makes it survive 100 TB
+    * changelogs with skewed keys).
+    */
+  def materialize(changelog: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(c => c == OpCol || c == SeqCol || pkCols.contains(c))
+    val latest = changelog
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct((payloadCols.map(col) :+ col(OpCol)).toSeq: _*), col(SeqCol)).as("__last"))
+    latest
+      .where(col(s"__last.$OpCol") =!= "DELETE")
+      .select((pkCols.map(col) ++ payloadCols.map(c => col(s"__last.$c").as(c))).toSeq: _*)
+  }
+
+  /** SOFT_DELETE converter (runtime/operators/transform/converter/
+    * SoftDeleteConverter.java:27): DELETE events become data rows flagged
+    * `__deleted = true` instead of removing state.
+    */
+  def softDelete(changelog: DataFrame): DataFrame =
+    changelog
+      .withColumn("__deleted", col(OpCol) === "DELETE")
+      .withColumn(OpCol, when(col(OpCol) === "DELETE", lit("UPDATE")).otherwise(col(OpCol)))
+
+  /** Within-batch last-write-wins ordering guarantee for the upsert sink:
+    * equivalent to the reference's hash-partition by (table, PK)
+    * (runtime/partitioning/RegularPrePartitionOperator.java:49-80) — in Spark
+    * the `materialize` groupBy already co-locates keys, so explicit
+    * repartitioning is only needed when preserving the changelog (not
+    * materializing) while writing in parallel.
+    */
+  def partitionByKey(changelog: DataFrame, pkCols: Seq[String]): DataFrame =
+    changelog.repartition(pkCols.map(col): _*)
+}

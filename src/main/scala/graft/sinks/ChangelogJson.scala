@@ -1,0 +1,56 @@
+package graft.sinks
+
+import graft.model.TableId
+import graft.operators.Changelog
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog → JSON wire formats for the Kafka sink.
+  *
+  * Mirrors the reference's Kafka pipeline connector serializers
+  * (flink-cdc-pipeline-connector-kafka/.../json/debezium/
+  * DebeziumJsonSerializationSchema.java and canal/CanalJsonSerializationSchema.java):
+  * debezium-json = {before, after, op: c|u|d, source:{db, table}}, canal-json =
+  * {old, data, type: INSERT|UPDATE|DELETE}. In Spark this is a pure projection
+  * (`to_json(struct(...))`) feeding `writeStream.format("kafka")` — fully
+  * codegen'd, no shuffle.
+  */
+object ChangelogJson {
+
+  private def payloadCols(df: DataFrame): Seq[Column] =
+    df.columns.filterNot(c => c == Changelog.OpCol || c == Changelog.SeqCol)
+      .map(col).toSeq
+
+  /** Debezium `op` codes: c=create, u=update, d=delete, r=read/snapshot. */
+  private def debeziumOp: Column =
+    when(col(Changelog.OpCol) === "INSERT", "c")
+      .when(col(Changelog.OpCol) === "UPDATE", "u")
+      .when(col(Changelog.OpCol) === "REPLACE", "u")
+      .otherwise("d")
+
+  /** One string column `value` in debezium-json; DELETE carries before-image. */
+  def debezium(changelog: DataFrame, id: TableId): DataFrame = {
+    val payload = struct(payloadCols(changelog): _*)
+    changelog.select(
+      to_json(struct(
+        when(col(Changelog.OpCol) === "DELETE", payload).otherwise(lit(null)).as("before"),
+        when(col(Changelog.OpCol) =!= "DELETE", payload).otherwise(lit(null)).as("after"),
+        debeziumOp.as("op"),
+        struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
+      )).as("value"))
+  }
+
+  /** canal-json shape. */
+  def canal(changelog: DataFrame, id: TableId): DataFrame = {
+    val payload = struct(payloadCols(changelog): _*)
+    changelog.select(
+      to_json(struct(
+        when(col(Changelog.OpCol) === "UPDATE", array(payload)).otherwise(lit(null)).as("old"),
+        array(payload).as("data"),
+        when(col(Changelog.OpCol) === "DELETE", "DELETE")
+          .when(col(Changelog.OpCol) === "UPDATE", "UPDATE")
+          .otherwise("INSERT").as("type"),
+        struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
+      )).as("value"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sinks
+
+import graft.model.{CdcSchema, TableId}
+import org.apache.spark.sql.types._
+
+/** SQL generation for the PostgreSQL/DSQL-style upsert sink.
+  *
+  * Ports the write-path behavior of the reference's DSQL sink
+  * (flink-cdc-pipeline-connector-dsql/.../sink/DsqlBatchSinkFunction.java):
+  * full-load via `COPY ... FROM STDIN (FORMAT CSV)` (:838-934), CDC via
+  * batched `INSERT ... ON CONFLICT (pk) DO UPDATE` (:1729-1761), batched
+  * UPDATE (:1276) / DELETE (:1370); type mapping per `DsqlSchemaMapper`
+  * (utils/DsqlSchemaMapper.java:211-221 — unknown types fall back to TEXT).
+  *
+  * Pure SQL-string builders: unit-testable without a database; the executor
+  * side is `UpsertWriter`.
+  */
+object UpsertSql {
+
+  /** CDC type → Postgres/DSQL DDL type (DsqlSchemaMapper semantics). */
+  def pgType(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE PRECISION"
+    case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMPTZ"
+    case TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BYTEA"
+    case _ => "TEXT" // unknown → TEXT, DsqlSchemaMapper.java:211-221
+  }
+
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  def qualified(id: TableId): String =
+    Seq(id.schemaName, id.tableName).filter(_.nonEmpty).map(q).mkString(".")
+
+  def createTable(id: TableId, schema: CdcSchema, ifNotExists: Boolean = true): String = {
+    val cols = schema.struct.fields.map(f => s"${q(f.name)} ${pgType(f.dataType)}")
+    val pk = if (schema.primaryKeys.nonEmpty)
+      Seq(s"PRIMARY KEY (${schema.primaryKeys.map(q).mkString(", ")})") else Nil
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ine${qualified(id)} (${(cols ++ pk).mkString(", ")})"
+  }
+
+  /** Bulk-load statement for the initial snapshot phase. */
+  def copy(id: TableId, schema: CdcSchema): String =
+    s"COPY ${qualified(id)} (${schema.columnNames.map(q).mkString(", ")}) FROM STDIN (FORMAT CSV)"
+
+  /** Upsert for the CDC phase (INSERT and REPLACE both land here — REPLACE is
+    * upsert-by-definition, DsqlBatchSinkFunction.java:1729-1761).
+    */
+  def insertOnConflict(id: TableId, schema: CdcSchema): String = {
+    val cols = schema.columnNames
+    val pks = schema.primaryKeys
+    require(pks.nonEmpty, s"upsert sink requires primary keys on $id")
+    val nonPk = cols.filterNot(pks.contains)
+    val update =
+      if (nonPk.isEmpty) "DO NOTHING"
+      else s"DO UPDATE SET ${nonPk.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"
+    s"INSERT INTO ${qualified(id)} (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${pks.map(q).mkString(", ")}) $update"
+  }
+
+  def update(id: TableId, schema: CdcSchema): String = {
+    val nonPk = schema.columnNames.filterNot(schema.primaryKeys.contains)
+    s"UPDATE ${qualified(id)} SET ${nonPk.map(c => s"${q(c)} = ?").mkString(", ")} " +
+      s"WHERE ${schema.primaryKeys.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+  }
+
+  def delete(id: TableId, schema: CdcSchema): String =
+    s"DELETE FROM ${qualified(id)} WHERE ${schema.primaryKeys.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+
+  /** DDL for a schema change applied by the sink's MetadataApplier
+    * (common/sink/MetadataApplier.java:33-50).
+    */
+  def addColumn(id: TableId, name: String, dt: DataType): String =
+    s"ALTER TABLE ${qualified(id)} ADD COLUMN IF NOT EXISTS ${q(name)} ${pgType(dt)}"
+  def dropColumn(id: TableId, name: String): String =
+    s"ALTER TABLE ${qualified(id)} DROP COLUMN IF EXISTS ${q(name)}"
+  def renameColumn(id: TableId, from: String, to: String): String =
+    s"ALTER TABLE ${qualified(id)} RENAME COLUMN ${q(from)} TO ${q(to)}"
+  def truncate(id: TableId): String = s"TRUNCATE TABLE ${qualified(id)}"
+}

@@ -1,0 +1,107 @@
+package graft.sinks
+
+import java.sql.Connection
+
+import graft.model.{CdcSchema, TableId}
+import graft.operators.Changelog
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Executor-side JDBC upsert writer — the Spark shape of the reference's
+  * `DsqlBatchSinkFunction` (SURVEY.md §2.2): used from
+  * `writeStream.foreachBatch` (streaming) or called directly on a batch frame.
+  *
+  * Delivery contract: Structured Streaming is at-least-once into foreachBatch;
+  * the write itself is an idempotent PK upsert, so the composition is
+  * effectively-once (SURVEY.md §7.4) — no FlushEvent protocol needed, the
+  * micro-batch boundary is the barrier.
+  *
+  * Scale notes:
+  *  - rows are pre-deduplicated per PK with `Changelog.materialize` logic
+  *    inside the batch, so each key is written once per batch regardless of
+  *    update frequency (the reference buffers per table and dedups on flush);
+  *  - writes run per-partition with their own connection (pool-of-32 on
+  *    local[32]; on a cluster, one pool per executor), batch size 1000 like
+  *    `sink.batch-size` (DsqlSinkOptions.java:73-75);
+  *  - retry with exponential backoff ports `DsqlRetryHelper` (147 LoC).
+  */
+final class UpsertWriter(
+    connectionFactory: () => Connection,
+    batchSize: Int = 1000,
+    maxRetries: Int = 3,
+    initialBackoffMs: Long = 1000L
+) extends Serializable {
+
+  def withRetry[T](op: String)(f: => T): T = {
+    var attempt = 0
+    var backoff = initialBackoffMs
+    while (true) {
+      try return f
+      catch {
+        case e: java.sql.SQLException if attempt < maxRetries =>
+          attempt += 1
+          // exponential backoff ×2 like DsqlRetryHelper
+          Thread.sleep(backoff); backoff *= 2
+        case e: Throwable => throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write one changelog batch for one table: dedup to last-image-per-PK, then
+    * upsert survivors and delete tombstones.
+    */
+  def writeBatch(batch: DataFrame, id: TableId, schema: CdcSchema): Unit = {
+    val pks = schema.primaryKeys
+    require(pks.nonEmpty, s"$id needs primary keys for upsert")
+    val cols = schema.columnNames
+
+    // last image per key, computed distributed (one shuffle, no sort)
+    val payloadCols = batch.columns.filterNot(c => c == Changelog.OpCol || c == Changelog.SeqCol || pks.contains(c))
+    val latest = batch
+      .groupBy(pks.map(col): _*)
+      .agg(max_by(struct((payloadCols.map(col) :+ col(Changelog.OpCol)).toSeq: _*), col(Changelog.SeqCol)).as("__last"))
+      .select((pks.map(col) ++ payloadCols.map(c => col(s"__last.$c").as(c)) :+ col(s"__last.${Changelog.OpCol}").as(Changelog.OpCol)).toSeq: _*)
+
+    val upsertSql = UpsertSql.insertOnConflict(id, schema)
+    val deleteSql = UpsertSql.delete(id, schema)
+    val bs = batchSize
+    val cf = connectionFactory
+    val retries = maxRetries
+    val backoff0 = initialBackoffMs
+
+    latest.foreachPartition { (rows: Iterator[Row]) =>
+      val w = new UpsertWriter(cf, bs, retries, backoff0)
+      val conn = cf()
+      try {
+        conn.setAutoCommit(false)
+        val up = conn.prepareStatement(upsertSql)
+        val del = conn.prepareStatement(deleteSql)
+        var nUp, nDel = 0
+        val t0 = System.nanoTime()
+        var total = 0L
+        for (r <- rows) {
+          total += 1
+          if (r.getAs[String](Changelog.OpCol) == "DELETE") {
+            pks.zipWithIndex.foreach { case (c, i) => del.setObject(i + 1, r.getAs[Any](c)) }
+            del.addBatch(); nDel += 1
+            if (nDel >= bs) { w.withRetry("delete")(del.executeBatch()); conn.commit(); nDel = 0 }
+          } else {
+            cols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
+            up.addBatch(); nUp += 1
+            if (nUp >= bs) { w.withRetry("upsert")(up.executeBatch()); conn.commit(); nUp = 0 }
+          }
+        }
+        if (nDel > 0) { w.withRetry("delete")(del.executeBatch()) }
+        if (nUp > 0) { w.withRetry("upsert")(up.executeBatch()) }
+        conn.commit()
+        // RPS metric like DsqlBatchSinkFunction.java:979-1014
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (total >= 100)
+          // scalastyle:off println
+          println(f"[graft-sink] $id: $total rows in $secs%.2fs (${total / math.max(secs, 1e-9)}%.0f rps)")
+          // scalastyle:on
+      } finally conn.close()
+    }
+  }
+}
