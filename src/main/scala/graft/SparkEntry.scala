@@ -1,13 +1,493 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.TableId
+import graft.operators.{Changelog, RouteRule, SchemaDerivator, TableIdRouter, Transform, TransformRule}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Composer, PipelineDef}
+import graft.sources.ChunkSplitter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or one of the
+  * training-data-pipeline extensions), run over the driver-provided parquet
+  * tables at the given sf dir. [[oracleSql]] carries a DuckDB-equivalent ANSI
+  * SQL statement per query; the driver hash-compares after sorting columns by
+  * name, so every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the minimum end-to-end YAML pipeline slice (SURVEY.md §7.3)
+    * on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pipeline_yaml")(spark, "/root/testdata/sf0.001")
+
+  // ---- changelog fixture: events table replayed as a CDC stream ----
+  // pk = user_id, seq = event_id (monotone), op: 'error' events are DELETEs,
+  // everything else an upsert (REPLACE) — the shape a Debezium feed lands in.
+  private def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "events").select(
+      col("user_id"), col("event_type"), col("value"),
+      when(col("event_type") === "error", "DELETE").otherwise("REPLACE").as(Changelog.OpCol),
+      col("event_id").as(Changelog.SeqCol))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------- transform engine (SURVEY.md §2.3) ----------
+
+    "q_transform_project" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Transform.applyRules(t(dir, "customer"), TableId.of("tpch", "customer"), Seq(
+        TransformRule("tpch.customer",
+          projection = Some("c_custkey, UPPER(c_name) AS c_name_upper, c_acctbal"))))
+    },
+
+    "q_transform_filter" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Transform.applyRules(t(dir, "customer"), TableId.of("tpch", "customer"), Seq(
+        TransformRule("tpch.customer",
+          projection = Some("c_custkey, c_name, c_acctbal, c_mktsegment"),
+          filter = Some("c_acctbal > 1000 AND c_mktsegment IN ('BUILDING', 'MACHINERY')"))))
+    },
+
+    "q_transform_computed" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Transform.applyRules(t(dir, "lineitem"), TableId.of("tpch", "lineitem"), Seq(
+        TransformRule("tpch.lineitem",
+          // raw IEEE product (no ROUND): bit-identical in any engine, so it
+          // hash-compares exactly; ROUND(double, 2) differs at .005 midpoints
+          projection = Some("l_orderkey, l_linenumber, " +
+            "l_extendedprice * (1 - l_discount) AS net_price, " +
+            "CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class"),
+          filter = Some("l_returnflag <> 'A'"))))
+    },
+
+    "q_transform_metadata" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Transform.applyRules(t(dir, "customer"), TableId.of("tpch", "customer"), Seq(
+        TransformRule("tpch.customer",
+          projection = Some("c_custkey, __schema_name__ AS src_schema, __table_name__ AS src_table"))))
+    },
+
+    "q_transform_wildcard" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Transform.applyRules(t(dir, "nation"), TableId.of("tpch", "nation"), Seq(
+        TransformRule("tpch.nation",
+          projection = Some("*, LOWER(n_name) AS n_name_lower"),
+          filter = Some("n_regionkey BETWEEN 1 AND 3"))))
+    },
+
+    // ---------- routing + N→1 widest-schema merge (SURVEY.md §2.6) ----------
+
+    "q_route_merge" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val customer = Transform.applyRules(t(dir, "customer"), TableId.of("tpch", "customer"), Seq(
+        TransformRule("tpch.customer", projection = Some(
+          "CAST(c_custkey AS INT) AS id, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment"))))
+      val supplier = Transform.applyRules(t(dir, "supplier"), TableId.of("tpch", "supplier"), Seq(
+        TransformRule("tpch.supplier", projection = Some(
+          "CAST(s_suppkey AS BIGINT) AS id, s_name AS name, s_acctbal AS acctbal"))))
+      val router = new TableIdRouter(Seq(
+        RouteRule("tpch.customer,tpch.supplier", "out.merged")))
+      val routed = Seq(TableId.of("tpch", "customer") -> customer,
+                       TableId.of("tpch", "supplier") -> supplier)
+        .flatMap { case (id, df) => router.route(id).map(_ -> df) }
+      // both route to out.merged → widest-type column union (INT+BIGINT → BIGINT,
+      // mktsegment null-padded for supplier)
+      SchemaDerivator.mergeUnion(routed.map(_._2))
+    },
+
+    // ---------- full YAML pipeline lifecycle (SURVEY.md §3.1, §7.3) ----------
+
+    "q_pipeline_yaml" -> { (spark, dir) =>
+      val yaml =
+        s"""source:
+           |  type: parquet
+           |  path: $dir
+           |  tables: tpch.customer
+           |transform:
+           |  - source-table: tpch.customer
+           |    projection: "c_custkey, UPPER(c_name) AS c_name, c_acctbal"
+           |    filter: "c_acctbal > 100"
+           |route:
+           |  - source-table: tpch.customer
+           |    sink-table: out.customer_filtered
+           |sink:
+           |  type: values
+           |pipeline:
+           |  parallelism: 1
+           |""".stripMargin
+      val results = Composer.composeBatch(spark, PipelineDef.fromYaml(yaml))
+      results(TableId.of("out", "customer_filtered"))
+    },
+
+    // ---------- changelog materialization / upsert semantics (§2.2, §7.4) ----------
+
+    "q_materialize" -> { (spark, dir) =>
+      Changelog.materialize(eventsChangelog(spark, dir), Seq("user_id"))
+    },
+
+    "q_softdelete" -> { (spark, dir) =>
+      Changelog.materialize(Changelog.softDelete(eventsChangelog(spark, dir)), Seq("user_id"))
+    },
+
+    // ---------- chunked snapshot source (§2.1) ----------
+
+    "q_chunked_read" -> { (spark, dir) =>
+      val df = ChunkSplitter.chunkedRead(spark, s"$dir/lineitem.parquet", "l_orderkey")
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
+    // ---------- scalar function library parity (§2.4) ----------
+
+    "q_functions_string" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "part").selectExpr(
+        "p_partkey",
+        "CONCAT(p_brand, '#', p_type) AS brand_type",
+        "UPPER(p_name) AS name_upper",
+        "LOWER(p_brand) AS brand_lower",
+        "TRIM(p_name) AS name_trim",
+        "SUBSTRING(p_name, 1, 5) AS name_pfx",
+        "CAST(CHAR_LENGTH(p_name) AS BIGINT) AS name_len",
+        "REGEXP_REPLACE(p_type, ' ', '_') AS type_u")
+    },
+
+    "q_functions_math" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "lineitem").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "l_extendedprice * l_discount AS disc_amt",
+        "ABS(l_quantity - 25) AS qty_dev",
+        "CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil",
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor",
+        "CAST(l_orderkey % 7 AS BIGINT) AS mod7")
+    },
+
+    "q_functions_conditional" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "orders").selectExpr(
+        "o_orderkey",
+        "CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word",
+        "CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class",
+        "COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio",
+        "IF(o_totalprice > 150000, 1, 0) AS is_large")
+    },
+
+    "q_functions_cast" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(l_quantity AS INT) AS qty_int",
+        "CAST(l_orderkey AS STRING) AS ok_str",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec",
+        "CAST(l_returnflag = 'R' AS BOOLEAN) AS is_return")
+    },
+
+    "q_functions_temporal" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      graft.functions.CdcFunctions.register(spark)
+      // parquet NTZ timestamps cast to LTZ under the UTC session zone = same wall time
+      t(dir, "orders").selectExpr(
+        "o_orderkey",
+        "CDC_DATE_FORMAT(CAST(o_orderdate AS TIMESTAMP), 'yyyy-MM-dd') AS od_fmt",
+        "CAST(YEAR(o_orderdate) AS BIGINT) AS od_year",
+        "CAST(MONTH(o_orderdate) AS BIGINT) AS od_month",
+        "CDC_TIMESTAMP_DIFF('DAY', CAST(TIMESTAMP'1995-01-01 00:00:00' AS TIMESTAMP), CAST(o_orderdate AS TIMESTAMP)) AS days_since")
+    },
+
+    // ---------- dedup suite (training-data ops) ----------
+
+    "q_dedup_exact" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Dedup.exact(t(dir, "documents"), "doc_id", TextAnalysis.fingerprint(col("text")))
+    },
+
+    "q_fingerprint" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "documents").select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    "q_dedup_minhash" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // survivors after MinHash-LSH near-dup removal (keep-min-id greedy)
+      Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "lang", "source")
+    },
+
+    "q_dedup_simhash" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select("a", "b", "hamming")
+    },
+
+    "q_dedup_ngram" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val docs = t(dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.ngramJaccardVerify(docs, cands.select("a", "b"), "doc_id", "text", threshold = 0.8)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+
+    "q_dedup_embedding" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // documents contain genuine near-dup texts; embed them (stub embedding
+      // UDF) and find cosine near-dup pairs — the composed LLM-pipeline shape
+      graft.functions.AiFunctions.register(spark)
+      val embedded = t(dir, "documents")
+        .selectExpr("doc_id", "GET_EMBEDDING(text) AS embedding")
+      Dedup.embeddingCandidates(embedded, "doc_id", "embedding", threshold = 0.95)
+        .select("a", "b")
+    },
+
+    // ---------- similarity search ----------
+
+    "q_embed_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10).select("vec_id")
+    },
+
+    "q_embed_lsh_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      // 6 planes → 64 buckets: right bucket granularity for this table size
+      val bucketed = Similarity.withBuckets(emb, "vec_id", "embedding", numPlanes = 6)
+      Similarity.lshTopK(bucketed, "vec_id", "embedding", query, 10, numPlanes = 6)
+        .select("vec_id")
+    },
+
+    // ---------- text analysis ----------
+
+    "q_text_quality" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val d = t(dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        round(when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") / length(col("text")))
+          .otherwise(0.0), 4).as("alpha_ratio"))
+    },
+
+    "q_lang_id" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    // ---------- multimodal plumbing ----------
+
+    "q_multimodal_decode" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val assets = Multimodal.syntheticAssets(t(dir, "part"), "p_partkey", "image")
+      Multimodal.decodeImages(assets).select("asset_id", "width", "height", "channels")
+    },
+
+    "q_frame_sample" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val assets = Multimodal.syntheticAssets(t(dir, "part"), "p_partkey", "video")
+      Multimodal.sampleFrames(assets, everyNth = 4)
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"))
+    },
+
+    // ---------- beyond-parity relational ops at scale ----------
+
+    "q1_agg" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02")) // string coerces to the column's timestamp type
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q_join_broadcast" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // dim tables broadcast: no shuffle of the fact side
+      t(dir, "customer")
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    }
+  )
+
+  /** DuckDB-runnable oracle per query; omitted keys get a rows-only check.
+    * Dialect notes: DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all; len()/length() return BIGINT so Spark INT outputs are cast.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_transform_project" ->
+      "SELECT c_custkey, UPPER(c_name) AS c_name_upper, c_acctbal FROM customer",
+
+    "q_transform_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal > 1000 AND c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin,
+
+    "q_transform_computed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS net_price,
+        |  CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class
+        |FROM lineitem WHERE l_returnflag <> 'A'""".stripMargin,
+
+    "q_transform_metadata" ->
+      "SELECT c_custkey, 'tpch' AS src_schema, 'customer' AS src_table FROM customer",
+
+    "q_transform_wildcard" ->
+      """SELECT n_nationkey, n_name, n_regionkey, LOWER(n_name) AS n_name_lower
+        |FROM nation WHERE n_regionkey BETWEEN 1 AND 3""".stripMargin,
+
+    "q_route_merge" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name, c_acctbal AS acctbal,
+        |       c_mktsegment AS mktsegment FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, NULL FROM supplier""".stripMargin,
+
+    "q_pipeline_yaml" ->
+      "SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal FROM customer WHERE c_acctbal > 100",
+
+    "q_materialize" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_softdelete" ->
+      """SELECT user_id, event_type, value, event_type = 'error' AS __deleted FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_chunked_read" ->
+      """SELECT l_returnflag, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_functions_string" ->
+      """SELECT p_partkey,
+        |  CONCAT(p_brand, '#', p_type) AS brand_type,
+        |  UPPER(p_name) AS name_upper,
+        |  LOWER(p_brand) AS brand_lower,
+        |  TRIM(p_name) AS name_trim,
+        |  SUBSTRING(p_name, 1, 5) AS name_pfx,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_u
+        |FROM part""".stripMargin,
+
+    "q_functions_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * l_discount AS disc_amt,
+        |  ABS(l_quantity - 25) AS qty_dev,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod7
+        |FROM lineitem""".stripMargin,
+
+    "q_functions_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class,
+        |  COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio,
+        |  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS is_large
+        |FROM orders""".stripMargin,
+
+    "q_functions_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS ok_str,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  (l_returnflag = 'R') AS is_return
+        |FROM lineitem""".stripMargin,
+
+    "q_functions_temporal" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od_fmt,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS od_year,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS od_month,
+        |  CAST(FLOOR(date_diff('second', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) / 86400.0) AS BIGINT) AS days_since
+        |FROM orders""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_words,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  ROUND(CASE WHEN length(text) > 0
+        |    THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END, 4) AS alpha_ratio
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" -> langIdOracleSql,
+
+    "q_frame_sample" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS asset_id,
+        |       CAST(unnest(range(0, (p_partkey % 32) + 1, 4)) AS BIGINT) AS frame_idx
+        |FROM part""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id FROM embeddings e, q
+        |ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+  )
+
+  /** The langId heuristic re-expressed in DuckDB SQL (RE2 dialect: `\x{...}`
+    * unicode escapes instead of Java's `\uXXXX`).
+    */
+  private def langIdOracleSql: String = {
+    def hits(words: Seq[String]): String = words
+      .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val de = hits(Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"))
+    val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour", "que"))
+    val es = hits(Seq("el", "los", "las", "es", "una", "para", "por", "como"))
+    val en = hits(Seq("the", "is", "and", "of", "to", "in", "that", "with"))
+    s"""SELECT doc_id, CASE
+       |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |  WHEN de > fr AND de > es AND de > en THEN 'de'
+       |  WHEN fr > es AND fr > en THEN 'fr'
+       |  WHEN es > en THEN 'es'
+       |  WHEN en > 0 THEN 'en'
+       |  ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, text, $de AS de, $fr AS fr, $es AS es, $en AS en FROM documents)""".stripMargin
+  }
 }

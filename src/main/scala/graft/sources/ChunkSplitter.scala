@@ -63,22 +63,32 @@ object ChunkSplitter {
 
   /** Plan chunks from a DataFrame's own key stats (the parquet-replay analog of
     * the reference's `SELECT MIN(k), MAX(k)` + approx row count).
+    *
+    * `maxChunks` caps the plan width: chunk count should scale with cluster
+    * width, not table size — 100 TB with a fixed 8k-row chunk would yield
+    * millions of splits (pure scheduler overhead), so the chunk size grows
+    * once the table outruns `maxChunks × chunkSize` rows.
     */
-  def planFromDataFrame(df: DataFrame, keyColumn: String, chunkSize: Long = DefaultChunkSize): Seq[String] = {
+  def planFromDataFrame(df: DataFrame, keyColumn: String, chunkSize: Long = DefaultChunkSize,
+                        maxChunks: Int = 256): Seq[String] = {
     import org.apache.spark.sql.functions._
     val row = df.agg(min(col(keyColumn)).cast("long"), max(col(keyColumn)).cast("long"), count(lit(1))).head()
     if (row.isNullAt(0)) return Seq("1 = 1")
-    predicates(keyColumn, evenRanges(Stats(row.getLong(0), row.getLong(1), row.getLong(2)), chunkSize))
+    val stats = Stats(row.getLong(0), row.getLong(1), row.getLong(2))
+    val effectiveChunk = math.max(chunkSize, math.ceil(stats.rowCount.toDouble / maxChunks).toLong)
+    predicates(keyColumn, evenRanges(stats, effectiveChunk))
   }
 
   /** Read a table as a union of chunk scans — the test-path equivalent of the
-    * chunked parallel JDBC snapshot. Each predicate becomes an independent
-    * scan partition; the union is lossless by construction.
+    * chunked parallel JDBC snapshot (each predicate = one `spark.read.jdbc`
+    * partition in production). The union is lossless by construction. Against
+    * files each chunk is a filtered re-scan, so `maxChunks` matters doubly
+    * here: cost is O(chunks × file size).
     */
   def chunkedRead(spark: SparkSession, path: String, column: String,
-                  chunkSize: Long = DefaultChunkSize): DataFrame = {
+                  chunkSize: Long = DefaultChunkSize, maxChunks: Int = 32): DataFrame = {
     val base = spark.read.parquet(path)
-    planFromDataFrame(base, column, chunkSize)
+    planFromDataFrame(base, column, chunkSize, maxChunks)
       .map(p => base.where(p))
       .reduce(_.union(_))
   }
