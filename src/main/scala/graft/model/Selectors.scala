@@ -3,14 +3,19 @@ package graft.model
 import java.util.regex.Pattern
 
 /** Table-matching patterns: comma-separated entries, each entry a dot-separated
-  * list of per-part regexes (`\.`-escaped dots stay inside a part).
+  * list of per-part regexes.
   *
   * Mirrors the reference's `Selectors`
-  * (flink-cdc-common/src/main/java/org/apache/flink/cdc/common/schema/Selectors.java:30),
-  * the matcher behind `transform.source-table`, `route.source-table` and source
-  * `tables:` options (docs/content/docs/core-concept/transform.md:97-108):
-  * a 1-part pattern matches the table name, 2 parts match (schemaName, tableName),
-  * 3 parts match all of (namespace, schemaName, tableName).
+  * (flink-cdc-common/src/main/java/org/apache/flink/cdc/common/schema/Selectors.java:30)
+  * and its tokenizer `Predicates.RegExSplitterByDot`
+  * (common/utils/Predicates.java:164-180): entries split on UNESCAPED dots,
+  * then each part un-escapes `\.` to a plain regex `.` — so `db.user_\.*`
+  * means part regexes `db` and `user_.*` (any-char dot, NOT a literal dot).
+  * Parts compile CASE_INSENSITIVE (Predicates.includes → setOfRegex,
+  * Predicates.java:39-41,63-65). A 1-part pattern matches the table name,
+  * 2 parts match (schemaName, tableName), 3 parts all three. This is the
+  * matcher behind `transform.source-table`, `route.source-table` and source
+  * `tables:` options (docs/content/docs/core-concept/transform.md:97-108).
   */
 final case class Selectors(patterns: Seq[Seq[Pattern]]) {
   def matches(id: TableId): Boolean = patterns.exists { parts =>
@@ -42,6 +47,8 @@ object Selectors {
 
   def parse(spec: String): Selectors = Selectors(
     spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      .map(entry => splitParts(entry).map(Pattern.compile))
+      .map(entry => splitParts(entry).map(p =>
+        // un-escape `\.` to regex any-char, like RegExSplitterByDot.split
+        Pattern.compile(p.replace("\\.", "."), Pattern.CASE_INSENSITIVE)))
   )
 }

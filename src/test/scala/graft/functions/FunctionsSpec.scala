@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CdcFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cdcEquals returns FALSE (not NULL) on null operands") {
+    val df = Seq((Some(1), Some(1)), (Some(1), None), (None: Option[Int], None: Option[Int]))
+      .toDF("a", "b")
+    val out = df.select(CdcFunctions.cdcEquals(col("a"), col("b"))).as[Boolean].collect().toSeq
+    assert(out === Seq(true, false, false))
+  }
+
+  test("CDC_DATE_FORMAT uses SimpleDateFormat dialect") {
+    CdcFunctions.register(spark)
+    val out = Seq("2024-03-05 10:30:00").toDF("s")
+      .selectExpr("CDC_DATE_FORMAT(CAST(s AS TIMESTAMP), 'yyyy/MM/dd HH:mm') AS f")
+      .as[String].head()
+    assert(out === "2024/03/05 10:30")
+  }
+
+  test("timestampDiff truncates months toward zero like the reference") {
+    val jan31 = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+    val feb29 = java.sql.Timestamp.valueOf("2024-02-29 00:00:00")
+    val mar01 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    assert(CdcFunctions.timestampDiff("MONTH", jan31, feb29, "UTC") === 0) // not a full month
+    assert(CdcFunctions.timestampDiff("MONTH", jan31, mar01, "UTC") === 1)
+    assert(CdcFunctions.timestampDiff("DAY", jan31, feb29, "UTC") === 29)
+    assert(CdcFunctions.timestampDiff("YEAR", jan31, mar01, "UTC") === 0)
+  }
+
+  test("AI function stubs: embeddings are unit-norm, deterministic") {
+    val a = AiFunctions.fakeEmbed("hello world")
+    val b = AiFunctions.fakeEmbed("hello world")
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === AiFunctions.EmbeddingDim)
+    assert(math.abs(a.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    // near-dup texts → high cosine
+    val c = AiFunctions.fakeEmbed("hello world extra")
+    assert(graft.ops.Similarity.cosine(a, c) > 0.7)
+  }
+
+  test("CdcUdf adapter registers an evalable scalar function") {
+    CdcUdf.register(spark, new CdcUdf {
+      def name = "ADD_ONE"
+      def returnType: DataType = IntegerType
+      def eval(args: Seq[Any]): Any = args.head.asInstanceOf[Int] + 1
+    })
+    assert(Seq(41).toDF("x").selectExpr("ADD_ONE(x)").as[Int].head() === 42)
+  }
+}
+
+class PipelineDefSpec extends SparkSpec {
+  test("YAML parses source/sink/transform/route/pipeline blocks") {
+    val p = graft.pipeline.PipelineDef.fromYaml(
+      """source:
+        |  type: parquet
+        |  path: /data
+        |transform:
+        |  - source-table: db.users
+        |    projection: "id, UPPER(name) AS name"
+        |    filter: "id > 10"
+        |    primary-keys: id
+        |route:
+        |  - source-table: db.\.*
+        |    sink-table: ods.<>
+        |    replace-symbol: <>
+        |sink:
+        |  type: values
+        |pipeline:
+        |  name: my-pipe
+        |  parallelism: 4
+        |""".stripMargin)
+    assert(p.source.kind === "parquet")
+    assert(p.transforms.head.projection.contains("id, UPPER(name) AS name"))
+    assert(p.transforms.head.primaryKeys === Seq("id"))
+    assert(p.routes.head.replaceSymbol.contains("<>"))
+    assert(p.name === "my-pipe")
+    assert(p.parallelism === 4)
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model._
+import graft.sinks.ValuesDatabase
+import graft.sources.ValuesSource
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("projection + computed column + filter") {
+    val df = Seq((1, "alice", 30), (2, "bob", 15), (3, "carol", 40)).toDF("id", "name", "age")
+    val out = Transform.applyRules(df, TableId.of("db", "people"), Seq(
+      TransformRule("db.people",
+        projection = Some("id, UPPER(name) AS name, age + 1 AS age1"),
+        filter = Some("age > 18"))))
+    assert(out.columns.toSeq === Seq("id", "name", "age1"))
+    assert(out.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ===
+      Seq((1, "ALICE", 31), (3, "CAROL", 41)))
+  }
+
+  test("metadata columns resolve to the table identity") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    val out = Transform.applyRules(df, TableId.of("ns", "sch", "tbl"), Seq(
+      TransformRule("tbl", projection = Some("id, __namespace_name__ AS ns, __table_name__ AS tn"))))
+    assert(out.head() === Row(1, "ns", "tbl"))
+  }
+
+  test("wildcard expands to physical columns only") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    val out = Transform.applyRules(df, TableId.of("db", "t"), Seq(
+      TransformRule("t", projection = Some("*, id * 2 AS id2"))))
+    assert(out.columns.toSeq === Seq("id", "v", "id2"))
+  }
+
+  test("no matching rule passes the frame through untouched") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    val out = Transform.applyRules(df, TableId.of("db", "t"), Seq(
+      TransformRule("other", projection = Some("id"))))
+    assert(out.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("splitTopLevel respects parens and quotes") {
+    assert(Transform.splitTopLevel("a, ROUND(x, 2) AS y, CONCAT('a,b', c) AS z") ===
+      Seq("a", "ROUND(x, 2) AS y", "CONCAT('a,b', c) AS z"))
+  }
+}
+
+class RouterSpec extends SparkSpec {
+  test("route with replace-symbol substitutes the source table name") {
+    val r = new TableIdRouter(Seq(RouteRule("db.\\.*", "ods.<>", replaceSymbol = Some("<>"))))
+    assert(r.route(TableId.of("db", "users")) === Seq(TableId.of("ods", "users")))
+  }
+
+  test("identity when no rule matches; fan-out on multiple matches") {
+    val r = new TableIdRouter(Seq(
+      RouteRule("db.users", "a.t1"), RouteRule("db.users", "b.t2")))
+    assert(r.route(TableId.of("db", "users")) === Seq(TableId.of("a", "t1"), TableId.of("b", "t2")))
+    assert(r.route(TableId.of("db", "other")) === Seq(TableId.of("db", "other")))
+  }
+
+  test("reverse lookup finds the upstream tables of a sink") {
+    val r = new TableIdRouter(Seq(RouteRule("db.u_\\.*", "sink.merged")))
+    val up = Seq(TableId.of("db", "u_1"), TableId.of("db", "u_2"), TableId.of("db", "x"))
+    assert(r.sourcesFor(TableId.of("sink", "merged"), up) === Seq(TableId.of("db", "u_1"), TableId.of("db", "u_2")))
+  }
+}
+
+class SchemaDerivatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeStructs widens types and unions columns in first-seen order") {
+    val a = StructType(Seq(StructField("id", IntegerType), StructField("name", StringType)))
+    val b = StructType(Seq(StructField("id", LongType), StructField("email", StringType)))
+    val m = SchemaDerivator.mergeStructs(Seq(a, b))
+    assert(m.fieldNames.toSeq === Seq("id", "name", "email"))
+    assert(m("id").dataType === LongType)
+  }
+
+  test("mergeUnion null-pads and casts (the FIXTURES.md §3 route-merge shape)") {
+    val u1 = Seq((1, "a")).toDF("id", "name")
+    val u2 = Seq((2L, "b", "b@x.com")).toDF("id", "name", "email")
+    val out = SchemaDerivator.mergeUnion(Seq(u1, u2)).orderBy("id")
+    assert(out.schema("id").dataType === LongType)
+    assert(out.collect().toSeq === Seq(Row(1L, "a", null), Row(2L, "b", "b@x.com")))
+  }
+}
+
+class SchemaRegistrySpec extends SparkSpec {
+  private val t1 = TableId.of("db", "t1")
+  private def create = CreateTableEvent(t1, CdcSchema.of("id" -> "INT", "name" -> "STRING"))
+
+  test("EVOLVE applies changes to both universes") {
+    val reg = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    reg.apply(create)
+    val out = reg.apply(AddColumnEvent(t1, "age", IntegerType))
+    assert(out === Seq(AddColumnEvent(t1, "age", IntegerType)))
+    assert(reg.evolvedSchema(t1).get.columnNames === Seq("id", "name", "age"))
+  }
+
+  test("IGNORE swallows changes after create") {
+    val reg = new SchemaRegistry(SchemaChangeBehavior.Ignore)
+    reg.apply(create)
+    assert(reg.apply(DropColumnEvent(t1, "name")).isEmpty)
+    // original universe still tracks upstream truth
+    assert(reg.originalSchema(t1).get.columnNames === Seq("id"))
+  }
+
+  test("LENIENT turns rename into add and defers drops") {
+    val reg = new SchemaRegistry(SchemaChangeBehavior.Lenient)
+    reg.apply(create)
+    val out = reg.apply(RenameColumnEvent(t1, "name", "fullname"))
+    assert(out === Seq(AddColumnEvent(t1, "fullname", StringType)))
+    assert(reg.evolvedSchema(t1).get.columnNames === Seq("id", "name", "fullname"))
+    assert(reg.apply(DropColumnEvent(t1, "id")).isEmpty)
+    assert(reg.evolvedSchema(t1).get.columnNames === Seq("id", "name", "fullname"))
+  }
+
+  test("EXCEPTION rejects any change after create") {
+    val reg = new SchemaRegistry(SchemaChangeBehavior.Exception)
+    reg.apply(create)
+    assertThrows[IllegalStateException](reg.apply(AddColumnEvent(t1, "x", IntegerType)))
+  }
+}
+
+class ChangelogSpec extends SparkSpec {
+
+  test("materialize agrees with the ValuesDatabase oracle on the canonical event set") {
+    val events = ValuesSource.singleSplitSingleTable
+    val db = new ValuesDatabase
+    db.applyAll(events)
+    val tid = TableId.of("default_namespace", "default_schema", "table1")
+    val schema = db.schemaOf(tid).get
+
+    val dataEvents = events.collect { case e: DataChangeEvent => e }
+    val changelog = ValuesSource.toChangelog(spark, schema, dataEvents)
+    val out = Changelog.materialize(changelog, schema.primaryKeys)
+      .orderBy("col1").collect().map(r => Seq(r.get(0), r.get(1))).toSeq
+
+    assert(out === db.results(tid).sortBy(_.head.toString))
+    assert(out === Seq(Seq("1", "1"), Seq("2", "x"))) // 3 deleted, 2 updated
+  }
+
+  test("softDelete flags deletes instead of removing state") {
+    val events = ValuesSource.singleSplitSingleTable
+    val tid = TableId.of("default_namespace", "default_schema", "table1")
+    val schema = CdcSchema.of("col1" -> "STRING", "col2" -> "STRING").copy(primaryKeys = Seq("col1"))
+    val dataEvents = events.collect { case e: DataChangeEvent => e }
+    val out = Changelog.materialize(
+      Changelog.softDelete(ValuesSource.toChangelog(spark, schema, dataEvents)), Seq("col1"))
+      .orderBy("col1").collect()
+    assert(out.length === 3) // key 3 survives with __deleted = true
+    assert(out.map(r => (r.getString(0), r.getAs[Boolean]("__deleted"))).toSeq ===
+      Seq(("1", false), ("2", false), ("3", true)))
+  }
+}
+
+class ValuesDatabaseSpec extends SparkSpec {
+  test("schema evolution mutates stored rows positionally") {
+    val t = TableId.of("db", "t")
+    val db = new ValuesDatabase
+    db.apply(CreateTableEvent(t, CdcSchema.of("id" -> "INT", "name" -> "STRING").copy(primaryKeys = Seq("id"))))
+    db.apply(DataChangeEvent.insert(t, Seq(1, "a")))
+    db.apply(AddColumnEvent(t, "age", IntegerType, ColumnPosition.After("id")))
+    assert(db.results(t) === Seq(Seq(1, null, "a")))
+    db.apply(DataChangeEvent.insert(t, Seq(2, 20, "b")))
+    db.apply(DropColumnEvent(t, "age"))
+    assert(db.results(t) === Seq(Seq(1, "a"), Seq(2, "b")))
+    db.apply(TruncateTableEvent(t))
+    assert(db.results(t).isEmpty)
+  }
+}

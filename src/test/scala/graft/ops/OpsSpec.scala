@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash estimated jaccard tracks exact jaccard on crafted texts") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val sigA = Dedup.minhashSignature(Dedup.shingleHashes(base, 3), 128)
+    val sigB = Dedup.minhashSignature(Dedup.shingleHashes(near, 3), 128)
+    val sigC = Dedup.minhashSignature(Dedup.shingleHashes(far, 3), 128)
+    val exactAB = Dedup.exactJaccard(Dedup.shingleHashes(base, 3), Dedup.shingleHashes(near, 3))
+    assert(math.abs(Dedup.estimatedJaccard(sigA, sigB) - exactAB) < 0.15)
+    assert(Dedup.estimatedJaccard(sigA, sigC) < 0.1)
+    assert(Dedup.estimatedJaccard(sigA, sigA) === 1.0)
+  }
+
+  test("minhashCandidates finds planted near-duplicates and nothing else") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again every day"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again every night"), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer internals here"),
+      (4L, "completely different content about spark catalyst optimizer internals here")) // exact dup of 3
+    val df = texts.toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, "id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhashDedup keeps the smaller id of each dup cluster") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (30L, "unrelated text that shares nothing with the others at all ok")).toDF("id", "text")
+    val out = Dedup.minhashDedup(df, "id", "text", threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(10L, 30L))
+  }
+
+  test("simhash hamming distance is small for near-identical token sets") {
+    val a = Dedup.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    val b = Dedup.simhash64("alpha beta gamma delta epsilon zeta eta thetax")
+    val c = Dedup.simhash64("one two three four five six seven eight")
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+    assert(Dedup.simhash64("same text") === Dedup.simhash64("same text"))
+  }
+
+  test("exact dedup counts duplicates per normalized key") {
+    val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineCol matches scala cosine") {
+    val vecs = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.6f, 0.8f, 0f)), (3L, Array(0f, 0f, 1f)))
+    val df = vecs.toDF("id", "v")
+    val q = Array(1f, 0f, 0f)
+    val got = df.select(col("id"), Similarity.cosineCol(col("v"), q).as("s"))
+      .as[(Long, Double)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(math.abs(got(id) - Similarity.cosine(v, q)) < 1e-9)
+    }
+  }
+
+  test("bruteForceTopK returns ids in descending similarity order") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)))
+      .toDF("id", "v")
+    val top = Similarity.bruteForceTopK(df, "id", "v", Array(1f, 0f), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L))
+  }
+
+  test("lshTopK recall: planted duplicate vector is always found") {
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 31 + d) % 1000) / 1000.0f)))
+    }
+    val query = vecs(7)._2
+    val df = vecs.toDF("id", "v")
+    val bucketed = Similarity.withBuckets(df, "id", "v", numPlanes = 6)
+    val top = Similarity.lshTopK(bucketed, "id", "v", query, 1, numPlanes = 6)
+      .select("id").as[Long].collect()
+    assert(top.headOption.contains(7L)) // its own bucket always probed
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/punct counts and fingerprint normalization") {
+    val df = Seq(
+      (1L, "Hello,  world! How are you?"),
+      (2L, "hello world how are you"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((5, 3)))
+    assert(out(2L) === ((5, 0)))
+    assert(out(3L) === ((0, 0)))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht mit der katze"),
+      (3L, "le chat est dans la maison pour que"),
+      (4L, "el perro es una mascota para los ninos"),
+      (5L, "zzz qqq xxx")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeImages emits the typed feature schema, one row per image asset") {
+    val parts = spark.read.parquet(s"$sf/part.parquet").limit(10)
+    val assets = Multimodal.syntheticAssets(parts, "p_partkey", "image")
+    val out = Multimodal.decodeImages(assets)
+    assert(out.schema === Multimodal.imageFeatureSchema)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => r.getInt(1) >= 64 && r.getInt(3) === 3))
+    assert(rows.forall(r => r.getSeq[Float](4).length === 16))
+  }
+
+  test("sampleFrames explodes every nth frame from metadata") {
+    val parts = spark.read.parquet(s"$sf/part.parquet").where("p_partkey = 9") // frame_count = 10
+    val assets = Multimodal.syntheticAssets(parts, "p_partkey", "video")
+    val idx = Multimodal.sampleFrames(assets, everyNth = 4)
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(idx === Seq(0, 4, 8))
+  }
+}
