@@ -138,6 +138,38 @@ object SparkEntry {
       Changelog.materialize(Changelog.softDelete(eventsChangelog(spark, dir)), Seq("user_id"))
     },
 
+    // ---------- debezium wire format + streaming pipeline (§2.1/§2.2, §7.2 step 7) ----------
+
+    "q_debezium_roundtrip" -> { (spark, dir) =>
+      // serialize → parse → materialize ≡ materialize (proves the Kafka wire
+      // path is lossless); same oracle as q_materialize
+      val id = TableId.of("db", "events")
+      val json = graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), id)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val back = graft.sources.DebeziumJson.parse(json, schema).drop("__db", "__table")
+      Changelog.materialize(back, Seq("user_id"))
+    },
+
+    "q_stream_pipeline" -> { (spark, dir) =>
+      // the full streaming topology run in batch mode (reference BATCH
+      // runtime-mode): debezium feed → pipeline → parquet upsert sink state
+      import graft.streaming.StreamingPipeline
+      import graft.sinks.ParquetUpsertSink
+      val srcId = TableId.of("db", "events")
+      val schema = graft.model.CdcSchema.of(
+        "user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
+        .copy(primaryKeys = Seq("user_id"))
+      val out = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+      val sink = new ParquetUpsertSink(out)
+      val pipe = new StreamingPipeline(new graft.operators.SchemaRegistry(), sink = sink)
+      pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
+      pipe.processBatch(graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), srcId), 0L)
+      sink.read(spark, srcId)
+    },
+
     // ---------- chunked snapshot source (§2.1) ----------
 
     "q_chunked_read" -> { (spark, dir) =>
@@ -374,6 +406,18 @@ object SparkEntry {
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_debezium_roundtrip" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_stream_pipeline" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "q_chunked_read" ->
       """SELECT l_returnflag, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty

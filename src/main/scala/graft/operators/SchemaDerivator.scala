@@ -46,4 +46,23 @@ object SchemaDerivator {
     val target = mergeStructs(dfs.map(_.schema))
     dfs.map(coerce(_, target)).reduce(_.unionByName(_))
   }
+
+  /** DDL delta that evolves a sink table from `prev` to `next` — the
+    * normalized event stream a sink's MetadataApplier receives when routed
+    * source schemas change (SchemaDerivator.java:154-296: renames surface as
+    * adds, widenings as type changes, drops as drops).
+    */
+  def diff(out: graft.model.TableId, prev: StructType, next: StructType): Seq[graft.model.SchemaChangeEvent] = {
+    import graft.model._
+    val prevNames = prev.fieldNames.toSet
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    val adds = next.fields.toSeq.filterNot(f => prevNames.contains(f.name))
+      .map(f => AddColumnEvent(out, f.name, f.dataType))
+    val drops = prev.fieldNames.toSeq.filterNot(nextByName.contains)
+      .map(n => DropColumnEvent(out, n))
+    val alters = prev.fields.toSeq
+      .filter(f => nextByName.get(f.name).exists(_.dataType != f.dataType))
+      .map(f => AlterColumnTypeEvent(out, f.name, nextByName(f.name).dataType))
+    adds ++ alters ++ drops
+  }
 }

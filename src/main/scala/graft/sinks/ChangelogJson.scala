@@ -36,6 +36,7 @@ object ChangelogJson {
         when(col(Changelog.OpCol) === "DELETE", payload).otherwise(lit(null)).as("before"),
         when(col(Changelog.OpCol) =!= "DELETE", payload).otherwise(lit(null)).as("after"),
         debeziumOp.as("op"),
+        col(Changelog.SeqCol).as("ts_ms"), // seq rides in ts_ms: round-trip keeps per-key order
         struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
       )).as("value"))
   }

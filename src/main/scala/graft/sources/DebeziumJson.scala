@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.operators.Changelog
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Debezium-JSON changelog feed → graft changelog envelope.
+  *
+  * The consume side of the reference's Kafka wire format
+  * (flink-cdc-pipeline-connector-kafka/.../json/debezium/
+  * DebeziumJsonSerializationSchema.java): `{before, after, op: c|r|u|d,
+  * source: {db, table}, ts_ms}`. This is how Spark ingests the change feeds
+  * the reference's sources produce (SURVEY.md §2.1: Debezium→Kafka→
+  * readStream + from_json) — the engine never re-implements a binlog client.
+  *
+  * Works identically on batch and streaming frames: every step is a pure
+  * projection (`from_json` + column ops), so it stays inside WholeStageCodegen
+  * and imposes no shuffle — at 100 TB of changelog this is scan-bound.
+  */
+object DebeziumJson {
+
+  /** Envelope fields around the payload. */
+  private def envelopeSchema(payload: StructType): StructType =
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("before", payload),
+      org.apache.spark.sql.types.StructField("after", payload),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", StructType(Seq(
+        org.apache.spark.sql.types.StructField("db", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType))))))
+
+  private val opWord: Column =
+    when(col("__dbz.op") === "c" || col("__dbz.op") === "r", "INSERT")
+      .when(col("__dbz.op") === "u", "UPDATE")
+      .when(col("__dbz.op") === "d", "DELETE")
+      .otherwise("REPLACE")
+
+  /** Parse a frame with a `value: STRING` column of debezium-json into the
+    * changelog envelope for ONE table's payload schema: payload columns +
+    * `__op` + `__seq` (+ `__db`, `__table` source identifiers).
+    *
+    * DELETE rows carry the before-image as payload (the PK is what the sink
+    * needs); everything else carries the after-image.
+    *
+    * @param seq column providing the per-key monotone sequence; defaults to
+    *            `ts_ms` — pass a Kafka offset when ts_ms ties are possible.
+    */
+  def parse(df: DataFrame, payload: StructType, valueCol: String = "value",
+            seq: Option[Column] = None): DataFrame = {
+    val parsed = df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(payload)))
+    val image = when(col("__dbz.op") === "d", col("__dbz.before")).otherwise(col("__dbz.after"))
+    parsed
+      .withColumn("__img", image)
+      .select(
+        payload.fieldNames.map(f => col(s"__img.$f").as(f)).toSeq ++ Seq(
+          opWord.as(Changelog.OpCol),
+          seq.getOrElse(col("__dbz.ts_ms")).as(Changelog.SeqCol),
+          col("__dbz.source.db").as("__db"),
+          col("__dbz.source.table").as("__table")): _*)
+  }
+
+  /** Table id of each raw record without payload parsing — used to fan a
+    * multi-table feed out to per-table parsing (cheap: only source.* parsed).
+    */
+  def tableOf(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(StructType(Nil))))
+      .withColumn("__db", col("__dbz.source.db"))
+      .withColumn("__table", col("__dbz.source.table"))
+      .drop("__dbz")
+}

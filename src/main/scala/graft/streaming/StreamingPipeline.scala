@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.model._
+import graft.operators._
+import graft.sinks.CdcSink
+import graft.sources.DebeziumJson
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming CDC pipeline: debezium-json feed → transform →
+  * route → sink, with driver-side schema evolution between micro-batches.
+  *
+  * The Spark shape of the reference's streaming topology
+  * (FlinkPipelineComposer.java:174: Source → PreTransform → PostTransform →
+  * SchemaOperator → PrePartition → Sink). Everything the reference does with
+  * operator coordinators collapses here (SURVEY.md §7.1):
+  *  - FlushEvent barrier          → the micro-batch boundary
+  *  - SchemaOperator blocking RPC → [[applySchemaChange]] on the driver
+  *                                  between batches
+  *  - PrePartition hash shuffle   → the sink's per-PK materialization
+  *  - exactly-once checkpointing  → streaming checkpoint + idempotent upsert
+  *
+  * The same [[processBatch]] runs in batch mode (reference
+  * `execution.runtime-mode: BATCH`) — call it once on a static frame.
+  */
+final class StreamingPipeline(
+    val registry: SchemaRegistry,
+    transforms: Seq[TransformRule] = Nil,
+    routes: Seq[RouteRule] = Nil,
+    sink: CdcSink) {
+
+  private val router = new TableIdRouter(routes)
+  // sink-side schema cache: what DDL the sink has already been given
+  private val sinkSchemas = scala.collection.mutable.Map.empty[TableId, CdcSchema]
+
+  /** Apply a schema change: registry decides per behavior whether anything
+    * evolves (SchemaOperator → SchemaCoordinator chain, SURVEY.md §2.6); the
+    * sink then receives the DERIVED delta of its merged table schema — so an
+    * N→1 route whose second source appears emits AddColumn events for the new
+    * columns, like `SchemaDerivator.deduceMergedCreateTableEvent`. Call
+    * between batches — the reference equally blocks the stream while its
+    * coordinator round-trips.
+    */
+  def applySchemaChange(e: SchemaChangeEvent): Unit = {
+    if (registry.apply(e).isEmpty) return
+    for (out <- router.route(e.tableId)) {
+      val live = router.sourcesFor(out, registry.tableIds).flatMap(registry.evolvedSchema)
+      (sinkSchemas.get(out), live) match {
+        case (prev, Nil) =>
+          if (prev.isDefined) { sink.applySchemaChange(DropTableEvent(out)); sinkSchemas.remove(out) }
+        case (None, _) =>
+          val target = sinkSchema(out)
+          sink.applySchemaChange(CreateTableEvent(out, target))
+          sinkSchemas(out) = target
+        case (Some(prev), _) =>
+          val target = sinkSchema(out)
+          SchemaDerivator.diff(out, prev.struct, target.struct).foreach(sink.applySchemaChange)
+          sinkSchemas(out) = target
+      }
+    }
+  }
+
+  /** Merged (widest) schema of every source table routing into `out` —
+    * `SchemaDerivator.deduceMergedCreateTableEvent` (SURVEY.md §2.6).
+    */
+  private def sinkSchema(out: TableId): CdcSchema = {
+    val sources = router.sourcesFor(out, registry.tableIds)
+    val schemas = sources.flatMap(registry.evolvedSchema)
+    if (schemas.isEmpty) throw new IllegalStateException(s"no source schema routes to $out")
+    val struct = SchemaDerivator.mergeStructs(schemas.map(_.struct))
+    CdcSchema(struct, primaryKeys = schemas.head.primaryKeys intersect struct.fieldNames.toSeq)
+  }
+
+  /** Process one micro-batch of raw debezium-json records (`value: STRING`).
+    *
+    * Scale shape: ONE pass tags records with their table id (narrow), then
+    * each known table gets a filtered parse → transform → coerce → write.
+    * Filters and `from_json` are narrow projections; the only shuffles are
+    * inside the sink's per-PK materialization — exactly the reference's
+    * PrePartition-then-buffer layout.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, seq: Option[Column] = None): Unit = {
+    if (batch.isEmpty) return
+    val tagged = DebeziumJson.tableOf(batch).cache()
+    try {
+      val present = tagged.select("__db", "__table").distinct().collect()
+        .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
+
+      for (src <- present; schema <- registry.evolvedSchema(src)) {
+        val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
+        val changelog = DebeziumJson.parse(slice, schema.struct, seq = seq)
+          .drop("__db", "__table")
+        val transformed = Transform.applyRules(changelog, src, transforms,
+          opColumn = Some(Changelog.OpCol),
+          passthrough = Seq(Changelog.OpCol, Changelog.SeqCol))
+
+        for (out <- router.route(src)) {
+          val target = sinkSchema(out)
+          // coerce payload to the merged sink shape (cast matching columns,
+          // null-pad missing ones) while keeping the envelope columns — a
+          // pure projection, no shuffle
+          val coerced = transformed.select(
+            target.struct.fieldNames.map(f =>
+              (if (transformed.columns.contains(f)) col(f) else lit(null))
+                .cast(target.struct(f).dataType).as(f)).toSeq
+              ++ Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+          sink.write(out, coerced, target)
+        }
+      }
+    } finally { tagged.unpersist(); () }
+  }
+
+  /** Launch the continuous pipeline over a streaming frame of debezium-json
+    * records. Checkpointed; restart-safe when the sink is idempotent.
+    */
+  def start(stream: DataFrame, checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model._
+import graft.operators.{RouteRule, SchemaRegistry, TransformRule}
+import graft.sinks.{ParquetUpsertSink, ValuesDatabase, ValuesSink}
+import graft.sources.DebeziumJson
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+class DebeziumJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val userStruct = CdcSchema.of("id" -> "BIGINT", "name" -> "STRING").struct
+
+  test("parse maps c/r/u/d to envelope ops with the right image") {
+    val rows = Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""",
+      """{"before":null,"after":{"id":2,"name":"b"},"op":"r","ts_ms":2,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"a2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":2,"name":"b"},"after":null,"op":"d","ts_ms":4,"source":{"db":"db","table":"users"}}""")
+    val out = DebeziumJson.parse(rows.toDF("value"), userStruct)
+      .orderBy("__seq")
+      .select("id", "name", "__op").as[(Long, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "INSERT"), (2L, "b", "INSERT"), (1L, "a2", "UPDATE"), (2L, "b", "DELETE")))
+  }
+
+  test("serialize → parse round-trips the changelog") {
+    val ch = Seq((1L, "x", "INSERT", 10L), (2L, "y", "DELETE", 11L))
+      .toDF("id", "name", graft.operators.Changelog.OpCol, graft.operators.Changelog.SeqCol)
+    val json = graft.sinks.ChangelogJson.debezium(ch, TableId.of("db", "users"))
+    val back = DebeziumJson.parse(json, userStruct)
+      .orderBy("__seq").select("id", "name", "__op").as[(Long, String, String)].collect().toSeq
+    assert(back === Seq((1L, "x", "INSERT"), (2L, "y", "DELETE")))
+  }
+}
+
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val usersId = TableId.of("db", "users")
+  private def usersSchema = CdcSchema.of("id" -> "BIGINT", "name" -> "STRING", "age" -> "INT")
+    .copy(primaryKeys = Seq("id"))
+
+  private def dbz(op: String, ts: Long, payload: String, table: String = "users"): String = {
+    val (before, after) =
+      if (op == "d") (payload, "null") else ("null", payload)
+    s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$ts,"source":{"db":"db","table":"$table"}}"""
+  }
+
+  test("batch-mode pipeline: transform + filter + upsert semantics into values sink") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry,
+      transforms = Seq(TransformRule("db.users",
+        projection = Some("id, UPPER(name) AS name, age"), filter = Some("age >= 18"))),
+      sink = new ValuesSink(db))
+
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+
+    val batch = Seq(
+      dbz("c", 1, """{"id":1,"name":"ann","age":30}"""),
+      dbz("c", 2, """{"id":2,"name":"kid","age":10}"""),  // filtered out
+      dbz("c", 3, """{"id":3,"name":"bob","age":40}"""),
+      dbz("u", 4, """{"id":1,"name":"ann2","age":31}"""),
+      dbz("d", 5, """{"id":3,"name":"bob","age":40}""")).toDF("value")
+    pipe.processBatch(batch, 0L)
+
+    assert(db.results(usersId).map(_.toList).sortBy(_.head.toString) ===
+      Seq(List(1L, "ANN2", 31)))
+  }
+
+  test("N→1 route merges schemas and union-upserts into one sink table") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val merged = TableId.of("ods", "users_all")
+    val pipe = new StreamingPipeline(registry,
+      routes = Seq(RouteRule("db.users_\\.*", "ods.users_all")),
+      sink = new ValuesSink(db))
+
+    val s1 = CdcSchema.of("id" -> "BIGINT", "name" -> "STRING").copy(primaryKeys = Seq("id"))
+    val s2 = CdcSchema.of("id" -> "BIGINT", "name" -> "STRING", "email" -> "STRING").copy(primaryKeys = Seq("id"))
+    pipe.applySchemaChange(CreateTableEvent(TableId.of("db", "users_1"), s1))
+    pipe.applySchemaChange(CreateTableEvent(TableId.of("db", "users_2"), s2))
+
+    val batch = Seq(
+      dbz("c", 1, """{"id":1,"name":"a"}""", table = "users_1"),
+      dbz("c", 2, """{"id":2,"name":"b","email":"b@x"}""", table = "users_2")).toDF("value")
+    pipe.processBatch(batch, 0L)
+
+    assert(db.schemaOf(merged).get.columnNames === Seq("id", "name", "email"))
+    assert(db.results(merged).map(_.toList).sortBy(_.head.toString) ===
+      Seq(List(1L, "a", null), List(2L, "b", "b@x")))
+  }
+
+  test("schema evolution mid-stream: AddColumn applies between batches") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId,
+      CdcSchema.of("id" -> "BIGINT", "name" -> "STRING").copy(primaryKeys = Seq("id"))))
+
+    pipe.processBatch(Seq(dbz("c", 1, """{"id":1,"name":"a"}""")).toDF("value"), 0L)
+    pipe.applySchemaChange(AddColumnEvent(usersId, "age", IntegerType))
+    pipe.processBatch(Seq(dbz("c", 2, """{"id":2,"name":"b","age":9}""")).toDF("value"), 1L)
+
+    assert(db.schemaOf(usersId).get.columnNames === Seq("id", "name", "age"))
+    assert(db.results(usersId).map(_.toList).sortBy(_.head.toString) ===
+      Seq(List(1L, "a", null), List(2L, "b", 9)))
+  }
+
+  test("parquet upsert sink maintains state across batches, idempotently") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val sink = new ParquetUpsertSink(dir)
+    val pipe = new StreamingPipeline(registry, sink = sink)
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+
+    pipe.processBatch(Seq(
+      dbz("c", 1, """{"id":1,"name":"a","age":20}"""),
+      dbz("c", 2, """{"id":2,"name":"b","age":30}""")).toDF("value"), 0L)
+    val b1 = Seq(
+      dbz("u", 3, """{"id":1,"name":"a2","age":21}"""),
+      dbz("d", 4, """{"id":2,"name":"b","age":30}"""),
+      dbz("c", 5, """{"id":3,"name":"c","age":40}""")).toDF("value")
+    pipe.processBatch(b1, 1L)
+
+    def state = sink.read(spark, usersId).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(state === Seq((1L, "a2", 21), (3L, "c", 40)))
+
+    // replay the same batch — idempotent (effectively-once)
+    pipe.processBatch(b1, 1L)
+    assert(state === Seq((1L, "a2", 21), (3L, "c", 40)))
+  }
+
+  test("continuous streaming over MemoryStream reaches the same final state") {
+    implicit val sqlCtx = spark.sqlContext
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+
+    val mem = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = pipe.start(mem.toDF().withColumnRenamed("value", "value"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
+    mem.addData(
+      dbz("c", 1, """{"id":1,"name":"a","age":20}"""),
+      dbz("u", 2, """{"id":1,"name":"a2","age":21}"""),
+      dbz("c", 3, """{"id":2,"name":"b","age":30}"""),
+      dbz("d", 4, """{"id":2,"name":"b","age":30}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, "a2", 21)))
+  }
+}
