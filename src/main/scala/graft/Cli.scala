@@ -1,0 +1,93 @@
+package graft
+
+import graft.model.{CdcSchema, CreateTableEvent, SchemaChangeBehavior, TableId}
+import graft.operators.SchemaRegistry
+import graft.pipeline.{Composer, PipelineDef}
+import graft.sinks.ParquetUpsertSink
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** YAML-pipeline CLI — the Spark analog of the reference's `flink-cdc.sh
+  * pipeline.yaml` entry (flink-cdc-cli/.../CliFrontend.java:66-81, parse at
+  * cli/parser/YamlPipelineDefinitionParser.java:106-160).
+  *
+  * Usage: graft.Cli <pipeline.yaml>
+  *
+  * Supported sources: `parquet` (batch snapshot; `path` = table directory),
+  * `debezium-json` (streaming; `path` = directory of json-lines files, each
+  * record one debezium envelope; requires `tables-schema` entries in the
+  * source block or prior CreateTable DDL). Sinks: `parquet` (directory of
+  * result tables), `parquet-upsert` (continuously maintained state dirs),
+  * `values` (print to stdout — smoke runs).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: graft.Cli <pipeline.yaml>")
+    val p = PipelineDef.fromYaml(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0)))))
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(p.name)
+      .config("spark.sql.shuffle.partitions", math.max(p.parallelism, cpus.toInt))
+      .config("spark.sql.session.timeZone", p.localTimeZone)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    p.source.kind match {
+      case "parquet" => runBatch(spark, p)
+      case "debezium-json" => runStreaming(spark, p)
+      case other => throw new IllegalArgumentException(s"unknown source type: $other")
+    }
+  }
+
+  private def runBatch(spark: SparkSession, p: PipelineDef): Unit = {
+    val results = Composer.composeBatch(spark, p)
+    p.sink.kind match {
+      case "values" =>
+        results.foreach { case (id, df) =>
+          // scalastyle:off println
+          println(s"== $id: ${df.count()} rows")
+          df.show(20, truncate = false)
+          // scalastyle:on
+        }
+      case "parquet" =>
+        val out = p.sink.options.getOrElse("path",
+          throw new IllegalArgumentException("parquet sink needs `path`"))
+        results.foreach { case (id, df) =>
+          df.write.mode("overwrite").parquet(s"$out/${id.identifier.replace('.', '_')}")
+        }
+      case other => throw new IllegalArgumentException(s"unknown batch sink: $other")
+    }
+  }
+
+  private def runStreaming(spark: SparkSession, p: PipelineDef): Unit = {
+    val inPath = p.source.options.getOrElse("path",
+      throw new IllegalArgumentException("debezium-json source needs `path`"))
+    val outPath = p.sink.options.getOrElse("path",
+      throw new IllegalArgumentException("streaming sink needs `path`"))
+
+    val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
+    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, new ParquetUpsertSink(outPath))
+
+    // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`
+    p.source.options.collect { case (k, v) if k.startsWith("schema.") =>
+      val id = TableId.parse(k.stripPrefix("schema."))
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        val Array(n, t) = c.split("\\s+", 2); n -> t
+      }
+      val pks = p.transforms.find(_.selectors.matches(id)).map(_.primaryKeys).getOrElse(Nil)
+      val pk = if (pks.nonEmpty) pks else Seq(cols.head._1) // default: first column
+      pipe.applySchemaChange(CreateTableEvent(id, CdcSchema.of(cols.toIndexedSeq: _*).copy(primaryKeys = pk)))
+    }
+
+    val stream = spark.readStream.format("text").load(inPath)
+    val q = pipe.start(stream, s"$outPath/_checkpoint",
+      trigger = Trigger.ProcessingTime(p.config.getOrElse("batch-interval", "1 second")))
+    q.awaitTermination()
+  }
+}

@@ -358,6 +358,17 @@ object SparkEntry {
         .join(broadcast(t(dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    },
+
+    "q_window_agg" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // tumbling 1h event-time window (ts read as epoch nanos); integer
+      // division keeps full precision — the batch shape of the streaming
+      // `window(ts, "1 hour")` aggregation
+      t(dir, "events")
+        .selectExpr("ts DIV 3600000000000 AS hour_bucket", "event_type", "value")
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     }
   )
 
@@ -511,7 +522,12 @@ object SparkEntry {
       """SELECT r_name, n_name, count(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 
   /** The langId heuristic re-expressed in DuckDB SQL (RE2 dialect: `\x{...}`

@@ -39,6 +39,23 @@ object AiFunctions {
   def fakeChat(prompt: String): String =
     if (prompt == null) null else s"[stub-model] ${prompt.take(64)}"
 
+  /** Register a named model from a YAML `model:` block (ModelDef) — the model
+    * name becomes a callable UDF, like the reference's TransformTranslator
+    * wiring (composer/definition/ModelDef.java, TransformTranslator.java:51-132).
+    * Embedding-flavored models return ARRAY<FLOAT>, chat models STRING.
+    */
+  def registerModel(spark: SparkSession, name: String, options: Map[String, String]): Unit = {
+    val model = options.getOrElse("model-name", options.getOrElse("openai.model", "chat"))
+    if (model.toLowerCase.contains("embed"))
+      spark.udf.register(name, new UDF1[String, Array[Float]] {
+        override def call(t: String): Array[Float] = fakeEmbed(t)
+      }, ArrayType(FloatType))
+    else
+      spark.udf.register(name, new UDF1[String, String] {
+        override def call(t: String): String = fakeChat(t)
+      }, StringType)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("GET_EMBEDDING", new UDF1[String, Array[Float]] {
       override def call(t: String): Array[Float] = fakeEmbed(t)

@@ -90,6 +90,35 @@ object CdcFunctions {
         else Long.box(formatter(if (fmt == null) "yyyy-MM-dd HH:mm:ss" else fmt, timeZone).parse(s).getTime / 1000L)
     }, LongType)
 
+    spark.udf.register("CDC_FROM_UNIXTIME", new UDF2[java.lang.Long, String, String] {
+      override def call(epochSec: java.lang.Long, fmt: String): String =
+        if (epochSec == null) null
+        else formatter(if (fmt == null) "yyyy-MM-dd HH:mm:ss" else fmt, timeZone)
+          .format(new java.util.Date(epochSec * 1000L))
+    }, StringType)
+
+    // TIMESTAMPADD with calendar-aware MONTH/YEAR arithmetic
+    // (SystemFunctionUtils.timestampadd:244-265)
+    spark.udf.register("CDC_TIMESTAMP_ADD", new UDF3[String, Integer, java.sql.Timestamp, java.sql.Timestamp] {
+      override def call(unit: String, n: Integer, ts: java.sql.Timestamp): java.sql.Timestamp = {
+        if (n == null || ts == null) return null
+        val zone = java.time.ZoneId.of(timeZone)
+        val z = ts.toInstant.atZone(zone)
+        val out = unit.toUpperCase match {
+          case "SECOND" => z.plusSeconds(n.toLong)
+          case "MINUTE" => z.plusMinutes(n.toLong)
+          case "HOUR"   => z.plusHours(n.toLong)
+          case "DAY"    => z.plusDays(n.toLong)
+          case "WEEK"   => z.plusWeeks(n.toLong)
+          case "MONTH"  => z.plusMonths(n.toLong)
+          case "QUARTER" => z.plusMonths(3L * n)
+          case "YEAR"   => z.plusYears(n.toLong)
+          case other => throw new IllegalArgumentException(s"unit: $other")
+        }
+        java.sql.Timestamp.from(out.toInstant)
+      }
+    }, TimestampType)
+
     AiFunctions.register(spark)
   }
 }

@@ -30,6 +30,7 @@ object Composer {
   def composeBatch(spark: SparkSession, p: PipelineDef): Map[TableId, DataFrame] = {
     CdcFunctions.register(spark, p.localTimeZone)
     p.udfs.foreach(u => CdcUdf.fromClasspath(spark, u.classpath))
+    p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
 
     val dir = p.source.options.getOrElse("path",
       throw new IllegalArgumentException("parquet source needs `path`"))

@@ -61,14 +61,22 @@ final class StreamingPipeline(
     }
   }
 
+  private def softDeleteApplies(src: TableId): Boolean =
+    transforms.find(_.selectors.matches(src))
+      .exists(_.postTransformConverter.exists(_.equalsIgnoreCase("SOFT_DELETE")))
+
   /** Merged (widest) schema of every source table routing into `out` —
-    * `SchemaDerivator.deduceMergedCreateTableEvent` (SURVEY.md §2.6).
+    * `SchemaDerivator.deduceMergedCreateTableEvent` (SURVEY.md §2.6). When a
+    * SOFT_DELETE converter applies to any routed source, the sink schema
+    * gains the `__deleted BOOLEAN` flag column (SoftDeleteConverter.java:27).
     */
   private def sinkSchema(out: TableId): CdcSchema = {
     val sources = router.sourcesFor(out, registry.tableIds)
     val schemas = sources.flatMap(registry.evolvedSchema)
     if (schemas.isEmpty) throw new IllegalStateException(s"no source schema routes to $out")
-    val struct = SchemaDerivator.mergeStructs(schemas.map(_.struct))
+    var struct = SchemaDerivator.mergeStructs(schemas.map(_.struct))
+    if (sources.exists(softDeleteApplies))
+      struct = struct.add("__deleted", org.apache.spark.sql.types.BooleanType)
     CdcSchema(struct, primaryKeys = schemas.head.primaryKeys intersect struct.fieldNames.toSeq)
   }
 
@@ -91,9 +99,13 @@ final class StreamingPipeline(
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
         val changelog = DebeziumJson.parse(slice, schema.struct, seq = seq)
           .drop("__db", "__table")
-        val transformed = Transform.applyRules(changelog, src, transforms,
+        val transformed0 = Transform.applyRules(changelog, src, transforms,
           opColumn = Some(Changelog.OpCol),
           passthrough = Seq(Changelog.OpCol, Changelog.SeqCol))
+        // converter-after-transform: SOFT_DELETE rewrites DELETEs into
+        // flagged updates (SoftDeleteConverter.java:27)
+        val transformed =
+          if (softDeleteApplies(src)) Changelog.softDelete(transformed0) else transformed0
 
         for (out <- router.route(src)) {
           val target = sinkSchema(out)

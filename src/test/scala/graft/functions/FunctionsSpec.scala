@@ -32,6 +32,27 @@ class CdcFunctionsSpec extends SparkSpec {
     assert(CdcFunctions.timestampDiff("YEAR", jan31, mar01, "UTC") === 0)
   }
 
+  test("CDC_TIMESTAMP_ADD does calendar month arithmetic") {
+    CdcFunctions.register(spark)
+    val out = Seq("2024-01-31 00:00:00").toDF("s")
+      .selectExpr(
+        "CDC_DATE_FORMAT(CDC_TIMESTAMP_ADD('MONTH', 1, CAST(s AS TIMESTAMP)), 'yyyy-MM-dd') AS m",
+        "CDC_DATE_FORMAT(CDC_TIMESTAMP_ADD('DAY', 2, CAST(s AS TIMESTAMP)), 'yyyy-MM-dd') AS d",
+        "CDC_FROM_UNIXTIME(CAST(0 AS BIGINT), 'yyyy-MM-dd') AS e")
+      .head()
+    assert(out.getString(0) === "2024-02-29") // month-end clamp, leap year
+    assert(out.getString(1) === "2024-02-02")
+    assert(out.getString(2) === "1970-01-01")
+  }
+
+  test("named model registration from a YAML model block") {
+    AiFunctions.registerModel(spark, "MY_EMBED", Map("model-name" -> "text-embedding-3-small"))
+    AiFunctions.registerModel(spark, "MY_CHAT", Map("model-name" -> "gpt-4o-mini"))
+    val r = Seq("hi").toDF("t").selectExpr("MY_EMBED(t) AS e", "MY_CHAT(t) AS c").head()
+    assert(r.getSeq[Float](0).length === AiFunctions.EmbeddingDim)
+    assert(r.getString(1).startsWith("[stub-model]"))
+  }
+
   test("AI function stubs: embeddings are unit-norm, deterministic") {
     val a = AiFunctions.fakeEmbed("hello world")
     val b = AiFunctions.fakeEmbed("hello world")
