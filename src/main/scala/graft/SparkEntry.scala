@@ -360,6 +360,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
     },
 
+    "q_ai_chat" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // AI transform functions as projection expressions (§2.4): stubbed
+      // deterministically, so even the chat output is oracle-checkable
+      graft.functions.AiFunctions.register(spark)
+      t(dir, "documents").selectExpr(
+        "doc_id",
+        "AI_CHAT_PREDICT(text) AS reply",
+        "SIZE(GET_EMBEDDING(text)) AS embed_dim")
+    },
+
     "q_window_agg" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // tumbling 1h event-time window (ts read as epoch nanos); integer
@@ -523,6 +534,11 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_ai_chat" ->
+      """SELECT doc_id, '[stub-model] ' || substring(text, 1, 64) AS reply,
+        |       64 AS embed_dim
+        |FROM documents""".stripMargin,
 
     "q_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
