@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout (driver contract).
+  *
+  * Reports per-query wall seconds plus the three BASELINE.md §"Bench target"
+  * throughput anchors: snapshot-load rows/sec into the upsert sink
+  * (`upsert_rps`, comparable to the reference's DsqlBatchSinkFunction RPS
+  * logs), end-to-end transform throughput (`transform_rps`), and micro-batch
+  * latency for a 1k-event batch (`microbatch_sec` vs the reference's 30 s
+  * batch-timeout operating point).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +23,63 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // JVM/codegen warmup so per-query numbers measure the engine, not JIT
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (rows, secs) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      (name, secs, rows)
+    }
+
+    // throughput anchors
+    val lineitemRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val (_, tTransform) = time {
+      SparkEntry.queries("q_transform_computed")(spark, sfDir).count()
+    }
+    val transformRps = lineitemRows / math.max(tTransform, 1e-9)
+
+    val eventRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val (_, tUpsert) = time {
+      SparkEntry.queries("q_stream_pipeline")(spark, sfDir).count()
+    }
+    val upsertRps = eventRows / math.max(tUpsert, 1e-9)
+
+    // micro-batch latency: 1000-event debezium batch through the full pipeline
+    val microbatchSec = {
+      import graft.model._
+      import org.apache.spark.sql.functions._
+      val srcId = TableId.of("db", "events")
+      val schema = CdcSchema.of("user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
+        .copy(primaryKeys = Seq("user_id"))
+      val out = java.nio.file.Files.createTempDirectory("graft-bench-mb").toString
+      val sink = new graft.sinks.ParquetUpsertSink(out)
+      val pipe = new graft.streaming.StreamingPipeline(new graft.operators.SchemaRegistry(), sink = sink)
+      pipe.applySchemaChange(CreateTableEvent(srcId, schema))
+      val batch = graft.sinks.ChangelogJson.debezium(
+        spark.read.parquet(s"$sfDir/events.parquet").limit(1000).select(
+          col("user_id"), col("event_type"), col("value"),
+          lit("REPLACE").as(graft.operators.Changelog.OpCol),
+          col("event_id").as(graft.operators.Changelog.SeqCol)), srcId).cache()
+      batch.count()
+      val (_, t0) = time { pipe.processBatch(batch, 0L) } // initial load
+      val (_, t1) = time { pipe.processBatch(batch, 1L) } // steady-state merge
+      math.min(t0, t1)
+    }
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // scalastyle:off println
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
+      s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}""")
+    // scalastyle:on
     spark.stop()
   }
 }
