@@ -321,6 +321,14 @@ object SparkEntry {
       t(dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    "q_token_count" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      t(dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
+    },
+
     // ---------- multimodal plumbing ----------
 
     "q_multimodal_decode" -> { (spark, dir) =>
@@ -508,6 +516,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_lang_id" -> langIdOracleSql,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS subword_tokens
+        |FROM documents""".stripMargin,
 
     "q_frame_sample" ->
       """SELECT CAST(p_partkey AS BIGINT) AS asset_id,

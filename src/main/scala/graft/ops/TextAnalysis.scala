@@ -17,14 +17,15 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: splits on word/number/punctuation boundaries the
-    * way byte-pair tokenizers pre-tokenize (letters runs, digit runs, single
-    * punctuation marks each count).
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * non-space punctuation marks each count — the way byte-pair tokenizers
+    * pre-tokenize. Expressed as `regexp_extract_all` (RE2-compatible pattern,
+    * so the DuckDB oracle can run the identical regex).
     */
+  val SubwordPattern = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0 && t =!= " "))
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
 
   /** Punctuation characters count. */
   def punctCount(text: Column): Column =

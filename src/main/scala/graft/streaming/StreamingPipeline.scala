@@ -80,6 +80,43 @@ final class StreamingPipeline(
     CdcSchema(struct, primaryKeys = schemas.head.primaryKeys intersect struct.fieldNames.toSeq)
   }
 
+  /** Snapshot phase of the hybrid source (reference `HybridSplitAssigner`,
+    * base/source/assigner/HybridSplitAssigner.java:53): load a full table
+    * image as an insert-only changelog at sequence `snapshotSeq`, through the
+    * same transform/route/sink path as the change stream. Stream events with
+    * `seq > snapshotSeq` then supersede snapshot rows per key — the
+    * last-write-wins dedup folds in-flight changes exactly like the
+    * reference's low/high-watermark chunk normalization (SURVEY.md §2.1).
+    */
+  def snapshotLoad(src: TableId, snapshot: DataFrame, snapshotSeq: Long = 0L): Unit = {
+    require(registry.evolvedSchema(src).isDefined, s"no schema for $src — apply CreateTableEvent first")
+    writeSlice(src, snapshot
+      .withColumn(Changelog.OpCol, lit("INSERT"))
+      .withColumn(Changelog.SeqCol, lit(snapshotSeq)))
+  }
+
+  /** Transform → soft-delete converter → route → coerce → sink, for one
+    * source table's changelog slice (shared by snapshot and stream phases).
+    */
+  private def writeSlice(src: TableId, changelog: DataFrame): Unit = {
+    val transformed0 = Transform.applyRules(changelog, src, transforms,
+      opColumn = Some(Changelog.OpCol),
+      passthrough = Seq(Changelog.OpCol, Changelog.SeqCol))
+    val transformed =
+      if (softDeleteApplies(src)) Changelog.softDelete(transformed0) else transformed0
+    for (out <- router.route(src)) {
+      val target = sinkSchema(out)
+      // coerce payload to the merged sink shape (cast matching columns,
+      // null-pad missing ones) while keeping the envelope — pure projection
+      val coerced = transformed.select(
+        target.struct.fieldNames.map(f =>
+          (if (transformed.columns.contains(f)) col(f) else lit(null))
+            .cast(target.struct(f).dataType).as(f)).toSeq
+          ++ Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+      sink.write(out, coerced, target)
+    }
+  }
+
   /** Process one micro-batch of raw debezium-json records (`value: STRING`).
     *
     * Scale shape: ONE pass tags records with their table id (narrow), then
@@ -97,28 +134,8 @@ final class StreamingPipeline(
 
       for (src <- present; schema <- registry.evolvedSchema(src)) {
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
-        val changelog = DebeziumJson.parse(slice, schema.struct, seq = seq)
-          .drop("__db", "__table")
-        val transformed0 = Transform.applyRules(changelog, src, transforms,
-          opColumn = Some(Changelog.OpCol),
-          passthrough = Seq(Changelog.OpCol, Changelog.SeqCol))
-        // converter-after-transform: SOFT_DELETE rewrites DELETEs into
-        // flagged updates (SoftDeleteConverter.java:27)
-        val transformed =
-          if (softDeleteApplies(src)) Changelog.softDelete(transformed0) else transformed0
-
-        for (out <- router.route(src)) {
-          val target = sinkSchema(out)
-          // coerce payload to the merged sink shape (cast matching columns,
-          // null-pad missing ones) while keeping the envelope columns — a
-          // pure projection, no shuffle
-          val coerced = transformed.select(
-            target.struct.fieldNames.map(f =>
-              (if (transformed.columns.contains(f)) col(f) else lit(null))
-                .cast(target.struct(f).dataType).as(f)).toSeq
-              ++ Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
-          sink.write(out, coerced, target)
-        }
+        writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq)
+          .drop("__db", "__table"))
       }
     } finally { tagged.unpersist(); () }
   }

@@ -136,6 +136,27 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(state === Seq((1L, "a2", 21), (3L, "c", 40)))
   }
 
+  test("hybrid source: snapshot load then change stream supersedes per key") {
+    import org.apache.spark.sql.functions._
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    val sink = new ParquetUpsertSink(dir)
+    val pipe = new StreamingPipeline(registry, sink = sink)
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+
+    // phase 1: full snapshot at seq 0 (reference HybridSplitAssigner handoff)
+    val snapshot = Seq((1L, "a", 20), (2L, "b", 30), (3L, "c", 40)).toDF("id", "name", "age")
+    pipe.snapshotLoad(usersId, snapshot, snapshotSeq = 0L)
+
+    // phase 2: stream tail with seq > snapshot watermark
+    pipe.processBatch(Seq(
+      dbz("u", 10, """{"id":1,"name":"a2","age":21}"""),
+      dbz("d", 11, """{"id":3,"name":"c","age":40}""")).toDF("value"), 1L)
+
+    val state = sink.read(spark, usersId).orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(state === Seq((1L, "a2", 21), (2L, "b", 30)))
+  }
+
   test("continuous streaming over MemoryStream reaches the same final state") {
     implicit val sqlCtx = spark.sqlContext
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
