@@ -291,6 +291,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10).select("vec_id")
     },
 
+    "q_embed_ivf_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val assigned = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+      graft.ops.Ivf.topK(assigned, "vec_id", "embedding", model, query, 10, nprobe = 4)
+        .select("vec_id")
+    },
+
     "q_embed_lsh_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       val emb = t(dir, "embeddings")

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index: a k-means coarse
+  * quantizer assigns every vector to its nearest centroid; queries probe only
+  * the `nprobe` nearest centroid buckets and exact-rescore that slice.
+  *
+  * The second scale path next to hyperplane LSH ([[Similarity]]): IVF buckets
+  * adapt to the data distribution (clustered embeddings get balanced lists
+  * where fixed hyperplanes don't).
+  *
+  * Scale design:
+  *  - centroids are tiny (k × dim floats) — they broadcast; assignment is a
+  *    narrow map over the scan, no shuffle of vectors for assignment;
+  *  - Lloyd iterations shuffle one partially-aggregated (sum, count) pair per
+  *    (partition, centroid) — `reduceGroups` does map-side combine, so bytes
+  *    shuffled ≈ partitions × k × dim × 4, independent of row count;
+  *  - the assigned table written `partitionBy("centroid_id")` gives partition
+  *    pruning at query time: a 100 TB index reads only nprobe/k of its data;
+  *  - training samples deterministically (hash-mod), so index builds are
+  *    reproducible run-to-run.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def nearest(v: Array[Float], n: Int = 1): Seq[Int] =
+      centroids.indices.sortBy(i => -Similarity.cosine(centroids(i), v)).take(n)
+  }
+
+  /** Train a coarse quantizer with `iters` Lloyd iterations over a
+    * deterministic hash-sample of the data (cosine geometry: centroids are
+    * re-normalized means, assignment is max-cosine).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 3, sampleMod: Int = 1): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs: Dataset[(Long, Seq[Float])] = df
+      .where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
+      .as[(Long, Seq[Float])]
+
+    // deterministic seeding: the k lowest id-hashes
+    var centroids = vecs
+      .withColumn("__h", xxhash64(col("_1")))
+      .orderBy("__h").limit(k)
+      .select("_2").as[Seq[Float]]
+      .collect().map(_.toArray)
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(Model(centroids))
+      val sums = vecs
+        .map { case (_, v) =>
+          (bc.value.nearest(v.toArray).head, (v.toArray.map(_.toDouble), 1L))
+        }
+        .groupByKey(_._1)
+        // reduceGroups = ObjectHashAggregate with partial merge: map-side
+        // combine keeps the shuffle at partitions × k rows
+        .reduceGroups { (a, b) =>
+          val (va, ca) = a._2; val (vb, cb) = b._2
+          var i = 0; while (i < va.length) { va(i) += vb(i); i += 1 }
+          (a._1, (va, ca + cb))
+        }
+        .map { case (cid, (_, (sum, cnt))) => (cid, sum.map(_ / cnt), cnt) }
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { case (cid, mean, _) =>
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        next(cid) = mean.map(x => (if (norm > 0) x / norm else x).toFloat)
+      }
+      centroids = next
+      bc.destroy()
+    }
+    Model(centroids)
+  }
+
+  /** Assign every vector its inverted-list id — the distributed "index build".
+    * Write the result `partitionBy("centroid_id")` for query-time pruning.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, bc.value.nearest(v.toArray).head) }
+      .toDF(idCol, vecCol, "centroid_id")
+  }
+
+  /** Query: probe the `nprobe` nearest inverted lists, exact-rescore the
+    * slice (scans nprobe/k of the index; with a partitioned index the pruning
+    * happens at the file listing).
+    */
+  def topK(assigned: DataFrame, idCol: String, vecCol: String, model: Model,
+           query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = model.nearest(query, nprobe)
+    Similarity.bruteForceTopK(
+      assigned.where(col("centroid_id").isin(probes: _*)), idCol, vecCol, query, k)
+  }
+}

@@ -93,6 +93,38 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = (0 until 300).map { i =>
+    (i.toLong, Array.tabulate(8)(d => ((Dedup.mix64(i.toLong * 17 + d) % 1000) / 1000.0f)))
+  }
+
+  test("train/assign/topK: planted duplicate always found; recall vs brute force is high") {
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
+    assert(model.centroids.length === 8)
+    val assigned = Ivf.assign(df, "id", "v", model).cache()
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+
+    val query = vecs(42)._2
+    val ivfTop = Ivf.topK(assigned, "id", "v", model, query, 10, nprobe = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(ivfTop.head === 42L) // its own list is always probed
+
+    val bruteTop = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .select("id").as[Long].collect().toSet
+    assert(ivfTop.toSet.intersect(bruteTop).size >= 6) // ≥60% recall at nprobe=3/8
+  }
+
+  test("training is deterministic") {
+    val df = vecs.toDF("id", "v")
+    val a = Ivf.train(df, "id", "v", k = 4, iters = 1).centroids
+    val b = Ivf.train(df, "id", "v", k = 4, iters = 1).centroids
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
