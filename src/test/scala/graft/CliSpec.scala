@@ -33,6 +33,10 @@ class CliSpec extends SparkSpec {
     assert(written.columns.toSeq === Seq("n_nationkey", "n_name"))
   }
 
+  test("driver-contract entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("SOFT_DELETE converter keeps tombstones as flagged rows through the pipeline") {
     import spark.implicits._
     val registry = new SchemaRegistry()

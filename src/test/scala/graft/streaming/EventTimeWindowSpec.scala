@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Event-time windows + watermarks — absent from the reference (§2.7: its
+  * "watermarks" are snapshot-consistency markers, not event time), native in
+  * Structured Streaming; verified here as the engine's beyond-parity
+  * streaming surface.
+  */
+class EventTimeWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling window with watermark aggregates by event time and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val windowed = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").cast("string").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+
+    val q = windowed.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two events in the 10:00 window, one in 11:00
+    mem.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+                (ts("2024-01-01 10:40:00"), "click", 2.0),
+                (ts("2024-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark past 10:00+1h+10m so the 10:00 window closes
+    mem.addData((ts("2024-01-01 12:30:00"), "view", 7.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event for the closed 10:00 window — must be dropped
+    mem.addData((ts("2024-01-01 10:50:00"), "click", 100.0))
+    q.processAllAvailable()
+    // close remaining windows so appended results surface
+    mem.addData((ts("2024-01-01 15:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_agg")
+      .as[(String, String, Long, Double)].collect().toMap2
+    // 10:00 click window: the late 100.0 was NOT folded in
+    assert(rows(("2024-01-01 10:00:00", "click")) === ((2L, 3.0)))
+    assert(rows(("2024-01-01 11:00:00", "view")) === ((1L, 5.0)))
+  }
+
+  private implicit class Tuple4Ops(rows: Array[(String, String, Long, Double)]) {
+    def toMap2: Map[(String, String), (Long, Double)] =
+      rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+  }
+}
