@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * These replace Dataset-lambda maps: a custom `Expression` with `doGenCode`
+  * stays inside WholeStageCodegen (no Row encode/decode per record, no
+  * closure dispatch), the preference order the engine follows for operators
+  * Spark lacks (custom Expression > Scala UDF). At 100 TB the signature
+  * computation is the dominant narrow stage of MinHash dedup — keeping it in
+  * codegen keeps the stage scan-bound.
+  */
+object CdcExprHelpers {
+  /** Static entry the generated code calls: text → minhash signature. */
+  def minhashData(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Dedup.minhashSignature(Dedup.shingleHashes(s.toString, shingleSize), numHashes))
+
+  def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
+}
+
+/** `MINHASH_SIGNATURE(text)` — 128×64-bit MinHash signature of the text's
+  * word-3-gram shingle set (SURVEY training-data ops; MinHash per Broder '97).
+  */
+case class MinHashSignature(child: Expression, shingleSize: Int = 3, numHashes: Int = 128)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.minhashData(input.asInstanceOf[UTF8String], shingleSize, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.minhashData($c, $shingleSize, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `SIMHASH64(text)` — 64-bit SimHash of the token set (Charikar '02). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object CdcExpressions {
+  /** Column-API handles. */
+  def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(text), shingleSize, numHashes))
+  def simhash64(text: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+
+  /** SQL names on an existing session (tests / interactive). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (args: Seq[Expression]) => MinHashSignature(args.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+  }
+}
+
+/** Session-extension injector: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes the functions available in every session of the deployment — the
+  * SparkSessionExtensions registration path (SURVEY custom-operator order (b)).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+  }
+}

@@ -102,18 +102,16 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** (id, text) → (id, sig: Array[Long]) — narrow, no shuffle. */
+  /** (id, text) → (id, sig: Array[Long]) — narrow, no shuffle, and fully
+    * inside WholeStageCodegen: the signature is a native Catalyst expression
+    * ([[graft.functions.CdcExpressions.minhashSignature]]), not a Dataset
+    * lambda, so rows never leave Tungsten format on this stage.
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-                 shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, minhashSignature(shingleHashes(if (text == null) "" else text, shingleSize), numHashes))
-      }
-      .toDF(idCol, "sig")
-  }
+                 shingleSize: Int = 3, numHashes: Int = 128): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      graft.functions.CdcExpressions.minhashSignature(
+        coalesce(col(textCol), lit("")), shingleSize, numHashes).as("sig"))
 
   /** LSH banding: candidate pairs (a < b) whose signatures collide in ≥1 band.
     * Returns (a, b, est_jaccard) with est ≥ `threshold`.
@@ -199,8 +197,9 @@ object Dedup {
     require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }.toDF(idCol, "simhash").cache()
+    val hashes = df.select(col(idCol).cast("long").as(idCol),
+      graft.functions.CdcExpressions.simhash64(coalesce(col(textCol), lit("")))
+        .as("simhash")).cache()
 
     val blocks = hashes.as[(Long, Long)].flatMap { case (id, h) =>
       (0 until 4).iterator.map(b => (b, (h >>> (16 * b)) & 0xFFFFL, id, h))

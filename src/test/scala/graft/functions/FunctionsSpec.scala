@@ -74,6 +74,42 @@ class CdcFunctionsSpec extends SparkSpec {
   }
 }
 
+class CatalystExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions agree with the scala reference implementations") {
+    val texts = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, "one two three four five six"))
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"),
+      CdcExpressions.minhashSignature(col("text")).as("sig"),
+      CdcExpressions.simhash64(col("text")).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().toMap2
+    texts.foreach { case (id, t) =>
+      val (sig, sh) = got(id)
+      assert(sig.toArray.toSeq === graft.ops.Dedup
+        .minhashSignature(graft.ops.Dedup.shingleHashes(t, 3), 128).toSeq)
+      assert(sh === graft.ops.Dedup.simhash64(t))
+    }
+  }
+
+  test("SQL registration: functions callable from selectExpr and codegen'd") {
+    CdcExpressions.register(spark)
+    val out = Seq("hello world again and again").toDF("text")
+      .selectExpr("SIZE(minhash_signature(text)) AS n", "simhash64(text) AS sh")
+      .head()
+    assert(out.getInt(0) === 128)
+    assert(out.getLong(1) === graft.ops.Dedup.simhash64("hello world again and again"))
+    // null-safe: null text → null outputs
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .selectExpr("minhash_signature(text) AS s", "simhash64(text) AS h").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  private implicit class Tup3(rows: Array[(Long, Seq[Long], Long)]) {
+    def toMap2: Map[Long, (Seq[Long], Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
+
 class PipelineDefSpec extends SparkSpec {
   test("YAML parses source/sink/transform/route/pipeline blocks") {
     val p = graft.pipeline.PipelineDef.fromYaml(
