@@ -390,6 +390,57 @@ object SparkEntry {
         "SIZE(GET_EMBEDDING(text)) AS embed_dim")
     },
 
+    "q3_shipping" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q3 shape (no LIMIT: driver compare is set-based): shuffle join
+      // on orderkey, broadcast-able customer filter
+      t(dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1998-01-01"))
+        .join(t(dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1998-01-01"))
+        .groupBy("l_orderkey")
+        // decimal-exact: products live on a 4-decimal grid, so ROUND(double)
+        // hits .005 midpoints; summing as DECIMAL makes rounding well-defined
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    },
+
+    "q5_local_supplier" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q5 shape: star join, dims broadcast, co-located nation check
+      t(dir, "customer")
+        .join(t(dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    },
+
+    "q6_forecast" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q6 shape: pure scan+filter+scalar agg — pushdown showcase
+      t(dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    },
+
+    "q_quality_filter" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // corpus cleaning: quality-gate filter over computed features — the
+      // standard pre-training text filter stage
+      val d = t(dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .where(col("n_words").between(20, 500) && col("lang_pred") =!= "und")
+    },
+
     "q_window_agg" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // tumbling 1h event-time window (ts read as epoch nanos); integer
@@ -566,16 +617,53 @@ object SparkEntry {
         |       64 AS embed_dim
         |FROM documents""".stripMargin,
 
+    "q3_shipping" ->
+      """SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_quality_filter" -> qualityFilterOracleSql,
+
     "q_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 
-  /** The langId heuristic re-expressed in DuckDB SQL (RE2 dialect: `\x{...}`
-    * unicode escapes instead of Java's `\uXXXX`).
+  /** The langId cascade as a DuckDB CASE expression (RE2 dialect: `\x{...}`
+    * unicode escapes instead of Java's `\uXXXX`); `$cols` must be a subquery
+    * exposing de/fr/es/en stopword-hit sums and `text`.
     */
-  private def langIdOracleSql: String = {
+  private def langIdCaseSql: String =
+    """CASE
+      |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |  WHEN de > fr AND de > es AND de > en THEN 'de'
+      |  WHEN fr > es AND fr > en THEN 'fr'
+      |  WHEN es > en THEN 'es'
+      |  WHEN en > 0 THEN 'en'
+      |  ELSE 'und' END""".stripMargin
+
+  private def stopwordSumsSql: String = {
     def hits(words: Seq[String]): String = words
       .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -583,13 +671,18 @@ object SparkEntry {
     val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour", "que"))
     val es = hits(Seq("el", "los", "las", "es", "una", "para", "por", "como"))
     val en = hits(Seq("the", "is", "and", "of", "to", "in", "that", "with"))
-    s"""SELECT doc_id, CASE
-       |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       |  WHEN de > fr AND de > es AND de > en THEN 'de'
-       |  WHEN fr > es AND fr > en THEN 'fr'
-       |  WHEN es > en THEN 'es'
-       |  WHEN en > 0 THEN 'en'
-       |  ELSE 'und' END AS lang_pred
-       |FROM (SELECT doc_id, text, $de AS de, $fr AS fr, $es AS es, $en AS en FROM documents)""".stripMargin
+    s"SELECT *, $de AS de, $fr AS fr, $es AS es, $en AS en FROM documents"
   }
+
+  private def langIdOracleSql: String =
+    s"SELECT doc_id, $langIdCaseSql AS lang_pred FROM ($stopwordSumsSql)"
+
+  private def qualityFilterOracleSql: String =
+    s"""SELECT doc_id, lang, n_words, lang_pred FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_words,
+       |    $langIdCaseSql AS lang_pred
+       |  FROM ($stopwordSumsSql))
+       |WHERE n_words BETWEEN 20 AND 500 AND lang_pred <> 'und'""".stripMargin
 }

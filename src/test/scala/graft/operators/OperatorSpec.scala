@@ -69,6 +69,32 @@ class RouterSpec extends SparkSpec {
   }
 }
 
+class SaltSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewJoin equals plain join on a skewed key") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i")).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold"), (500L, "mid")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Salt.skewJoin(big, small, Seq("k"), buckets = 8).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.count(_.head == 1L) === 101) // hot key (i=1 + 100 multiples of 10) fully preserved
+  }
+
+  test("saltedTwoPhase collect_list merges across salt buckets") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("k", "x")
+    val out = Salt.saltedTwoPhase(df, Seq("k"), buckets = 4)(
+      (d, keys) => d.groupBy(keys.map(col): _*).agg(collect_list("x").as("xs")),
+      (d, keys) => d.groupBy(keys.map(col): _*).agg(flatten(collect_list("xs")).as("xs")))
+    val sizes = out.select("k", "xs").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1).size).toMap
+    assert(sizes === Map(0 -> 33, 1 -> 34, 2 -> 33))
+  }
+}
+
 class SchemaDerivatorSpec extends SparkSpec {
   import spark.implicits._
 
