@@ -163,7 +163,7 @@ object SparkEntry {
         "user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
         .copy(primaryKeys = Seq("user_id"))
       val out = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
-      val sink = new ParquetUpsertSink(out)
+      val sink = new ParquetUpsertSink(out, buckets = 32)
       val pipe = new StreamingPipeline(new graft.operators.SchemaRegistry(), sink = sink)
       pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
       pipe.processBatch(graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), srcId), 0L)

@@ -136,6 +136,44 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(state === Seq((1L, "a2", 21), (3L, "c", 40)))
   }
 
+  test("bucketed parquet sink: merges across batches, only touched buckets rewritten") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val sink = new ParquetUpsertSink(dir, buckets = 8)
+    val pipe = new StreamingPipeline(registry, sink = sink)
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+
+    pipe.processBatch(Seq(
+      dbz("c", 1, """{"id":1,"name":"a","age":20}"""),
+      dbz("c", 2, """{"id":2,"name":"b","age":30}"""),
+      dbz("c", 3, """{"id":3,"name":"c","age":40}""")).toDF("value"), 0L)
+    pipe.processBatch(Seq(
+      dbz("u", 4, """{"id":1,"name":"a2","age":21}"""),
+      dbz("d", 5, """{"id":2,"name":"b","age":30}""")).toDF("value"), 1L)
+
+    val state = sink.read(spark, usersId).orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(state === Seq((1L, "a2", 21), (3L, "c", 40)))
+    // partitioned layout on disk
+    assert(new java.io.File(sink.tablePath(usersId)).listFiles().exists(_.getName.startsWith("__bucket=")))
+  }
+
+  test("parquet sink survives mid-stream AddColumn (state coerced to evolved schema)") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-pq").toString
+    val sink = new ParquetUpsertSink(dir, buckets = 4)
+    val pipe = new StreamingPipeline(registry, sink = sink)
+    pipe.applySchemaChange(CreateTableEvent(usersId,
+      CdcSchema.of("id" -> "BIGINT", "name" -> "STRING").copy(primaryKeys = Seq("id"))))
+
+    pipe.processBatch(Seq(dbz("c", 1, """{"id":1,"name":"a"}""")).toDF("value"), 0L)
+    pipe.applySchemaChange(AddColumnEvent(usersId, "age", IntegerType))
+    pipe.processBatch(Seq(dbz("c", 2, """{"id":2,"name":"b","age":9}""")).toDF("value"), 1L)
+
+    val rows = sink.read(spark, usersId).orderBy("id")
+      .select("id", "name", "age").collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+    assert(rows === Seq((1L, "a", null), (2L, "b", 9)))
+  }
+
   test("hybrid source: snapshot load then change stream supersedes per key") {
     import org.apache.spark.sql.functions._
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
