@@ -16,7 +16,7 @@ import scala.collection.mutable
   * blocking protocol; DDL is applied between micro-batches, where the batch
   * boundary is already a global barrier (SURVEY.md §7.1).
   */
-final class SchemaRegistry(behavior: SchemaChangeBehavior = SchemaChangeBehavior.Evolve) {
+final class SchemaRegistry(val behavior: SchemaChangeBehavior = SchemaChangeBehavior.Evolve) {
 
   private val original = mutable.Map.empty[TableId, CdcSchema]
   private val evolved = mutable.Map.empty[TableId, CdcSchema]

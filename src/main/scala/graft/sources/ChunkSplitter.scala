@@ -79,6 +79,23 @@ object ChunkSplitter {
     predicates(keyColumn, evenRanges(stats, effectiveChunk))
   }
 
+  /** Uneven-distribution fallback: chunk bounds at key quantiles, so each
+    * chunk holds ~equal ROWS even when the key space is sparse/skewed — the
+    * Spark-native analog of the reference's `nextChunkEnd` pacing queries
+    * (JdbcSourceChunkSplitter.java:446-520), computed in ONE distributed
+    * `approxQuantile` pass instead of N round-trips.
+    */
+  def quantileRanges(df: DataFrame, keyColumn: String, numChunks: Int,
+                     relativeError: Double = 0.001): Seq[(Option[Long], Option[Long])] = {
+    require(numChunks > 0)
+    if (numChunks == 1) return Seq((None, None))
+    val probs = (1 until numChunks).map(_.toDouble / numChunks).toArray
+    val cuts = df.stat.approxQuantile(keyColumn, probs, relativeError)
+      .map(_.toLong).distinct.sorted.toSeq
+    if (cuts.isEmpty) Seq((None, None))
+    else (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
+  }
+
   /** Read a table as a union of chunk scans — the test-path equivalent of the
     * chunked parallel JDBC snapshot (each predicate = one `spark.read.jdbc`
     * partition in production). The union is lossless by construction. Against

@@ -55,7 +55,17 @@ final class StreamingPipeline(
           sinkSchemas(out) = target
         case (Some(prev), _) =>
           val target = sinkSchema(out)
-          SchemaDerivator.diff(out, prev.struct, target.struct).foreach(sink.applySchemaChange)
+          SchemaDerivator.diff(out, prev.struct, target.struct).foreach { d =>
+            // TRY_EVOLVE: sink DDL failures are tolerated (data continues
+            // under the old sink shape); EVOLVE propagates them
+            try sink.applySchemaChange(d)
+            catch {
+              case e: Exception if registry.behavior == SchemaChangeBehavior.TryEvolve =>
+                // scalastyle:off println
+                System.err.println(s"[graft] TRY_EVOLVE: sink rejected $d: ${e.getMessage}")
+                // scalastyle:on
+            }
+          }
           sinkSchemas(out) = target
       }
     }

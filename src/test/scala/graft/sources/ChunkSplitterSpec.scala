@@ -25,6 +25,18 @@ class ChunkSplitterSpec extends SparkSpec {
     assert(chunked.count() === base.count())
   }
 
+  test("quantile ranges balance rows under key skew") {
+    import spark.implicits._
+    // sparse, skewed key space: 90% of rows in [0,100), outliers to 10^9
+    val keys = ((1 to 900).map(_ % 100L) ++ (1 to 100).map(_ * 10000000L)).zipWithIndex
+    val df = keys.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val ranges = quantileRanges(df, "k", numChunks = 4)
+    val preds = predicates("k", ranges)
+    val counts = preds.map(p => df.where(p).count())
+    assert(counts.sum === 1000) // lossless
+    assert(counts.max <= 600)   // even split by VALUE would put ~900 in one chunk
+  }
+
   test("maxChunks caps plan width for huge tables") {
     val preds = predicates("k", evenRanges(Stats(0, 10000000, 10000000), chunkSize = 8096))
     assert(preds.length > 256) // uncapped would explode

@@ -195,6 +195,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(state === Seq((1L, "a2", 21), (2L, "b", 30)))
   }
 
+  test("records for unknown tables are skipped until their CreateTable arrives") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    // newly-added-table capture: batch 0 has records for a table the
+    // registry doesn't know yet — skipped, not crashed
+    pipe.processBatch(Seq(dbz("c", 1, """{"id":1,"name":"a","age":1}""")).toDF("value"), 0L)
+    assert(db.tableIds.isEmpty)
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+    pipe.processBatch(Seq(dbz("c", 2, """{"id":1,"name":"a","age":1}""")).toDF("value"), 1L)
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, "a", 1)))
+  }
+
+  test("LENIENT behavior through the pipeline: rename surfaces as add, drop deferred") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Lenient)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId,
+      CdcSchema.of("id" -> "BIGINT", "name" -> "STRING").copy(primaryKeys = Seq("id"))))
+    pipe.applySchemaChange(RenameColumnEvent(usersId, "name", "fullname"))
+    // sink keeps the old column AND gains the new one
+    assert(db.schemaOf(usersId).get.columnNames === Seq("id", "name", "fullname"))
+    pipe.applySchemaChange(DropColumnEvent(usersId, "id"))
+    assert(db.schemaOf(usersId).get.columnNames === Seq("id", "name", "fullname"))
+  }
+
   test("continuous streaming over MemoryStream reaches the same final state") {
     implicit val sqlCtx = spark.sqlContext
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
