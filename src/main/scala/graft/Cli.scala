@@ -65,14 +65,22 @@ object Cli {
     }
   }
 
-  private def runStreaming(spark: SparkSession, p: PipelineDef): Unit = {
+  /** Build the streaming pipeline + launch the query; factored out so tests
+    * can drive it with `Trigger.AvailableNow` instead of awaiting forever.
+    * Returns (pipeline, sink, running query).
+    */
+  def buildStreaming(spark: SparkSession, p: PipelineDef,
+                     trigger: Trigger): (StreamingPipeline, ParquetUpsertSink,
+                                         org.apache.spark.sql.streaming.StreamingQuery) = {
     val inPath = p.source.options.getOrElse("path",
       throw new IllegalArgumentException("debezium-json source needs `path`"))
     val outPath = p.sink.options.getOrElse("path",
       throw new IllegalArgumentException("streaming sink needs `path`"))
 
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
-    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, new ParquetUpsertSink(outPath))
+    val buckets = p.sink.options.getOrElse("buckets", "32").toInt
+    val sink = new ParquetUpsertSink(outPath, buckets)
+    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink)
 
     // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`
     p.source.options.collect { case (k, v) if k.startsWith("schema.") =>
@@ -86,8 +94,12 @@ object Cli {
     }
 
     val stream = spark.readStream.format("text").load(inPath)
-    val q = pipe.start(stream, s"$outPath/_checkpoint",
-      trigger = Trigger.ProcessingTime(p.config.getOrElse("batch-interval", "1 second")))
+    (pipe, sink, pipe.start(stream, s"$outPath/_checkpoint", trigger))
+  }
+
+  private def runStreaming(spark: SparkSession, p: PipelineDef): Unit = {
+    val (_, _, q) = buildStreaming(spark, p,
+      Trigger.ProcessingTime(p.config.getOrElse("batch-interval", "1 second")))
     q.awaitTermination()
   }
 }
