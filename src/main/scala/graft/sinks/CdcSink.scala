@@ -34,12 +34,16 @@ final class ValuesSink(val db: ValuesDatabase) extends CdcSink {
   override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
     val cols = schema.columnNames
     // per-key ordering within the batch: sort by seq before applying
-    changelog.orderBy(col(Changelog.SeqCol)).collect().foreach { r =>
-      val payload = cols.map(c => r.getAs[Any](c))
-      val op = r.getAs[String](Changelog.OpCol)
-      db.apply(DataChangeEvent(id, Op.of(op),
-        before = if (op == "DELETE" || op == "UPDATE") Some(payload) else None,
-        after = if (op == "DELETE") None else Some(payload)))
+    val rows = changelog.orderBy(col(Changelog.SeqCol)).collect()
+    // the pipeline writes tables concurrently; the in-memory db is one map
+    db.synchronized {
+      rows.foreach { r =>
+        val payload = cols.map(c => r.getAs[Any](c))
+        val op = r.getAs[String](Changelog.OpCol)
+        db.apply(DataChangeEvent(id, Op.of(op),
+          before = if (op == "DELETE" || op == "UPDATE") Some(payload) else None,
+          after = if (op == "DELETE") None else Some(payload)))
+      }
     }
   }
 }
@@ -66,6 +70,9 @@ final class ValuesSink(val db: ValuesDatabase) extends CdcSink {
 final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
 
   private val BucketCol = "__bucket"
+  // concurrent per-table writes are fine; same-table writes must serialize
+  // (N→1 routes can hit one sink table from several sources in a batch)
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def tablePath(id: TableId): String =
     s"$rootDir/${Seq(id.namespace, id.schemaName, id.tableName).filter(_.nonEmpty).mkString("__")}"
@@ -86,7 +93,12 @@ final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink
       .withColumn(Changelog.SeqCol, lit(Long.MinValue))
   }
 
-  override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
+  override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit =
+    tableLocks.computeIfAbsent(tablePath(id), _ => new Object).synchronized {
+      doWrite(id, changelog, schema)
+    }
+
+  private def doWrite(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
     require(schema.primaryKeys.nonEmpty, s"upsert sink requires primary keys on $id")
     val spark = changelog.sparkSession
     val path = tablePath(id)

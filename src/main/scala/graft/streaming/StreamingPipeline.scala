@@ -28,7 +28,13 @@ final class StreamingPipeline(
     val registry: SchemaRegistry,
     transforms: Seq[TransformRule] = Nil,
     routes: Seq[RouteRule] = Nil,
-    sink: CdcSink) {
+    sink: CdcSink,
+    /** Concurrent per-table writes within a batch (reference: independent
+      * per-table sink buffers flush concurrently). Spark's scheduler
+      * interleaves the jobs; the sink must accept concurrent `write` calls
+      * for different tables. 1 = sequential.
+      */
+    tableParallelism: Int = 4) {
 
   private val router = new TableIdRouter(routes)
   // sink-side schema cache: what DDL the sink has already been given
@@ -142,11 +148,32 @@ final class StreamingPipeline(
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
 
-      for (src <- present; schema <- registry.evolvedSchema(src)) {
+      val known = present.toSeq.flatMap(src => registry.evolvedSchema(src).map(src -> _))
+      val t0 = System.nanoTime()
+      def process(src: TableId, schema: CdcSchema): Unit = {
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
         writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq)
           .drop("__db", "__table"))
       }
+      if (tableParallelism > 1 && known.size > 1) {
+        // concurrent Spark jobs, one per table — scheduler interleaves stages
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(tableParallelism, known.size))
+        try {
+          val futures = known.map { case (src, schema) =>
+            pool.submit(new Runnable { def run(): Unit = process(src, schema) })
+          }
+          futures.foreach(_.get())
+        } finally { pool.shutdown(); () }
+      } else known.foreach { case (src, schema) => process(src, schema) }
+
+      // batch metric, like the reference's per-table RPS logs
+      // (DsqlBatchSinkFunction.java:979-1014)
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (known.nonEmpty && secs > 1.0)
+        // scalastyle:off println
+        System.err.println(f"[graft] batch $batchId: ${known.size} tables in $secs%.2fs")
+        // scalastyle:on
     } finally { tagged.unpersist(); () }
   }
 
