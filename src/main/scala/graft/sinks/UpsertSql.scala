@@ -50,6 +50,23 @@ object UpsertSql {
   def copy(id: TableId, schema: CdcSchema): String =
     s"COPY ${qualified(id)} (${schema.columnNames.map(q).mkString(", ")}) FROM STDIN (FORMAT CSV)"
 
+  /** One CSV line for the COPY payload (DsqlBatchSinkFunction.java:838-934
+    * encodes rows the same way): null → empty field, quotes doubled, fields
+    * containing separator/quote/newline quoted. Runs executor-side per
+    * partition, streamed into the copy channel.
+    */
+  def csvLine(values: Seq[Any]): String = values.map {
+    case null => ""
+    case v =>
+      val s = v match {
+        case b: Array[Byte] => "\\x" + b.map("%02x".format(_)).mkString
+        case other => other.toString
+      }
+      if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+  }.mkString(",")
+
   /** Upsert for the CDC phase (INSERT and REPLACE both land here — REPLACE is
     * upsert-by-definition, DsqlBatchSinkFunction.java:1729-1761).
     */

@@ -30,6 +30,13 @@ class UpsertSqlSpec extends SparkSpec {
       """UPDATE "public"."users" SET "name" = ?, "bal" = ? WHERE "id" = ?""")
   }
 
+  test("COPY csv encoding: nulls empty, quotes doubled, separators quoted, bytea hex") {
+    assert(UpsertSql.csvLine(Seq(1L, null, "plain")) === "1,,plain")
+    assert(UpsertSql.csvLine(Seq("a,b", "say \"hi\"", "line\nbreak")) ===
+      "\"a,b\",\"say \"\"hi\"\"\",\"line\nbreak\"")
+    assert(UpsertSql.csvLine(Seq(Array[Byte](0x0a, 0x7f))) === "\\x0a7f")
+  }
+
   test("unknown types map to TEXT like DsqlSchemaMapper") {
     assert(UpsertSql.pgType(ArrayType(IntegerType)) === "TEXT")
     assert(UpsertSql.pgType(DecimalType(20, 4)) === "NUMERIC(20,4)")
