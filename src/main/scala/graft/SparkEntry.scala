@@ -450,6 +450,35 @@ object SparkEntry {
         .selectExpr("ts DIV 3600000000000 AS hour_bucket", "event_type", "value")
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    "q_rollup" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // grouping-sets family (absent in reference, native in Spark)
+      t(dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
+    "q_topn" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // top-k with deterministic tiebreak: plans as TakeOrderedAndProject
+      // (per-partition heaps, no global sort)
+      t(dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    "q_setops" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // set operators (absent in reference): BUILDING customers that never
+      // placed an urgent order
+      val building = t(dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val urgent = t(dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      building.except(urgent)
     }
   )
 
@@ -647,7 +676,20 @@ object SparkEntry {
     "q_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_setops" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
   )
 
   /** The langId cascade as a DuckDB CASE expression (RE2 dialect: `\x{...}`
@@ -664,14 +706,10 @@ object SparkEntry {
       |  ELSE 'und' END""".stripMargin
 
   private def stopwordSumsSql: String = {
-    def hits(words: Seq[String]): String = words
-      .map(w => s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    val de = hits(Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"))
-    val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour", "que"))
-    val es = hits(Seq("el", "los", "las", "es", "una", "para", "por", "como"))
-    val en = hits(Seq("the", "is", "and", "of", "to", "in", "that", "with"))
-    s"SELECT *, $de AS de, $fr AS fr, $es AS es, $en AS en FROM documents"
+    val sums = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(regexp_extract_all(text, '(?i)\\b(${words.mkString("|")})\\b')) AS $lang"
+    }.mkString(", ")
+    s"SELECT *, $sums FROM documents"
   }
 
   private def langIdOracleSql: String =

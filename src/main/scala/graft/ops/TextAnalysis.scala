@@ -47,19 +47,24 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
-  /** Language ID: character-range + stopword-hit heuristic over a fixed
-    * n-gram/stopword table. Deterministic cascade so results are exactly
-    * reproducible (and SQL-expressible for the oracle).
+  /** Stopword tables for the language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "por", "como"),
+    "en" -> Seq("the", "is", "and", "of", "to", "in", "that", "with"))
+
+  /** Language ID: character-range + stopword-count heuristic. One
+    * `regexp_count` with a word-boundary alternation per language (4 regex
+    * evaluations per row instead of 32 separate rlike ops — this stage is
+    * regex-bound at corpus scale). Deterministic cascade, RE2-compatible
+    * pattern, so the DuckDB oracle can run the identical regexes.
     */
   def langId(text: Column): Column = {
     def hits(words: Seq[String]): Column =
-      words.map(w => when(text.rlike(s"(?i)(^|\\s)$w(\\s|$$)"), 1).otherwise(0)).reduce(_ + _)
-    val zhChars = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    val de = hits(Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"))
-    val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour", "que"))
-    val es = hits(Seq("el", "los", "las", "es", "una", "para", "por", "como"))
-    val en = hits(Seq("the", "is", "and", "of", "to", "in", "that", "with"))
-    when(zhChars > 0, "zh")
+      regexp_count(text, lit(s"(?i)\\b(${words.mkString("|")})\\b"))
+    val Seq(de, fr, es, en) = LangStopwords.map { case (_, ws) => hits(ws) }
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(de > fr && de > es && de > en, "de")
       .when(fr > es && fr > en, "fr")
       .when(es > en, "es")
