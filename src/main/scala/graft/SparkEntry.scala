@@ -452,6 +452,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
 
+    "q_corpus_pipeline" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the composed training-data flow: exact-dedup survivors → quality
+      // gate → per-language corpus stats. One narrow scan feeds the dedup
+      // aggregation; the survivor join is a slim (doc_id) semi-join.
+      val docs = t(dir, "documents")
+      val survivors = Dedup.exact(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
+        .select("doc_id")
+      docs.join(survivors, "doc_id")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .where(col("n_words") >= 10 && col("lang_pred") =!= "und")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          sum(col("n_subwords").cast("long")).as("total_subwords"))
+    },
+
     "q_rollup" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // grouping-sets family (absent in reference, native in Spark)
@@ -678,6 +698,8 @@ object SparkEntry {
         |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_corpus_pipeline" -> corpusPipelineOracleSql,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -714,6 +736,22 @@ object SparkEntry {
 
   private def langIdOracleSql: String =
     s"SELECT doc_id, $langIdCaseSql AS lang_pred FROM ($stopwordSumsSql)"
+
+  private def corpusPipelineOracleSql: String =
+    s"""WITH survivors AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |), scored AS (
+       |  SELECT doc_id, $langIdCaseSql AS lang_pred,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INTEGER) AS n_subwords
+       |  FROM ($stopwordSumsSql) JOIN survivors USING (doc_id))
+       |SELECT lang_pred, count(*) AS docs,
+       |       SUM(CAST(n_words AS BIGINT)) AS total_words,
+       |       SUM(CAST(n_subwords AS BIGINT)) AS total_subwords
+       |FROM scored WHERE n_words >= 10 AND lang_pred <> 'und'
+       |GROUP BY lang_pred""".stripMargin
 
   private def qualityFilterOracleSql: String =
     s"""SELECT doc_id, lang, n_words, lang_pred FROM (

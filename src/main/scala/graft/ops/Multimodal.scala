@@ -75,6 +75,45 @@ object Multimodal {
       }(enc)
   }
 
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", IntegerType),
+    StructField("features", ArrayType(FloatType)) // MFCC-shaped stub vector
+  ))
+
+  /** STUB audio decoder — hash-derived sample rate / duration / features;
+    * a real deployment swaps the body for an actual codec, keeping the
+    * per-partition batch shape.
+    */
+  def stubDecodeAudio(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = if (payload == null) 0L else {
+      var acc = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) { acc ^= payload(i); acc *= 0x100000001b3L; i += 1 }
+      acc
+    }
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val rate = rates((math.abs(h) % rates.length).toInt)
+    val durMs = 500 + (math.abs(h >>> 16) % 60000).toInt
+    val feats = Array.tabulate(13)(i => ((Dedup.mix64(h ^ (i + 100)) & 0xFFFF).toFloat / 65535.0f))
+    (rate, durMs, feats)
+  }
+
+  /** Decode + feature-extract audio assets (same mapPartitions shape). */
+  def decodeAudio(assets: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    assets
+      .where(col("modality") === "audio")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, dur, f) = stubDecodeAudio(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), rate, dur, f)
+        }
+      }(enc)
+  }
+
   /** Resize plumbing: records target dims in metadata; payload transform is
     * the stub (identity) — a real codec rewrites bytes here.
     */

@@ -170,6 +170,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Float](4).length === 16))
   }
 
+  test("decodeAudio emits typed audio features per audio asset") {
+    val parts = spark.read.parquet(s"$sf/part.parquet").limit(5)
+    val out = Multimodal.decodeAudio(Multimodal.syntheticAssets(parts, "p_partkey", "audio"))
+    assert(out.schema === Multimodal.audioFeatureSchema)
+    val rows = out.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.getInt(1) >= 8000 && r.getInt(2) >= 500 && r.getSeq[Float](3).length === 13))
+  }
+
   test("sampleFrames explodes every nth frame from metadata") {
     val parts = spark.read.parquet(s"$sf/part.parquet").where("p_partkey = 9") // frame_count = 10
     val assets = Multimodal.syntheticAssets(parts, "p_partkey", "video")
