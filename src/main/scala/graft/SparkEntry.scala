@@ -221,7 +221,7 @@ object SparkEntry {
         "l_linenumber",
         "CAST(l_quantity AS INT) AS qty_int",
         "CAST(l_orderkey AS STRING) AS ok_str",
-        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec",
         "CAST(l_returnflag = 'R' AS BOOLEAN) AS is_return")
     },
 
@@ -596,7 +596,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
         |  CAST(l_orderkey AS VARCHAR) AS ok_str,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  (l_returnflag = 'R') AS is_return
         |FROM lineitem""".stripMargin,
 
@@ -748,8 +748,8 @@ object SparkEntry {
        |    CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INTEGER) AS n_subwords
        |  FROM ($stopwordSumsSql) JOIN survivors USING (doc_id))
        |SELECT lang_pred, count(*) AS docs,
-       |       SUM(CAST(n_words AS BIGINT)) AS total_words,
-       |       SUM(CAST(n_subwords AS BIGINT)) AS total_subwords
+       |       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       |       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords
        |FROM scored WHERE n_words >= 10 AND lang_pred <> 'und'
        |GROUP BY lang_pred""".stripMargin
 

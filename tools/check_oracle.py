@@ -56,6 +56,25 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = None
         for c in a.columns:
             av, bv = a[c], b[c]
+            # driver hashes exact values: a float column on one side vs
+            # int/Decimal on the other (e.g. DuckDB HUGEINT sums → float64,
+            # Spark DECIMAL outputs → Decimal objects) hash-mismatches even
+            # when values are numerically equal. Flag representation-class
+            # differences.
+            def kind(s):
+                d = str(s.dtype)
+                if d.startswith("float"):
+                    return "float"
+                if d.startswith(("int", "uint")):
+                    return "int"
+                if d == "object" and len(s) and type(s.dropna().iloc[0]).__name__ == "Decimal":
+                    return "decimal"
+                return "other"
+            ka, kb = kind(av), kind(bv)
+            if ka != kb:
+                mismatch = (f"col {c}: dtype-class mismatch spark={av.dtype}/{ka} "
+                            f"duck={bv.dtype}/{kb} (driver hash would differ)")
+                break
             if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
                 import numpy as np
                 av = pd.to_numeric(av, errors="coerce")
