@@ -111,6 +111,7 @@ object SparkEntry {
         s"""source:
            |  type: parquet
            |  path: $dir
+           |  schema-name: tpch
            |  tables: tpch.customer
            |transform:
            |  - source-table: tpch.customer

@@ -130,8 +130,10 @@ object Multimodal {
     assets.where(col("modality") === "video")
       .withColumn("frame_count",
         coalesce(element_at(col("meta"), "frame_count").cast("int"), lit(0)))
+      // zero-frame / missing-metadata assets emit NO rows (not a phantom frame 0)
+      .where(col("frame_count") > 0)
       .select(col("asset_id"),
-        explode(sequence(lit(0), greatest(col("frame_count") - 1, lit(0)), lit(everyNth))).as("frame_idx"))
+        explode(sequence(lit(0), col("frame_count") - 1, lit(everyNth))).as("frame_idx"))
 
   /** Synthesize a deterministic asset table from any keyed table — test/demo
     * input; payload bytes derive from the key.

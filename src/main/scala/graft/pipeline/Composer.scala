@@ -19,11 +19,18 @@ import java.io.File
   */
 object Composer {
 
-  /** Source tables for a parquet-directory source: one table per file. */
-  def discoverTables(dir: String): Seq[(TableId, String)] = {
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+  /** Source tables for a parquet-directory source: one table per file. The
+    * schema-name part of the TableId comes from `schemaName` when given
+    * (source option `schema-name`), else the source directory's basename —
+    * like the reference's schema discovery naming tables after their upstream
+    * schema, never a fixed literal.
+    */
+  def discoverTables(dir: String, schemaName: Option[String] = None): Seq[(TableId, String)] = {
+    val d = new File(dir)
+    val schema = schemaName.filter(_.nonEmpty).getOrElse(d.getName)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
     files.toSeq.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => TableId.of("tpch", f.getName.stripSuffix(".parquet")) -> f.getAbsolutePath)
+      .map(f => TableId.of(schema, f.getName.stripSuffix(".parquet")) -> f.getAbsolutePath)
   }
 
   /** Run a batch pipeline; returns final materialized frames per sink table. */
@@ -40,7 +47,7 @@ object Composer {
 
     // per source table: scan → transform; then group by routed sink table
     val transformed: Seq[(TableId, DataFrame)] = for {
-      (tableId, path) <- discoverTables(dir)
+      (tableId, path) <- discoverTables(dir, p.source.options.get("schema-name"))
       if included.forall(_.matches(tableId))
     } yield {
       val df = spark.read.parquet(path)

@@ -32,7 +32,14 @@ final class UpsertWriter(
     initialBackoffMs: Long = 1000L
 ) extends Serializable {
 
-  def withRetry[T](op: String)(f: => T): T = {
+  /** Retry `f` on SQLException with exponential backoff ×2 like
+    * `DsqlRetryHelper`. `onRetry` runs before each re-attempt — the JDBC
+    * contract requires it: after a failed statement with autoCommit=false,
+    * PostgreSQL/DSQL aborts the transaction ("current transaction is
+    * aborted"), so the retry must roll back (or reconnect) first and `f`
+    * must re-bind its batch from scratch.
+    */
+  def withRetry[T](op: String, onRetry: () => Unit = () => ())(f: => T): T = {
     var attempt = 0
     var backoff = initialBackoffMs
     while (true) {
@@ -40,8 +47,8 @@ final class UpsertWriter(
       catch {
         case e: java.sql.SQLException if attempt < maxRetries =>
           attempt += 1
-          // exponential backoff ×2 like DsqlRetryHelper
           Thread.sleep(backoff); backoff *= 2
+          onRetry()
         case e: Throwable => throw e
       }
     }
@@ -72,29 +79,58 @@ final class UpsertWriter(
 
     latest.foreachPartition { (rows: Iterator[Row]) =>
       val w = new UpsertWriter(cf, bs, retries, backoff0)
-      val conn = cf()
+      var conn = cf()
+      conn.setAutoCommit(false)
+      var up = conn.prepareStatement(upsertSql)
+      var del = conn.prepareStatement(deleteSql)
       try {
-        conn.setAutoCommit(false)
-        val up = conn.prepareStatement(upsertSql)
-        val del = conn.prepareStatement(deleteSql)
-        var nUp, nDel = 0
+        // Pending rows are buffered so a failed flush can re-bind them on a
+        // clean transaction: after a SQLException the server aborts the tx
+        // and the statement's batch state is undefined — roll back (or
+        // reconnect if the rollback itself fails) before each retry, as the
+        // reference's DsqlRetryHelper does.
+        val upBuf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val delBuf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def resetTx(): Unit = {
+          val reconnect =
+            try { conn.rollback(); conn.isClosed }
+            catch { case _: java.sql.SQLException => true }
+          if (reconnect) {
+            try conn.close() catch { case _: java.sql.SQLException => () }
+            conn = cf()
+            conn.setAutoCommit(false)
+            up = conn.prepareStatement(upsertSql)
+            del = conn.prepareStatement(deleteSql)
+          } else { up.clearBatch(); del.clearBatch() }
+        }
+        def flush(op: String, buf: scala.collection.mutable.ArrayBuffer[Row],
+                  stmt: () => java.sql.PreparedStatement, bind: (java.sql.PreparedStatement, Row) => Unit): Unit =
+          if (buf.nonEmpty) {
+            w.withRetry(op, onRetry = resetTx _) {
+              val s = stmt()
+              buf.foreach { r => bind(s, r); s.addBatch() }
+              s.executeBatch(); conn.commit()
+            }
+            buf.clear()
+          }
+        def flushDeletes(): Unit = flush("delete", delBuf, () => del,
+          (s, r) => pks.zipWithIndex.foreach { case (c, i) => s.setObject(i + 1, r.getAs[Any](c)) })
+        def flushUpserts(): Unit = flush("upsert", upBuf, () => up,
+          (s, r) => cols.zipWithIndex.foreach { case (c, i) => s.setObject(i + 1, r.getAs[Any](c)) })
+
         val t0 = System.nanoTime()
         var total = 0L
         for (r <- rows) {
           total += 1
           if (r.getAs[String](Changelog.OpCol) == "DELETE") {
-            pks.zipWithIndex.foreach { case (c, i) => del.setObject(i + 1, r.getAs[Any](c)) }
-            del.addBatch(); nDel += 1
-            if (nDel >= bs) { w.withRetry("delete")(del.executeBatch()); conn.commit(); nDel = 0 }
+            delBuf += r
+            if (delBuf.size >= bs) flushDeletes()
           } else {
-            cols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
-            up.addBatch(); nUp += 1
-            if (nUp >= bs) { w.withRetry("upsert")(up.executeBatch()); conn.commit(); nUp = 0 }
+            upBuf += r
+            if (upBuf.size >= bs) flushUpserts()
           }
         }
-        if (nDel > 0) { w.withRetry("delete")(del.executeBatch()) }
-        if (nUp > 0) { w.withRetry("upsert")(up.executeBatch()) }
-        conn.commit()
+        flushDeletes(); flushUpserts()
         // RPS metric like DsqlBatchSinkFunction.java:979-1014
         val secs = (System.nanoTime() - t0) / 1e9
         if (total >= 100)

@@ -44,21 +44,43 @@ object DebeziumJson {
     * DELETE rows carry the before-image as payload (the PK is what the sink
     * needs); everything else carries the after-image.
     *
+    * When `primaryKeys` is given, an UPDATE whose before-image key differs
+    * from its after-image key (PK-mutating update) is split into TWO
+    * envelope rows — DELETE(before) + UPDATE(after) — so the old key's row
+    * is removed from downstream upsert state. The reference carries both
+    * images per event and its sinks handle this case
+    * (DsqlBatchSinkFunction's update path keys on the before-image);
+    * without `primaryKeys` the after-image-only behavior applies and a
+    * PK-mutating update leaves the old key behind.
+    *
     * @param seq column providing the per-key monotone sequence; defaults to
     *            `ts_ms` — pass a Kafka offset when ts_ms ties are possible.
     */
   def parse(df: DataFrame, payload: StructType, valueCol: String = "value",
-            seq: Option[Column] = None): DataFrame = {
+            seq: Option[Column] = None, primaryKeys: Seq[String] = Nil): DataFrame = {
     val parsed = df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(payload)))
     val image = when(col("__dbz.op") === "d", col("__dbz.before")).otherwise(col("__dbz.after"))
+    val imgOp =
+      if (primaryKeys.isEmpty) array(struct(image.as("img"), opWord.as("opw")))
+      else {
+        // null-safe inequality on any PK column marks a key-changing update
+        val pkChanged = primaryKeys
+          .map(k => !(col("__dbz.before").getField(k) <=> col("__dbz.after").getField(k)))
+          .reduce(_ || _)
+        when(col("__dbz.op") === "u" && col("__dbz.before").isNotNull && pkChanged,
+          array(struct(col("__dbz.before").as("img"), lit("DELETE").as("opw")),
+                struct(col("__dbz.after").as("img"), lit("UPDATE").as("opw"))))
+          .otherwise(array(struct(image.as("img"), opWord.as("opw"))))
+      }
     parsed
-      .withColumn("__img", image)
+      .select(explode(imgOp).as("__e"),
+        seq.getOrElse(col("__dbz.ts_ms")).as(Changelog.SeqCol),
+        col("__dbz.source.db").as("__db"),
+        col("__dbz.source.table").as("__table"))
       .select(
-        payload.fieldNames.map(f => col(s"__img.$f").as(f)).toSeq ++ Seq(
-          opWord.as(Changelog.OpCol),
-          seq.getOrElse(col("__dbz.ts_ms")).as(Changelog.SeqCol),
-          col("__dbz.source.db").as("__db"),
-          col("__dbz.source.table").as("__table")): _*)
+        payload.fieldNames.map(f => col(s"__e.img.$f").as(f)).toSeq ++ Seq(
+          col("__e.opw").as(Changelog.OpCol),
+          col(Changelog.SeqCol), col("__db"), col("__table")): _*)
   }
 
   /** Table id of each raw record without payload parsing — used to fan a

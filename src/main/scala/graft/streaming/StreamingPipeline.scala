@@ -81,19 +81,43 @@ final class StreamingPipeline(
     transforms.find(_.selectors.matches(src))
       .exists(_.postTransformConverter.exists(_.equalsIgnoreCase("SOFT_DELETE")))
 
-  /** Merged (widest) schema of every source table routing into `out` —
-    * `SchemaDerivator.deduceMergedCreateTableEvent` (SURVEY.md §2.6). When a
-    * SOFT_DELETE converter applies to any routed source, the sink schema
-    * gains the `__deleted BOOLEAN` flag column (SoftDeleteConverter.java:27).
+  // post-transform struct per source, memoized on the evolved source struct
+  // (invalidated naturally when schema evolution changes it)
+  private val outStructCache = scala.collection.mutable.Map.empty[
+    (TableId, org.apache.spark.sql.types.StructType), org.apache.spark.sql.types.StructType]
+
+  private def transformedStruct(src: TableId, sch: CdcSchema): org.apache.spark.sql.types.StructType =
+    outStructCache.getOrElseUpdate((src, sch.struct), {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException("no SparkSession — create one before the pipeline"))
+      Transform.outputStruct(spark, sch.struct, src, transforms)
+    })
+
+  /** Merged (widest) schema of every source table routing into `out`, where
+    * each source contributes its POST-transform shape (computed/renamed
+    * projection columns included, projected-away columns gone) — the
+    * reference's `PostTransformOperator.transformSchema` feeding
+    * `SchemaDerivator.deduceMergedCreateTableEvent` (SURVEY.md §2.3, §2.6).
+    * When a SOFT_DELETE converter applies to any routed source, the sink
+    * schema gains the `__deleted BOOLEAN` flag column
+    * (SoftDeleteConverter.java:27).
     */
   private def sinkSchema(out: TableId): CdcSchema = {
     val sources = router.sourcesFor(out, registry.tableIds)
-    val schemas = sources.flatMap(registry.evolvedSchema)
+    val schemas = sources.flatMap(s => registry.evolvedSchema(s).map(s -> _))
     if (schemas.isEmpty) throw new IllegalStateException(s"no source schema routes to $out")
-    var struct = SchemaDerivator.mergeStructs(schemas.map(_.struct))
+    var struct = SchemaDerivator.mergeStructs(schemas.map { case (s, sch) => transformedStruct(s, sch) })
     if (sources.exists(softDeleteApplies))
       struct = struct.add("__deleted", org.apache.spark.sql.types.BooleanType)
-    CdcSchema(struct, primaryKeys = schemas.head.primaryKeys intersect struct.fieldNames.toSeq)
+    // a transform rule may re-declare the key set over its output columns
+    // (reference transform `primary-keys` option); otherwise the upstream
+    // PKs survive where still present post-transform
+    val (srcHead, schHead) = schemas.head
+    val declaredPks = transforms.find(_.selectors.matches(srcHead))
+      .map(_.primaryKeys).filter(_.nonEmpty)
+    CdcSchema(struct,
+      primaryKeys = declaredPks.getOrElse(schHead.primaryKeys) intersect struct.fieldNames.toSeq)
   }
 
   /** Snapshot phase of the hybrid source (reference `HybridSplitAssigner`,
@@ -152,7 +176,8 @@ final class StreamingPipeline(
       val t0 = System.nanoTime()
       def process(src: TableId, schema: CdcSchema): Unit = {
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
-        writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq)
+        writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq,
+          primaryKeys = schema.primaryKeys)
           .drop("__db", "__table"))
       }
       if (tableParallelism > 1 && known.size > 1) {

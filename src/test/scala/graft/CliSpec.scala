@@ -14,6 +14,7 @@ class CliSpec extends SparkSpec {
       s"""source:
          |  type: parquet
          |  path: $sf
+         |  schema-name: tpch
          |  tables: tpch.nation
          |transform:
          |  - source-table: tpch.nation

@@ -19,5 +19,6 @@ object TestSpark {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+  spark.sparkContext // force session creation so getDefaultSession works everywhere
   val sf: String = "/root/testdata/sf0.001"
 }

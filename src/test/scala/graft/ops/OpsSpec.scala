@@ -186,4 +186,16 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").collect().map(_.getInt(0)).toSeq.sorted
     assert(idx === Seq(0, 4, 8))
   }
+
+  test("sampleFrames emits no rows for zero-frame or metadata-less assets") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "video", Array[Byte](), Map("frame_count" -> "0")),
+      (2L, "video", Array[Byte](), Map.empty[String, String]),
+      (3L, "video", Array[Byte](), Map("frame_count" -> "2"))
+    ).toDF("asset_id", "modality", "payload", "meta")
+    val out = Multimodal.sampleFrames(assets, everyNth = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(out === Seq((3L, 0), (3L, 1)))
+  }
 }

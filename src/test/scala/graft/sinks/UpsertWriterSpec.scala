@@ -22,7 +22,7 @@ object FakeJdbc {
 
   def reset(): Unit = { executed.clear(); failuresToInject = 0 }
 
-  private class Ps(sql: String) extends InvocationHandler {
+  private class Ps(sql: String, conn: Conn) extends InvocationHandler {
     private val params = scala.collection.mutable.Map.empty[Int, Any]
     private val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     override def invoke(proxy: Object, m: Method, args: Array[Object]): Object = m.getName match {
@@ -30,9 +30,15 @@ object FakeJdbc {
         params(args(0).asInstanceOf[Int]) = args(1); null
       case "addBatch" =>
         batches += params.toSeq.sortBy(_._1).map(_._2); params.clear(); null
+      case "clearBatch" => batches.clear(); null
       case "executeBatch" =>
+        // PostgreSQL/DSQL semantics: a failed statement aborts the whole
+        // transaction — every later statement fails until rollback()
+        if (conn.aborted)
+          throw new SQLException("current transaction is aborted, commands ignored until end of transaction block")
         if (failuresToInject > 0) {
           failuresToInject -= 1
+          conn.aborted = true
           throw new SQLException("injected transient failure")
         }
         batches.foreach(b => executed.add(Exec(sql, b)))
@@ -44,17 +50,22 @@ object FakeJdbc {
   }
 
   private class Conn extends InvocationHandler {
+    @volatile var aborted = false
     override def invoke(proxy: Object, m: Method, args: Array[Object]): Object = m.getName match {
       case "prepareStatement" =>
         Proxy.newProxyInstance(getClass.getClassLoader,
-          Array(classOf[PreparedStatement]), new Ps(args(0).asInstanceOf[String]))
+          Array(classOf[PreparedStatement]), new Ps(args(0).asInstanceOf[String], this))
       case "createStatement" =>
         Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Statement]),
           (_: Object, sm: Method, sargs: Array[Object]) => sm.getName match {
             case "execute" => executed.add(Exec(sargs(0).asInstanceOf[String], Nil)); Boolean.box(true)
             case _ => null
           })
-      case "setAutoCommit" | "commit" | "close" | "rollback" => null
+      case "commit" =>
+        if (aborted) throw new SQLException("current transaction is aborted")
+        null
+      case "rollback" => aborted = false; null
+      case "setAutoCommit" | "close" => null
       case "isClosed" => Boolean.box(false)
       case _ => null
     }
@@ -118,6 +129,10 @@ class UpsertWriterSpec extends SparkSpec {
     new UpsertWriter(() => FakeJdbc.connection(), batchSize = 100, initialBackoffMs = 1L)
       .writeBatch(changelog, id, schema)
     val upserts = FakeJdbc.executed.asScala.toSeq.filter(_.sql.startsWith("INSERT INTO"))
-    assert(upserts.map(_.params).toSet === Set(Seq(1L, "a2"), Seq(3L, "c")))
+    // exact multiset: the retry must roll back the aborted transaction and
+    // re-bind pending rows once — no duplicates, no stale batch replay
+    assert(upserts.map(_.params).sortBy(_.head.toString) === Seq(Seq(1L, "a2"), Seq(3L, "c")))
+    val deletes = FakeJdbc.executed.asScala.toSeq.filter(_.sql.startsWith("DELETE"))
+    assert(deletes.map(_.params) === Seq(Seq(2L)))
   }
 }

@@ -27,6 +27,17 @@ class DebeziumJsonSpec extends SparkSpec {
       (1L, "a", "INSERT"), (2L, "b", "INSERT"), (1L, "a2", "UPDATE"), (2L, "b", "DELETE")))
   }
 
+  test("PK-mutating update splits into DELETE(before) + UPDATE(after)") {
+    val rows = Seq(
+      """{"before":{"id":1,"name":"a"},"after":{"id":9,"name":"a"},"op":"u","ts_ms":5,"source":{"db":"db","table":"users"}}""",
+      """{"before":{"id":2,"name":"b"},"after":{"id":2,"name":"b2"},"op":"u","ts_ms":6,"source":{"db":"db","table":"users"}}""")
+    val out = DebeziumJson.parse(rows.toDF("value"), userStruct, primaryKeys = Seq("id"))
+      .orderBy("__seq", "id").select("id", "name", "__op").as[(Long, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "DELETE"), (9L, "a", "UPDATE"),   // key change: old key removed
+      (2L, "b2", "UPDATE")))                       // same key: single row
+  }
+
   test("serialize → parse round-trips the changelog") {
     val ch = Seq((1L, "x", "INSERT", 10L), (2L, "y", "DELETE", 11L))
       .toDF("id", "name", graft.operators.Changelog.OpCol, graft.operators.Changelog.SeqCol)
@@ -70,6 +81,39 @@ class StreamingPipelineSpec extends SparkSpec {
 
     assert(db.results(usersId).map(_.toList).sortBy(_.head.toString) ===
       Seq(List(1L, "ANN2", 31)))
+  }
+
+  test("pipeline removes the old key after a PK-mutating update") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+    pipe.processBatch(Seq(
+      dbz("c", 1, """{"id":1,"name":"ann","age":30}""")).toDF("value"), 0L)
+    pipe.processBatch(Seq(
+      """{"before":{"id":1,"name":"ann","age":30},"after":{"id":7,"name":"ann","age":30},"op":"u","ts_ms":2,"source":{"db":"db","table":"users"}}"""
+    ).toDF("value"), 1L)
+    assert(db.results(usersId).map(_.toList) === Seq(List(7L, "ann", 30)))
+  }
+
+  test("sink schema is the POST-transform shape: computed/renamed columns survive") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry,
+      transforms = Seq(TransformRule("db.users",
+        projection = Some("id, age + 1 AS age1, UPPER(name) AS uname"))),
+      sink = new ValuesSink(db))
+
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+    // sink must have been created with the transform's OUTPUT schema, not the
+    // source schema (reference PostTransformOperator.transformSchema)
+    assert(db.schemaOf(usersId).map(_.struct.fieldNames.toSeq) === Some(Seq("id", "age1", "uname")))
+
+    pipe.processBatch(Seq(
+      dbz("c", 1, """{"id":1,"name":"ann","age":30}"""),
+      dbz("u", 2, """{"id":1,"name":"bob","age":41}""")).toDF("value"), 0L)
+
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, 42, "BOB")))
   }
 
   test("N→1 route merges schemas and union-upserts into one sink table") {
