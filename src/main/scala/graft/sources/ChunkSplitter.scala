@@ -70,13 +70,18 @@ object ChunkSplitter {
     * once the table outruns `maxChunks × chunkSize` rows.
     */
   def planFromDataFrame(df: DataFrame, keyColumn: String, chunkSize: Long = DefaultChunkSize,
-                        maxChunks: Int = 256): Seq[String] = {
+                        maxChunks: Int = 256): Seq[String] =
+    predicates(keyColumn, planRanges(df, keyColumn, chunkSize, maxChunks))
+
+  /** Chunk ranges from a DataFrame's own key stats (one stats pass). */
+  def planRanges(df: DataFrame, keyColumn: String, chunkSize: Long = DefaultChunkSize,
+                 maxChunks: Int = 256): Seq[(Option[Long], Option[Long])] = {
     import org.apache.spark.sql.functions._
     val row = df.agg(min(col(keyColumn)).cast("long"), max(col(keyColumn)).cast("long"), count(lit(1))).head()
-    if (row.isNullAt(0)) return Seq("1 = 1")
+    if (row.isNullAt(0)) return Seq((None, None))
     val stats = Stats(row.getLong(0), row.getLong(1), row.getLong(2))
     val effectiveChunk = math.max(chunkSize, math.ceil(stats.rowCount.toDouble / maxChunks).toLong)
-    predicates(keyColumn, evenRanges(stats, effectiveChunk))
+    evenRanges(stats, effectiveChunk)
   }
 
   /** Uneven-distribution fallback: chunk bounds at key quantiles, so each
@@ -96,17 +101,31 @@ object ChunkSplitter {
     else (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
   }
 
-  /** Read a table as a union of chunk scans — the test-path equivalent of the
-    * chunked parallel JDBC snapshot (each predicate = one `spark.read.jdbc`
-    * partition in production). The union is lossless by construction. Against
-    * files each chunk is a filtered re-scan, so `maxChunks` matters doubly
-    * here: cost is O(chunks × file size).
+  /** Read a table laid out one-chunk-per-partition — the file-replay
+    * equivalent of the chunked parallel JDBC snapshot.
+    *
+    * ONE scan: each row gets its chunk ordinal from a codegen'd CASE over the
+    * cut points, then a single narrow repartition groups chunks into
+    * partitions. Never a union of filtered re-scans — that is
+    * O(chunks × input) (every chunk re-reads the whole file) and unusable at
+    * 100 TB. The JDBC production path needs neither scan-tagging nor shuffle:
+    * it hands `predicates(...)` to `spark.read.jdbc`, one partition per chunk
+    * at the source.
     */
   def chunkedRead(spark: SparkSession, path: String, column: String,
                   chunkSize: Long = DefaultChunkSize, maxChunks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     val base = spark.read.parquet(path)
-    planFromDataFrame(base, column, chunkSize, maxChunks)
-      .map(p => base.where(p))
-      .reduce(_.union(_))
+    val ranges = planRanges(base, column, chunkSize, maxChunks)
+    if (ranges.size <= 1) return base
+    val cuts = ranges.drop(1).map(_._1.getOrElse(
+      throw new IllegalStateException("interior chunk without lower bound")))
+    val k = col(column).cast("long")
+    val chunkId = cuts.zipWithIndex.foldRight(lit(cuts.size): org.apache.spark.sql.Column) {
+      case ((cut, i), rest) => when(k < cut, i).otherwise(rest)
+    }
+    base.withColumn("__chunk", chunkId)
+      .repartition(ranges.size, col("__chunk"))
+      .drop("__chunk")
   }
 }
