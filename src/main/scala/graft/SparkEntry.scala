@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.TableId
-import graft.operators.{Changelog, RouteRule, SchemaDerivator, TableIdRouter, Transform, TransformRule}
+import graft.operators.{AsOfJoin, Changelog, RouteRule, SchemaDerivator, Sessionize, TableIdRouter, Transform, TransformRule}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Composer, PipelineDef}
 import graft.sources.ChunkSplitter
@@ -453,6 +453,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
 
+    "q_asof_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // point-in-time feature attach: each event carries the user's most
+      // recent purchase value at-or-before it (union-trick as-of join —
+      // one shuffle, no row explosion; see operators/AsOfJoin)
+      val ev = t(dir, "events").select("event_id", "user_id", "event_type", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value").as("last_purchase"))
+      AsOfJoin.backward(ev, purchases, on = "event_id", by = Seq("user_id"))
+    },
+
+    "q_sessionize" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // session windows (1h inactivity gap) over the event stream — batch
+      // backfill shape of streaming session_window aggregation. Micros, not
+      // nanos: DuckDB truncates parquet TIMESTAMP(NANOS) to µs
+      Sessionize.sessions(t(dir, "events").selectExpr("user_id", "ts DIV 1000 AS ts"),
+        key = "user_id", on = "ts", gap = 3600000000L)
+    },
+
     "q_corpus_pipeline" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the composed training-data flow: exact-dedup survivors → quality
@@ -698,6 +718,28 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.event_type, l.value, r.last_purchase
+        |FROM events l ASOF LEFT JOIN (
+        |  SELECT user_id, event_id, value AS last_purchase FROM events
+        |  WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM tagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_idx""".stripMargin,
 
     "q_corpus_pipeline" -> corpusPipelineOracleSql,
 

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes: (symbol, t, price); trades: (symbol, t, qty)
+  private def quotes = Seq(
+    ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+    ("B", 3L, 20.0)).toDF("sym", "t", "price")
+  private def trades = Seq(
+    ("A", 0L, 100L),  // before any quote → null
+    ("A", 5L, 200L),  // tie → matches the t=5 quote (inclusive)
+    ("A", 7L, 300L),  // between → t=5 quote
+    ("B", 9L, 400L),  // after B's only quote
+    ("C", 1L, 500L)   // key with no right rows → null
+  ).toDF("sym", "t", "qty")
+
+  test("backward as-of attaches the latest right row at or before each left row") {
+    val out = AsOfJoin.backward(trades, quotes, on = "t", by = Seq("sym"))
+      .orderBy("sym", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out === Seq(
+      ("A", 0L, 100L, None),
+      ("A", 5L, 200L, Some(11.0)),
+      ("A", 7L, 300L, Some(11.0)),
+      ("B", 9L, 400L, Some(20.0)),
+      ("C", 1L, 500L, None)))
+  }
+
+  test("tolerance nulls out matches older than the bound") {
+    val out = AsOfJoin.backward(trades, quotes, on = "t", by = Seq("sym"), tolerance = Some(2L))
+      .orderBy("sym", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out === Seq(
+      ("A", 0L, None),
+      ("A", 5L, Some(11.0)),   // age 0 ≤ 2
+      ("A", 7L, Some(11.0)),   // age 2 ≤ 2
+      ("B", 9L, None),         // age 6 > 2
+      ("C", 1L, None)))
+  }
+
+  test("colliding right payload names get the suffix") {
+    val right = quotes.withColumnRenamed("price", "qty") // collides with trades.qty
+    val out = AsOfJoin.backward(trades, right, on = "t", by = Seq("sym"))
+    assert(out.columns.toSeq === Seq("sym", "t", "qty", "qty_right"))
+  }
+
+  test("plan shape: one shuffle, no broadcast-nested-loop") {
+    val plan = AsOfJoin.backward(trades, quotes, on = "t", by = Seq("sym"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap splits a key's events into ordered sessions") {
+    val ev = Seq(
+      (1L, 100L), (1L, 150L), (1L, 400L),   // gap 250 > 200 → new session
+      (1L, 500L),
+      (2L, 100L)).toDF("k", "t")
+    val out = Sessionize.sessions(ev, key = "k", on = "t", gap = 200L)
+      .orderBy("k", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 2L, 100L, 150L),
+      (1L, 2L, 2L, 400L, 500L),
+      (2L, 1L, 1L, 100L, 100L)))
+  }
+
+  test("assign keeps every event and numbers sessions monotonically") {
+    val ev = Seq((1L, 10L), (1L, 1000L), (1L, 1010L)).toDF("k", "t")
+    val out = Sessionize.assign(ev, key = "k", on = "t", gap = 100L)
+      .orderBy("t").select("session_idx").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 2L))
+  }
+}

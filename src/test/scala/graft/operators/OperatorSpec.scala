@@ -29,6 +29,20 @@ class TransformSpec extends SparkSpec {
     assert(out.head() === Row(1, "ns", "tbl"))
   }
 
+  test("op_ts metadata column reflects the changelog sequence") {
+    val df = Seq((1, "x", 100L)).toDF("id", "v", Changelog.SeqCol)
+    val out = Transform.applyRules(df, TableId.of("db", "t"), Seq(
+      TransformRule("db.t", projection = Some("id, op_ts AS changed_at"))),
+      passthrough = Seq(Changelog.SeqCol))
+    assert(out.select("id", "changed_at").head() === Row(1, 100L))
+    // and the derived output schema resolves op_ts too
+    val struct = Transform.outputStruct(spark,
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+      TableId.of("db", "t"),
+      Seq(TransformRule("db.t", projection = Some("id, op_ts AS changed_at"))))
+    assert(struct.fieldNames.toSeq === Seq("id", "changed_at"))
+  }
+
   test("wildcard expands to physical columns only") {
     val df = Seq((1, "x")).toDF("id", "v")
     val out = Transform.applyRules(df, TableId.of("db", "t"), Seq(
