@@ -93,7 +93,24 @@ object Cli {
       pipe.applySchemaChange(CreateTableEvent(id, CdcSchema.of(cols.toIndexedSeq: _*).copy(primaryKeys = pk)))
     }
 
-    val stream = spark.readStream.format("text").load(inPath)
+    // startup mode: lower-bound filter on the raw feed (reference
+    // scan.startup.mode). `latest` anchors at the backlog position at FIRST
+    // launch and persists the anchor beside the checkpoint — a restart must
+    // resume from the stored position, not re-anchor past unprocessed data.
+    val mode = graft.sources.StartupOptions.parse(p.source.options)
+    def anchoredPosition: Long = {
+      val f = java.nio.file.Paths.get(s"$outPath/_startup_position")
+      if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f).trim.toLong
+      else {
+        val pos = graft.sources.StartupOptions.filePosition(spark, inPath)
+        java.nio.file.Files.createDirectories(f.getParent)
+        java.nio.file.Files.writeString(f, pos.toString)
+        pos
+      }
+    }
+    val stream = graft.sources.StartupOptions(
+      spark.readStream.format("text").load(inPath), mode,
+      launchPosition = anchoredPosition)
     (pipe, sink, pipe.start(stream, s"$outPath/_checkpoint", trigger))
   }
 
