@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.TableId
-import graft.operators.{AsOfJoin, Changelog, RouteRule, SchemaDerivator, Sessionize, TableIdRouter, Transform, TransformRule}
+import graft.operators.{AsOfJoin, Changelog, RangeJoin, RouteRule, SchemaDerivator, Sessionize, TableIdRouter, Transform, TransformRule}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Composer, PipelineDef}
 import graft.sources.ChunkSplitter
@@ -464,6 +464,19 @@ object SparkEntry {
       AsOfJoin.backward(ev, purchases, on = "event_id", by = Seq("user_id"))
     },
 
+    "q_interval_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // key-less range join, binned: per purchase, platform-wide error count
+      // in the preceding 5 minutes — hash join on bins, never a nested loop
+      val ev = t(dir, "events").selectExpr("event_id", "event_type", "ts DIV 1000 AS ts_us")
+      val purchases = ev.where(col("event_type") === "purchase").select("event_id", "ts_us")
+      val errors = ev.where(col("event_type") === "error").select("event_id", "ts_us")
+      RangeJoin.binned(purchases, errors, on = "ts_us",
+        lower = -300000000L, upper = 0L)
+        .groupBy("event_id")
+        .agg(count(col("r_event_id")).as("n_errors"))
+    },
+
     "q_sessionize" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // session windows (1h inactivity gap) over the event stream — batch
@@ -725,6 +738,13 @@ object SparkEntry {
         |  SELECT user_id, event_id, value AS last_purchase FROM events
         |  WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT l.event_id, count(r.event_id) AS n_errors
+        |FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') r
+        |  ON r.ts_us > l.ts_us - 300000000 AND r.ts_us <= l.ts_us
+        |GROUP BY l.event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH tagged AS (
