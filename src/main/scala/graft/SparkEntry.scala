@@ -489,12 +489,10 @@ object SparkEntry {
     "q_corpus_pipeline" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the composed training-data flow: exact-dedup survivors → quality
-      // gate → per-language corpus stats. One narrow scan feeds the dedup
-      // aggregation; the survivor join is a slim (doc_id) semi-join.
+      // gate → per-language corpus stats. Window-based survivor selection:
+      // ONE scan, one shuffle, no self-join back to the corpus.
       val docs = t(dir, "documents")
-      val survivors = Dedup.exact(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
-        .select("doc_id")
-      docs.join(survivors, "doc_id")
+      Dedup.exactSurvivors(docs, "doc_id", TextAnalysis.fingerprint(col("text")))
         .select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.tokenCount(col("text")).as("n_words"),

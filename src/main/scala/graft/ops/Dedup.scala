@@ -30,6 +30,18 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
       .drop("__dup_key")
 
+  /** Exact dedup keeping the FULL surviving row (min id per fingerprint) —
+    * one window shuffle, no self-join back to the input. Prefer this when
+    * downstream needs the survivors' payload: at 100 TB it halves the scans
+    * and drops the join `exact` + join would cost.
+    */
+  def exactSurvivors(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col(idCol))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
   // ---------- shingles / hashing primitives ----------
 
   /** splitmix64 finalizer — cheap avalanche for deriving k hash functions. */
