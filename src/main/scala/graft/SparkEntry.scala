@@ -464,6 +464,32 @@ object SparkEntry {
       AsOfJoin.backward(ev, purchases, on = "event_id", by = Seq("user_id"))
     },
 
+    "q_pii_redact" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // corpus scrub stage: redact PII from a contact blob (synthesized
+      // deterministically from keys — the slim testdata has no PII columns);
+      // narrow codegen'd projection, scan-bound
+      val contact = t(dir, "customer").select(col("c_custkey"), expr(
+        """CONCAT(c_name, ' user', c_custkey, '@ex', c_nationkey, '.com ip 10.0.',
+          |  c_custkey % 256, '.', c_custkey * 7 % 256, ' tel ',
+          |  c_custkey % 89 + 10, '-', c_custkey * 3 % 899 + 100, '-',
+          |  c_custkey * 5 % 900 + 100, '-', c_custkey * 11 % 9000 + 1000)""".stripMargin).as("contact"))
+      contact.select(
+        col("c_custkey"),
+        graft.ops.Pii.redact(col("contact")).as("clean"),
+        graft.ops.Pii.piiCount(col("contact")).as("n_pii"))
+    },
+
+    "q_sample_stratified" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // deterministic hash sampling: downsample 'en' to 25%, keep the rest —
+      // reproducible across engines/partitionings (md5-prefix threshold)
+      graft.ops.Sampling.stratified(t(dir, "documents"),
+        key = col("doc_id"), stratum = col("lang"),
+        rates = Map("en" -> 0.25), defaultRate = 1.0)
+        .select("doc_id", "lang", "source")
+    },
+
     "q_interval_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // key-less range join, binned: per purchase, platform-wide error count
@@ -736,6 +762,32 @@ object SparkEntry {
         |  SELECT user_id, event_id, value AS last_purchase FROM events
         |  WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH blob AS (
+        |  SELECT c_custkey,
+        |    CONCAT(c_name, ' user', c_custkey, '@ex', c_nationkey, '.com ip 10.0.',
+        |      c_custkey % 256, '.', c_custkey * 7 % 256, ' tel ',
+        |      c_custkey % 89 + 10, '-', c_custkey * 3 % 899 + 100, '-',
+        |      c_custkey * 5 % 900 + 100, '-', c_custkey * 11 % 9000 + 1000) AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+        |  CAST(
+        |    len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(contact, '\d{2,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}'))
+        |  + len(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |  AS BIGINT) AS n_pii
+        |FROM blob""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE TRUE END""".stripMargin,
 
     "q_interval_join" ->
       """SELECT l.event_id, count(r.event_id) AS n_errors

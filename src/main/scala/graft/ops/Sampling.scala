@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible subset stage of a
+  * training-data pipeline (prompt-mandated extension; absent from the
+  * reference).
+  *
+  * `df.sample()` is seed-dependent per partitioning and not reproducible
+  * across engines or re-runs over re-partitioned data; hashing the KEY is:
+  * a row's fate depends only on its key, so samples are stable under
+  * re-partitioning, resumable, and consistent between engines. The hash is
+  * an md5 hex prefix compared lexicographically — exactly replicable in any
+  * engine with md5 (rate granularity 1/65536), and a narrow codegen'd
+  * projection: no shuffle, scan-bound at 100 TB.
+  */
+object Sampling {
+
+  /** Keep predicate: 4-hex-char md5 prefix under the rate threshold.
+    * Equal-width lowercase hex compares lexicographically == numerically,
+    * in any engine; rate granularity 1/65536.
+    */
+  def keep(key: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    val t = math.round(rate * 65536)
+    if (t >= 65536) lit(true)
+    else if (t <= 0) lit(false)
+    else substring(md5(key.cast("string")), 1, 4) < lit(f"$t%04x")
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(keep(key, rate))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. downsample
+    * over-represented languages), `defaultRate` for unlisted strata.
+    */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val cond = rates.foldLeft(when(lit(false), lit(false))) {
+      case (w, (s, r)) => w.when(stratum === s, keep(key, r))
+    }.otherwise(keep(key, defaultRate))
+    df.where(cond)
+  }
+}

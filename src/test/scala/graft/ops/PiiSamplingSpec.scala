@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact replaces emails, phones and IPs; counts match") {
+    val df = Seq(
+      "reach me at bob@example.com or 25-989-741-2988",
+      "server 10.0.12.3 crashed",
+      "nothing sensitive here").toDF("text")
+      .select(Pii.redact(col("text")).as("clean"), Pii.piiCount(col("text")).as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(
+      ("reach me at <EMAIL> or <PHONE>", 2L),
+      ("server <IP> crashed", 1L),
+      ("nothing sensitive here", 0L)))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 10000L).toDF("id")
+
+  test("hash sample hits the target rate and is deterministic") {
+    val n1 = Sampling.hashSample(ids, col("id"), 0.25).count()
+    val n2 = Sampling.hashSample(ids.repartition(7), col("id"), 0.25).count()
+    assert(n1 === n2)                       // stable under re-partitioning
+    assert(math.abs(n1 - 2500.0) < 200)     // ±4σ of binomial(10000, .25)
+  }
+
+  test("nested rates: a 10% sample is a subset of the 25% sample") {
+    val s25 = Sampling.hashSample(ids, col("id"), 0.25).select("id").as[Long].collect().toSet
+    val s10 = Sampling.hashSample(ids, col("id"), 0.10).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s25))
+  }
+
+  test("edge rates keep all / none") {
+    assert(Sampling.hashSample(ids, col("id"), 1.0).count() === 10000)
+    assert(Sampling.hashSample(ids, col("id"), 0.0).count() === 0)
+  }
+
+  test("stratified applies per-stratum rates with a default") {
+    val df = ids.withColumn("s", when(col("id") < 5000, "a").otherwise("b"))
+    val out = Sampling.stratified(df, col("id"), col("s"), Map("a" -> 0.2), defaultRate = 1.0)
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("b") === 5000)
+    assert(math.abs(byS("a") - 1000.0) < 150)
+  }
+}
