@@ -154,6 +154,18 @@ object SparkEntry {
       Changelog.materialize(back, Seq("user_id"))
     },
 
+    "q_canal_roundtrip" -> { (spark, dir) =>
+      // canal-json wire path is lossless too; same oracle as q_materialize
+      val id = TableId.of("db", "events")
+      val json = graft.sinks.ChangelogJson.canal(eventsChangelog(spark, dir), id)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val back = graft.sources.CanalJson.parse(json, schema).drop("__db", "__table")
+      Changelog.materialize(back, Seq("user_id"))
+    },
+
     "q_stream_pipeline" -> { (spark, dir) =>
       // the full streaming topology run in batch mode (reference BATCH
       // runtime-mode): debezium feed → pipeline → parquet upsert sink state
@@ -607,6 +619,12 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_debezium_roundtrip" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_canal_roundtrip" ->
       """SELECT user_id, event_type, value FROM (
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

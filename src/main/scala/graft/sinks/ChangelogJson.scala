@@ -41,7 +41,7 @@ object ChangelogJson {
       )).as("value"))
   }
 
-  /** canal-json shape. */
+  /** canal-json shape (`ts` carries the sequence like canal's ms clock). */
   def canal(changelog: DataFrame, id: TableId): DataFrame = {
     val payload = struct(payloadCols(changelog): _*)
     changelog.select(
@@ -51,6 +51,7 @@ object ChangelogJson {
         when(col(Changelog.OpCol) === "DELETE", "DELETE")
           .when(col(Changelog.OpCol) === "UPDATE", "UPDATE")
           .otherwise("INSERT").as("type"),
+        col(Changelog.SeqCol).as("ts"),
         struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
       )).as("value"))
   }

@@ -62,5 +62,21 @@ class ChangelogJsonSpec extends SparkSpec {
     val ch = Seq((1L, "a", "UPDATE", 1L)).toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
     val out = ChangelogJson.canal(ch, TableId.of("db", "t")).as[String].head()
     assert(out.contains(""""type":"UPDATE"""") && out.contains(""""old":[{"id":1,"v":"a"}]"""))
+    assert(out.contains(""""ts":1"""))
+  }
+
+  test("canal serialize → parse round-trips the changelog") {
+    import spark.implicits._
+    val ch = Seq((1L, "x", "INSERT", 10L), (2L, "y", "DELETE", 11L), (3L, "z", "UPDATE", 12L))
+      .toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+    val schema = graft.model.CdcSchema.of("id" -> "BIGINT", "v" -> "STRING").struct
+    val back = graft.sources.CanalJson.parse(ChangelogJson.canal(ch, TableId.of("db", "t")), schema)
+      .orderBy(graft.operators.Changelog.SeqCol)
+      .select("id", "v", Changelog.OpCol, "__db", "__table")
+      .as[(Long, String, String, String, String)].collect().toSeq
+    assert(back === Seq(
+      (1L, "x", "INSERT", "db", "t"),
+      (2L, "y", "DELETE", "db", "t"),
+      (3L, "z", "UPDATE", "db", "t")))
   }
 }
