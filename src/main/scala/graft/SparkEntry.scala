@@ -337,7 +337,8 @@ object SparkEntry {
         TextAnalysis.punctCount(col("text")).as("n_punct"),
         round(when(length(col("text")) > 0,
           length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") / length(col("text")))
-          .otherwise(0.0), 4).as("alpha_ratio"))
+          .otherwise(0.0), 4).as("alpha_ratio"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
     },
 
     "q_lang_id" -> { (spark, dir) =>
@@ -699,7 +700,10 @@ object SparkEntry {
         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
         |  ROUND(CASE WHEN length(text) > 0
         |    THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text)
-        |    ELSE 0.0 END, 4) AS alpha_ratio
+        |    ELSE 0.0 END, 4) AS alpha_ratio,
+        |  ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |               / len(string_split_regex(trim(text), '\s+')) END, 4) AS rep_ratio
         |FROM documents""".stripMargin,
 
     "q_lang_id" -> langIdOracleSql,

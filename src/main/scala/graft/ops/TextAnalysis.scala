@@ -31,6 +31,16 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
+  /** Word-repetition ratio: 1 − distinct/total words (0 = all unique,
+    * →1 = heavy repetition). A standard boilerplate/spam signal in corpus
+    * quality filtering; narrow codegen'd expression.
+    */
+  def repetitionRatio(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(split(lower(trim(text)), "\\s+"))).cast("double") /
+        size(split(trim(text), "\\s+")), 4))
+
   /** Simple composite quality features (length/word/punct ratios) — the usual
     * pre-filters of a web-scale corpus cleaning stage.
     */

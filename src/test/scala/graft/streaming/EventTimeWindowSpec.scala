@@ -48,6 +48,35 @@ class EventTimeWindowSpec extends SparkSpec {
     assert(rows(("2024-01-01 11:00:00", "view")) === ((1L, 5.0)))
   }
 
+  test("native session_window groups by inactivity gap in streaming mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("string").as("s"),
+        col("user_id"), col("n_events"))
+
+    val q = sessions.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then a 2h gap (new session)
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+    mem.addData((ts("2024-01-01 12:30:00"), 1L))
+    q.processAllAvailable()
+    // advance watermark far enough to close every session
+    mem.addData((ts("2024-01-01 20:00:00"), 2L))
+    mem.addData((ts("2024-01-02 09:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_agg")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows(("2024-01-01 10:00:00", 1L)) === 2L) // merged session
+    assert(rows(("2024-01-01 12:30:00", 1L)) === 1L) // after the gap
+  }
+
   private implicit class Tuple4Ops(rows: Array[(String, String, Long, Double)]) {
     def toMap2: Map[(String, String), (Long, Double)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
