@@ -477,6 +477,14 @@ object SparkEntry {
       AsOfJoin.backward(ev, purchases, on = "event_id", by = Seq("user_id"))
     },
 
+    "q_profile" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // data-quality profiling: one pass, long format (exact distinct for
+      // the oracle; production uses approx_count_distinct)
+      graft.ops.Profile.summarize(t(dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"), exact = true)
+    },
+
     "q_pii_redact" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // corpus scrub stage: redact PII from a contact blob (synthesized
@@ -784,6 +792,25 @@ object SparkEntry {
         |  SELECT user_id, event_id, value AS last_purchase FROM events
         |  WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_v, CAST(max(o_orderkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders""".stripMargin,
 
     "q_pii_redact" ->
       """WITH blob AS (
