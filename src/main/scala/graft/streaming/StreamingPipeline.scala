@@ -148,11 +148,15 @@ final class StreamingPipeline(
       val target = sinkSchema(out)
       // coerce payload to the merged sink shape (cast matching columns,
       // null-pad missing ones) while keeping the envelope — pure projection
-      val coerced = transformed.select(
+      val coerced0 = transformed.select(
         target.struct.fieldNames.map(f =>
           (if (transformed.columns.contains(f)) col(f) else lit(null))
             .cast(target.struct(f).dataType).as(f)).toSeq
           ++ Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+      // corrupt envelopes (malformed JSON, unparseable payloads) surface as
+      // null PKs after PERMISSIVE parsing — they can never address sink
+      // state, so drop them here instead of poisoning the upsert
+      val coerced = target.primaryKeys.foldLeft(coerced0)((d, pk) => d.where(col(pk).isNotNull))
       sink.write(out, coerced, target)
     }
   }

@@ -116,6 +116,21 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(db.results(usersId).map(_.toList) === Seq(List(1L, 42, "BOB")))
   }
 
+  test("malformed feed lines are skipped, valid records still apply") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+    pipe.processBatch(Seq(
+      "not json at all {{{",
+      """{"half": "an envelope"}""",
+      dbz("c", 1, """{"id":1,"name":"ok","age":20}"""),
+      """{"before":null,"after":{"id":"NOT_A_NUMBER","name":"x","age":1},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}"""
+    ).toDF("value"), 0L)
+    // only the valid row lands: corrupt payloads (null PK) never reach state
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, "ok", 20)))
+  }
+
   test("N→1 route merges schemas and union-upserts into one sink table") {
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
     val db = new ValuesDatabase
