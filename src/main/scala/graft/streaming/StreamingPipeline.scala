@@ -171,7 +171,23 @@ final class StreamingPipeline(
     */
   def processBatch(batch: DataFrame, batchId: Long, seq: Option[Column] = None): Unit = {
     if (batch.isEmpty) return
-    val tagged = DebeziumJson.tableOf(batch).cache()
+    // in-band DDL: control records ({"__graft_schema_change__": ...}) ride
+    // the same feed as row events, like the reference's SchemaChangeEvents
+    // in the one Event stream (SURVEY.md §1.1). A cheap contains() prefilter
+    // keeps the scan narrow; the rare hits collect to the driver and apply
+    // at the batch boundary — before the batch's data, so a CreateTable and
+    // its first rows can share a batch.
+    val marker = graft.model.SchemaChangeJson.Marker
+    val ctrl = batch.where(col("value").contains(s""""$marker""""))
+      .collect().map(_.getString(0)).filter(graft.model.SchemaChangeJson.isControl)
+    val data =
+      if (ctrl.isEmpty) batch
+      else {
+        ctrl.map(graft.model.SchemaChangeJson.parse).foreach(applySchemaChange)
+        batch.where(!col("value").contains(s""""$marker""""))
+      }
+    if (data.isEmpty) return
+    val tagged = DebeziumJson.tableOf(data).cache()
     try {
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))

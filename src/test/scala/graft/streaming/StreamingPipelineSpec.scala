@@ -116,6 +116,39 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(db.results(usersId).map(_.toList) === Seq(List(1L, 42, "BOB")))
   }
 
+  test("schema-change JSON codec round-trips every event type") {
+    import org.apache.spark.sql.types._
+    val id = TableId.of("db", "users")
+    val events: Seq[SchemaChangeEvent] = Seq(
+      CreateTableEvent(id, usersSchema),
+      AddColumnEvent(id, "age2", IntegerType),
+      AddColumnEvent(id, "first", LongType, ColumnPosition.First),
+      AddColumnEvent(id, "mid", StringType, ColumnPosition.After("id")),
+      DropColumnEvent(id, "age"),
+      RenameColumnEvent(id, "name", "full_name"),
+      AlterColumnTypeEvent(id, "id", StringType),
+      DropTableEvent(id),
+      TruncateTableEvent(id))
+    for (e <- events)
+      assert(SchemaChangeJson.parse(SchemaChangeJson.toJson(e)) === e, e.toString)
+  }
+
+  test("in-band DDL control records apply at the batch boundary") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    // batch 1: CreateTable + first rows share one batch
+    pipe.processBatch(Seq(
+      SchemaChangeJson.toJson(CreateTableEvent(usersId, usersSchema)),
+      dbz("c", 1, """{"id":1,"name":"ann","age":30}""")).toDF("value"), 0L)
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, "ann", 30)))
+    // batch 2: AddColumn rides in-band; same-batch data may already use it
+    pipe.processBatch(Seq(
+      SchemaChangeJson.toJson(AddColumnEvent(usersId, "email", org.apache.spark.sql.types.StringType)),
+      dbz("u", 2, """{"id":1,"name":"ann","age":31,"email":"a@x"}""")).toDF("value"), 1L)
+    assert(db.results(usersId).map(_.toList) === Seq(List(1L, "ann", 31, "a@x")))
+  }
+
   test("malformed feed lines are skipped, valid records still apply") {
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
     val db = new ValuesDatabase
