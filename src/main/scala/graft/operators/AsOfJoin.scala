@@ -40,7 +40,19 @@ object AsOfJoin {
     *         right row precedes)
     */
   def backward(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-               tolerance: Option[Long] = None, suffix: String = "_right"): DataFrame = {
+               tolerance: Option[Long] = None, suffix: String = "_right"): DataFrame =
+    joined(left, right, on, by, tolerance, suffix, forwardDir = false)
+
+  /** Forward as-of join: attach the EARLIEST right row at or after each left
+    * row (`merge_asof(direction='forward')`) — e.g. "the next maintenance
+    * event after this reading". Same union-trick cost shape as [[backward]].
+    */
+  def forward(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+              tolerance: Option[Long] = None, suffix: String = "_right"): DataFrame =
+    joined(left, right, on, by, tolerance, suffix, forwardDir = true)
+
+  private def joined(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+                     tolerance: Option[Long], suffix: String, forwardDir: Boolean): DataFrame = {
     require(by.nonEmpty, "as-of join needs at least one `by` key column")
     val payloadCols = right.columns.toSeq.filterNot(c => by.contains(c) || c == on)
     val outNames = payloadCols.map(c => if (left.columns.contains(c)) s"$c$suffix" else c)
@@ -57,15 +69,23 @@ object AsOfJoin {
         lit(null).cast(rightBoxed.schema("__r").dataType).as("__r"),
         struct(left.columns.filterNot(c => by.contains(c) || c == on).map(col).toSeq: _*).as("__l")): _*)
 
+    // backward: latest right at-or-before → ascending scan carries the last
+    // right seen. forward: earliest right at-or-after → DESCENDING scan does
+    // the same trick mirrored (right still sorts before left at equal time:
+    // order __side ascending in both, ties stay inclusive).
+    val timeOrder = if (forwardDir) col(on).desc else col(on).asc
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(on), col("__side"))
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightBoxed.unionByName(leftBoxed)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    val age: Column =
+      if (forwardDir) col("__match.__r_on") - col(on).cast("long")
+      else col(on).cast("long") - col("__match.__r_on")
     val inRange: Column = tolerance match {
-      case Some(t) => col("__match").isNotNull && (col(on).cast("long") - col("__match.__r_on")) <= t
+      case Some(t) => col("__match").isNotNull && age <= t
       case None    => col("__match").isNotNull
     }
     carried.select(

@@ -34,7 +34,13 @@ final class StreamingPipeline(
       * interleaves the jobs; the sink must accept concurrent `write` calls
       * for different tables. 1 = sequential.
       */
-    tableParallelism: Int = 4) {
+    tableParallelism: Int = 4,
+    /** Dead-letter handler: receives the batch's unroutable raw records
+      * (unparseable JSON / missing source ids) instead of silently dropping
+      * them — wire it to a quarantine parquet dir or error topic. Called at
+      * most once per batch, with a frame of `value: STRING` rows.
+      */
+    deadLetter: Option[(DataFrame, Long) => Unit] = None) {
 
   private val router = new TableIdRouter(routes)
   // sink-side schema cache: what DDL the sink has already been given
@@ -191,6 +197,12 @@ final class StreamingPipeline(
     try {
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
+
+      // unroutable records (unparseable JSON → null source ids) → dead letter
+      deadLetter.foreach { handler =>
+        val bad = tagged.where(col("__db").isNull || col("__table").isNull).select("value")
+        if (!bad.isEmpty) handler(bad, batchId)
+      }
 
       val known = present.toSeq.flatMap(src => registry.evolvedSchema(src).map(src -> _))
       val t0 = System.nanoTime()

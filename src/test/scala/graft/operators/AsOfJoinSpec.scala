@@ -44,6 +44,36 @@ class AsOfJoinSpec extends SparkSpec {
       ("C", 1L, None)))
   }
 
+  test("forward as-of attaches the earliest right row at or after each left row") {
+    val out = AsOfJoin.forward(trades, quotes, on = "t", by = Seq("sym"))
+      .orderBy("sym", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out === Seq(
+      ("A", 0L, Some(10.0)),   // next quote at t=1
+      ("A", 5L, Some(11.0)),   // tie: the t=5 quote (inclusive)
+      ("A", 7L, Some(12.0)),   // next at t=9
+      ("B", 9L, None),         // B's only quote (t=3) is behind
+      ("C", 1L, None)))
+  }
+
+  test("brute-force agreement on random inputs (forward)") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c")
+    val lefts = Seq.fill(100)((keys(rnd.nextInt(3)), rnd.nextInt(500).toLong, rnd.nextLong()))
+    val rights = Seq.fill(60)((keys(rnd.nextInt(3)), rnd.nextInt(500).toLong, rnd.nextLong()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = AsOfJoin.forward(lefts.toDF("k", "t", "lv"), rights.toDF("k", "t", "rv"),
+      on = "t", by = Seq("k"))
+      .select("k", "t", "lv", "rv")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq.sorted
+    val expected = lefts.map { case (k, t, lv) =>
+      (k, t, lv, rights.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption.map(_._3))
+    }.sorted
+    assert(got === expected)
+  }
+
   test("colliding right payload names get the suffix") {
     val right = quotes.withColumnRenamed("price", "qty") // collides with trades.qty
     val out = AsOfJoin.backward(trades, right, on = "t", by = Seq("sym"))

@@ -152,7 +152,9 @@ class StreamingPipelineSpec extends SparkSpec {
   test("malformed feed lines are skipped, valid records still apply") {
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
     val db = new ValuesDatabase
-    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db),
+      deadLetter = Some((df, _) => dead ++= df.collect().map(_.getString(0))))
     pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
     pipe.processBatch(Seq(
       "not json at all {{{",
@@ -162,6 +164,8 @@ class StreamingPipelineSpec extends SparkSpec {
     ).toDF("value"), 0L)
     // only the valid row lands: corrupt payloads (null PK) never reach state
     assert(db.results(usersId).map(_.toList) === Seq(List(1L, "ok", 20)))
+    // unroutable lines surfaced to the dead-letter handler, not swallowed
+    assert(dead.toSet === Set("not json at all {{{", """{"half": "an envelope"}"""))
   }
 
   test("N→1 route merges schemas and union-upserts into one sink table") {
