@@ -485,6 +485,15 @@ object SparkEntry {
         Seq("o_orderkey", "o_orderstatus", "o_orderpriority"), exact = true)
     },
 
+    "q_asof_forward" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // forward direction: each event sees the user's NEXT purchase value
+      val ev = t(dir, "events").select("event_id", "user_id", "event_type", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value").as("next_purchase"))
+      AsOfJoin.forward(ev, purchases, on = "event_id", by = Seq("user_id"))
+    },
+
     "q_pii_redact" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // corpus scrub stage: redact PII from a contact blob (synthesized
@@ -792,6 +801,13 @@ object SparkEntry {
         |  SELECT user_id, event_id, value AS last_purchase FROM events
         |  WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.user_id, l.event_id, l.event_type, l.value, r.next_purchase
+        |FROM events l ASOF LEFT JOIN (
+        |  SELECT user_id, event_id, value AS next_purchase FROM events
+        |  WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.event_id <= r.event_id""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_orderkey' AS "column", count(*) AS n,
