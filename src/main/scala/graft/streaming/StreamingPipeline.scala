@@ -184,17 +184,19 @@ final class StreamingPipeline(
     // at the batch boundary — before the batch's data, so a CreateTable and
     // its first rows can share a batch.
     val marker = graft.model.SchemaChangeJson.Marker
-    val ctrl = batch.where(col("value").contains(s""""$marker""""))
-      .collect().map(_.getString(0)).filter(graft.model.SchemaChangeJson.isControl)
-    val data =
-      if (ctrl.isEmpty) batch
-      else {
-        ctrl.map(graft.model.SchemaChangeJson.parse).foreach(applySchemaChange)
-        batch.where(!col("value").contains(s""""$marker""""))
-      }
-    if (data.isEmpty) return
-    val tagged = DebeziumJson.tableOf(data).cache()
+    val isCtrl = col("value").contains(s""""$marker"""")
+    // single pass fills the cache; control detection, table discovery and
+    // per-table slices all read from it
+    val allTagged = DebeziumJson.tableOf(batch).cache()
     try {
+      val ctrl = allTagged.where(isCtrl)
+        .select("value").collect().map(_.getString(0))
+        .filter(graft.model.SchemaChangeJson.isControl)
+      // apply in-band DDL BEFORE the batch's data, so a CreateTable and its
+      // first rows can share a batch
+      ctrl.map(graft.model.SchemaChangeJson.parse).foreach(applySchemaChange)
+      val tagged = if (ctrl.isEmpty) allTagged else allTagged.where(!isCtrl)
+
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
 
@@ -231,7 +233,7 @@ final class StreamingPipeline(
         // scalastyle:off println
         System.err.println(f"[graft] batch $batchId: ${known.size} tables in $secs%.2fs")
         // scalastyle:on
-    } finally { tagged.unpersist(); () }
+    } finally { allTagged.unpersist(); () }
   }
 
   /** Launch the continuous pipeline over a streaming frame of debezium-json
