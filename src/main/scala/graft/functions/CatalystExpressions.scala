@@ -26,6 +26,20 @@ object CdcExprHelpers {
       Dedup.minhashSignature(Dedup.shingleHashes(s.toString, shingleSize), numHashes))
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
+
+  /** Cosine similarity of two float vectors; 0.0 on zero norms. Accumulates
+    * in ascending index order so results are bit-identical to the previous
+    * `zip_with`+`aggregate` formulation (and to a naive loop in any engine).
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
 }
 
 /** `MINHASH_SIGNATURE(text)` — 128×64-bit MinHash signature of the text's
@@ -62,12 +76,39 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** `COSINE_SIM(vec, vec)` over `ARRAY<FLOAT>` — the ANN scoring hot loop as
+  * a single codegen'd call instead of a `zip_with`+`aggregate` lambda chain
+  * (per-element Catalyst lambda dispatch); the narrow scored scan stays
+  * scan-bound at 100 TB.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CdcExprHelpers.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CdcExprHelpers.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(text), shingleSize, numHashes))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {
@@ -76,6 +117,8 @@ object CdcExpressions {
       (args: Seq[Expression]) => MinHashSignature(args.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (args: Seq[Expression]) => CosineSim(args(0), args(1)), "built-in")
   }
 }
 
@@ -91,5 +134,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
   }
 }

@@ -36,13 +36,12 @@ object Similarity {
   def norm2Col(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  /** Cosine of an array column against a literal query vector. */
-  def cosineCol(vec: Column, query: Array[Float]): Column = {
-    val q = lit(query.map(_.toDouble))
-    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
-    when(norm2Col(vec) === 0.0 || lit(qn) === 0.0, lit(0.0))
-      .otherwise(dotCol(vec, q) / (sqrt(norm2Col(vec)) * lit(qn)))
-  }
+  /** Cosine of an array column against a literal query vector — the native
+    * codegen'd [[graft.functions.CosineSim]] expression (one generated call
+    * per row instead of per-element Catalyst lambda dispatch).
+    */
+  def cosineCol(vec: Column, query: Array[Float]): Column =
+    graft.functions.CdcExpressions.cosineSim(vec, lit(query))
 
   /** Brute-force cosine top-k for one query vector. `orderBy(...).limit(k)`
     * plans as TakeOrderedAndProject — per-partition heaps, no full sort, no

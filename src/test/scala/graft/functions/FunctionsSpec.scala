@@ -105,6 +105,23 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("cosine_sim matches the scala reference and handles zero norms") {
+    CdcExpressions.register(spark)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, -1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)))
+    val out = vecs.toDF("id", "a", "b")
+      .select(col("id"), CdcExpressions.cosineSim(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    vecs.foreach { case (id, a, b) =>
+      assert(out(id) === graft.ops.Similarity.cosine(a, b), s"id $id")
+    }
+    // SQL name too
+    val viaSql = vecs.toDF("id", "a", "b").selectExpr("cosine_sim(a, b) AS c")
+      .as[Double].collect().toSeq
+    assert(viaSql === vecs.map(v => graft.ops.Similarity.cosine(v._2, v._3)))
+  }
+
   private implicit class Tup3(rows: Array[(Long, Seq[Long], Long)]) {
     def toMap2: Map[Long, (Seq[Long], Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
