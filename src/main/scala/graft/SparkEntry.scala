@@ -129,6 +129,29 @@ object SparkEntry {
       results(TableId.of("out", "customer_filtered"))
     },
 
+    "q_yaml_corpus" -> { (spark, dir) =>
+      // corpus cleaning AS a YAML pipeline: the training-data functions are
+      // SQL-registered, so transform projections/filters compose them like
+      // the reference's built-in function library
+      val yaml =
+        s"""source:
+           |  type: parquet
+           |  path: $dir
+           |  schema-name: corpus
+           |  tables: corpus.documents
+           |transform:
+           |  - source-table: corpus.documents
+           |    projection: "doc_id, LANG_ID(text) AS lang_pred, TOKEN_COUNT(text) AS n_words, REP_RATIO(text) AS rep_ratio"
+           |    filter: "TOKEN_COUNT(text) >= 10 AND LANG_ID(text) <> 'und'"
+           |route:
+           |  - source-table: corpus.documents
+           |    sink-table: out.clean_docs
+           |sink:
+           |  type: values
+           |""".stripMargin
+      Composer.composeBatch(spark, PipelineDef.fromYaml(yaml))(TableId.of("out", "clean_docs"))
+    },
+
     // ---------- changelog materialization / upsert semantics (§2.2, §7.4) ----------
 
     "q_materialize" -> { (spark, dir) =>
@@ -642,6 +665,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
+    "q_yaml_corpus" -> yamlCorpusOracleSql,
+
     "q_canal_roundtrip" ->
       """SELECT user_id, event_type, value FROM (
         |  SELECT user_id, event_type, value,
@@ -930,6 +955,17 @@ object SparkEntry {
        |       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords
        |FROM scored WHERE n_words >= 10 AND lang_pred <> 'und'
        |GROUP BY lang_pred""".stripMargin
+
+  private def yamlCorpusOracleSql: String =
+    s"""SELECT doc_id, lang_pred, n_words, rep_ratio FROM (
+       |  SELECT doc_id, $langIdCaseSql AS lang_pred,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_words,
+       |    ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0
+       |      ELSE 1.0 - CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+       |                 / len(string_split_regex(trim(text), '\\s+')) END, 4) AS rep_ratio
+       |  FROM ($stopwordSumsSql))
+       |WHERE n_words >= 10 AND lang_pred <> 'und'""".stripMargin
 
   private def qualityFilterOracleSql: String =
     s"""SELECT doc_id, lang, n_words, lang_pred FROM (

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.ops.{Pii, TextAnalysis}
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL names for the corpus/training-data operators, so YAML pipeline
+  * transforms can call them in `projection:`/`filter:` expressions exactly
+  * like the reference's built-in function library (§2.4) — e.g.
+  *
+  * {{{
+  * transform:
+  *   - source-table: corpus.documents
+  *     projection: "doc_id, LANG_ID(text) AS lang, PII_REDACT(text) AS text"
+  *     filter: "TOKEN_COUNT(text) >= 10 AND REP_RATIO(text) < 0.5"
+  * }}}
+  *
+  * Each name maps to the same Column-expression tree the Scala API builds
+  * (pure Catalyst — codegen'd, no UDF), via a FunctionBuilder.
+  */
+object CorpusFunctions {
+
+  private def c(e: Expression) = GraftBridge.column(e)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) => GraftBridge.convertedExpression(f(c(args.head))), "built-in")
+
+    one("LANG_ID")(TextAnalysis.langId)
+    one("TOKEN_COUNT")(TextAnalysis.tokenCount)
+    one("SUBWORD_COUNT")(TextAnalysis.subwordCount)
+    one("FINGERPRINT")(TextAnalysis.fingerprint)
+    one("REP_RATIO")(TextAnalysis.repetitionRatio)
+    one("PII_REDACT")(Pii.redact)
+    one("PII_COUNT")(Pii.piiCount)
+  }
+}

@@ -36,6 +36,7 @@ object Composer {
   /** Run a batch pipeline; returns final materialized frames per sink table. */
   def composeBatch(spark: SparkSession, p: PipelineDef): Map[TableId, DataFrame] = {
     CdcFunctions.register(spark, p.localTimeZone)
+    graft.functions.CorpusFunctions.register(spark)
     p.udfs.foreach(u => CdcUdf.fromClasspath(spark, u.classpath))
     p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
 

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression tree.
+    * `expression` wraps lazily (a `ColumnNodeExpression`), which is fine
+    * inside Dataset operations but NOT for FunctionRegistry builders — the
+    * analyzer never unwraps it there and codegen fails. This runs the real
+    * converter, yielding ordinary (possibly unresolved) Catalyst nodes the
+    * analyzer then resolves like any SQL function body.
+    */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
