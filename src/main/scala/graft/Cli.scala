@@ -77,6 +77,13 @@ object Cli {
     val outPath = p.sink.options.getOrElse("path",
       throw new IllegalArgumentException("streaming sink needs `path`"))
 
+    // same function surface as the batch composer: parity UDFs, corpus ops,
+    // models — usable in streaming transform projections/filters too
+    graft.functions.CdcFunctions.register(spark, p.localTimeZone)
+    graft.functions.CorpusFunctions.register(spark)
+    p.udfs.foreach(u => graft.functions.CdcUdf.fromClasspath(spark, u.classpath))
+    p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
+
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
     val buckets = p.sink.options.getOrElse("buckets", "32").toInt
     val sink = new ParquetUpsertSink(outPath, buckets)
