@@ -271,14 +271,14 @@ object Dedup {
       (Similarity.planeSignature(v.toArray, bPlanes.value), id, v.toArray)
     }.toDF("bucket", "id", "vec")
 
-    val cos = udf((x: Seq[Float], y: Seq[Float]) => Similarity.cosine(x.toArray, y.toArray))
     buckets.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
       .select(explode(col("members")).as("m"), col("members"))
       .select(col("m.id").as("a"), col("m.vec").as("va"), explode(col("members")).as("n"))
       .where(col("a") < col("n.id"))
-      .withColumn("cosine", cos(col("va"), col("n.vec")))
+      // native codegen'd cosine (graft.functions.CosineSim), not a Scala UDF
+      .withColumn("cosine", graft.functions.CdcExpressions.cosineSim(col("va"), col("n.vec")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("n.id").as("b"), col("cosine"))
       .distinct()
