@@ -27,6 +27,10 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
+  /** Hyperplane LSH signature: sign bits of the vector against each plane. */
+  def planeSig(v: ArrayData, planes: Array[Array[Float]]): Long =
+    graft.ops.Similarity.planeSignature(v.toFloatArray(), planes)
+
   /** Cosine similarity of two float vectors; 0.0 on zero norms. Accumulates
     * in ascending index order so results are bit-identical to the previous
     * `zip_with`+`aggregate` formulation (and to a naive loop in any engine).
@@ -101,6 +105,29 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `HYPERPLANE_SIG(vec)` with bound planes — the LSH bucketing hot loop as a
+  * codegen'd call directly over the columnar scan: no Dataset encoder
+  * round-trip, no closure dispatch. Planes ship as a plan reference object
+  * (tiny: numPlanes × dim floats).
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.planeSig(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.planeSig($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
@@ -109,6 +136,8 @@ object CdcExpressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {

@@ -260,16 +260,13 @@ object Dedup {
   def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
                           numPlanes: Int = 16, threshold: Double = 0.95,
                           maxBucketSize: Int = 256, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val typed = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-    val dim = typed.head()._2.length
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
     val planes = Similarity.randomPlanes(numPlanes, dim, seed)
-    val bPlanes = spark.sparkContext.broadcast(planes)
 
-    val buckets = typed.map { case (id, v) =>
-      (Similarity.planeSignature(v.toArray, bPlanes.value), id, v.toArray)
-    }.toDF("bucket", "id", "vec")
+    val buckets = df.select(
+      graft.functions.CdcExpressions.hyperplaneSig(col(vecCol), planes).as("bucket"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
 
     buckets.groupBy("bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("members"))

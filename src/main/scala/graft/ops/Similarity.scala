@@ -87,13 +87,12 @@ object Similarity {
     */
   def withBuckets(df: DataFrame, idCol: String, vecCol: String,
                   numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val typed = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-    val dim = typed.head()._2.length
-    val bPlanes = spark.sparkContext.broadcast(randomPlanes(numPlanes, dim, seed))
-    typed.map { case (id, v) => (id, v, planeSignature(v.toArray, bPlanes.value)) }
-      .toDF(idCol, vecCol, "bucket")
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    val planes = randomPlanes(numPlanes, dim, seed)
+    // native codegen'd signature straight over the scan — no Dataset
+    // encoder round-trip, no broadcast (planes ride as a plan reference)
+    df.select(col(idCol).cast("long").as(idCol), col(vecCol),
+      graft.functions.CdcExpressions.hyperplaneSig(col(vecCol), planes).as("bucket"))
   }
 
   /** ANN query via LSH: scan only rows whose bucket is within `probeBits` bit
