@@ -27,22 +27,33 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
-  /** Hyperplane LSH signature: sign bits of the vector against each plane. */
-  def planeSig(v: ArrayData, planes: Array[Array[Float]]): Long =
-    graft.ops.Similarity.planeSignature(v.toFloatArray(), planes)
+  private def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
 
-  /** Cosine similarity of two float vectors; 0.0 on zero norms. Accumulates
-    * in ascending index order so results are bit-identical to the previous
-    * `zip_with`+`aggregate` formulation (and to a naive loop in any engine).
+  /** Hyperplane LSH signature: sign bits of the vector against each plane.
+    * Null on null elements (boxed so the generated code can propagate).
     */
-  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+  def planeSig(v: ArrayData, planes: Array[Array[Float]]): java.lang.Long =
+    if (hasNullElement(v)) null
+    else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
+
+  /** Cosine similarity of two float vectors; 0.0 on zero norms, NULL when
+    * either vector has a null element (matching the null propagation of a
+    * `zip_with`+`aggregate` formulation). Accumulates in ascending index
+    * order so non-null results are bit-identical to that formulation.
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (hasNullElement(a) || hasNullElement(b)) return null
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    Double.box(if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
   }
 }
 
@@ -96,10 +107,16 @@ case class CosineSim(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT> args, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // null input, or null vector elements
   override def nullSafeEval(a: Any, b: Any): Any =
     CdcExprHelpers.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CdcExprHelpers.cosineFF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""java.lang.Double $boxed = graft.functions.CdcExprHelpers.cosineFF($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"
@@ -117,11 +134,17 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null input, or null vector elements
   override def nullSafeEval(input: Any): Any =
     CdcExprHelpers.planeSig(input.asInstanceOf[ArrayData], planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes, "float[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.planeSig($c, $ref)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("sig")
+      s"""java.lang.Long $boxed = graft.functions.CdcExprHelpers.planeSig($c, $ref);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)

@@ -83,8 +83,17 @@ object SchemaChangeJson {
     }
   }
 
-  /** Is this feed line a control record? Cheap string probe for the narrow
-    * per-record prefilter; strict parsing happens only on the hits.
+  /** Is this feed line REALLY a control record: valid JSON whose top level
+    * carries the marker field. The stream-side prefilter is a cheap
+    * `contains` probe, so a data row whose payload TEXT merely mentions the
+    * marker also reaches this check — it must come back false and stay a
+    * data row (never fed to [[parse]]).
     */
-  def isControl(line: String): Boolean = line != null && line.contains(s""""$Marker"""")
+  def isControl(line: String): Boolean = {
+    if (line == null || !line.contains(s""""$Marker"""")) return false
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      root != null && root.isObject && root.has(Marker) && root.get(Marker).isObject
+    } catch { case _: Exception => false }
+  }
 }

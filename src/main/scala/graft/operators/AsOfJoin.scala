@@ -32,8 +32,9 @@ object AsOfJoin {
     * @param on        time/order column present in both frames (numeric or
     *                  timestamp; must be totally ordered within a key)
     * @param by        equality key columns present in both frames
-    * @param tolerance max allowed `left.on - right.on` distance (same units
-    *                  as `on`); matches older than this become null
+    * @param tolerance max allowed `left.on - right.on` distance — in the
+    *                  column's own units for numeric `on`, in MICROSECONDS
+    *                  for timestamp `on`; matches older than this become null
     * @param suffix    appended to right payload column names that collide
     *                  with left column names
     * @return left rows with right payload columns attached (null when no
@@ -57,11 +58,20 @@ object AsOfJoin {
     val payloadCols = right.columns.toSeq.filterNot(c => by.contains(c) || c == on)
     val outNames = payloadCols.map(c => if (left.columns.contains(c)) s"$c$suffix" else c)
 
+    // tolerance ordinal: µs for timestamp columns (a bare cast("long")
+    // would truncate to whole SECONDS and misjudge sub-second tolerances),
+    // plain long otherwise. Tolerance unit = µs for timestamps.
+    def ordinal(df: DataFrame): Column = df.schema(on).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(on))
+      case org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(on).cast("timestamp"))
+      case _ => col(on).cast("long")
+    }
+
     // one tagged frame: left columns + boxed right payload (+ right's own
     // `on` so tolerance can compare against it)
     val rightBoxed = right.select(
       by.map(col) ++ Seq(col(on), lit(0).as("__side"),
-        struct((payloadCols.map(col) :+ col(on).cast("long").as("__r_on")): _*).as("__r"),
+        struct((payloadCols.map(col) :+ ordinal(right).as("__r_on")): _*).as("__r"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           left.schema.filterNot(f => by.contains(f.name) || f.name == on))).as("__l")): _*)
     val leftBoxed = left.select(
@@ -81,9 +91,14 @@ object AsOfJoin {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    val leftOrd = left.schema(on).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(on))
+      case org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(on).cast("timestamp"))
+      case _ => col(on).cast("long")
+    }
     val age: Column =
-      if (forwardDir) col("__match.__r_on") - col(on).cast("long")
-      else col(on).cast("long") - col("__match.__r_on")
+      if (forwardDir) col("__match.__r_on") - leftOrd
+      else leftOrd - col("__match.__r_on")
     val inRange: Column = tolerance match {
       case Some(t) => col("__match").isNotNull && age <= t
       case None    => col("__match").isNotNull

@@ -20,9 +20,10 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     def distinctOf(c: String): Column =
       if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
-    val aggs = cols.flatMap { c =>
+    // one shared row count — not one per column (identical aggregate buffers
+    // would each be evaluated per row)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
         distinctOf(c).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -31,7 +32,7 @@ object Profile {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { c =>
       struct(lit(c).as("column"),
-        col(s"__n_$c").as("n"),
+        col("__n").as("n"),
         col(s"__null_$c").cast("long").as("n_null"),
         col(s"__dist_$c").cast("long").as("n_distinct"),
         col(s"__min_$c").as("min_v"),

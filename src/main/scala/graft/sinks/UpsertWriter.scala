@@ -80,10 +80,12 @@ final class UpsertWriter(
     latest.foreachPartition { (rows: Iterator[Row]) =>
       val w = new UpsertWriter(cf, bs, retries, backoff0)
       var conn = cf()
-      conn.setAutoCommit(false)
-      var up = conn.prepareStatement(upsertSql)
-      var del = conn.prepareStatement(deleteSql)
-      try {
+      var up: java.sql.PreparedStatement = null
+      var del: java.sql.PreparedStatement = null
+      try { // setup inside the try: a failing prepare must not leak the connection
+        conn.setAutoCommit(false)
+        up = conn.prepareStatement(upsertSql)
+        del = conn.prepareStatement(deleteSql)
         // Pending rows are buffered so a failed flush can re-bind them on a
         // clean transaction: after a SQLException the server aborts the tx
         // and the statement's batch state is undefined — roll back (or

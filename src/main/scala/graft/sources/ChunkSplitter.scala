@@ -124,8 +124,11 @@ object ChunkSplitter {
     val chunkId = cuts.zipWithIndex.foldRight(lit(cuts.size): org.apache.spark.sql.Column) {
       case ((cut, i), rest) => when(k < cut, i).otherwise(rest)
     }
+    // range-partition on the ordinal: contiguous chunk→partition assignment
+    // (hash-partitioning the ordinal collides ~1/e of partitions empty and
+    // piles 2-3 chunks on others — straggler skew)
     base.withColumn("__chunk", chunkId)
-      .repartition(ranges.size, col("__chunk"))
+      .repartitionByRange(ranges.size, col("__chunk"))
       .drop("__chunk")
   }
 }

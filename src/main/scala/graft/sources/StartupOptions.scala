@@ -55,11 +55,16 @@ object StartupOptions {
   def apply(feed: DataFrame, mode: Mode, launchPosition: => Long,
             valueCol: String = "value"): DataFrame = {
     lazy val ts = get_json_object(col(valueCol), "$.ts_ms").cast("long")
+    // records WITHOUT a ts_ms (in-band schema-change control records,
+    // malformed lines) pass through: the position filter only skips
+    // positioned data records — control DDL must never be lost to a
+    // startup offset, and malformed lines belong to the dead-letter path
+    lazy val unpositioned = ts.isNull
     mode match {
       case Initial | Earliest => feed
-      case Latest             => val b = launchPosition; feed.where(ts > b)
-      case Timestamp(t)       => feed.where(ts >= t)
-      case SpecificOffset(o)  => feed.where(ts > o)
+      case Latest             => val b = launchPosition; feed.where(unpositioned || ts > b)
+      case Timestamp(t)       => feed.where(unpositioned || ts >= t)
+      case SpecificOffset(o)  => feed.where(unpositioned || ts > o)
     }
   }
 

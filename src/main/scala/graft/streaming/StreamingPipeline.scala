@@ -161,8 +161,18 @@ final class StreamingPipeline(
           ++ Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
       // corrupt envelopes (malformed JSON, unparseable payloads) surface as
       // null PKs after PERMISSIVE parsing — they can never address sink
-      // state, so drop them here instead of poisoning the upsert
-      val coerced = target.primaryKeys.foldLeft(coerced0)((d, pk) => d.where(col(pk).isNotNull))
+      // state, so drop them instead of poisoning the upsert. Guard ONLY on
+      // PK columns this source actually produces: in an N→1 route whose
+      // sources key under different names, the merged PK is null-PADDED for
+      // the other sources (coercion above) and must not silence their rows.
+      val guardPks = target.primaryKeys.filter(transformed.columns.contains)
+      if (guardPks.size < target.primaryKeys.size)
+        // scalastyle:off println
+        System.err.println(s"[graft] WARN: $src lacks sink PK column(s) " +
+          s"${target.primaryKeys.diff(guardPks).mkString(",")} for $out — " +
+          "its rows upsert under null key components")
+        // scalastyle:on
+      val coerced = guardPks.foldLeft(coerced0)((d, pk) => d.where(col(pk).isNotNull))
       sink.write(out, coerced, target)
     }
   }
@@ -189,13 +199,18 @@ final class StreamingPipeline(
     // per-table slices all read from it
     val allTagged = DebeziumJson.tableOf(batch).cache()
     try {
+      // `contains` is only a prefilter: a data row whose TEXT mentions the
+      // marker also hits it. isControl strictly validates (top-level JSON
+      // field), and only the validated lines are excluded from the data
+      // path — false hits remain ordinary data rows.
       val ctrl = allTagged.where(isCtrl)
         .select("value").collect().map(_.getString(0))
         .filter(graft.model.SchemaChangeJson.isControl)
       // apply in-band DDL BEFORE the batch's data, so a CreateTable and its
       // first rows can share a batch
       ctrl.map(graft.model.SchemaChangeJson.parse).foreach(applySchemaChange)
-      val tagged = if (ctrl.isEmpty) allTagged else allTagged.where(!isCtrl)
+      val tagged = if (ctrl.isEmpty) allTagged
+                   else allTagged.where(!col("value").isin(ctrl.toSeq: _*))
 
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))

@@ -105,6 +105,14 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("cosine_sim propagates null for null vector elements") {
+    val df = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .selectExpr("id", "CAST(a AS ARRAY<FLOAT>) AS a", "CAST(b AS ARRAY<FLOAT>) AS b")
+    val row = df.select(CdcExpressions.cosineSim(col("a"), col("b"))).head()
+    assert(row.isNullAt(0))
+  }
+
   test("cosine_sim matches the scala reference and handles zero norms") {
     CdcExpressions.register(spark)
     val vecs = Seq(

@@ -74,6 +74,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tolerance on TIMESTAMP columns counts microseconds, not seconds") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq(("a", 1L, ts(10_000))).toDF("sym", "lid", "t")
+    val r = Seq(("a", ts(9_100), 7.0)).toDF("sym", "t", "price") // 900 ms before
+    def matched(tolUs: Long): Boolean = {
+      val row = AsOfJoin.backward(l, r, on = "t", by = Seq("sym"), tolerance = Some(tolUs)).head()
+      !row.isNullAt(row.length - 1)
+    }
+    assert(!matched(500_000L)) // 500 ms tolerance < 900 ms age → no match
+    assert(matched(1_000_000L)) // 1 s tolerance ≥ 900 ms age → match
+  }
+
   test("colliding right payload names get the suffix") {
     val right = quotes.withColumnRenamed("price", "qty") // collides with trades.qty
     val out = AsOfJoin.backward(trades, right, on = "t", by = Seq("sym"))

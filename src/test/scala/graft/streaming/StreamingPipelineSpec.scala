@@ -133,6 +133,20 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(SchemaChangeJson.parse(SchemaChangeJson.toJson(e)) === e, e.toString)
   }
 
+  test("a data row whose text mentions the control marker stays a data row") {
+    val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
+    val db = new ValuesDatabase
+    val pipe = new StreamingPipeline(registry, sink = new ValuesSink(db))
+    pipe.applySchemaChange(CreateTableEvent(usersId, usersSchema))
+    // payload TEXT contains the marker string — must not be treated as DDL
+    // (and must not kill the batch via a failed control-parse)
+    pipe.processBatch(Seq(
+      dbz("c", 1, """{"id":1,"name":"mentions \"__graft_schema_change__\" in text","age":5}""")
+    ).toDF("value"), 0L)
+    assert(db.results(usersId).map(_.toList) ===
+      Seq(List(1L, """mentions "__graft_schema_change__" in text""", 5)))
+  }
+
   test("in-band DDL control records apply at the batch boundary") {
     val registry = new SchemaRegistry(SchemaChangeBehavior.Evolve)
     val db = new ValuesDatabase

@@ -67,8 +67,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                     return "float"
                 if d.startswith(("int", "uint")):
                     return "int"
-                if d == "object" and len(s) and type(s.dropna().iloc[0]).__name__ == "Decimal":
-                    return "decimal"
+                if d == "object":
+                    nn = s.dropna()
+                    if len(nn) and type(nn.iloc[0]).__name__ == "Decimal":
+                        return "decimal"
                 return "other"
             ka, kb = kind(av), kind(bv)
             if ka != kb:
