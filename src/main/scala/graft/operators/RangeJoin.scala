@@ -24,9 +24,11 @@ object RangeJoin {
   /** Pairs (l, r) with `r.on ∈ (l.on + lower, l.on + upper]`, optionally
     * also equal on `keys`. Left-outer: unmatched left rows keep nulls.
     *
-    * @param on    numeric order column name, present in both frames (cast to
-    *              long); exact integer bin math — safe for ns/µs epochs
-    *              where double arithmetic would lose precision
+    * @param on    order column name, present in both frames. Numeric columns
+    *              use their own units; TIMESTAMP columns use MICROSECONDS
+    *              (a bare long cast would truncate to whole seconds). Exact
+    *              integer bin math — safe for ns/µs epochs where double
+    *              arithmetic would lose precision.
     * @param lower window lower bound relative to `l.on`, EXCLUSIVE
     * @param upper window upper bound relative to `l.on`, INCLUSIVE
     */
@@ -35,6 +37,12 @@ object RangeJoin {
              rightPrefix: String = "r_"): DataFrame = {
     require(upper > lower, s"empty window: ($lower, $upper]")
     val w = upper - lower
+
+    def ordinal(df: DataFrame, c: Column): Column = df.schema(on).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType => unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
 
     // bin identity = the bin's START value, pure int64 math (`pmod` floors
     // for negatives too). Never a division: `/` is double division in Spark
@@ -48,13 +56,13 @@ object RangeJoin {
     val rBinned = right
       .select(rCols.map(c => col(c).as(s"$rightPrefix$c")) :+
         array_distinct(array(
-          binStart(col(s"$rightPrefix$on").cast("long") - upper),
-          binStart(col(s"$rightPrefix$on").cast("long") - lower))).as("__bins"): _*)
+          binStart(ordinal(right, col(s"$rightPrefix$on")) - upper),
+          binStart(ordinal(right, col(s"$rightPrefix$on")) - lower))).as("__bins"): _*)
       .withColumn("__bin", explode(col("__bins")))
       .drop("__bins")
 
-    val lOn = col(on).cast("long")
-    val rOn = col(s"$rightPrefix$on").cast("long")
+    val lOn = ordinal(left, col(on))
+    val rOn = ordinal(right, col(s"$rightPrefix$on"))
     val cond = (binStart(lOn) === col("__bin")) &&
       keys.map(k => col(k) === col(s"$rightPrefix$k")).foldLeft(
         (rOn > lOn + lower) && (rOn <= lOn + upper))(_ && _)

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Assign a per-key session ordinal to each event. `on` must be a numeric
-    * (e.g. epoch) column; `gap` is in the same units.
+    * (e.g. epoch) column; `gap` is in the same units. Timestamp columns:
+    * convert first (`unix_micros(ts)`) — passing one raises an analysis
+    * error (interval vs long comparison), never a silent unit change.
     */
   def assign(events: DataFrame, key: String, on: String, gap: Long): DataFrame = {
     val byKey = Window.partitionBy(key).orderBy(on)

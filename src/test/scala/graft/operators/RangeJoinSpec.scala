@@ -30,6 +30,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Seq((1L, 10L), (2L, -1L))) // key b's only right row is outside the window
   }
 
+  test("TIMESTAMP on-columns use microsecond windows, not truncated seconds") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq((1L, ts(10_000))).toDF("lid", "t")
+    val r = Seq((10L, ts(9_600)), (11L, ts(9_400))).toDF("rid", "t")
+    // 500 ms window: the 400ms-old row matches, the 600ms-old row does not —
+    // second-truncated ordinals would put BOTH at age 0 and match both
+    val out = RangeJoin.binned(l, r, on = "t", lower = -500_000L, upper = 0L)
+      .select("lid", "r_rid")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq
+    assert(out === Seq((1L, 10L)))
+  }
+
   test("plan shape: equi-join on bins, no nested loop or cartesian") {
     val plan = RangeJoin.binned(left, right, on = "t", lower = -100L, upper = 0L)
       .queryExecution.executedPlan.toString
