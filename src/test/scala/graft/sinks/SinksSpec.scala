@@ -65,6 +65,21 @@ class ChangelogJsonSpec extends SparkSpec {
     assert(out.contains(""""ts":1"""))
   }
 
+  test("canal PK-mutating update splits into DELETE(old) + UPDATE(data)") {
+    import spark.implicits._
+    val schema = graft.model.CdcSchema.of("id" -> "BIGINT", "v" -> "STRING").struct
+    val feed = Seq(
+      """{"old":[{"id":1,"v":"a"}],"data":[{"id":9,"v":"a"}],"type":"UPDATE","ts":5,"source":{"db":"db","table":"t"}}""",
+      """{"old":[{"id":2,"v":"b"}],"data":[{"id":2,"v":"b2"}],"type":"UPDATE","ts":6,"source":{"db":"db","table":"t"}}"""
+    ).toDF("value")
+    val out = graft.sources.CanalJson.parse(feed, schema, primaryKeys = Seq("id"))
+      .orderBy(graft.operators.Changelog.SeqCol, "id")
+      .select("id", "v", Changelog.OpCol).as[(Long, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "DELETE"), (9L, "a", "UPDATE"),
+      (2L, "b2", "UPDATE")))
+  }
+
   test("canal serialize → parse round-trips the changelog") {
     import spark.implicits._
     val ch = Seq((1L, "x", "INSERT", 10L), (2L, "y", "DELETE", 11L), (3L, "z", "UPDATE", 12L))
