@@ -123,4 +123,28 @@ class SessionizeSpec extends SparkSpec {
       .orderBy("t").select("session_idx").as[Long].collect().toSeq
     assert(out === Seq(1L, 2L, 2L))
   }
+
+  test("agrees with Spark's native session_window on random events") {
+    val rnd = new scala.util.Random(11)
+    val evs = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(100000).toLong * 1000)).distinct
+    val df = evs.toDF("k", "t_ms")
+    val gapMs = 30000L
+
+    val ours = Sessionize.sessions(df.selectExpr("k", "t_ms"), "k", "t_ms", gapMs)
+      .select(col("k"), col("session_start").as("start_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // native session_window over the same events as timestamps. Note the
+    // gap semantics differ by one unit: session_window's window is
+    // [t, t+gap) — an event AT exactly t+gap starts a NEW session, while
+    // gaps-and-islands `t - prev > gap` keeps it. Use gap+1ms natively.
+    val native = df
+      .withColumn("ts", timestamp_millis(col("t_ms")))
+      .groupBy(session_window(col("ts"), s"${gapMs + 1} milliseconds"), col("k"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("k"), unix_millis(col("session_window.start")).as("start_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(ours === native)
+  }
 }
