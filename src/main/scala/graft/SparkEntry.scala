@@ -543,6 +543,22 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    "q_salt_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // salted skew join must be result-identical to the plain join
+      // (operators/Salt: hot-key splitting for planned-ahead skew)
+      import graft.operators.Salt
+      val li = t(dir, "lineitem").select(
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val orders = t(dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .where(col("o_orderpriority") === "1-URGENT")
+      Salt.skewJoin(li, orders, Seq("l_orderkey"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
     "q_interval_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // key-less range join, binned: per purchase, platform-wide error count
@@ -878,6 +894,12 @@ object SparkEntry {
         |WHERE CASE WHEN lang = 'en'
         |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+
+    "q_salt_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_interval_join" ->
       """SELECT l.event_id, count(r.event_id) AS n_errors
