@@ -27,6 +27,24 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
+  /** LSH band keys of a minhash signature: one mixed hash per band over its
+    * signature slice (banding per Broder/LSH; `rows = sig.length / bands`).
+    */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = Dedup.mix64(h ^ sig.getLong(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   private def hasNullElement(a: ArrayData): Boolean = {
     var i = 0
     while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
@@ -151,6 +169,25 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** `MINHASH_BANDS(sig, bands)` — LSH band keys as a codegen'd call; feeds
+  * `posexplode` to produce (band, bucket) shuffle keys without a typed
+  * Dataset encoder round-trip.
+  */
+case class MinHashBands(child: Expression, bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.bandHashes(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
@@ -161,6 +198,8 @@ object CdcExpressions {
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
+  def minhashBands(sig: Column, bands: Int): Column =
+    GraftBridge.column(MinHashBands(GraftBridge.expression(sig), bands))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {

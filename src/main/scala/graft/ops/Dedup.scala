@@ -138,15 +138,14 @@ object Dedup {
 
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes).cache()
 
-    // band buckets: shuffle key = (band index, hash of the band slice)
-    val buckets = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
-      (0 until bands).iterator.map { b =>
-        var h = b.toLong
-        var i = b * rows
-        while (i < (b + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
-        (b, h, id)
-      }
-    }.toDF("band", "bucket", "id")
+    // band buckets: shuffle key = (band index, hash of the band slice) —
+    // the band hashes come from a codegen'd expression + posexplode, never
+    // a typed-Dataset encoder round-trip
+    val buckets = sigs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+      .select("band", "bucket", "id")
 
     val pairs = buckets
       .groupBy("band", "bucket")
