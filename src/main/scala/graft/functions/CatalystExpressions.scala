@@ -45,6 +45,15 @@ object CdcExprHelpers {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Estimated Jaccard of two minhash signatures: fraction of equal slots. */
+  def estJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   private def hasNullElement(a: ArrayData): Boolean = {
     var i = 0
     while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
@@ -188,6 +197,29 @@ case class MinHashBands(child: Expression, bands: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_bands"
 }
 
+/** `EST_JACCARD(sigA, sigB)` — minhash-signature agreement fraction as a
+  * codegen'd call (the verify stage of MinHash dedup).
+  */
+case class EstJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CdcExprHelpers.estJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CdcExprHelpers.estJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): EstJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "est_jaccard"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
@@ -200,6 +232,8 @@ object CdcExpressions {
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
   def minhashBands(sig: Column, bands: Int): Column =
     GraftBridge.column(MinHashBands(GraftBridge.expression(sig), bands))
+  def estJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(EstJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {

@@ -155,12 +155,13 @@ object Dedup {
       .select(col("p._1").as("a"), col("p._2").as("b"))
       .distinct()
 
-    // verify on estimated jaccard: join signatures back (slim rows only)
-    val verify = udf((sa: Seq[Long], sb: Seq[Long]) => estimatedJaccard(sa.toArray, sb.toArray))
+    // verify on estimated jaccard: join signatures back (slim rows only);
+    // the agreement fraction is a codegen'd expression, not a UDF
     pairs
       .join(sigs.withColumnRenamed(idCol, "a").withColumnRenamed("sig", "sig_a"), "a")
       .join(sigs.withColumnRenamed(idCol, "b").withColumnRenamed("sig", "sig_b"), "b")
-      .withColumn("est_jaccard", verify(col("sig_a"), col("sig_b")))
+      .withColumn("est_jaccard",
+        graft.functions.CdcExpressions.estJaccard(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
   }
