@@ -581,6 +581,18 @@ object SparkEntry {
         key = "user_id", on = "ts", gap = 3600000000L)
     },
 
+    "q_window_sliding" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // sliding event-time windows (2h width, 1h slide): every event lands
+      // in exactly two epoch-aligned windows — Spark's native window()
+      t(dir, "events")
+        .selectExpr("timestamp_micros(ts DIV 1000) AS tts", "event_type", "value")
+        .groupBy(window(col("tts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("wstart"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    },
+
     "q_corpus_pipeline" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the composed training-data flow: exact-dedup survivors → quality
@@ -922,6 +934,14 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM numbered GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT event_type, value,
+        |        (tus // 3600000000 - i) * 3600000000 AS wstart
+        |      FROM e, (SELECT unnest([0, 1]) AS i))
+        |SELECT wstart, event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM w GROUP BY wstart, event_type""".stripMargin,
 
     "q_corpus_pipeline" -> corpusPipelineOracleSql,
 
