@@ -581,6 +581,18 @@ object SparkEntry {
         key = "user_id", on = "ts", gap = 3600000000L)
     },
 
+    "q_percentile" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // exact interpolated percentiles (type-7, same definition as DuckDB
+      // quantile_cont). Scale path: approx_percentile (t-digest-style
+      // mergeable sketch) — exact percentile sorts per group
+      t(dir, "events")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("cnt"))
+    },
+
     "q_window_sliding" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // sliding event-time windows (2h width, 1h slide): every event lands
@@ -934,6 +946,13 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM numbered GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_window_sliding" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
