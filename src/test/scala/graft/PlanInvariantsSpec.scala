@@ -1,0 +1,49 @@
+package graft
+
+/** Regression guard for the SCALE.md plan invariants: the physical plans of
+  * the headline queries must keep the shapes the 100 TB design relies on —
+  * pushed filters, pruned scans, broadcast dims, top-k without global sort.
+  * A refactor that silently loses one of these fails here, not at the
+  * next benchmark.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("transform filter pushes predicates into the parquet scan") {
+    val p = plan("q_transform_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)"), p.take(2000))
+  }
+
+  test("transform projection prunes the scan schema") {
+    val p = plan("q_transform_project")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>"))
+  }
+
+  test("dim joins broadcast; fact side never shuffles for the join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ANN top-k plans as TakeOrderedAndProject (per-partition heaps)") {
+    val p = plan("q_embed_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("q1 aggregation is partial before its single exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+    assert("Exchange".r.findAllIn(p).size === 1, s"expected 1 exchange:\n${p.take(3000)}")
+  }
+
+  test("as-of and interval joins never degrade to nested-loop plans") {
+    for (q <- Seq("q_asof_join", "q_asof_forward", "q_interval_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+}
