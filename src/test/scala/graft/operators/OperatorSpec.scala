@@ -184,6 +184,21 @@ class ChangelogSpec extends SparkSpec {
     assert(out === Seq(Seq("1", "1"), Seq("2", "x"))) // 3 deleted, 2 updated
   }
 
+  test("materialize with a COMPOSITE primary key dedups on the full key") {
+    import spark.implicits._
+    val ch = Seq(
+      ("a", 1L, "v1", "REPLACE", 1L),
+      ("a", 2L, "v2", "REPLACE", 2L),   // different second key component: distinct row
+      ("a", 1L, "v3", "REPLACE", 3L),   // supersedes ("a",1)
+      ("b", 1L, "v4", "REPLACE", 4L),
+      ("b", 1L, "v4", "DELETE", 5L))    // tombstone for ("b",1)
+      .toDF("k1", "k2", "v", Changelog.OpCol, Changelog.SeqCol)
+    val out = Changelog.materialize(ch, Seq("k1", "k2"))
+      .orderBy("k1", "k2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out === Seq(("a", 1L, "v3"), ("a", 2L, "v2")))
+  }
+
   test("softDelete flags deletes instead of removing state") {
     val events = ValuesSource.singleSplitSingleTable
     val tid = TableId.of("default_namespace", "default_schema", "table1")
