@@ -280,6 +280,12 @@ object SparkEntry {
       Dedup.exact(t(dir, "documents"), "doc_id", TextAnalysis.fingerprint(col("text")))
     },
 
+    "q_dedup_pairs" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // audit view: which doc duplicates which (exact fingerprint pairs)
+      Dedup.exactPairs(t(dir, "documents"), "doc_id", TextAnalysis.fingerprint(col("text")))
+    },
+
     "q_fingerprint" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       t(dir, "documents").select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -774,6 +780,12 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_dedup_pairs" ->
+      """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |            FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b
+        |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

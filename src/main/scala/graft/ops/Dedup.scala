@@ -30,6 +30,18 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_cnt"))
       .drop("__dup_key")
 
+  /** Exact duplicate PAIRS (a < b sharing a fingerprint) — the audit view
+    * of exact dedup (which doc duplicates which), one aggregation like
+    * [[exact]]; the quadratic within-group pair term is bounded by real
+    * duplicate-cluster sizes.
+    */
+  def exactPairs(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.select(keyCol.as("__dup_key"), col(idCol))
+      .groupBy("__dup_key").agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"))
+
   /** Exact dedup keeping the FULL surviving row (min id per fingerprint) —
     * one window shuffle, no self-join back to the input. Prefer this when
     * downstream needs the survivors' payload: at 100 TB it halves the scans

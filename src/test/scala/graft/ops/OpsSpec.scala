@@ -55,6 +55,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("exactPairs lists every (a<b) duplicate pair, clusters included") {
+    val df = Seq((1L, "A  b"), (2L, "a b"), (5L, "a B "), (3L, "other"), (4L, "unique"))
+      .toDF("id", "text")
+    val out = Dedup.exactPairs(df, "id", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 2L), (1L, 5L), (2L, 5L))) // 3-doc cluster → 3 pairs
+  }
+
+  test("exactSurvivors keeps the min-id full row per fingerprint") {
+    val df = Seq((2L, "a b", "x"), (1L, "A  b", "y"), (3L, "other", "z"))
+      .toDF("id", "text", "extra")
+    val out = Dedup.exactSurvivors(df, "id", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .select("id", "extra").as[(Long, String)].collect().toSeq.sorted
+    assert(out === Seq((1L, "y"), (3L, "z")))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
