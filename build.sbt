@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Test-only: vanilla PostgreSQL JDBC driver (public org.postgresql binary,
+// BSD-2) so integration specs can drive the real `postgres` server that
+// ships in this image. Main code never links against it — the COPY path
+// reaches PGConnection reflectively and degrades to batched INSERTs.
+Test / unmanagedJars += Attributed.blank(baseDirectory.value / "testlib" / "pgjdbc.jar")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

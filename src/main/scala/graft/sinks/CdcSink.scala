@@ -67,7 +67,7 @@ final class ValuesSink(val db: ValuesDatabase) extends CdcSink {
   * between O(state) and O(touched-buckets) per micro-batch; a production
   * deployment swaps in Delta/Iceberg MERGE behind the same interface.
   */
-final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
+class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
 
   private val BucketCol = "__bucket"
   // concurrent per-table writes are fine; same-table writes must serialize
@@ -98,32 +98,57 @@ final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink
       doWrite(id, changelog, schema)
     }
 
+  /** All state moves go through Hadoop [[org.apache.hadoop.fs.FileSystem]] so
+    * the sink works on any Hadoop-compatible store (local, HDFS, object
+    * stores with a committer), and every rename is CHECKED — a false return
+    * is a loud failure, never a silently lost table state.
+    */
+  protected def hfs(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"upsert-sink commit failed: rename $src -> $dst " +
+        "(state preserved; check permissions / cross-filesystem paths)")
+
   private def doWrite(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
     require(schema.primaryKeys.nonEmpty, s"upsert sink requires primary keys on $id")
     val spark = changelog.sparkSession
     val path = tablePath(id)
-    val fs = new java.io.File(path)
+    val fs = hfs(spark, path)
+    val dst = new org.apache.hadoop.fs.Path(path)
 
     val cols = schema.columnNames.map(col)
     val incoming = changelog.select(cols :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol): _*)
 
-    if (buckets > 0) writeBucketed(spark, path, fs.exists(), incoming, schema)
+    if (buckets > 0) writeBucketed(spark, path, fs.exists(dst), incoming, schema)
     else {
       val merged =
-        if (fs.exists())
+        if (fs.exists(dst))
           Changelog.materialize(
             stateAsInserts(spark.read.parquet(path), schema).unionByName(incoming),
             schema.primaryKeys)
         else Changelog.materialize(incoming, schema.primaryKeys)
 
       // write-new-then-swap: readers of `path` never see a half-written state
-      val tmp = path + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val old = new java.io.File(path + ".old")
-      deleteRec(old)
-      if (fs.exists()) fs.renameTo(old)
-      new java.io.File(tmp).renameTo(fs)
-      deleteRec(old)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      val hadState = fs.exists(dst)
+      if (hadState) renameOrThrow(fs, dst, old)
+      try renameOrThrow(fs, tmp, dst)
+      catch { // restore the previous state before surfacing the failure
+        case e: java.io.IOException =>
+          if (hadState && !fs.rename(old, dst)) {
+            e.addSuppressed(new java.io.IOException(s"restore of $old also failed"))
+          }
+          throw e
+      }
+      fs.delete(old, true)
+      ()
     }
   }
 
@@ -148,18 +173,34 @@ final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink
           schema.primaryKeys :+ BucketCol) // bucket is pk-functional: same groups
       } else Changelog.materialize(bucketed, schema.primaryKeys :+ BucketCol)
 
+      val fs = hfs(spark, path)
       val tmp = path + ".tmp"
       merged.repartition(col(BucketCol))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
 
-      new java.io.File(path).mkdirs()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path))
       touched.foreach { b =>
-        val dst = new java.io.File(s"$path/$BucketCol=$b")
-        deleteRec(dst)
-        val src = new java.io.File(s"$tmp/$BucketCol=$b")
-        if (src.exists()) { src.renameTo(dst); () } // absent = bucket emptied
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/$BucketCol=$b")
+        // displace-then-swap: the old bucket moves into the (dot-prefixed,
+        // reader-invisible) tmp area first, so a failed swap can restore it —
+        // never delete state before its replacement is in place
+        val displaced = new org.apache.hadoop.fs.Path(s"$tmp/.old_$b")
+        val hadState = fs.exists(dst)
+        if (hadState) renameOrThrow(fs, dst, displaced)
+        if (fs.exists(src)) { // absent = bucket emptied by deletes
+          try renameOrThrow(fs, src, dst)
+          catch {
+            case e: java.io.IOException =>
+              if (hadState && !fs.rename(displaced, dst)) {
+                e.addSuppressed(new java.io.IOException(s"restore of bucket $b also failed"))
+              }
+              throw e
+          }
+        }
       }
-      deleteRec(new java.io.File(tmp))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
     } finally { bucketed.unpersist(); () }
   }
 
@@ -167,18 +208,14 @@ final class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink
     val df = spark.read.parquet(tablePath(id))
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
-  }
 }
 
 /** JDBC upsert sink: DDL via [[UpsertSql]], data via [[UpsertWriter]] —
   * the full DSQL-sink port (SURVEY.md §2.2).
   */
 final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
-                           batchSize: Int = 1000) extends CdcSink {
+                           batchSize: Int = 1000,
+                           applyDestructive: Boolean = false) extends CdcSink {
   import graft.model._
 
   private def exec(sql: String): Unit = {
@@ -188,12 +225,16 @@ final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
 
   override def applySchemaChange(e: SchemaChangeEvent): Unit = e match {
     case CreateTableEvent(id, s) => exec(UpsertSql.createTable(id, s))
-    case AddColumnEvent(id, n, dt, _) => exec(UpsertSql.addColumn(id, n, dt))
+    case AddColumnEvent(id, n, dt, pos) => exec(UpsertSql.addColumn(id, n, dt, pos))
     case DropColumnEvent(id, n) => exec(UpsertSql.dropColumn(id, n))
     case RenameColumnEvent(id, f, t2) => exec(UpsertSql.renameColumn(id, f, t2))
     case TruncateTableEvent(id) => exec(UpsertSql.truncate(id))
-    case AlterColumnTypeEvent(_, _, _) | DropTableEvent(_) => () // not auto-applied
-    case _: CreateTableEvent => ()
+    // widening alters are safe to auto-apply (the registry only ever widens
+    // under LENIENT/EVOLVE — SchemaRegistry.scala); table drops are
+    // destructive and gated, matching the reference applier which logs and
+    // skips what it won't do (DsqlSink.java:81-89).
+    case AlterColumnTypeEvent(id, n, dt) => exec(UpsertSql.alterColumnType(id, n, dt))
+    case DropTableEvent(id) => if (applyDestructive) exec(UpsertSql.dropTable(id))
   }
 
   override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit =

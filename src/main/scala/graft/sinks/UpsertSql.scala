@@ -92,14 +92,48 @@ object UpsertSql {
   def delete(id: TableId, schema: CdcSchema): String =
     s"DELETE FROM ${qualified(id)} WHERE ${schema.primaryKeys.map(c => s"${q(c)} = ?").mkString(" AND ")}"
 
+  /** SQL dialect for position-sensitive DDL: PostgreSQL/DSQL cannot place a
+    * column anywhere but last, MySQL-family targets honor FIRST/AFTER. The
+    * reference's AddColumnEvent carries the position either way
+    * (common/event/AddColumnEvent.java:48-75); for PG targets it is honored
+    * in the registry's logical schema order while the physical table appends.
+    */
+  sealed trait Dialect
+  object Dialect {
+    case object Postgres extends Dialect
+    case object MySql extends Dialect
+  }
+
   /** DDL for a schema change applied by the sink's MetadataApplier
     * (common/sink/MetadataApplier.java:33-50).
     */
-  def addColumn(id: TableId, name: String, dt: DataType): String =
-    s"ALTER TABLE ${qualified(id)} ADD COLUMN IF NOT EXISTS ${q(name)} ${pgType(dt)}"
+  def addColumn(id: TableId, name: String, dt: DataType,
+                position: graft.model.ColumnPosition = graft.model.ColumnPosition.Last,
+                dialect: Dialect = Dialect.Postgres): String = {
+    import graft.model.ColumnPosition
+    val posClause = dialect match {
+      case Dialect.Postgres => "" // PG appends; logical order kept in the registry
+      case Dialect.MySql => position match {
+        case ColumnPosition.Last => ""
+        case ColumnPosition.First => " FIRST"
+        case ColumnPosition.Before(other) =>
+          // MySQL has no BEFORE — the reference normalizes BEFORE(x) to AFTER(predecessor-of-x)
+          // at the applier (AddColumnEvent.java:48-75); here the caller resolves it.
+          throw new IllegalArgumentException(s"BEFORE($other) must be resolved to AFTER(...) for MySQL DDL")
+        case ColumnPosition.After(other) => s" AFTER ${q(other)}"
+      }
+    }
+    s"ALTER TABLE ${qualified(id)} ADD COLUMN IF NOT EXISTS ${q(name)} ${pgType(dt)}$posClause"
+  }
   def dropColumn(id: TableId, name: String): String =
     s"ALTER TABLE ${qualified(id)} DROP COLUMN IF EXISTS ${q(name)}"
   def renameColumn(id: TableId, from: String, to: String): String =
     s"ALTER TABLE ${qualified(id)} RENAME COLUMN ${q(from)} TO ${q(to)}"
   def truncate(id: TableId): String = s"TRUNCATE TABLE ${qualified(id)}"
+  /** Widening type change; `USING` makes non-implicit casts (e.g. INT→TEXT)
+    * explicit so the statement succeeds wherever the cast is defined.
+    */
+  def alterColumnType(id: TableId, name: String, dt: DataType): String =
+    s"ALTER TABLE ${qualified(id)} ALTER COLUMN ${q(name)} TYPE ${pgType(dt)} USING ${q(name)}::${pgType(dt)}"
+  def dropTable(id: TableId): String = s"DROP TABLE IF EXISTS ${qualified(id)}"
 }

@@ -25,6 +25,53 @@ import org.apache.spark.sql.functions._
   *    `sink.batch-size` (DsqlSinkOptions.java:73-75);
   *  - retry with exponential backoff ports `DsqlRetryHelper` (147 LoC).
   */
+/** Reflective bridge to pgjdbc's copy API (`PGConnection.getCopyAPI()
+  * .copyIn(sql, reader)`): present when the runtime driver is PostgreSQL,
+  * absent otherwise. Reflection keeps the engine free of a pgjdbc
+  * compile-time dependency while still using the native COPY protocol when
+  * it is available (the reference loads full snapshots exclusively via COPY,
+  * DsqlBatchSinkFunction.java:838-934).
+  */
+private[sinks] object PgCopy {
+  private lazy val pgConnIface: Option[Class[_]] =
+    try Some(Class.forName("org.postgresql.PGConnection"))
+    catch { case _: ClassNotFoundException => None }
+
+  /** Returns false when the connection is not PostgreSQL (caller falls back
+    * to INSERT batches); rethrows the server's SQLException on COPY failure
+    * so the caller's retry loop sees it.
+    */
+  def copyIn(conn: Connection, copySql: String, csvLines: Iterator[String]): Boolean =
+    pgConnIface match {
+      case Some(iface) if conn.isWrapperFor(iface) =>
+        val pg = conn.unwrap(iface.asInstanceOf[Class[AnyRef]])
+        val cm = iface.getMethod("getCopyAPI").invoke(pg)
+        val reader = new java.io.Reader {
+          // stream the CSV without materializing the chunk as one string
+          private var cur: String = ""
+          private var pos = 0
+          override def read(buf: Array[Char], off: Int, len: Int): Int = {
+            while (pos >= cur.length) {
+              if (!csvLines.hasNext) return -1
+              cur = csvLines.next() + "\n"; pos = 0
+            }
+            val n = math.min(len, cur.length - pos)
+            cur.getChars(pos, pos + n, buf, off); pos += n; n
+          }
+          override def close(): Unit = ()
+        }
+        try {
+          cm.getClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+            .invoke(cm, copySql, reader)
+          true
+        } catch {
+          case e: java.lang.reflect.InvocationTargetException =>
+            throw e.getCause match { case s: java.sql.SQLException => s; case t => t }
+        }
+      case _ => false
+    }
+}
+
 final class UpsertWriter(
     connectionFactory: () => Connection,
     batchSize: Int = 1000,
@@ -53,6 +100,55 @@ final class UpsertWriter(
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Bulk-load a snapshot frame via `COPY ... FROM STDIN (FORMAT CSV)` —
+    * the reference's full-load fast path (DsqlBatchSinkFunction.java:838-934
+    * encodes rows to CSV and streams them through the COPY protocol; COPY is
+    * ~5-10× batched INSERT for wide loads). Runs per partition; each
+    * partition streams in bounded chunks so a retry can re-send the chunk
+    * from its buffer (COPY has no statement-level retry — the whole chunk
+    * transaction is rolled back and re-sent).
+    *
+    * The PostgreSQL copy API is reached reflectively ([[PgCopy]]) so this
+    * module has no compile-time pgjdbc dependency; on a non-PostgreSQL
+    * driver it degrades to batched `INSERT ... ON CONFLICT`.
+    */
+  def fullLoad(snapshot: DataFrame, id: TableId, schema: CdcSchema,
+               chunkRows: Int = 10000): Unit = {
+    val copySql = UpsertSql.copy(id, schema)
+    val insertSql = UpsertSql.insertOnConflict(id, schema)
+    val cols = schema.columnNames
+    val cf = connectionFactory
+    val bs = batchSize
+    val retries = maxRetries
+    val backoff0 = initialBackoffMs
+    snapshot.select(cols.map(col): _*).foreachPartition { (rows: Iterator[Row]) =>
+      val w = new UpsertWriter(cf, bs, retries, backoff0)
+      rows.grouped(chunkRows).foreach { chunk =>
+        // one transaction per chunk; a fresh connection per attempt gives a
+        // clean transaction to re-send into (simplest correct retry unit)
+        w.withRetry("copy-chunk") {
+          val conn = cf()
+          try {
+            conn.setAutoCommit(false)
+            if (!PgCopy.copyIn(conn, copySql, chunk.iterator.map(r => UpsertSql.csvLine(cols.map(r.getAs[Any]))))) {
+              // non-PostgreSQL driver: batched upserts
+              val st = conn.prepareStatement(insertSql)
+              chunk.grouped(bs).foreach { g =>
+                g.foreach { r =>
+                  cols.zipWithIndex.foreach { case (c, i) => st.setObject(i + 1, r.getAs[Any](c)) }
+                  st.addBatch()
+                }
+                st.executeBatch(); ()
+              }
+              st.close()
+            }
+            conn.commit()
+          } finally conn.close()
+        }
+      }
+    }
   }
 
   /** Write one changelog batch for one table: dedup to last-image-per-PK, then
