@@ -27,6 +27,10 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
+  /** Static entry the generated code calls: text → distinct shingle hashes. */
+  def shingleData(s: UTF8String, shingleSize: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Dedup.shingleHashes(s.toString, shingleSize))
+
   /** LSH band keys of a minhash signature: one mixed hash per band over its
     * signature slice (banding per Broder/LSH; `rows = sig.length / bands`).
     */
@@ -101,6 +105,26 @@ case class MinHashSignature(child: Expression, shingleSize: Int = 3, numHashes: 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `SHINGLE_HASHES(text)` — distinct word-n-gram shingle hash set of the
+  * text, the exact-Jaccard verify input; as a codegen'd call the verify
+  * stage's set computation never leaves Tungsten format.
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int = 3)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.shingleData(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.shingleData($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
 }
 
 /** `SIMHASH64(text)` — 64-bit SimHash of the token set (Charikar '02). */
@@ -226,6 +250,8 @@ object CdcExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(text), shingleSize, numHashes))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+  def shingleHashes(text: Column, shingleSize: Int = 3): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), shingleSize))
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
