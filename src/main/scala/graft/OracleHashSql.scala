@@ -1,0 +1,337 @@
+package graft
+
+/** DuckDB oracle SQL for the hash-based dedup/ANN/multimodal queries.
+  *
+  * These queries were previously rows-only checked because their results
+  * depend on 64-bit hash math (FNV-1a, splitmix64, xxhash64, polynomial
+  * rolling hash) that plain ANSI SQL cannot express. DuckDB can: UBIGINT
+  * carries the values, xor/shift work natively, and the wrap-around 64x64
+  * multiply is done in HUGEINT by splitting the left operand into 32-bit
+  * halves (products stay < 2^97 < HUGEINT max). Each oracle is a single
+  * `execute` payload: a macro prelude followed by the SELECT — a fully
+  * independent re-implementation of the whole operator (signatures, LSH
+  * banding, bucket caps, k-means, top-k) in SQL, so a hash match checks
+  * every stage of the Spark plan against ground truth.
+  */
+object OracleHashSql {
+
+  /** 64-bit wrap arithmetic + tokenizer/shingle macros (mirrors
+    * [[graft.ops.Dedup]] hash64/mix64/shingleHashes semantics).
+    */
+  val prelude: String = """
+CREATE OR REPLACE MACRO g_mulmod(a, b) AS CAST(
+  ((CAST(a AS HUGEINT) % 4294967296) * CAST(b AS HUGEINT)
+   + (((CAST(a AS HUGEINT) // 4294967296) * CAST(b AS HUGEINT)) % 4294967296) * 4294967296)
+  % 18446744073709551616 AS UBIGINT);
+CREATE OR REPLACE MACRO g_addmod(a, b) AS CAST(
+  (CAST(a AS HUGEINT) + CAST(b AS HUGEINT)) % 18446744073709551616 AS UBIGINT);
+CREATE OR REPLACE MACRO g_tosigned(u) AS CAST(
+  CASE WHEN CAST(u AS HUGEINT) >= 9223372036854775808
+       THEN CAST(u AS HUGEINT) - 18446744073709551616
+       ELSE CAST(u AS HUGEINT) END AS BIGINT);
+CREATE OR REPLACE MACRO g_tou64(s) AS CAST(
+  (CAST(s AS HUGEINT) % 18446744073709551616 + 18446744073709551616)
+  % 18446744073709551616 AS UBIGINT);
+CREATE OR REPLACE MACRO g_mixa(x) AS g_addmod(x, 11400714819323198485);
+CREATE OR REPLACE MACRO g_mixb(x) AS g_mulmod(xor(x, x >> 30), 13787848793156543929);
+CREATE OR REPLACE MACRO g_mixc(x) AS g_mulmod(xor(x, x >> 27), 10723151780598845931);
+CREATE OR REPLACE MACRO g_mix64(x) AS
+  xor(g_mixc(g_mixb(g_mixa(x))), g_mixc(g_mixb(g_mixa(x))) >> 31);
+CREATE OR REPLACE MACRO g_fnv64(s) AS list_reduce(
+  list_prepend(CAST(14695981039346656037 AS UBIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ord(c) AS UBIGINT))),
+  (h, c) -> g_mulmod(xor(h, c), 1099511628211));
+CREATE OR REPLACE MACRO g_toks(t) AS
+  list_filter(string_split_regex(lower(t), '\W+'), x -> x <> '');
+CREATE OR REPLACE MACRO g_shingles(t, n) AS CASE
+  WHEN len(g_toks(t)) = 0 THEN []
+  WHEN len(g_toks(t)) < n THEN [array_to_string(g_toks(t), ' ')]
+  ELSE list_distinct(list_transform(generate_series(1, len(g_toks(t)) - n + 1),
+       i -> array_to_string((g_toks(t))[i:i+n-1], ' ')))
+  END;
+"""
+
+  /** hash64(src) = mix64(fnv64(src)) as chained SELECT aliases: each mix step
+    * is evaluated once instead of the exponential textual expansion a nested
+    * macro would produce.
+    */
+  private def h64Chain(src: String): String =
+    s"""g_fnv64($src) AS f0, g_mixa(f0) AS f1, g_mixb(f1) AS f2, g_mixc(f2) AS f3,
+       |    xor(f3, f3 >> 31) AS h1""".stripMargin
+
+  /** dot(a, b) over REAL[] columns in DOUBLE (ascending index, like the
+    * Spark-side accumulation loops).
+    */
+  private def dot(n: Int, a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $n), " +
+      s"k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)))"
+
+  /** cosine(x, y) with 0.0 on zero norms (mirrors Similarity.cosine). */
+  private def cos(n: Int, x: String, y: String): String =
+    s"coalesce(((${dot(n, x, y)}) / " +
+      s"CASE WHEN (${dot(n, x, x)}) = 0 OR (${dot(n, y, y)}) = 0 THEN NULL ELSE " +
+      s"sqrt((${dot(n, x, x)}) * (${dot(n, y, y)})) END), 0.0)"
+
+  /** The literal hyperplanes of [[graft.ops.Similarity.randomPlanes]] as a
+    * VALUES CTE — generated from the same code, so they cannot drift.
+    * Float.toString round-trips through the SQL double literal + ::REAL cast.
+    */
+  private def planesCte(numPlanes: Int, dim: Int, seed: Long = 42L): String = {
+    val planes = graft.ops.Similarity.randomPlanes(numPlanes, dim, seed)
+    val rows = planes.zipWithIndex.map { case (pl, p) =>
+      "(" + p + ", [" + pl.map(f => f.toString + "::REAL").mkString(", ") + "])"
+    }.mkString(",\n  ")
+    s"planes(p, pl) AS (SELECT * FROM (VALUES $rows) t(p, pl))"
+  }
+
+  /** Multimodal stub decode: FNV-1a over the synthetic payload bytes, then
+    * the width/height extraction of [[graft.ops.Multimodal.stubDecodeImage]].
+    */
+  val multimodalDecode: String = prelude + """
+WITH fnv AS (
+  SELECT p_partkey AS asset_id,
+         g_fnv64('image-payload-' || CAST(p_partkey AS VARCHAR)) AS h
+  FROM part)
+SELECT asset_id,
+  CAST(64 + (CASE WHEN g_tosigned(h) < 0 THEN -CAST(g_tosigned(h) AS HUGEINT)
+             ELSE CAST(g_tosigned(h) AS HUGEINT) END % 1024) AS INTEGER) AS width,
+  CAST(64 + ((h >> 16) % 1024) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels
+FROM fnv
+"""
+
+  /** SimHash candidates: per-occurrence token bit votes -> 64-bit simhash ->
+    * 4x16-bit pigeonhole blocks (bucket cap 64) -> pairs with hamming <= 3.
+    */
+  val dedupSimhash: String = prelude + """
+WITH vocab AS (
+  SELECT tok, """ + h64Chain("tok") + """
+  FROM (SELECT DISTINCT unnest(g_toks(text)) AS tok FROM documents)),
+occur AS (
+  SELECT doc_id, unnest(g_toks(text)) AS tok FROM documents),
+votes AS (
+  SELECT o.doc_id, i.i,
+         sum(CASE WHEN ((v.h1 >> i.i) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM occur o JOIN vocab v USING (tok) CROSS JOIN generate_series(0, 63) i(i)
+  GROUP BY o.doc_id, i.i),
+sims AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN cnt > 0 THEN CAST(power(2, i) AS HUGEINT) END), 0)
+              AS UBIGINT) AS sim
+  FROM votes GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, sim, b.b, (sim >> (16 * b.b)) & CAST(65535 AS UBIGINT) AS key
+  FROM sims CROSS JOIN generate_series(0, 3) b(b)),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY b, key) AS bsz FROM blocks)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+FROM sized x JOIN sized y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+WHERE x.bsz BETWEEN 2 AND 64 AND bit_count(xor(x.sim, y.sim)) <= 3
+"""
+
+  /** MinHash signatures (128 slots via the 2-hash trick, signed mins), 32
+    * LSH bands (bucket cap 64), estimated-jaccard verify — the full
+    * [[graft.ops.Dedup.minhashCandidates]] pipeline as CTEs ending in `est`.
+    */
+  private val minhashCands: String = """
+sh AS (
+  SELECT doc_id, """ + h64Chain("shingle") + """,
+         g_mixa(h1) AS g1, g_mixb(g1) AS g2, g_mixc(g2) AS g3,
+         xor(g3, g3 >> 31) | 1 AS h2
+  FROM (SELECT doc_id, unnest(g_shingles(text, 3)) AS shingle FROM documents)),
+slots AS (
+  SELECT doc_id, i.i,
+         min(g_tosigned(g_addmod(h1, g_mulmod(CAST(i.i AS UBIGINT), h2)))) AS slot
+  FROM sh CROSS JOIN generate_series(0, 127) i(i)
+  GROUP BY doc_id, i.i),
+sigl AS (
+  SELECT doc_id, list(g_tou64(slot) ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.b,
+         list_reduce(list_prepend(CAST(b.b AS UBIGINT), sig[b.b*4+1 : b.b*4+4]),
+                     (h, s) -> g_mix64(xor(h, s))) AS key
+  FROM sigl CROSS JOIN generate_series(0, 31) b(b)),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY b, key) AS bsz FROM bands),
+rawpairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sized x JOIN sized y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+  WHERE x.bsz BETWEEN 2 AND 64),
+est AS (
+  SELECT p.a, p.b,
+         (count(*) FILTER (sa.slot = sb.slot)) / 128.0 AS est_jaccard
+  FROM rawpairs p
+  JOIN slots sa ON sa.doc_id = p.a
+  JOIN slots sb ON sb.doc_id = p.b AND sb.i = sa.i
+  GROUP BY p.a, p.b)
+"""
+
+  /** Survivors of MinHash-LSH dedup (keep-first greedy: drop every larger id
+    * of a verified pair).
+    */
+  val dedupMinhash: String = prelude + "WITH " + minhashCands + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT b FROM est WHERE est_jaccard >= 0.8)
+"""
+
+  /** MinHash candidates at est >= 0.5 verified by exact n-gram set Jaccard
+    * (string shingle sets stand in for the hashed sets — same Jaccard).
+    */
+  val dedupNgram: String = prelude + "WITH " + minhashCands + """,
+cands AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+shs AS (SELECT doc_id, g_shingles(text, 3) AS sh FROM documents),
+jac AS (
+  SELECT c.a, c.b,
+         len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter,
+         len(x.sh) + len(y.sh) - inter AS uni,
+         CASE WHEN len(x.sh) = 0 AND len(y.sh) = 0 THEN 1.0
+              ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+  FROM cands c JOIN shs x ON x.doc_id = c.a JOIN shs y ON y.doc_id = c.b)
+SELECT a, b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+  /** The GET_EMBEDDING stub ([[graft.functions.AiFunctions.fakeEmbed]]):
+    * signed token votes at (polyhash %% 64), L2-normalized, dim 64.
+    */
+  private val fakeEmbed: String = """
+tokh AS (
+  SELECT tok,
+         list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT),
+           list_transform(string_split(tok, ''), c -> CAST(ord(c) AS UBIGINT))),
+           (h, c) -> g_addmod(g_mulmod(h, 31), c)) AS h
+  FROM (SELECT DISTINCT unnest(g_toks(text)) AS tok FROM documents)),
+votes AS (
+  SELECT d.doc_id, CAST(t.h % 64 AS INTEGER) AS idx,
+         sum(CASE WHEN ((t.h >> 32) & 1) = 0 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM (SELECT doc_id, unnest(g_toks(text)) AS tok FROM documents) d
+  JOIN tokh t USING (tok) GROUP BY d.doc_id, idx),
+dense AS (
+  SELECT dd.doc_id, i.i, coalesce(v.cnt, 0.0) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) dd
+  CROSS JOIN generate_series(0, 63) i(i)
+  LEFT JOIN votes v ON v.doc_id = dd.doc_id AND v.idx = i.i),
+norms AS (
+  SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM dense GROUP BY doc_id),
+emb AS (
+  SELECT d.doc_id,
+         list(CAST(CASE WHEN n.nrm > 0 THEN d.cnt / n.nrm ELSE d.cnt END AS REAL)
+              ORDER BY d.i) AS v
+  FROM dense d JOIN norms n USING (doc_id) GROUP BY d.doc_id)
+"""
+
+  /** Embedding-cosine near-dup pairs: stub embeddings, 16-plane hyperplane
+    * LSH buckets (cap 256), cosine >= 0.95 within-bucket.
+    */
+  val dedupEmbedding: String = prelude + "WITH " + fakeEmbed + ",\n" +
+    planesCte(16, 64) + """,
+sigs AS (
+  SELECT e.doc_id, e.v,
+         CAST(coalesce(sum(CASE WHEN """ + dot(64, "e.v", "p.pl") + """ >= 0
+              THEN CAST(power(2, p.p) AS HUGEINT) END), 0) AS UBIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p GROUP BY e.doc_id, e.v),
+sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM sigs)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM sized x JOIN sized y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE x.bsz BETWEEN 2 AND 256
+  AND (""" + dot(64, "x.v", "y.v") + """) /
+      sqrt((""" + dot(64, "x.v", "x.v") + """) *
+           (""" + dot(64, "y.v", "y.v") + """)) >= 0.95
+"""
+
+  /** LSH top-k: 6-plane buckets over the embeddings table, multi-probe at
+    * 1 bit flip, exact cosine rescoring of the probed slice.
+    */
+  val embedLshTopk: String = prelude + "WITH " + planesCte(6, 64) + """,
+sigs AS (
+  SELECT e.vec_id, e.embedding AS v,
+         CAST(coalesce(sum(CASE WHEN """ + dot(64, "e.embedding", "p.pl") + """ >= 0
+              THEN CAST(power(2, p.p) AS HUGEINT) END), 0) AS UBIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+q AS (SELECT v AS qv, bucket AS qb FROM sigs WHERE vec_id = 0),
+probes AS (
+  SELECT qb AS pb FROM q
+  UNION SELECT xor(qb, CAST(power(2, b.b) AS UBIGINT))
+  FROM q CROSS JOIN generate_series(0, 5) b(b)),
+scored AS (
+  SELECT s.vec_id,
+         (""" + dot(64, "s.v", "q.qv") + """) /
+         sqrt((""" + dot(64, "s.v", "s.v") + """) *
+              (""" + dot(64, "q.qv", "q.qv") + """)) AS score
+  FROM sigs s, q WHERE s.bucket IN (SELECT pb FROM probes))
+SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+  /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
+    * rotations via wrap-multiply), two Lloyd iterations with renormalized
+    * float centroids and keep-old-on-empty clusters, nprobe=4 probing,
+    * exact cosine top-10 — [[graft.ops.Ivf]] end to end.
+    */
+  val embedIvfTopk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + """
+WITH xxh AS (
+  SELECT vec_id,
+         g_mulmod(CAST(vec_id AS UBIGINT), 14029467366897019727) AS k0,
+         g_addmod(g_mulmod(k0, 2147483648), k0 >> 33) AS k1r,
+         xor(g_mulmod(k1r, 11400714785074694791),
+             g_addmod(42, 2870177450012600269)) AS a0,
+         g_addmod(g_mulmod(g_addmod(g_mulmod(a0, 134217728), a0 >> 37),
+                  11400714785074694791), 9650029242287828579) AS a1,
+         g_mulmod(xor(a1, a1 >> 33), 14029467366897019727) AS a2,
+         g_mulmod(xor(a2, a2 >> 29), 1609587929392839161) AS a3,
+         xor(a3, a3 >> 32) AS h
+  FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY g_tosigned(x.h)) - 1 AS cid,
+         e.embedding AS c
+  FROM xxh x JOIN embeddings e USING (vec_id)
+  ORDER BY g_tosigned(x.h) LIMIT 16),
+asg1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY """ + c("e.embedding", "s.c") + """ DESC, s.cid) AS rn
+    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+mean1 AS (
+  SELECT a.cid, i.i, avg(CAST(a.embedding[i.i] AS DOUBLE)) AS m
+  FROM asg1 a CROSS JOIN generate_series(1, 64) i(i) GROUP BY a.cid, i.i),
+cent1 AS (
+  SELECT s.cid, coalesce(n.c2, s.c) AS c
+  FROM seeds s LEFT JOIN (
+    SELECT cid, list(CAST(CASE WHEN nrm > 0 THEN m / nrm ELSE m END AS REAL) ORDER BY i) AS c2
+    FROM (SELECT cid, i, m, sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm FROM mean1)
+    GROUP BY cid) n ON n.cid = s.cid),
+asg2 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent1 c) WHERE rn = 1),
+mean2 AS (
+  SELECT a.cid, i.i, avg(CAST(a.embedding[i.i] AS DOUBLE)) AS m
+  FROM asg2 a CROSS JOIN generate_series(1, 64) i(i) GROUP BY a.cid, i.i),
+cent2 AS (
+  SELECT c1.cid, coalesce(n.c2, c1.c) AS c
+  FROM cent1 c1 LEFT JOIN (
+    SELECT cid, list(CAST(CASE WHEN nrm > 0 THEN m / nrm ELSE m END AS REAL) ORDER BY i) AS c2
+    FROM (SELECT cid, i, m, sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm FROM mean2)
+    GROUP BY cid) n ON n.cid = c1.cid),
+finalasg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT c.cid FROM cent2 c, qv
+  ORDER BY """ + c("qv.q", "c.c") + """ DESC, c.cid LIMIT 4)
+SELECT f.vec_id
+FROM finalasg f, qv
+WHERE f.cid IN (SELECT cid FROM probes)
+ORDER BY """ + c("f.embedding", "qv.q") + """ DESC, f.vec_id LIMIT 10
+"""
+  }
+}

@@ -987,7 +987,17 @@ object SparkEntry {
     "q_setops" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    // hash-math oracles (full SQL re-implementations of the 64-bit hash
+    // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
+    "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
+    "q_dedup_ngram" -> OracleHashSql.dedupNgram,
+    "q_dedup_embedding" -> OracleHashSql.dedupEmbedding,
+    "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
+    "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
+    "q_multimodal_decode" -> OracleHashSql.multimodalDecode
   )
 
   /** The langId cascade as a DuckDB CASE expression (RE2 dialect: `\x{...}`
