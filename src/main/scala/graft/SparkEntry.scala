@@ -282,8 +282,15 @@ object SparkEntry {
 
     "q_dedup_pairs" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
-      // audit view: which doc duplicates which (exact fingerprint pairs)
-      Dedup.exactPairs(t(dir, "documents"), "doc_id", TextAnalysis.fingerprint(col("text")))
+      // audit view: which doc duplicates which (exact fingerprint pairs).
+      // The corpus has no natural exact duplicates, so plant some: every
+      // 50th doc re-appears under a shifted id — the audit must report
+      // exactly those (planted, original) pairs at every sf.
+      val docs = t(dir, "documents")
+      val planted = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exactPairs(docs.unionByName(planted), "doc_id",
+        TextAnalysis.fingerprint(col("text")))
     },
 
     "q_fingerprint" -> { (spark, dir) =>
@@ -782,10 +789,16 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_dedup_pairs" ->
-      """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-        |            FROM documents)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |       FROM all_docs),
+        |sized AS (SELECT *, count(*) OVER (PARTITION BY f) AS csz FROM fp)
         |SELECT x.doc_id AS a, y.doc_id AS b
-        |FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id""".stripMargin,
+        |FROM sized x JOIN sized y ON x.f = y.f AND x.doc_id < y.doc_id
+        |WHERE x.csz BETWEEN 2 AND 64""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

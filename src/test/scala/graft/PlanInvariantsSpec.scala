@@ -46,4 +46,16 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), q)
     }
   }
+
+  test("dedup pipelines stay in codegen: no typed-Dataset encoder hops") {
+    // a DeserializeToObject / MapElements node means rows left Tungsten
+    // format for a Scala closure — the scan-bound narrow stages of the
+    // dedup ops must never do that
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+                  "q_dedup_embedding", "q_dedup_exact")) {
+      val p = plan(q)
+      assert(!p.contains("DeserializeToObject"), q)
+      assert(!p.contains("MapElements"), q)
+    }
+  }
 }

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((1L, 2L), (1L, 5L), (2L, 5L))) // 3-doc cluster → 3 pairs
   }
 
+  test("exactPairs drops degenerate clusters above maxClusterSize") {
+    // one boilerplate fingerprint shared by 100 docs (the empty-text web-scale
+    // case) must produce ZERO pairs, not a quadratic explosion; a small real
+    // cluster in the same frame still reports its pairs
+    val degenerate = (1L to 100L).map(i => (i, ""))
+    val real = Seq((200L, "dup text"), (201L, "dup  TEXT"))
+    val df = (degenerate ++ real).toDF("id", "text")
+    val out = Dedup.exactPairs(df, "id", graft.ops.TextAnalysis.fingerprint(col("text")),
+        maxClusterSize = 64)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((200L, 201L)))
+  }
+
   test("exactSurvivors keeps the min-id full row per fingerprint") {
     val df = Seq((2L, "a b", "x"), (1L, "A  b", "y"), (3L, "other", "z"))
       .toDF("id", "text", "extra")
