@@ -50,10 +50,42 @@ object UpsertSql {
   def copy(id: TableId, schema: CdcSchema): String =
     s"COPY ${qualified(id)} (${schema.columnNames.map(q).mkString(", ")}) FROM STDIN (FORMAT CSV)"
 
+  /** COPY into the per-attempt staging table of [[UpsertWriter.fullLoad]]. */
+  def copyStage(stage: String, schema: CdcSchema): String =
+    s"COPY ${q(stage)} (${schema.columnNames.map(q).mkString(", ")}) FROM STDIN (FORMAT CSV)"
+
+  /** Session-scoped staging table for one COPY chunk: `TEMP` makes it
+    * private to the connection (no cross-executor collisions) and
+    * `ON COMMIT DROP` ties its lifetime to the chunk transaction, so a
+    * failed attempt leaves nothing behind.
+    */
+  def createStage(stage: String, id: TableId): String =
+    s"CREATE TEMP TABLE ${q(stage)} (LIKE ${qualified(id)}) ON COMMIT DROP"
+
+  /** Merge a staged COPY chunk into the target: the upsert makes re-running
+    * an already-committed chunk (Spark task retry / speculation) converge
+    * instead of violating the primary key.
+    */
+  def insertFromStage(id: TableId, stage: String, schema: CdcSchema): String = {
+    val cols = schema.columnNames
+    val pks = schema.primaryKeys
+    require(pks.nonEmpty, s"staged full load requires primary keys on $id")
+    val nonPk = cols.filterNot(pks.contains)
+    val update =
+      if (nonPk.isEmpty) "DO NOTHING"
+      else s"DO UPDATE SET ${nonPk.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"
+    s"INSERT INTO ${qualified(id)} (${cols.map(q).mkString(", ")}) " +
+      s"SELECT ${cols.map(q).mkString(", ")} FROM ${q(stage)} " +
+      s"ON CONFLICT (${pks.map(q).mkString(", ")}) $update"
+  }
+
   /** One CSV line for the COPY payload (DsqlBatchSinkFunction.java:838-934
     * encodes rows the same way): null → empty field, quotes doubled, fields
-    * containing separator/quote/newline quoted. Runs executor-side per
-    * partition, streamed into the copy channel.
+    * containing separator/quote/newline quoted. An empty STRING is emitted
+    * as `""` — a quoted empty field is an empty string to COPY CSV while an
+    * unquoted one is NULL (the reference keeps the two apart with an
+    * explicit `\N` marker, DsqlBatchSinkFunction.java:141,854). Runs
+    * executor-side per partition, streamed into the copy channel.
     */
   def csvLine(values: Seq[Any]): String = values.map {
     case null => ""
@@ -62,7 +94,8 @@ object UpsertSql {
         case b: Array[Byte] => "\\x" + b.map("%02x".format(_)).mkString
         case other => other.toString
       }
-      if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+      if (s.isEmpty) "\"\""
+      else if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
   }.mkString(",")

@@ -37,6 +37,10 @@ private[sinks] object PgCopy {
     try Some(Class.forName("org.postgresql.PGConnection"))
     catch { case _: ClassNotFoundException => None }
 
+  /** True when the connection speaks the PostgreSQL COPY protocol. */
+  def isAvailable(conn: Connection): Boolean =
+    pgConnIface.exists(conn.isWrapperFor)
+
   /** Returns false when the connection is not PostgreSQL (caller falls back
     * to INSERT batches); rethrows the server's SQLException on COPY failure
     * so the caller's retry loop sees it.
@@ -110,13 +114,24 @@ final class UpsertWriter(
     * from its buffer (COPY has no statement-level retry — the whole chunk
     * transaction is rolled back and re-sent).
     *
+    * Idempotent under Spark task re-execution (executor loss, speculation):
+    * each chunk COPYs into a session-scoped `TEMP ... ON COMMIT DROP`
+    * staging table and merges with `INSERT ... ON CONFLICT` inside the same
+    * transaction, so re-running a partition whose earlier chunks already
+    * committed converges instead of raising a PK violation — the delivery
+    * contract of [[writeBatch]] holds on the fast path too.
+    *
     * The PostgreSQL copy API is reached reflectively ([[PgCopy]]) so this
     * module has no compile-time pgjdbc dependency; on a non-PostgreSQL
-    * driver it degrades to batched `INSERT ... ON CONFLICT`.
+    * driver it degrades to batched `INSERT ... ON CONFLICT` (already
+    * idempotent).
     */
   def fullLoad(snapshot: DataFrame, id: TableId, schema: CdcSchema,
                chunkRows: Int = 10000): Unit = {
-    val copySql = UpsertSql.copy(id, schema)
+    val stage = "_graft_stage" // TEMP namespace: per-connection, no collisions
+    val stageSql = UpsertSql.createStage(stage, id)
+    val copySql = UpsertSql.copyStage(stage, schema)
+    val mergeSql = UpsertSql.insertFromStage(id, stage, schema)
     val insertSql = UpsertSql.insertOnConflict(id, schema)
     val cols = schema.columnNames
     val cf = connectionFactory
@@ -132,17 +147,25 @@ final class UpsertWriter(
           val conn = cf()
           try {
             conn.setAutoCommit(false)
-            if (!PgCopy.copyIn(conn, copySql, chunk.iterator.map(r => UpsertSql.csvLine(cols.map(r.getAs[Any]))))) {
-              // non-PostgreSQL driver: batched upserts
-              val st = conn.prepareStatement(insertSql)
+            if (PgCopy.isAvailable(conn)) {
+              val st = conn.createStatement()
+              st.execute(stageSql)
+              st.close()
+              PgCopy.copyIn(conn, copySql, chunk.iterator.map(r => UpsertSql.csvLine(cols.map(r.getAs[Any]))))
+              val merge = conn.createStatement()
+              merge.execute(mergeSql)
+              merge.close()
+            } else {
+              // non-PostgreSQL driver: batched upserts straight at the target
+              val ins = conn.prepareStatement(insertSql)
               chunk.grouped(bs).foreach { g =>
                 g.foreach { r =>
-                  cols.zipWithIndex.foreach { case (c, i) => st.setObject(i + 1, r.getAs[Any](c)) }
-                  st.addBatch()
+                  cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+                  ins.addBatch()
                 }
-                st.executeBatch(); ()
+                ins.executeBatch(); ()
               }
-              st.close()
+              ins.close()
             }
             conn.commit()
           } finally conn.close()

@@ -84,13 +84,38 @@ class PgUpsertSinkSpec extends SparkSpec {
       (4L, "line\nbreak"),
       (5L, null.asInstanceOf[String]),
       (6L, "trailing space "),
-      (7L, "unicode: żółć 試験")
+      (7L, "unicode: żółć 試験"),
+      (8L, "") // empty string ≠ NULL: must survive the COPY CSV encoding
     )
     new UpsertWriter(cf(p)).fullLoad(hostile.toDF("id", "v"), id, schema)
 
     val back = queryRows(p, """SELECT "id", "v" FROM "public"."copy_csv" ORDER BY "id"""")
       .map(r => (r.head.asInstanceOf[Number].longValue, r(1).asInstanceOf[String]))
     assert(back === hostile.map { case (i, v) => (i, v) })
+    // the empty string loaded as '', not NULL (unquoted empty = NULL in COPY CSV)
+    assert(queryRows(p,
+      """SELECT count(*) FROM "public"."copy_csv" WHERE "id" = 8 AND "v" = ''""").head === Seq(1L))
+  }
+
+  test("fullLoad re-execution after committed chunks converges (task retry)") {
+    assume(pg.isDefined, "no PostgreSQL server available")
+    val p = pg.get
+    val id = TableId.of("public", "copy_retry")
+    sql(p, UpsertSql.dropTable(id), UpsertSql.createTable(id, usersSchema))
+
+    def snapshot(tag: String) = spark.range(3000)
+      .select(col("id"), concat(lit(tag), col("id")).as("name"), (col("id") % 7).cast("int").as("score"))
+
+    // first attempt commits all chunks
+    new UpsertWriter(cf(p)).fullLoad(snapshot("v1-"), id, usersSchema, chunkRows = 500)
+    // a Spark task re-execution (executor loss / speculation) replays the
+    // whole partition including chunks that already committed: before the
+    // staged merge this raised a PK violation on the COPY fast path
+    new UpsertWriter(cf(p)).fullLoad(snapshot("v2-"), id, usersSchema, chunkRows = 500)
+
+    assert(queryRows(p, """SELECT count(*) FROM "public"."copy_retry"""").head === Seq(3000L))
+    assert(queryRows(p,
+      """SELECT count(*) FROM "public"."copy_retry" WHERE "name" LIKE 'v2-%'""").head === Seq(3000L))
   }
 
   test("CDC batches upsert/update/delete; final state equals the materialize oracle") {
