@@ -33,25 +33,29 @@ object Bench {
     // JVM/codegen warmup so per-query numbers measure the engine, not JIT
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // two timed runs, keep the min: JIT/GC outliers would otherwise dominate
-    // sub-second queries in a single-shot measurement
+    // one untimed warmup run per query (JIT, codegen cache, page cache), then
+    // median of three timed runs: round-4 showed 5x same-code swings under
+    // single-shot timing (q_embed_ivf_topk 0.82s vs 4.01s), which makes a 2x
+    // perf gate unadjudicable — the median absorbs GC/JIT outliers both ways
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-      }
-      (name, runs.map(_._2).min, runs.head._1)
+      def once() = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+      once()
+      val runs = (1 to 3).map(_ => once())
+      (name, runs.map(_._2).sorted.apply(1), runs.head._1)
     }
 
-    // throughput anchors
+    def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
+
+    // throughput anchors (queries already warmed by the loop above)
     val lineitemRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val (_, tTransform) = time {
-      SparkEntry.queries("q_transform_computed")(spark, sfDir).count()
+    val tTransform = median3 {
+      time { SparkEntry.queries("q_transform_computed")(spark, sfDir).count() }._2
     }
     val transformRps = lineitemRows / math.max(tTransform, 1e-9)
 
     val eventRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val (_, tUpsert) = time {
-      SparkEntry.queries("q_stream_pipeline")(spark, sfDir).count()
+    val tUpsert = median3 {
+      time { SparkEntry.queries("q_stream_pipeline")(spark, sfDir).count() }._2
     }
     val upsertRps = eventRows / math.max(tUpsert, 1e-9)
 
@@ -73,7 +77,8 @@ object Bench {
           col("event_id").as(graft.operators.Changelog.SeqCol)), srcId).cache()
       batch.count()
       val (_, t0) = time { pipe.processBatch(batch, 0L) } // initial load
-      val (_, t1) = time { pipe.processBatch(batch, 1L) } // steady-state merge
+      // steady-state merge, median of three batches
+      val t1 = median3 { time { pipe.processBatch(batch, 1L) }._2 }
       math.min(t0, t1)
     }
 

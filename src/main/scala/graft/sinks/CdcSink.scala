@@ -113,12 +113,34 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
       throw new java.io.IOException(s"upsert-sink commit failed: rename $src -> $dst " +
         "(state preserved; check permissions / cross-filesystem paths)")
 
+  /** Crash recovery for the swap commit: a process that died between
+    * rename(dst→old) and rename(tmp→dst) left the ONLY copy of table state
+    * under `.old` (or, bucketed, under `.tmp/.old_N`) — restore it before
+    * reading, or the next write would treat the table as empty and destroy
+    * the sole copy. A stale `.old` next to a live `dst` (died after commit,
+    * before cleanup) is NOT restored; it is deleted by the commit sequence.
+    */
+  private def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                                 dst: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(dst) && fs.exists(old)) renameOrThrow(fs, old, dst)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    if (buckets > 0 && fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
+        val b = s.getPath.getName.stripPrefix(".old_")
+        val bucketDst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
+        if (!fs.exists(bucketDst)) renameOrThrow(fs, s.getPath, bucketDst)
+      }
+    }
+  }
+
   private def doWrite(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
     require(schema.primaryKeys.nonEmpty, s"upsert sink requires primary keys on $id")
     val spark = changelog.sparkSession
     val path = tablePath(id)
     val fs = hfs(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
+    recoverCrashedSwap(fs, path, dst)
 
     val cols = schema.columnNames.map(col)
     val incoming = changelog.select(cols :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol): _*)
@@ -223,17 +245,73 @@ final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
     try { val st = c.createStatement(); st.execute(sql); st.close() } finally c.close()
   }
 
+  /** Lossless type transitions per current information_schema type name:
+    * only these are auto-applied. Everything else (narrowing, lossy casts)
+    * is destructive and gated — the reference applier logs and skips
+    * changes it won't do (DsqlSink.java:81-89).
+    */
+  private val widensTo: Map[String, Set[String]] = Map(
+    "smallint" -> Set("integer", "bigint", "real", "double precision", "numeric", "text"),
+    "integer" -> Set("bigint", "double precision", "numeric", "text"),
+    "bigint" -> Set("numeric", "text"),
+    "real" -> Set("double precision", "text"),
+    "double precision" -> Set("text"),
+    "numeric" -> Set("text"),
+    "character varying" -> Set("text"),
+    "date" -> Set("timestamp without time zone", "timestamp with time zone", "text"),
+    "timestamp without time zone" -> Set("timestamp with time zone", "text"),
+    "boolean" -> Set("text")
+  )
+
+  /** information_schema type name of a live column (None when absent). */
+  private def currentType(id: TableId, column: String): Option[String] = {
+    val c = connectionFactory()
+    try {
+      val st = c.prepareStatement(
+        "SELECT data_type FROM information_schema.columns " +
+          "WHERE table_schema = ? AND table_name = ? AND column_name = ?")
+      st.setString(1, if (id.schemaName.nonEmpty) id.schemaName else "public")
+      st.setString(2, id.tableName)
+      st.setString(3, column)
+      val rs = st.executeQuery()
+      val r = if (rs.next()) Some(rs.getString(1).toLowerCase) else None
+      st.close()
+      r
+    } finally c.close()
+  }
+
+  /** DDL-type string → information_schema data_type name. */
+  private def infoSchemaName(ddlType: String): String = ddlType.toLowerCase match {
+    case t if t.startsWith("numeric") => "numeric"
+    case "timestamptz" => "timestamp with time zone"
+    case "timestamp" => "timestamp without time zone"
+    case t => t
+  }
+
   override def applySchemaChange(e: SchemaChangeEvent): Unit = e match {
     case CreateTableEvent(id, s) => exec(UpsertSql.createTable(id, s))
     case AddColumnEvent(id, n, dt, pos) => exec(UpsertSql.addColumn(id, n, dt, pos))
     case DropColumnEvent(id, n) => exec(UpsertSql.dropColumn(id, n))
     case RenameColumnEvent(id, f, t2) => exec(UpsertSql.renameColumn(id, f, t2))
     case TruncateTableEvent(id) => exec(UpsertSql.truncate(id))
-    // widening alters are safe to auto-apply (the registry only ever widens
-    // under LENIENT/EVOLVE — SchemaRegistry.scala); table drops are
-    // destructive and gated, matching the reference applier which logs and
-    // skips what it won't do (DsqlSink.java:81-89).
-    case AlterColumnTypeEvent(id, n, dt) => exec(UpsertSql.alterColumnType(id, n, dt))
+    // the sink is public API, so it cannot assume only the widening registry
+    // sends AlterColumnType: verify the transition against the live column
+    // type and auto-apply only lossless widenings; anything else needs the
+    // applyDestructive opt-in (the USING ::type cast would let a narrowing
+    // change succeed lossily).
+    case AlterColumnTypeEvent(id, n, dt) =>
+      val target = infoSchemaName(UpsertSql.pgType(dt))
+      val safe = currentType(id, n) match {
+        case Some(cur) => cur == target || widensTo.getOrElse(cur, Set.empty).contains(target)
+        case None => false // unknown column: nothing safe to verify against
+      }
+      if (safe || applyDestructive) exec(UpsertSql.alterColumnType(id, n, dt))
+      else {
+        // scalastyle:off println
+        println(s"[graft-sink] SKIP non-widening AlterColumnType $id.$n -> $target " +
+          "(set applyDestructive=true to force)")
+        // scalastyle:on
+      }
     case DropTableEvent(id) => if (applyDestructive) exec(UpsertSql.dropTable(id))
   }
 

@@ -137,26 +137,50 @@ object UpsertSql {
     case object MySql extends Dialect
   }
 
+  /** CDC type → MySQL DDL type (the MySql dialect cannot reuse [[pgType]]:
+    * TIMESTAMPTZ / DOUBLE PRECISION / BYTEA are not MySQL types).
+    */
+  def mysqlType(dt: DataType): String = dt match {
+    case BooleanType => "TINYINT(1)"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP(6)"
+    case TimestampNTZType => "DATETIME(6)"
+    case BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+
   /** DDL for a schema change applied by the sink's MetadataApplier
-    * (common/sink/MetadataApplier.java:33-50).
+    * (common/sink/MetadataApplier.java:33-50). `IF NOT EXISTS` is
+    * PostgreSQL-only (MySQL proper rejects it; only MariaDB accepts it),
+    * so the MySql dialect emits plain ADD COLUMN — appliers there rely on
+    * the registry not re-sending applied events.
     */
   def addColumn(id: TableId, name: String, dt: DataType,
                 position: graft.model.ColumnPosition = graft.model.ColumnPosition.Last,
                 dialect: Dialect = Dialect.Postgres): String = {
     import graft.model.ColumnPosition
-    val posClause = dialect match {
-      case Dialect.Postgres => "" // PG appends; logical order kept in the registry
-      case Dialect.MySql => position match {
-        case ColumnPosition.Last => ""
-        case ColumnPosition.First => " FIRST"
-        case ColumnPosition.Before(other) =>
-          // MySQL has no BEFORE — the reference normalizes BEFORE(x) to AFTER(predecessor-of-x)
-          // at the applier (AddColumnEvent.java:48-75); here the caller resolves it.
-          throw new IllegalArgumentException(s"BEFORE($other) must be resolved to AFTER(...) for MySQL DDL")
-        case ColumnPosition.After(other) => s" AFTER ${q(other)}"
-      }
+    dialect match {
+      case Dialect.Postgres => // PG appends; logical order kept in the registry
+        s"ALTER TABLE ${qualified(id)} ADD COLUMN IF NOT EXISTS ${q(name)} ${pgType(dt)}"
+      case Dialect.MySql =>
+        val posClause = position match {
+          case ColumnPosition.Last => ""
+          case ColumnPosition.First => " FIRST"
+          case ColumnPosition.Before(other) =>
+            // MySQL has no BEFORE — the reference normalizes BEFORE(x) to AFTER(predecessor-of-x)
+            // at the applier (AddColumnEvent.java:48-75); here the caller resolves it.
+            throw new IllegalArgumentException(s"BEFORE($other) must be resolved to AFTER(...) for MySQL DDL")
+          case ColumnPosition.After(other) => s" AFTER ${q(other)}"
+        }
+        s"ALTER TABLE ${qualified(id)} ADD COLUMN ${q(name)} ${mysqlType(dt)}$posClause"
     }
-    s"ALTER TABLE ${qualified(id)} ADD COLUMN IF NOT EXISTS ${q(name)} ${pgType(dt)}$posClause"
   }
   def dropColumn(id: TableId, name: String): String =
     s"ALTER TABLE ${qualified(id)} DROP COLUMN IF EXISTS ${q(name)}"

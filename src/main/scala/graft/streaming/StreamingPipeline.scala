@@ -203,14 +203,18 @@ final class StreamingPipeline(
       // marker also hits it. isControl strictly validates (top-level JSON
       // field), and only the validated lines are excluded from the data
       // path — false hits remain ordinary data rows.
-      val ctrl = allTagged.where(isCtrl)
+      val hits = allTagged.where(isCtrl)
         .select("value").collect().map(_.getString(0))
-        .filter(graft.model.SchemaChangeJson.isControl)
+      val (ctrl, falseHits) = hits.partition(graft.model.SchemaChangeJson.isControl)
       // apply in-band DDL BEFORE the batch's data, so a CreateTable and its
       // first rows can share a batch
       ctrl.map(graft.model.SchemaChangeJson.parse).foreach(applySchemaChange)
+      // exclude control rows by the (already-computed) prefilter predicate and
+      // re-admit only the rare false hits: a DDL storm then costs one NOT
+      // contains(), not an In-list over every control string in the batch
       val tagged = if (ctrl.isEmpty) allTagged
-                   else allTagged.where(!col("value").isin(ctrl.toSeq: _*))
+                   else if (falseHits.isEmpty) allTagged.where(!isCtrl)
+                   else allTagged.where(!isCtrl || col("value").isin(falseHits.toSeq: _*))
 
       val present = tagged.select("__db", "__table").distinct().collect()
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))

@@ -96,4 +96,49 @@ class ParquetSinkCommitSpec extends SparkSpec {
     val _ = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(root), true)
   }
+
+  test("crash between the two swap renames is recovered, not destroyed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val sink = new ParquetUpsertSink(root)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L)), schema)
+
+    // simulate a process death between rename(dst -> old) and
+    // rename(tmp -> dst): the only copy of table state sits under .old
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(sink.tablePath(id))
+    assert(fs.rename(dst, new Path(sink.tablePath(id) + ".old")))
+    assert(!fs.exists(dst))
+
+    // next write must restore .old first — treating the table as empty
+    // would silently drop keys 1 and 2
+    sink.write(id, batch((3L, "c", "INSERT", 3L)), schema)
+    assert(sink.read(spark, id).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!fs.exists(new Path(sink.tablePath(id) + ".old")))
+    val _ = fs.delete(new Path(root), true)
+  }
+
+  test("crash with a displaced bucket under .tmp is recovered on next write") {
+    val root = java.nio.file.Files.createTempDirectory("graft-crash-b").toString
+    val sink = new ParquetUpsertSink(root, buckets = 4)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L),
+      (3L, "c", "INSERT", 3L), (4L, "d", "INSERT", 4L)), schema)
+
+    // find a live bucket and displace it the way a mid-swap crash would:
+    // bucket dir moved to .tmp/.old_N, replacement never swapped in
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tablePath = sink.tablePath(id)
+    val liveBucket = fs.listStatus(new Path(tablePath))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket=")).head
+    val b = liveBucket.stripPrefix("__bucket=")
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp")))
+    assert(fs.rename(new Path(s"$tablePath/$liveBucket"), new Path(s"$tablePath.tmp/.old_$b")))
+
+    // next write (touching any bucket) must first restore the displaced one;
+    // before recovery the overwrite of .tmp would destroy its only copy
+    sink.write(id, batch((1L, "a2", "UPDATE", 9L)), schema)
+    assert(sink.read(spark, id).as[(Long, String)].collect().toSet ===
+      Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val _ = fs.delete(new Path(root), true)
+  }
 }

@@ -242,6 +242,35 @@ class PgUpsertSinkSpec extends SparkSpec {
       "SELECT count(*) FROM information_schema.tables WHERE table_name = 'evolve_t'").head === Seq(0L))
   }
 
+  test("non-widening AlterColumnType is gated; widening auto-applies") {
+    assume(pg.isDefined, "no PostgreSQL server available")
+    val p = pg.get
+    val id = TableId.of("public", "gate_t")
+    sql(p, UpsertSql.dropTable(id))
+    val sink = new JdbcUpsertSink(cf(p)) // applyDestructive = false
+    sink.applySchemaChange(CreateTableEvent(id,
+      CdcSchema.of("id" -> "BIGINT", "amount" -> "DOUBLE").copy(primaryKeys = Seq("id"))))
+
+    def colType(c: String): String = queryRows(p,
+      s"""SELECT data_type FROM information_schema.columns
+         |WHERE table_name = 'gate_t' AND column_name = '$c'""".stripMargin).head.head.toString
+
+    // narrowing DOUBLE -> INT would round values via USING ::type: must be
+    // skipped (logged), leaving the live column untouched
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "amount", org.apache.spark.sql.types.IntegerType))
+    assert(colType("amount") === "double precision")
+
+    // widening DOUBLE -> TEXT is lossless: auto-applied without the opt-in
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "amount", org.apache.spark.sql.types.StringType))
+    assert(colType("amount") === "text")
+
+    // the destructive opt-in forces the narrowing through
+    val forced = new JdbcUpsertSink(cf(p), applyDestructive = true)
+    forced.applySchemaChange(AlterColumnTypeEvent(id, "id", org.apache.spark.sql.types.IntegerType))
+    assert(colType("id") === "integer")
+    sql(p, UpsertSql.dropTable(id))
+  }
+
   test("streaming pipeline lands debezium batches in the live database") {
     assume(pg.isDefined, "no PostgreSQL server available")
     val p = pg.get
