@@ -81,7 +81,7 @@ object Cli {
     // models — usable in streaming transform projections/filters too
     graft.functions.CdcFunctions.register(spark, p.localTimeZone)
     graft.functions.CorpusFunctions.register(spark)
-    p.udfs.foreach(u => graft.functions.CdcUdf.fromClasspath(spark, u.classpath))
+    p.udfs.foreach(u => graft.functions.CdcUdf.fromClasspath(spark, u.classpath, Some(u.name)))
     p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
 
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))

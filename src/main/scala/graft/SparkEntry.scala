@@ -177,6 +177,31 @@ object SparkEntry {
       Changelog.materialize(back, Seq("user_id"))
     },
 
+    "q_functions_time" -> { (spark, dir) =>
+      // TIME(p) → INT millis-of-day and TIMESTAMP_TZ → instant conventions
+      // (model/CdcTypes.scala:11-14) proven end-to-end: build a changelog
+      // whose payload uses both conventions, serialize it over the debezium
+      // wire format, parse it back at a schema declared in REFERENCE type
+      // syntax (so CdcTypes.parse is on the path), materialize, and emit the
+      // survivors' time values for DuckDB's independent time math to check
+      implicit val s: SparkSession = spark
+      val id = TableId.of("db", "events_time")
+      val ev = t(dir, "events").select(
+        col("user_id"),
+        expr("CAST(((ts DIV 1000) % 86400000000) DIV 1000 AS INT)").as("t_time"),
+        expr("TIMESTAMP_MICROS(ts DIV 1000)").as("t_tz"),
+        lit("REPLACE").as(Changelog.OpCol),
+        col("event_id").as(Changelog.SeqCol))
+      val json = graft.sinks.ChangelogJson.debezium(ev, id)
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", graft.model.CdcTypes.parse("BIGINT")),
+        org.apache.spark.sql.types.StructField("t_time", graft.model.CdcTypes.parse("TIME(3)")),
+        org.apache.spark.sql.types.StructField("t_tz", graft.model.CdcTypes.parse("TIMESTAMP_TZ(6)"))))
+      val back = graft.sources.DebeziumJson.parse(json, payload).drop("__db", "__table")
+      Changelog.materialize(back, Seq("user_id"))
+        .select(col("user_id"), col("t_time"), unix_micros(col("t_tz")).as("t_tz_us"))
+    },
+
     "q_canal_roundtrip" -> { (spark, dir) =>
       // canal-json wire path is lossless too; same oracle as q_materialize
       val id = TableId.of("db", "events")
@@ -719,6 +744,14 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "q_yaml_corpus" -> yamlCorpusOracleSql,
+
+    "q_functions_time" ->
+      """SELECT user_id,
+        |  CAST((epoch_us(ts) % 86400000000) // 1000 AS INTEGER) AS t_time,
+        |  epoch_us(ts) AS t_tz_us
+        |FROM (SELECT user_id, ts,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
 
     "q_canal_roundtrip" ->
       """SELECT user_id, event_type, value FROM (

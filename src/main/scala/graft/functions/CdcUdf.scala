@@ -42,11 +42,84 @@ object CdcUdf {
     }
   }
 
-  /** Instantiate by classpath like the reference's UDF descriptor
-    * (runtime/operators/transform/UserDefinedFunctionDescriptor.java:85-103).
+  /** Java/Scala eval-method return class → Spark type, for UDF classes that
+    * declare no CDC return type (the Flink-`ScalarFunction` shape).
     */
-  def fromClasspath(spark: SparkSession, className: String): CdcUdf = {
-    val u = Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[CdcUdf]
+  private def sparkTypeOf(c: Class[_]): DataType = {
+    import org.apache.spark.sql.types._
+    c match {
+      case x if x == classOf[String] => StringType
+      case x if x == java.lang.Integer.TYPE || x == classOf[java.lang.Integer] => IntegerType
+      case x if x == java.lang.Long.TYPE || x == classOf[java.lang.Long] => LongType
+      case x if x == java.lang.Double.TYPE || x == classOf[java.lang.Double] => DoubleType
+      case x if x == java.lang.Float.TYPE || x == classOf[java.lang.Float] => FloatType
+      case x if x == java.lang.Boolean.TYPE || x == classOf[java.lang.Boolean] => BooleanType
+      case x if x == java.lang.Short.TYPE || x == classOf[java.lang.Short] => ShortType
+      case x if x == java.lang.Byte.TYPE || x == classOf[java.lang.Byte] => ByteType
+      case x if x == classOf[Array[Byte]] => BinaryType
+      case x if x == classOf[java.math.BigDecimal] => DecimalType(38, 18)
+      case x if x == classOf[java.sql.Timestamp] => TimestampType
+      case x if x == classOf[java.sql.Date] => DateType
+      case other => throw new IllegalArgumentException(
+        s"cannot infer a Spark type for eval() returning $other; implement CdcUdf.returnType")
+    }
+  }
+
+  /** Adapt any class with a public `eval(...)` method — the reference accepts
+    * both its own `UserDefinedFunction` and plain Flink-`ScalarFunction`
+    * classes by duck-typing on `eval`
+    * (runtime/operators/transform/UserDefinedFunctionDescriptor.java:85-103).
+    * Return type comes from the eval signature; `open()`/`close()` lifecycle
+    * methods are honored when present.
+    */
+  private def adaptEvalClass(cls: Class[_], inst: Any, udfName: String): CdcUdf = {
+    val evals = cls.getMethods.filter(m => m.getName == "eval" && !m.isBridge)
+    require(evals.nonEmpty, s"${cls.getName} is neither a CdcUdf nor has an eval() method")
+    // overloads: the reference registers one eval per descriptor; pick the
+    // highest-arity declared overload deterministically
+    val m = evals.sortBy(e => (-e.getParameterCount, e.toString)).head
+    val rt = sparkTypeOf(m.getReturnType)
+    def lifecycle(name: String): Unit =
+      cls.getMethods.find(x => x.getName == name && x.getParameterCount == 0)
+        .foreach(_.invoke(inst))
+    new CdcUdf {
+      override def name: String = udfName
+      override def returnType: DataType = rt
+      override def arity: Int = m.getParameterCount
+      override def eval(args: Seq[Any]): Any =
+        m.invoke(inst, args.map(_.asInstanceOf[AnyRef]): _*)
+      override def open(): Unit = lifecycle("open")
+      override def close(): Unit = lifecycle("close")
+    }
+  }
+
+  /** Instantiate by classpath like the reference's UDF descriptor
+    * (runtime/operators/transform/UserDefinedFunctionDescriptor.java:85-103):
+    * a [[CdcUdf]] registers as-is; any other class with a public `eval`
+    * method is adapted (Flink-`ScalarFunction` compatibility). `name`
+    * overrides the function name (the YAML `user-defined-function: {name}`),
+    * falling back to the UDF's own / the class simple name.
+    */
+  def fromClasspath(spark: SparkSession, className: String,
+                    name: Option[String] = None): CdcUdf = {
+    val cls = Class.forName(className)
+    val inst = cls.getDeclaredConstructor().newInstance()
+    val u = inst match {
+      case c: CdcUdf =>
+        name match {
+          case Some(n) if n != c.name => new CdcUdf {
+            override def name: String = n
+            override def returnType: DataType = c.returnType
+            override def arity: Int = c.arity
+            override def eval(args: Seq[Any]): Any = c.eval(args)
+            override def open(): Unit = c.open()
+            override def close(): Unit = c.close()
+          }
+          case _ => c
+        }
+      case other =>
+        adaptEvalClass(cls, other, name.getOrElse(cls.getSimpleName.toLowerCase))
+    }
     register(spark, u)
     u
   }

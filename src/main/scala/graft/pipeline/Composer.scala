@@ -37,7 +37,7 @@ object Composer {
   def composeBatch(spark: SparkSession, p: PipelineDef): Map[TableId, DataFrame] = {
     CdcFunctions.register(spark, p.localTimeZone)
     graft.functions.CorpusFunctions.register(spark)
-    p.udfs.foreach(u => CdcUdf.fromClasspath(spark, u.classpath))
+    p.udfs.foreach(u => CdcUdf.fromClasspath(spark, u.classpath, Some(u.name)))
     p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
 
     val dir = p.source.options.getOrElse("path",

@@ -4,6 +4,7 @@ import graft.model.TableId
 import graft.operators.Changelog
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Changelog → JSON wire formats for the Kafka sink.
   *
@@ -16,6 +17,15 @@ import org.apache.spark.sql.functions._
   * codegen'd, no shuffle.
   */
 object ChangelogJson {
+
+  /** JSON options for the changelog wire: microsecond timestamp precision
+    * both ways — the to_json/from_json default is milliseconds, which would
+    * silently truncate every TIMESTAMP/TIMESTAMP_LTZ column crossing the
+    * Kafka path (the reference's debezium-json carries epoch micros).
+    */
+  val WireJsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
   private def payloadCols(df: DataFrame): Seq[Column] =
     df.columns.filterNot(c => c == Changelog.OpCol || c == Changelog.SeqCol)
@@ -38,7 +48,7 @@ object ChangelogJson {
         debeziumOp.as("op"),
         col(Changelog.SeqCol).as("ts_ms"), // seq rides in ts_ms: round-trip keeps per-key order
         struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
-      )).as("value"))
+      ), WireJsonOptions.asJava).as("value"))
   }
 
   /** canal-json shape (`ts` carries the sequence like canal's ms clock). */
@@ -53,6 +63,6 @@ object ChangelogJson {
           .otherwise("INSERT").as("type"),
         col(Changelog.SeqCol).as("ts"),
         struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
-      )).as("value"))
+      ), WireJsonOptions.asJava).as("value"))
   }
 }

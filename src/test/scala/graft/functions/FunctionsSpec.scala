@@ -72,6 +72,38 @@ class CdcFunctionsSpec extends SparkSpec {
     })
     assert(Seq(41).toDF("x").selectExpr("ADD_ONE(x)").as[Int].head() === 42)
   }
+
+  test("Flink-ScalarFunction-shaped classes load by classpath (eval duck-typing)") {
+    // graft.functions.PlainEvalUdf is NOT a CdcUdf — just a class with eval()
+    // + open(), the other shape the reference's descriptor accepts
+    // (UserDefinedFunctionDescriptor.java:85-103)
+    val u = CdcUdf.fromClasspath(spark, "graft.functions.PlainEvalUdf", Some("SHOUT"))
+    assert(u.name === "SHOUT")
+    assert(u.returnType === StringType)
+    assert(Seq("hey").toDF("s").selectExpr("SHOUT(s)").as[String].head() === "HEY!")
+    assert(PlainEvalUdf.opened.get(), "open() lifecycle must run")
+
+    // a CdcUdf class loaded through the same path keeps working, renamed
+    val r = CdcUdf.fromClasspath(spark, "graft.functions.RenamableUdf", Some("PLUS2"))
+    assert(r.name === "PLUS2")
+    assert(Seq(40).toDF("x").selectExpr("PLUS2(x)").as[Int].head() === 42)
+  }
+}
+
+/** Fixture: the Flink-`ScalarFunction` shape — no CdcUdf, just eval/open. */
+class PlainEvalUdf {
+  def open(): Unit = PlainEvalUdf.opened.set(true)
+  def eval(s: String): String = if (s == null) null else s.toUpperCase + "!"
+}
+object PlainEvalUdf {
+  val opened = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
+/** Fixture: a CdcUdf whose YAML name differs from its own. */
+class RenamableUdf extends CdcUdf {
+  def name = "ADD_TWO"
+  def returnType: DataType = IntegerType
+  def eval(args: Seq[Any]): Any = args.head.asInstanceOf[Int] + 2
 }
 
 class CatalystExpressionsSpec extends SparkSpec {
