@@ -67,13 +67,18 @@ object Cli {
 
   /** Build the streaming pipeline + launch the query; factored out so tests
     * can drive it with `Trigger.AvailableNow` instead of awaiting forever.
-    * Returns (pipeline, sink, running query).
+    * Returns (pipeline, sink, running query). `kafkaWriter` substitutes the
+    * Kafka producer for tests / embedded runs (the connector jar ships
+    * separately — [[graft.sinks.KafkaChangelogSink]] is classpath-guarded).
     */
-  def buildStreaming(spark: SparkSession, p: PipelineDef,
-                     trigger: Trigger): (StreamingPipeline, ParquetUpsertSink,
-                                         org.apache.spark.sql.streaming.StreamingQuery) = {
+  def buildStreaming(spark: SparkSession, p: PipelineDef, trigger: Trigger,
+                     kafkaWriter: Option[org.apache.spark.sql.DataFrame => Unit] = None)
+      : (StreamingPipeline, graft.sinks.CdcSink,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
     val inPath = p.source.options.getOrElse("path",
       throw new IllegalArgumentException("debezium-json source needs `path`"))
+    // `path` doubles as the state dir (checkpoint + startup anchor) for every
+    // streaming sink kind; the parquet-upsert sink also materializes there
     val outPath = p.sink.options.getOrElse("path",
       throw new IllegalArgumentException("streaming sink needs `path`"))
 
@@ -86,7 +91,16 @@ object Cli {
 
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
     val buckets = p.sink.options.getOrElse("buckets", "32").toInt
-    val sink = new ParquetUpsertSink(outPath, buckets)
+    val sink: graft.sinks.CdcSink = p.sink.kind match {
+      case "kafka" => new graft.sinks.KafkaChangelogSink(
+        p.sink.options.getOrElse("properties.bootstrap.servers",
+          throw new IllegalArgumentException(
+            "kafka sink needs `properties.bootstrap.servers`")),
+        p.sink.options.getOrElse("topic", ""),
+        p.sink.options.getOrElse("value.format", "debezium-json"),
+        kafkaWriter)
+      case _ => new ParquetUpsertSink(outPath, buckets)
+    }
     val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink)
 
     // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`

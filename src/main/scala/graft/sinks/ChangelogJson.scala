@@ -1,6 +1,6 @@
 package graft.sinks
 
-import graft.model.TableId
+import graft.model.{CdcSchema, TableId}
 import graft.operators.Changelog
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -65,4 +65,57 @@ object ChangelogJson {
         struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
       ), WireJsonOptions.asJava).as("value"))
   }
+}
+
+/** Kafka changelog sink — the `sink: {type: kafka}` seam of the reference's
+  * Kafka pipeline connector (flink-cdc-pipeline-connector-kafka/.../
+  * KafkaDataSink.java + ChangeLogJsonFormatFactory.java: `value.format` is
+  * debezium-json or canal-json; records go to `topic`, defaulting to the
+  * table identifier).
+  *
+  * Each batch serializes through [[ChangelogJson]] (pure codegen'd
+  * projection) and lands via `df.write.format("kafka")`. The Spark↔Kafka
+  * connector is a separate artifact, so the write path is CLASSPATH-GUARDED:
+  * without `spark-sql-kafka-0-10` on board, construction-time config still
+  * works (YAML parse, serialization) and `write` fails loudly — or a test /
+  * embedded deployment injects `writer` to capture the wire frames.
+  */
+final class KafkaChangelogSink(
+    bootstrapServers: String,
+    topic: String = "",
+    valueFormat: String = "debezium-json",
+    writer: Option[DataFrame => Unit] = None) extends CdcSink {
+
+  def topicFor(id: TableId): String =
+    if (topic.nonEmpty) topic else id.identifier.replace('.', '_')
+
+  /** Changelog → one `value` string column in the configured wire format. */
+  def serialize(id: TableId, changelog: DataFrame): DataFrame = valueFormat match {
+    case "debezium-json" => ChangelogJson.debezium(changelog, id)
+    case "canal-json" => ChangelogJson.canal(changelog, id)
+    case other => throw new IllegalArgumentException(
+      s"unknown value.format: $other (expected debezium-json or canal-json)")
+  }
+
+  override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
+    val json = serialize(id, changelog)
+    writer match {
+      case Some(w) => w(json)
+      case None =>
+        require(KafkaChangelogSink.connectorAvailable,
+          "Kafka sink configured but the spark-sql-kafka connector is not on the " +
+            "classpath; add org.apache.spark:spark-sql-kafka-0-10 to the deployment")
+        json.write.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrapServers)
+          .option("topic", topicFor(id))
+          .save()
+    }
+  }
+}
+
+object KafkaChangelogSink {
+  /** The Kafka DataSource ships separately from Spark core. */
+  lazy val connectorAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
 }

@@ -67,7 +67,8 @@ class CliSpec extends SparkSpec {
       dbzLine("c", 1, """{"id":1,"name":"ann","age":30}""") + "\n" +
       dbzLine("c", 2, """{"id":2,"name":"bob","age":40}""") + "\n")
 
-    val (_, sink, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val (_, s1, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val sink = s1.asInstanceOf[graft.sinks.ParquetUpsertSink]
     q1.awaitTermination(60000)
     val users = TableId.of("db", "users")
     def state = sink.read(spark, users).orderBy("id")

@@ -63,13 +63,15 @@ class StartupOptionsSpec extends SparkSpec {
          |  buckets: 2
          |""".stripMargin)
     // first launch: anchors at the backlog position (ts 20), processes nothing
-    val (_, sink1, q1) = graft.Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val (_, s1, q1) = graft.Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val sink1 = s1.asInstanceOf[graft.sinks.ParquetUpsertSink]
     q1.awaitTermination(60000)
     assert(!new java.io.File(sink1.tablePath(graft.model.TableId.of("db", "users"))).exists())
     // new data after launch; restart resumes from the PERSISTED anchor
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/new.json"),
       line(3, 30) + "\n")
-    val (_, sink, q) = graft.Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val (_, s2, q) = graft.Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    val sink = s2.asInstanceOf[graft.sinks.ParquetUpsertSink]
     q.awaitTermination(60000)
     val ids = sink.read(spark, graft.model.TableId.of("db", "users"))
       .select("id").collect().map(_.getLong(0)).toSeq.sorted
