@@ -72,25 +72,45 @@ object CdcUdf {
     * Return type comes from the eval signature; `open()`/`close()` lifecycle
     * methods are honored when present.
     */
-  private def adaptEvalClass(cls: Class[_], inst: Any, udfName: String): CdcUdf = {
+  private def resolveEval(cls: Class[_]): java.lang.reflect.Method = {
     val evals = cls.getMethods.filter(m => m.getName == "eval" && !m.isBridge)
     require(evals.nonEmpty, s"${cls.getName} is neither a CdcUdf nor has an eval() method")
     // overloads: the reference registers one eval per descriptor; pick the
     // highest-arity declared overload deterministically
-    val m = evals.sortBy(e => (-e.getParameterCount, e.toString)).head
-    val rt = sparkTypeOf(m.getReturnType)
-    def lifecycle(name: String): Unit =
-      cls.getMethods.find(x => x.getName == name && x.getParameterCount == 0)
-        .foreach(_.invoke(inst))
-    new CdcUdf {
-      override def name: String = udfName
-      override def returnType: DataType = rt
-      override def arity: Int = m.getParameterCount
-      override def eval(args: Seq[Any]): Any =
-        m.invoke(inst, args.map(_.asInstanceOf[AnyRef]): _*)
-      override def open(): Unit = lifecycle("open")
-      override def close(): Unit = lifecycle("close")
+    evals.sortBy(e => (-e.getParameterCount, e.toString)).head
+  }
+
+  /** Serializable adapter: `java.lang.reflect.Method` (and an arbitrary UDF
+    * instance) cannot ship in a task closure, so only the CLASS NAME is
+    * captured — instance and method re-resolve lazily on each JVM (driver
+    * for registration, every executor the first time a task evaluates the
+    * UDF). `open()` therefore runs once per executor too, which is the
+    * lifecycle a codec/model-loading UDF actually wants.
+    */
+  private final class EvalClassUdf(className: String, udfName: String,
+                                   val returnType: DataType, val evalArity: Int)
+      extends CdcUdf {
+    @transient private lazy val cls = Class.forName(className)
+    @transient private lazy val inst = {
+      val i = cls.getDeclaredConstructor().newInstance()
+      lifecycle("open", i)
+      i
     }
+    @transient private lazy val method = resolveEval(cls)
+    private def lifecycle(name: String, on: Any): Unit =
+      cls.getMethods.find(x => x.getName == name && x.getParameterCount == 0)
+        .foreach(_.invoke(on))
+    override def name: String = udfName
+    override def arity: Int = evalArity
+    override def eval(args: Seq[Any]): Any =
+      method.invoke(inst, args.map(_.asInstanceOf[AnyRef]): _*)
+    override def open(): Unit = { val _ = inst }
+    override def close(): Unit = lifecycle("close", inst)
+  }
+
+  private def adaptEvalClass(cls: Class[_], udfName: String): CdcUdf = {
+    val m = resolveEval(cls)
+    new EvalClassUdf(cls.getName, udfName, sparkTypeOf(m.getReturnType), m.getParameterCount)
   }
 
   /** Instantiate by classpath like the reference's UDF descriptor
@@ -117,8 +137,8 @@ object CdcUdf {
           }
           case _ => c
         }
-      case other =>
-        adaptEvalClass(cls, other, name.getOrElse(cls.getSimpleName.toLowerCase))
+      case _ =>
+        adaptEvalClass(cls, name.getOrElse(cls.getSimpleName.toLowerCase))
     }
     register(spark, u)
     u

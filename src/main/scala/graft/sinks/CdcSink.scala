@@ -129,7 +129,12 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
       fs.listStatus(tmp).filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
         val b = s.getPath.getName.stripPrefix(".old_")
         val bucketDst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
-        if (!fs.exists(bucketDst)) renameOrThrow(fs, s.getPath, bucketDst)
+        // `.done_N` marks a COMPLETED swap decision: a displaced copy whose
+        // bucket was legitimately emptied by deletes (dst stays absent by
+        // design) must NOT be resurrected — only a marker-less displaced
+        // bucket is a mid-swap crash
+        val done = new org.apache.hadoop.fs.Path(s"${tmp.toString}/.done_$b")
+        if (!fs.exists(bucketDst) && !fs.exists(done)) renameOrThrow(fs, s.getPath, bucketDst)
       }
     }
   }
@@ -220,6 +225,9 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
               throw e
           }
         }
+        // swap decision for bucket b is final (swapped in, or emptied on
+        // purpose): the marker tells crash recovery not to restore .old_N
+        if (hadState) { val _ = fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/.done_$b")) }
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       ()
@@ -227,7 +235,13 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, id: TableId): DataFrame = {
-    val df = spark.read.parquet(tablePath(id))
+    val path = tablePath(id)
+    // a crashed swap may have left the only state copy displaced; readers
+    // recover it too, not just the next write
+    tableLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      recoverCrashedSwap(hfs(spark, path), path, new org.apache.hadoop.fs.Path(path))
+    }
+    val df = spark.read.parquet(path)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 }
@@ -251,9 +265,10 @@ final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
     * changes it won't do (DsqlSink.java:81-89).
     */
   private val widensTo: Map[String, Set[String]] = Map(
-    "smallint" -> Set("integer", "bigint", "real", "double precision", "numeric", "text"),
-    "integer" -> Set("bigint", "double precision", "numeric", "text"),
-    "bigint" -> Set("numeric", "text"),
+    // int→DECIMAL transitions are judged precision-aware in applySchemaChange
+    "smallint" -> Set("integer", "bigint", "real", "double precision", "text"),
+    "integer" -> Set("bigint", "double precision", "text"),
+    "bigint" -> Set("text"),
     "real" -> Set("double precision", "text"),
     "double precision" -> Set("text"),
     "numeric" -> Set("text"),
@@ -263,22 +278,42 @@ final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
     "boolean" -> Set("text")
   )
 
-  /** information_schema type name of a live column (None when absent). */
-  private def currentType(id: TableId, column: String): Option[String] = {
+  /** information_schema (type name, numeric precision, numeric scale) of a
+    * live column (None when absent). Precision/scale are None for
+    * non-numeric and for UNCONSTRAINED numeric columns.
+    */
+  private def currentType(id: TableId, column: String): Option[(String, Option[Int], Option[Int])] = {
     val c = connectionFactory()
     try {
       val st = c.prepareStatement(
-        "SELECT data_type FROM information_schema.columns " +
+        "SELECT data_type, numeric_precision, numeric_scale FROM information_schema.columns " +
           "WHERE table_schema = ? AND table_name = ? AND column_name = ?")
       st.setString(1, if (id.schemaName.nonEmpty) id.schemaName else "public")
       st.setString(2, id.tableName)
       st.setString(3, column)
       val rs = st.executeQuery()
-      val r = if (rs.next()) Some(rs.getString(1).toLowerCase) else None
+      val r = if (rs.next()) {
+        def optInt(i: Int): Option[Int] = {
+          val v = rs.getInt(i); if (rs.wasNull()) None else Some(v)
+        }
+        Some((rs.getString(1).toLowerCase, optInt(2), optInt(3)))
+      } else None
       st.close()
       r
     } finally c.close()
   }
+
+  /** NUMERIC(p,s) → NUMERIC(p',s') is lossless only when the scale does not
+    * shrink AND the integer-digit headroom (p−s) does not shrink —
+    * information_schema reports 'numeric' for every precision, so the name
+    * comparison alone would wave narrowings through.
+    */
+  private def decimalWidens(cur: (Option[Int], Option[Int]), target: org.apache.spark.sql.types.DecimalType): Boolean =
+    cur match {
+      case (Some(p), Some(s)) =>
+        target.scale >= s && (target.precision - target.scale) >= (p - s)
+      case _ => false // unconstrained numeric: only TEXT is wider
+    }
 
   /** DDL-type string → information_schema data_type name. */
   private def infoSchemaName(ddlType: String): String = ddlType.toLowerCase match {
@@ -302,7 +337,20 @@ final class JdbcUpsertSink(connectionFactory: () => java.sql.Connection,
     case AlterColumnTypeEvent(id, n, dt) =>
       val target = infoSchemaName(UpsertSql.pgType(dt))
       val safe = currentType(id, n) match {
-        case Some(cur) => cur == target || widensTo.getOrElse(cur, Set.empty).contains(target)
+        case Some((cur, p, s)) => dt match {
+          // a DECIMAL target is only wider when it has the scale AND the
+          // integer-digit headroom for every current value
+          case d: org.apache.spark.sql.types.DecimalType => cur match {
+            case "numeric" => decimalWidens((p, s), d)
+            case "smallint" => d.precision - d.scale >= 5
+            case "integer" => d.precision - d.scale >= 10
+            case "bigint" => d.precision - d.scale >= 19
+            case _ => false
+          }
+          case _ =>
+            (cur == target && target != "numeric") ||
+              widensTo.getOrElse(cur, Set.empty).contains(target)
+        }
         case None => false // unknown column: nothing safe to verify against
       }
       if (safe || applyDestructive) exec(UpsertSql.alterColumnType(id, n, dt))

@@ -18,10 +18,14 @@ import scala.jdk.CollectionConverters._
   */
 object ChangelogJson {
 
-  /** JSON options for the changelog wire: microsecond timestamp precision
-    * both ways — the to_json/from_json default is milliseconds, which would
-    * silently truncate every TIMESTAMP/TIMESTAMP_LTZ column crossing the
-    * Kafka path (the reference's debezium-json carries epoch micros).
+  /** JSON options for the changelog wire WRITE side: microsecond timestamp
+    * precision — the to_json default is milliseconds, which would silently
+    * truncate every TIMESTAMP/TIMESTAMP_LTZ column crossing the Kafka path
+    * (the reference's debezium-json carries epoch micros). Applied ONLY to
+    * serialization: the from_json default parser is lenient (accepts
+    * fraction-less values, space separators, and any fraction width —
+    * probed on Spark 4.1.2), while an explicit read format would reject
+    * external debezium/canal feeds whose timestamps omit the fraction.
     */
   val WireJsonOptions: Map[String, String] = Map(
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
@@ -38,33 +42,41 @@ object ChangelogJson {
       .when(col(Changelog.OpCol) === "REPLACE", "u")
       .otherwise("d")
 
-  /** One string column `value` in debezium-json; DELETE carries before-image. */
-  def debezium(changelog: DataFrame, id: TableId): DataFrame = {
+  /** The debezium-json value of one changelog row, as a column over the
+    * changelog frame (DELETE carries the before-image).
+    */
+  def debeziumValue(changelog: DataFrame, id: TableId): Column = {
     val payload = struct(payloadCols(changelog): _*)
-    changelog.select(
-      to_json(struct(
-        when(col(Changelog.OpCol) === "DELETE", payload).otherwise(lit(null)).as("before"),
-        when(col(Changelog.OpCol) =!= "DELETE", payload).otherwise(lit(null)).as("after"),
-        debeziumOp.as("op"),
-        col(Changelog.SeqCol).as("ts_ms"), // seq rides in ts_ms: round-trip keeps per-key order
-        struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
-      ), WireJsonOptions.asJava).as("value"))
+    to_json(struct(
+      when(col(Changelog.OpCol) === "DELETE", payload).otherwise(lit(null)).as("before"),
+      when(col(Changelog.OpCol) =!= "DELETE", payload).otherwise(lit(null)).as("after"),
+      debeziumOp.as("op"),
+      col(Changelog.SeqCol).as("ts_ms"), // seq rides in ts_ms: round-trip keeps per-key order
+      struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
+    ), WireJsonOptions.asJava)
   }
 
-  /** canal-json shape (`ts` carries the sequence like canal's ms clock). */
-  def canal(changelog: DataFrame, id: TableId): DataFrame = {
+  /** One string column `value` in debezium-json. */
+  def debezium(changelog: DataFrame, id: TableId): DataFrame =
+    changelog.select(debeziumValue(changelog, id).as("value"))
+
+  /** canal-json value column (`ts` carries the sequence like canal's ms clock). */
+  def canalValue(changelog: DataFrame, id: TableId): Column = {
     val payload = struct(payloadCols(changelog): _*)
-    changelog.select(
-      to_json(struct(
-        when(col(Changelog.OpCol) === "UPDATE", array(payload)).otherwise(lit(null)).as("old"),
-        array(payload).as("data"),
-        when(col(Changelog.OpCol) === "DELETE", "DELETE")
-          .when(col(Changelog.OpCol) === "UPDATE", "UPDATE")
-          .otherwise("INSERT").as("type"),
-        col(Changelog.SeqCol).as("ts"),
-        struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
-      ), WireJsonOptions.asJava).as("value"))
+    to_json(struct(
+      when(col(Changelog.OpCol) === "UPDATE", array(payload)).otherwise(lit(null)).as("old"),
+      array(payload).as("data"),
+      when(col(Changelog.OpCol) === "DELETE", "DELETE")
+        .when(col(Changelog.OpCol) === "UPDATE", "UPDATE")
+        .otherwise("INSERT").as("type"),
+      col(Changelog.SeqCol).as("ts"),
+      struct(lit(id.schemaName).as("db"), lit(id.tableName).as("table")).as("source")
+    ), WireJsonOptions.asJava)
   }
+
+  /** One string column `value` in canal-json. */
+  def canal(changelog: DataFrame, id: TableId): DataFrame =
+    changelog.select(canalValue(changelog, id).as("value"))
 }
 
 /** Kafka changelog sink — the `sink: {type: kafka}` seam of the reference's
@@ -86,19 +98,33 @@ final class KafkaChangelogSink(
     valueFormat: String = "debezium-json",
     writer: Option[DataFrame => Unit] = None) extends CdcSink {
 
+  /** Dots are legal in Kafka topic names; the reference defaults the topic
+    * to the table identifier verbatim, and so does this sink.
+    */
   def topicFor(id: TableId): String =
-    if (topic.nonEmpty) topic else id.identifier.replace('.', '_')
+    if (topic.nonEmpty) topic else id.identifier
 
-  /** Changelog → one `value` string column in the configured wire format. */
-  def serialize(id: TableId, changelog: DataFrame): DataFrame = valueFormat match {
-    case "debezium-json" => ChangelogJson.debezium(changelog, id)
-    case "canal-json" => ChangelogJson.canal(changelog, id)
-    case other => throw new IllegalArgumentException(
-      s"unknown value.format: $other (expected debezium-json or canal-json)")
+  /** Changelog → (`key`, `value`) string columns in the configured wire
+    * format. The KEY is the JSON of the primary-key columns: Kafka hashes it
+    * to a partition, so all events of one PK land in one partition and the
+    * per-key ordering the envelope's seq promises actually holds on a
+    * multi-partition topic (the reference's upsert-kafka key contract).
+    */
+  def serialize(id: TableId, changelog: DataFrame, primaryKeys: Seq[String]): DataFrame = {
+    val value = valueFormat match {
+      case "debezium-json" => ChangelogJson.debeziumValue(changelog, id)
+      case "canal-json" => ChangelogJson.canalValue(changelog, id)
+      case other => throw new IllegalArgumentException(
+        s"unknown value.format: $other (expected debezium-json or canal-json)")
+    }
+    val key =
+      if (primaryKeys.isEmpty) lit(null).cast("string")
+      else to_json(struct(primaryKeys.map(col): _*))
+    changelog.select(key.as("key"), value.as("value"))
   }
 
   override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
-    val json = serialize(id, changelog)
+    val json = serialize(id, changelog, schema.primaryKeys)
     writer match {
       case Some(w) => w(json)
       case None =>

@@ -156,6 +156,14 @@ object UpsertSql {
     case _ => "TEXT"
   }
 
+  /** MySQL identifier quoting: backticks — stock MySQL (without ANSI_QUOTES)
+    * treats double quotes as string literals.
+    */
+  private def qMy(ident: String): String = "`" + ident.replace("`", "``") + "`"
+
+  private def qualifiedMy(id: TableId): String =
+    Seq(id.schemaName, id.tableName).filter(_.nonEmpty).map(qMy).mkString(".")
+
   /** DDL for a schema change applied by the sink's MetadataApplier
     * (common/sink/MetadataApplier.java:33-50). `IF NOT EXISTS` is
     * PostgreSQL-only (MySQL proper rejects it; only MariaDB accepts it),
@@ -177,9 +185,9 @@ object UpsertSql {
             // MySQL has no BEFORE — the reference normalizes BEFORE(x) to AFTER(predecessor-of-x)
             // at the applier (AddColumnEvent.java:48-75); here the caller resolves it.
             throw new IllegalArgumentException(s"BEFORE($other) must be resolved to AFTER(...) for MySQL DDL")
-          case ColumnPosition.After(other) => s" AFTER ${q(other)}"
+          case ColumnPosition.After(other) => s" AFTER ${qMy(other)}"
         }
-        s"ALTER TABLE ${qualified(id)} ADD COLUMN ${q(name)} ${mysqlType(dt)}$posClause"
+        s"ALTER TABLE ${qualifiedMy(id)} ADD COLUMN ${qMy(name)} ${mysqlType(dt)}$posClause"
     }
   }
   def dropColumn(id: TableId, name: String): String =

@@ -37,7 +37,7 @@ object CanalJson {
     */
   def parse(df: DataFrame, payload: StructType, valueCol: String = "value",
             seq: Option[Column] = None, primaryKeys: Seq[String] = Nil): DataFrame = {
-    val parsed = df.withColumn("__cnl", from_json(col(valueCol), envelopeSchema(payload), graft.sinks.ChangelogJson.WireJsonOptions))
+    val parsed = df.withColumn("__cnl", from_json(col(valueCol), envelopeSchema(payload)))
     val op =
       when(col("__cnl.type") === "DELETE", "DELETE")
         .when(col("__cnl.type") === "UPDATE", "UPDATE")

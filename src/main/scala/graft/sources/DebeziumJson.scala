@@ -58,7 +58,7 @@ object DebeziumJson {
     */
   def parse(df: DataFrame, payload: StructType, valueCol: String = "value",
             seq: Option[Column] = None, primaryKeys: Seq[String] = Nil): DataFrame = {
-    val parsed = df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(payload), graft.sinks.ChangelogJson.WireJsonOptions))
+    val parsed = df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(payload)))
     val image = when(col("__dbz.op") === "d", col("__dbz.before")).otherwise(col("__dbz.after"))
     val imgOp =
       if (primaryKeys.isEmpty) array(struct(image.as("img"), opWord.as("opw")))
@@ -87,7 +87,7 @@ object DebeziumJson {
     * multi-table feed out to per-table parsing (cheap: only source.* parsed).
     */
   def tableOf(df: DataFrame, valueCol: String = "value"): DataFrame =
-    df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(StructType(Nil)), graft.sinks.ChangelogJson.WireJsonOptions))
+    df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(StructType(Nil))))
       .withColumn("__db", col("__dbz.source.db"))
       .withColumn("__table", col("__dbz.source.table"))
       .drop("__dbz")

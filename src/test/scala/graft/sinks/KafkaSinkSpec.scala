@@ -33,6 +33,10 @@ class KafkaSinkSpec extends SparkSpec {
       val sink = new KafkaChangelogSink("broker:9092", "", fmt, Some(captured += _))
       sink.write(id, changelog, schema)
       assert(captured.size === 1)
+      // every record carries the PK as its message key: same key → same
+      // partition → per-key ordering holds on a multi-partition topic
+      val keys = captured.head.select("key").as[String].collect().toSet
+      assert(keys === Set("""{"id":1}""", """{"id":2}"""), fmt)
       // the captured wire frames parse back to the same materialized state
       val payload = schema.struct
       val back = fmt match {
@@ -45,11 +49,11 @@ class KafkaSinkSpec extends SparkSpec {
     }
   }
 
-  test("topic routing: explicit topic wins, else table identifier") {
+  test("topic routing: explicit topic wins, else table identifier verbatim") {
     assert(new KafkaChangelogSink("b", "events").topicFor(id) === "events")
-    assert(new KafkaChangelogSink("b").topicFor(id) === "db_users")
+    assert(new KafkaChangelogSink("b").topicFor(id) === "db.users")
     intercept[IllegalArgumentException] {
-      new KafkaChangelogSink("b", "", "avro").serialize(id, changelog)
+      new KafkaChangelogSink("b", "", "avro").serialize(id, changelog, Seq("id"))
     }
   }
 
@@ -90,10 +94,11 @@ class KafkaSinkSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(sink.isInstanceOf[KafkaChangelogSink])
 
-    val values = captured.map(_.getString(0)).sorted
+    val values = captured.map(_.getAs[String]("value")).sorted
     assert(values.size === 2)
     assert(values.forall(_.contains(""""op":"c"""")))
     assert(values.exists(_.contains(""""name":"ann"""")))
     assert(values.exists(_.contains(""""name":"bob"""")))
+    assert(captured.map(_.getAs[String]("key")).toSet === Set("""{"id":1}""", """{"id":2}"""))
   }
 }

@@ -141,4 +141,30 @@ class ParquetSinkCommitSpec extends SparkSpec {
       Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
     val _ = fs.delete(new Path(root), true)
   }
+
+  test("displaced bucket WITH a done marker (emptied by deletes) is not resurrected") {
+    val root = java.nio.file.Files.createTempDirectory("graft-crash-d").toString
+    val sink = new ParquetUpsertSink(root, buckets = 4)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L),
+      (3L, "c", "INSERT", 3L), (4L, "d", "INSERT", 4L)), schema)
+
+    // simulate a crash AFTER an emptied bucket's swap decision completed
+    // (marker written, tmp not yet cleaned): dst absent by design
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tablePath = sink.tablePath(id)
+    val liveBucket = fs.listStatus(new Path(tablePath))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket=")).head
+    val b = liveBucket.stripPrefix("__bucket=")
+    val before = sink.read(spark, id).as[(Long, String)].collect().toSet
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp")))
+    assert(fs.rename(new Path(s"$tablePath/$liveBucket"), new Path(s"$tablePath.tmp/.old_$b")))
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp/.done_$b")))
+
+    val after = sink.read(spark, id).as[(Long, String)].collect().toSet
+    assert(after.subsetOf(before) && after.size < before.size,
+      "marker-completed deletion must stay deleted on read and write")
+    sink.write(id, batch((5L, "e", "INSERT", 10L)), schema)
+    assert(sink.read(spark, id).as[(Long, String)].collect().toSet === after + ((5L, "e")))
+    val _ = fs.delete(new Path(root), true)
+  }
 }

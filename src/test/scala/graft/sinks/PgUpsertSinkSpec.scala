@@ -271,6 +271,42 @@ class PgUpsertSinkSpec extends SparkSpec {
     sql(p, UpsertSql.dropTable(id))
   }
 
+  test("decimal precision/scale narrowing is gated; true decimal widening applies") {
+    assume(pg.isDefined, "no PostgreSQL server available")
+    val p = pg.get
+    val id = TableId.of("public", "gate_dec")
+    sql(p, UpsertSql.dropTable(id),
+      """CREATE TABLE "public"."gate_dec" ("id" BIGINT PRIMARY KEY, "amt" NUMERIC(10,2), "cnt" INTEGER)""")
+    val sink = new JdbcUpsertSink(cf(p)) // applyDestructive = false
+
+    def numType(c: String): (String, Int, Int) = {
+      val r = queryRows(p,
+        s"""SELECT data_type, coalesce(numeric_precision, -1), coalesce(numeric_scale, -1)
+           |FROM information_schema.columns
+           |WHERE table_name = 'gate_dec' AND column_name = '$c'""".stripMargin).head
+      (r.head.toString, r(1).asInstanceOf[Number].intValue, r(2).asInstanceOf[Number].intValue)
+    }
+
+    // information_schema says 'numeric' for every precision: the name alone
+    // would wave NUMERIC(10,2) -> NUMERIC(5,2) through; the gate must not
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "amt",
+      org.apache.spark.sql.types.DecimalType(5, 2)))
+    assert(numType("amt") === ("numeric", 10, 2))
+    // scale growth without integer-digit headroom loss IS lossless
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "amt",
+      org.apache.spark.sql.types.DecimalType(14, 4)))
+    assert(numType("amt") === ("numeric", 14, 4))
+    // INTEGER -> DECIMAL(5,2) cannot hold every int: gated
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "cnt",
+      org.apache.spark.sql.types.DecimalType(5, 2)))
+    assert(numType("cnt")._1 === "integer")
+    // INTEGER -> DECIMAL(12,2) has the 10 integer digits: applies
+    sink.applySchemaChange(AlterColumnTypeEvent(id, "cnt",
+      org.apache.spark.sql.types.DecimalType(12, 2)))
+    assert(numType("cnt") === ("numeric", 12, 2))
+    sql(p, UpsertSql.dropTable(id))
+  }
+
   test("streaming pipeline lands debezium batches in the live database") {
     assume(pg.isDefined, "no PostgreSQL server available")
     val p = pg.get

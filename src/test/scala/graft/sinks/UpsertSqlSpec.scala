@@ -19,13 +19,14 @@ class UpsertSqlDialectSpec extends AnyFunSuite {
   test("mysql dialect emits executable MySQL DDL") {
     val sql = UpsertSql.addColumn(id, "ts", TimestampType,
       ColumnPosition.After("id"), UpsertSql.Dialect.MySql)
-    assert(sql === """ALTER TABLE "public"."t" ADD COLUMN "ts" TIMESTAMP(6) AFTER "id"""")
+    // backtick quoting: stock MySQL (no ANSI_QUOTES) reads "..." as strings
+    assert(sql === "ALTER TABLE `public`.`t` ADD COLUMN `ts` TIMESTAMP(6) AFTER `id`")
     assert(!sql.contains("IF NOT EXISTS")) // MariaDB-only syntax
     assert(UpsertSql.mysqlType(DoubleType) === "DOUBLE")
     assert(UpsertSql.mysqlType(BinaryType) === "BLOB")
     assert(UpsertSql.mysqlType(TimestampNTZType) === "DATETIME(6)")
     assert(UpsertSql.addColumn(id, "n", IntegerType, ColumnPosition.First,
-      UpsertSql.Dialect.MySql).endsWith("\"n\" INT FIRST"))
+      UpsertSql.Dialect.MySql).endsWith("`n` INT FIRST"))
     intercept[IllegalArgumentException] {
       UpsertSql.addColumn(id, "n", IntegerType, ColumnPosition.Before("x"),
         UpsertSql.Dialect.MySql)
