@@ -98,4 +98,33 @@ object Ivf {
     Similarity.bruteForceTopK(
       assigned.where(col("centroid_id").isin(probes: _*)), idCol, vecCol, query, k)
   }
+
+  /** Persist the index `partitionBy(centroid_id)` plus the centroids as a
+    * tiny side table. At 100 TB this is what makes IVF an INDEX rather than
+    * a plan: a query's `centroid_id IN (probes)` filter prunes at the FILE
+    * LISTING, so only nprobe/k of the data is ever read (assert via the
+    * scan's `PartitionFilters` — PlanInvariantsSpec does).
+    */
+  def writeIndex(assigned: DataFrame, model: Model, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .repartition(col("centroid_id")) // one writer wave per list, no small files
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted index: (assigned lists, model). Only the k centroids
+    * are collected to the driver.
+    */
+  def readIndex(spark: SparkSession, path: String): (DataFrame, Model) = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("centroid_id", "centroid").as[(Int, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    (spark.read.parquet(s"$path/lists"), Model(centroids))
+  }
 }

@@ -152,6 +152,34 @@ class IvfSpec extends SparkSpec {
     val b = Ivf.train(df, "id", "v", k = 4, iters = 1).centroids
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("persisted index round-trips and queries prune at the file listing") {
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ivf.writeIndex(Ivf.assign(df, "id", "v", model), model, dir)
+
+    val (lists, reloaded) = Ivf.readIndex(spark, dir)
+    assert(reloaded.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+
+    val query = vecs(42)._2
+    val fresh = Ivf.topK(Ivf.assign(df, "id", "v", model), "id", "v", model, query, 10, nprobe = 3)
+      .select("id").as[Long].collect().toSeq
+    val persisted = Ivf.topK(lists, "id", "v", reloaded, query, 10, nprobe = 3)
+    assert(persisted.select("id").as[Long].collect().toSeq === fresh)
+
+    // the probe filter must reach the scan as a PARTITION filter (file-listing
+    // pruning — only nprobe/k of a 100 TB index is read), not a data filter
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      plan.take(2000))
+    val scanned = persisted.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.exists(_ <= 3), s"expected <= nprobe partitions scanned, got $scanned")
+    val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
