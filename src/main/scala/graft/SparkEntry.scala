@@ -415,6 +415,15 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
     },
 
+    "q_pack_windows" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // pretraining sequence packing: concatenate docs in doc_id order, cut
+      // into 512-token context windows (two-phase distributed prefix sum —
+      // no single-partition global window)
+      graft.ops.Pack.packWindows(t(dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), windowTokens = 512)
+    },
+
     // ---------- multimodal plumbing ----------
 
     "q_multimodal_decode" -> { (spark, dir) =>
@@ -1034,6 +1043,22 @@ object SparkEntry {
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q_pack_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+        |  FROM toks)
+        |SELECT doc_id, n AS n_tokens, CAST(start AS BIGINT) AS start,
+        |  CAST(start // 512 AS BIGINT) AS first_window,
+        |  CAST((start + n - 1) // 512 AS BIGINT) AS last_window,
+        |  CAST(start % 512 AS BIGINT) AS offset_in_window
+        |FROM offs WHERE n > 0""".stripMargin,
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: documents are concatenated in a
+  * deterministic order and cut into fixed `windowTokens` context windows, so
+  * each document occupies the half-open token span [start, start+n) of the
+  * global stream and lands in windows floor(start/W)..floor((start+n-1)/W).
+  *
+  * Scale design — the naive formulation is a global window function
+  * (`sum(...) over (order by id)`), which Spark plans as a SINGLE partition:
+  * the one-node bottleneck that kills a 100 TB run. This implementation is
+  * the classic two-phase distributed prefix sum instead:
+  *   1. range-repartition by the order key and sort within partitions —
+  *      partitions now hold contiguous key ranges;
+  *   2. per-partition token totals (P values, one per partition) collect to
+  *      the driver and become broadcast base offsets;
+  *   3. a window PARTITION BY partition-id ORDER BY key computes the local
+  *      running sum — parallel across partitions — plus the base offset.
+  * Bytes to the driver: O(partitions), independent of row count.
+  */
+object Pack {
+
+  /** Add `__start` (global token offset) to each row: two-phase prefix sum
+    * over `tokensCol` in `orderCol` order.
+    */
+  def withOffsets(df: DataFrame, orderCol: String, tokensCol: Column,
+                  partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__tok", tokensCol.cast("long"))
+      .localCheckpoint() // pin partitioning: the two passes must see one layout
+
+    // P rows to the driver — the only non-distributed step
+    val totals = ranged.groupBy("__pid").agg(sum("__tok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val baseFor = udfFreeBase(bases)
+
+    val local = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__start", baseFor(col("__pid")) + sum("__tok").over(local) - col("__tok"))
+      .drop("__pid")
+  }
+
+  /** Base offset lookup as a literal array element_at — codegen'd, no UDF. */
+  private def udfFreeBase(bases: Seq[Long]): Column => Column =
+    pid => element_at(lit(bases.toArray), pid + 1)
+
+  /** Pack documents into fixed-size context windows: (id, n_tokens, start,
+    * first_window, last_window, offset_in_window). Zero-token rows occupy no
+    * span and are dropped (nothing of them appears in any window).
+    */
+  def packWindows(df: DataFrame, orderCol: String, tokensCol: Column,
+                  windowTokens: Int): DataFrame =
+    withOffsets(df, orderCol, tokensCol)
+      .where(col("__tok") > 0)
+      .select(
+        col(orderCol),
+        col("__tok").as("n_tokens"),
+        col("__start").as("start"),
+        // integer division: `/` on columns is double division (precision
+        // hazard past 2^53 on a long token stream)
+        expr(s"__start DIV $windowTokens").as("first_window"),
+        expr(s"(__start + __tok - 1) DIV $windowTokens").as("last_window"),
+        pmod(col("__start"), lit(windowTokens.toLong)).as("offset_in_window"))
+}

@@ -182,6 +182,46 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase prefix sum equals the single-partition oracle at any partitioning") {
+    val docs = (1L to 500L).map(i => (i, ((Dedup.mix64(i) % 50) + 50).toInt))
+    val df = docs.toDF("id", "n")
+    for (p <- Seq(1, 3, 32)) {
+      val got = graft.ops.Pack.withOffsets(df, "id", col("n"), partitions = p)
+        .select("id", "__start").as[(Long, Long)].collect().toMap
+      var acc = 0L
+      docs.sortBy(_._1).foreach { case (id, n) =>
+        assert(got(id) === acc, s"p=$p id=$id"); acc += n
+      }
+    }
+  }
+
+  test("packWindows: spans tile the stream; straddlers span adjacent windows") {
+    val df = Seq((1L, 300), (2L, 300), (3L, 511), (4L, 1), (5L, 0), (6L, 2000))
+      .toDF("id", "n")
+    val out = graft.ops.Pack.packWindows(df, "id", col("n"), windowTokens = 512)
+      .select("id", "start", "first_window", "last_window", "offset_in_window")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 6L)) // zero-token doc 5 dropped
+    assert(out(0) === ((1L, 0L, 0L, 0L, 0L)))
+    assert(out(1) === ((2L, 300L, 0L, 1L, 300L))) // straddles windows 0-1
+    assert(out(2) === ((3L, 600L, 1L, 2L, 88L)))
+    assert(out(3) === ((4L, 1111L, 2L, 2L, 87L)))
+    assert(out(4) === ((6L, 1112L, 2L, 6L, 88L))) // long doc spans 5 windows
+  }
+
+  test("no single-partition global window in the plan") {
+    val df = (1L to 100L).map(i => (i, 10)).toDF("id", "n")
+    val plan = graft.ops.Pack.packWindows(df, "id", col("n"), 512)
+      .queryExecution.executedPlan.toString
+    // a global `Window [ORDER BY ...]` (no partition spec) plans as
+    // Exchange SinglePartition — the scale-killer this operator avoids
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
