@@ -263,17 +263,13 @@ scored AS (
 SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10
 """
 
-  /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
-    * rotations via wrap-multiply), two Lloyd iterations with renormalized
-    * float centroids and keep-old-on-empty clusters, nprobe=4 probing,
-    * exact cosine top-10 — [[graft.ops.Ivf]] end to end.
+  /** Spark `xxhash64(<bigint col>)` (XXH64.hashLong, seed 42) as a CTE over
+    * `table`: one 8-byte little-endian block, rotations via wrap-multiply.
     */
-  val embedIvfTopk: String = {
-    val c = (x: String, y: String) => cos(64, x, y)
-    prelude + """
-WITH xxh AS (
-  SELECT vec_id,
-         g_mulmod(CAST(vec_id AS UBIGINT), 14029467366897019727) AS k0,
+  private def xxhashCte(table: String, idCol: String): String = s"""
+xxh AS (
+  SELECT $idCol,
+         g_mulmod(CAST($idCol AS UBIGINT), 14029467366897019727) AS k0,
          g_addmod(g_mulmod(k0, 2147483648), k0 >> 33) AS k1r,
          xor(g_mulmod(k1r, 11400714785074694791),
              g_addmod(42, 2870177450012600269)) AS a0,
@@ -282,7 +278,24 @@ WITH xxh AS (
          g_mulmod(xor(a1, a1 >> 33), 14029467366897019727) AS a2,
          g_mulmod(xor(a2, a2 >> 29), 1609587929392839161) AS a3,
          xor(a3, a3 >> 32) AS h
-  FROM embeddings),
+  FROM $table)"""
+
+  /** Deterministic epoch shuffle: exact rank in signed-xxhash64 order. */
+  val shuffleDeterministic: String = prelude + "WITH " +
+    xxhashCte("documents", "doc_id") + """
+SELECT doc_id,
+       row_number() OVER (ORDER BY g_tosigned(h)) - 1 AS shuffle_pos
+FROM xxh
+"""
+
+  /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
+    * rotations via wrap-multiply), two Lloyd iterations with renormalized
+    * float centroids and keep-old-on-empty clusters, nprobe=4 probing,
+    * exact cosine top-10 — [[graft.ops.Ivf]] end to end.
+    */
+  val embedIvfTopk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + "WITH " + xxhashCte("embeddings", "vec_id") + """,
 seeds AS (
   SELECT row_number() OVER (ORDER BY g_tosigned(x.h)) - 1 AS cid,
          e.embedding AS c

@@ -415,6 +415,14 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
     },
 
+    "q_shuffle_deterministic" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // epoch shuffle: exact rank in xxhash64-of-key order, computed with
+      // the distributed prefix sum (reproducible across runs/partitionings)
+      graft.ops.Sampling.deterministicShuffle(t(dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+    },
+
     "q_pack_windows" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // pretraining sequence packing: concatenate docs in doc_id order, cut
@@ -1062,6 +1070,7 @@ object SparkEntry {
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
     "q_dedup_ngram" -> OracleHashSql.dedupNgram,

@@ -43,4 +43,19 @@ object Sampling {
     }.otherwise(keep(key, defaultRate))
     df.where(cond)
   }
+
+  /** Deterministic global shuffle — the epoch-shuffle stage of a training
+    * pipeline: rows ordered by `xxhash64(key)`, with `shuffle_pos` the exact
+    * 0-based rank in that order. Reproducible across runs, engines, and
+    * partitionings (a row's position depends only on its key).
+    *
+    * Scale shape: the hash ordering lands via `repartitionByRange` +
+    * within-partition sort (parallel range exchange, no global sort node),
+    * and the rank comes from [[Pack.withOffsets]]'s two-phase prefix sum —
+    * no single-partition window, O(partitions) bytes to the driver.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
+    Pack.withOffsets(df.withColumn("__h", xxhash64(key)), "__h", lit(1L))
+      .withColumnRenamed("__start", "shuffle_pos")
+      .drop("__h", "__tok")
 }

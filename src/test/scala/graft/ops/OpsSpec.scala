@@ -212,6 +212,16 @@ class PackSpec extends SparkSpec {
     assert(out(4) === ((6L, 1112L, 2L, 6L, 88L))) // long doc spans 5 windows
   }
 
+  test("deterministicShuffle: a permutation, stable across partitionings") {
+    val df = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "v")
+    val a = graft.ops.Sampling.deterministicShuffle(df, col("id"))
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted === (0L until 400L)) // exact permutation
+    val b = graft.ops.Sampling.deterministicShuffle(df.repartition(7), col("id"))
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a === b) // position depends only on the key
+  }
+
   test("no single-partition global window in the plan") {
     val df = (1L to 100L).map(i => (i, 10)).toDF("id", "n")
     val plan = graft.ops.Pack.packWindows(df, "id", col("n"), 512)
