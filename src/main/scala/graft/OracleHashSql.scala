@@ -280,6 +280,23 @@ xxh AS (
          xor(a3, a3 >> 32) AS h
   FROM $table)"""
 
+  /** Decontamination: distinct-shingle overlap between every training doc
+    * and a benchmark built from 12-token snippets of every 20th doc (string
+    * shingle sets stand in for the hashed sets — same counts).
+    */
+  val decontaminate: String = prelude + """
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string((g_toks(text))[3:14], ' ') AS btext
+  FROM documents WHERE doc_id % 20 = 0),
+bsh AS (SELECT bench_id, g_shingles(btext, 3) AS sh FROM bench),
+tsh AS (SELECT doc_id AS train_id, g_shingles(text, 3) AS sh FROM documents)
+SELECT t.train_id, b.bench_id,
+       CAST(len(list_filter(t.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS overlap
+FROM tsh t CROSS JOIN bsh b
+WHERE len(list_filter(t.sh, x -> list_contains(b.sh, x))) >= 2
+"""
+
   /** Deterministic epoch shuffle: exact rank in signed-xxhash64 order. */
   val shuffleDeterministic: String = prelude + "WITH " +
     xxhashCte("documents", "doc_id") + """

@@ -415,6 +415,25 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
     },
 
+    "q_split" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // disjoint deterministic train/val/test split by key-hash bands
+      t(dir, "documents").select(col("doc_id"),
+        graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
+
+    "q_decontaminate" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // eval-set contamination check: benchmark = 12-token snippets of every
+      // 20th doc; flag training docs sharing >= 2 distinct shingles
+      val docs = t(dir, "documents")
+      val bench = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"),
+          expr("array_join(slice(split(lower(text), '\\\\W+'), 3, 12), ' ')").as("text"))
+      graft.ops.Decontaminate.flag(docs, bench, "doc_id", "text", minShingles = 2)
+    },
+
     "q_shuffle_deterministic" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // epoch shuffle: exact rank in xxhash64-of-key order, computed with
@@ -1070,6 +1089,14 @@ object SparkEntry {
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_decontaminate" -> OracleHashSql.decontaminate,
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,

@@ -44,6 +44,23 @@ object Sampling {
     df.where(cond)
   }
 
+  /** Disjoint deterministic train/val/test split: the key's md5-prefix
+    * value falls into one of the cumulative-weight bands, so every row has
+    * exactly one split, membership is stable under re-partitioning and
+    * re-runs, and the assignment is replicable in any engine with md5.
+    * Same 1/65536 rate granularity as [[keep]].
+    */
+  def splitColumn(key: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $weights")
+    val prefix = substring(md5(key.cast("string")), 1, 4)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val bands = weights.map(_._1).zip(cum.map(c => math.round(c * 65536)))
+    bands.init.foldLeft(when(lit(false), lit(""))) {
+      case (w, (name, hi)) => w.when(prefix < lit(f"$hi%04x"), name)
+    }.otherwise(bands.last._1)
+  }
+
   /** Deterministic global shuffle — the epoch-shuffle stage of a training
     * pipeline: rows ordered by `xxhash64(key)`, with `shuffle_pos` the exact
     * 0-based rank in that order. Reproducible across runs, engines, and

@@ -182,6 +182,53 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class SplitDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitColumn: every row gets exactly one split, ratios near weights") {
+    val df = (1L to 5000L).toDF("id")
+    val counts = df.select(graft.ops.Sampling.splitColumn(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 5000L) // total partition: disjoint + exhaustive
+    assert(math.abs(counts("train") - 4000L) < 200, counts)
+    assert(math.abs(counts("val") - 500L) < 100, counts)
+    assert(math.abs(counts("test") - 500L) < 100, counts)
+    // stable: same assignment on a differently-partitioned rerun
+    val a = df.select(col("id"), graft.ops.Sampling.splitColumn(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s")).as[(Long, String)].collect().toMap
+    val b = df.repartition(13).select(col("id"), graft.ops.Sampling.splitColumn(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s")).as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("decontaminate flags planted contamination and nothing else") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (1L, "completely unrelated words about databases and queries"),
+      (2L, "someone said the quick brown fox jumps over whatever"), // 4 shared shingles
+      (3L, "quick brown dog")                                       // 0 shared 3-gram shingles
+    ).toDF("id", "text")
+    val out = graft.ops.Decontaminate.flag(train, bench, "id", "text", minShingles = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 100L, 4L)))
+  }
+
+  test("decontaminate stop-shingle cap drops boilerplate n-grams") {
+    // the same boilerplate shingle appears in EVERY bench doc: with the cap
+    // at 2 it is dropped, so boilerplate alone cannot flag a training doc
+    val bench = (1L to 5L).map(i => (i, s"legal disclaimer text unique$i tail"))
+      .toDF("id", "text")
+    val train = Seq((10L, "legal disclaimer text only")).toDF("id", "text")
+    val flagged = graft.ops.Decontaminate.flag(train, bench, "id", "text",
+      minShingles = 1, maxShingleDf = 2)
+    assert(flagged.count() === 0)
+    val unCapped = graft.ops.Decontaminate.flag(train, bench, "id", "text",
+      minShingles = 1, maxShingleDf = 1000)
+    assert(unCapped.count() === 5)
+  }
+}
+
 class PackSpec extends SparkSpec {
   import spark.implicits._
 
