@@ -47,6 +47,18 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination joins broadcast the benchmark side") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("prefix-sum operators never plan a single-partition stage") {
+    for (q <- Seq("q_pack_windows", "q_shuffle_deterministic")) {
+      assert(!plan(q).contains("SinglePartition"), q)
+    }
+  }
+
   test("dedup pipelines stay in codegen: no typed-Dataset encoder hops") {
     // a DeserializeToObject / MapElements node means rows left Tungsten
     // format for a Scala closure — the scan-bound narrow stages of the
