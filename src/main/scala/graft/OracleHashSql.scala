@@ -301,7 +301,7 @@ WHERE len(list_filter(t.sh, x -> list_contains(b.sh, x))) >= 2
   val shuffleDeterministic: String = prelude + "WITH " +
     xxhashCte("documents", "doc_id") + """
 SELECT doc_id,
-       row_number() OVER (ORDER BY g_tosigned(h)) - 1 AS shuffle_pos
+       row_number() OVER (ORDER BY g_tosigned(h), doc_id) - 1 AS shuffle_pos
 FROM xxh
 """
 

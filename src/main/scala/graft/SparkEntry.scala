@@ -430,7 +430,10 @@ object SparkEntry {
       val docs = t(dir, "documents")
       val bench = docs.where(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id"),
-          expr("array_join(slice(split(lower(text), '\\\\W+'), 3, 12), ' ')").as("text"))
+          // filter the empty token split() keeps for leading non-word chars
+          // (the oracle's tokenizer filters them too)
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), x -> x != ''), 3, 12), ' ')")
+            .as("text"))
       graft.ops.Decontaminate.flag(docs, bench, "doc_id", "text", minShingles = 2)
     },
 

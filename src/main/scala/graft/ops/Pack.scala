@@ -24,30 +24,42 @@ import org.apache.spark.sql.functions._
 object Pack {
 
   /** Add `__start` (global token offset) to each row: two-phase prefix sum
-    * over `tokensCol` in `orderCol` order.
+    * over `tokensCol` in (`orderCol`, tieBreak...) order. The order must be
+    * TOTAL for positions to be deterministic — pass `tieBreak` columns when
+    * `orderCol` can collide (e.g. a hash). Note: computing the base offsets
+    * runs one small job at plan-construction time (P rows to the driver),
+    * like every trained/collected-model operator.
     */
   def withOffsets(df: DataFrame, orderCol: String, tokensCol: Column,
-                  partitions: Int = 0): DataFrame = {
+                  partitions: Int = 0, tieBreak: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
+    val orderCols = (orderCol +: tieBreak).map(col)
+    // persist (NOT an eager localCheckpoint) pins one partition layout for
+    // both passes: the range bounds live in the cached physical plan, so a
+    // lost cached partition recomputes into the SAME layout from lineage —
+    // an executor loss degrades to recompute instead of failing the job
     val ranged = df
-      .repartitionByRange(p, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__tok", tokensCol.cast("long"))
-      .localCheckpoint() // pin partitioning: the two passes must see one layout
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // P rows to the driver — the only non-distributed step
-    val totals = ranged.groupBy("__pid").agg(sum("__tok").as("t"))
+    // P rows to the driver — the only non-distributed step. coalesce: a
+    // partition whose every token count is null sums to null, not 0
+    val totals = ranged.groupBy("__pid")
+      .agg(coalesce(sum("__tok"), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bases = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val baseFor = udfFreeBase(bases)
 
-    val local = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .withColumn("__start", baseFor(col("__pid")) + sum("__tok").over(local) - col("__tok"))
+      .withColumn("__start",
+        baseFor(col("__pid")) + sum("__tok").over(local) - coalesce(col("__tok"), lit(0L)))
       .drop("__pid")
   }
 

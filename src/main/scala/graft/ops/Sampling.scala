@@ -57,7 +57,12 @@ object Sampling {
     val cum = weights.scanLeft(0.0)(_ + _._2).tail
     val bands = weights.map(_._1).zip(cum.map(c => math.round(c * 65536)))
     bands.init.foldLeft(when(lit(false), lit(""))) {
-      case (w, (name, hi)) => w.when(prefix < lit(f"$hi%04x"), name)
+      // a band whose bound rounds to 65536 would format as 5-char "10000"
+      // and break the 4-char lexicographic compare (keep() has the same
+      // guard): such a band swallows everything remaining
+      case (w, (name, hi)) =>
+        if (hi >= 65536) w.when(lit(true), name)
+        else w.when(prefix < lit(f"$hi%04x"), name)
     }.otherwise(bands.last._1)
   }
 
@@ -72,7 +77,10 @@ object Sampling {
     * no single-partition window, O(partitions) bytes to the driver.
     */
   def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
-    Pack.withOffsets(df.withColumn("__h", xxhash64(key)), "__h", lit(1L))
+    // key as tie-break: hash collisions (certain at billions of rows) must
+    // not make the order — and therefore positions — partition-dependent
+    Pack.withOffsets(df.withColumn("__h", xxhash64(key))
+        .withColumn("__k", key), "__h", lit(1L), tieBreak = Seq("__k"))
       .withColumnRenamed("__start", "shuffle_pos")
-      .drop("__h", "__tok")
+      .drop("__h", "__k", "__tok")
 }

@@ -157,6 +157,7 @@ class IvfSpec extends SparkSpec {
     val df = vecs.toDF("id", "v")
     val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
     Ivf.writeIndex(Ivf.assign(df, "id", "v", model), model, dir)
 
     val (lists, reloaded) = Ivf.readIndex(spark, dir)
@@ -177,8 +178,10 @@ class IvfSpec extends SparkSpec {
       .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }
     assert(scanned.exists(_ <= 3), s"expected <= nprobe partitions scanned, got $scanned")
-    val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
   }
 }
 
@@ -200,6 +203,16 @@ class SplitDecontamSpec extends SparkSpec {
     val b = df.repartition(13).select(col("id"), graft.ops.Sampling.splitColumn(col("id"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s")).as[(Long, String)].collect().toMap
     assert(a === b)
+  }
+
+  test("splitColumn: a band rounding to 65536 swallows the remainder, not the split") {
+    // cum(train)=round(0.999995*65536)=65536 would format as 5-char "10000"
+    // and break the 4-char prefix compare without the overflow guard
+    val df = (1L to 2000L).toDF("id")
+    val counts = df.select(graft.ops.Sampling.splitColumn(col("id"),
+        Seq("train" -> 0.999995, "val" -> 0.000005)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("train") === 2000L, counts)
   }
 
   test("decontaminate flags planted contamination and nothing else") {
