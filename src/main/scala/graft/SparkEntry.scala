@@ -415,6 +415,19 @@ object SparkEntry {
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
     },
 
+    "q_functions_null" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the reference's `=` returns FALSE (not NULL) on null operands
+      // (CdcFunctions.cdcEquals parity, model/CdcTypes NULL semantics)
+      import graft.functions.CdcFunctions.cdcEquals
+      t(dir, "customer").select(
+        col("c_custkey"),
+        cdcEquals(expr("nullif(c_mktsegment, 'BUILDING')"), lit("MACHINERY")).as("eq_null_lit"),
+        cdcEquals(expr("nullif(c_mktsegment, c_mktsegment)"),
+          expr("nullif(c_mktsegment, c_mktsegment)")).as("eq_both_null"),
+        cdcEquals(col("c_mktsegment"), lit("BUILDING")).as("eq_plain"))
+    },
+
     "q_split" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // disjoint deterministic train/val/test split by key-hash bands
@@ -1092,6 +1105,14 @@ object SparkEntry {
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_functions_null" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING') = 'MACHINERY', false) AS eq_null_lit,
+        |  coalesce(nullif(c_mktsegment, c_mktsegment)
+        |           = nullif(c_mktsegment, c_mktsegment), false) AS eq_both_null,
+        |  c_mktsegment = 'BUILDING' AS eq_plain
+        |FROM customer""".stripMargin,
+
     "q_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
