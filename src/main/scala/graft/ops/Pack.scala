@@ -26,9 +26,17 @@ object Pack {
   /** Add `__start` (global token offset) to each row: two-phase prefix sum
     * over `tokensCol` in (`orderCol`, tieBreak...) order. The order must be
     * TOTAL for positions to be deterministic — pass `tieBreak` columns when
-    * `orderCol` can collide (e.g. a hash). Note: computing the base offsets
-    * runs one small job at plan-construction time (P rows to the driver),
-    * like every trained/collected-model operator.
+    * `orderCol` can collide (e.g. a hash). Computing the band stats and base
+    * offsets runs two small jobs at plan-construction time (2 + P rows to
+    * the driver), like every trained/collected-model operator.
+    *
+    * The band id is a PURE FUNCTION of the row (equal-width bands over the
+    * numeric order key's [min, max], monotone in the key), NOT
+    * `spark_partition_id()` over a sampled range exchange: both passes — and
+    * any lineage recompute after an executor loss — agree on the layout with
+    * no pinned cache or checkpoint. Skewed keys cost band balance, never
+    * correctness. The double-precision band math is deterministic and
+    * monotone, which is all the banding needs.
     */
   def withOffsets(df: DataFrame, orderCol: String, tokensCol: Column,
                   partitions: Int = 0, tieBreak: Seq[String] = Nil): DataFrame = {
@@ -36,20 +44,28 @@ object Pack {
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
     val orderCols = (orderCol +: tieBreak).map(col)
-    // persist (NOT an eager localCheckpoint) pins one partition layout for
-    // both passes: the range bounds live in the cached physical plan, so a
-    // lost cached partition recomputes into the SAME layout from lineage —
-    // an executor loss degrades to recompute instead of failing the job
-    val ranged = df
-      .repartitionByRange(p, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+
+    // band stats: one pruned-scan agg job (2 values to the driver)
+    val stats = df.agg(min(col(orderCol).cast("long")), max(col(orderCol).cast("long"))).head()
+    if (stats.isNullAt(0)) { // empty input (or all-null keys): nothing to offset
+      return df.withColumn("__tok", tokensCol.cast("long"))
+        .withColumn("__start", lit(0L)).where(lit(false))
+    }
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    // width in BigInt: mx - mn overflows Long for hash-valued keys
+    val width = ((BigInt(mx) - BigInt(mn)) / p + 1).toDouble
+    val pid = least(greatest(
+      floor((col(orderCol).cast("double") - lit(mn.toDouble)) / lit(width)), lit(0)),
+      lit(p - 1)).cast("int")
+
+    val banded = df
+      .withColumn("__pid", coalesce(pid, lit(0))) // null keys band 0, nulls-first order
       .withColumn("__tok", tokensCol.cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(p, col("__pid")) // co-locate bands; grouping is by __pid, not physical partition
 
     // P rows to the driver — the only non-distributed step. coalesce: a
-    // partition whose every token count is null sums to null, not 0
-    val totals = ranged.groupBy("__pid")
+    // band whose every token count is null sums to null, not 0
+    val totals = banded.groupBy("__pid")
       .agg(coalesce(sum("__tok"), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bases = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
@@ -57,7 +73,7 @@ object Pack {
 
     val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    banded
       .withColumn("__start",
         baseFor(col("__pid")) + sum("__tok").over(local) - coalesce(col("__tok"), lit(0L)))
       .drop("__pid")
