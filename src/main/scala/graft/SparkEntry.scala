@@ -1110,7 +1110,7 @@ object SparkEntry {
         |  coalesce(nullif(c_mktsegment, 'BUILDING') = 'MACHINERY', false) AS eq_null_lit,
         |  coalesce(nullif(c_mktsegment, c_mktsegment)
         |           = nullif(c_mktsegment, c_mktsegment), false) AS eq_both_null,
-        |  c_mktsegment = 'BUILDING' AS eq_plain
+        |  coalesce(c_mktsegment = 'BUILDING', false) AS eq_plain
         |FROM customer""".stripMargin,
 
     "q_split" ->

@@ -35,8 +35,11 @@ object Pack {
     * `spark_partition_id()` over a sampled range exchange: both passes — and
     * any lineage recompute after an executor loss — agree on the layout with
     * no pinned cache or checkpoint. Skewed keys cost band balance, never
-    * correctness. The double-precision band math is deterministic and
-    * monotone, which is all the banding needs.
+    * correctness (a near-constant key degrades toward one band — order by a
+    * high-cardinality key, that is what the operator is FOR). The order key
+    * must be NUMERIC (banding and the window must agree on ordering) and the
+    * input must be immutable across the construction jobs and the final
+    * action (batch sources; snapshot a mutable table first).
     */
   def withOffsets(df: DataFrame, orderCol: String, tokensCol: Column,
                   partitions: Int = 0, tieBreak: Seq[String] = Nil): DataFrame = {
@@ -44,14 +47,19 @@ object Pack {
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
     val orderCols = (orderCol +: tieBreak).map(col)
+    df.schema(orderCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"withOffsets order key '$orderCol' must be numeric (banding order = " +
+          s"window order), got $t")
+    }
 
     // band stats: one pruned-scan agg job (2 values to the driver)
     val stats = df.agg(min(col(orderCol).cast("long")), max(col(orderCol).cast("long"))).head()
-    if (stats.isNullAt(0)) { // empty input (or all-null keys): nothing to offset
-      return df.withColumn("__tok", tokensCol.cast("long"))
-        .withColumn("__start", lit(0L)).where(lit(false))
-    }
-    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    // null stats = empty input or all-null keys: a single band 0 keeps every
+    // row (nulls order first and tieBreak orders within), offsets stay right
+    val (mn, mx) =
+      if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
     // width in BigInt: mx - mn overflows Long for hash-valued keys
     val width = ((BigInt(mx) - BigInt(mn)) / p + 1).toDouble
     val pid = least(greatest(
@@ -61,7 +69,11 @@ object Pack {
     val banded = df
       .withColumn("__pid", coalesce(pid, lit(0))) // null keys band 0, nulls-first order
       .withColumn("__tok", tokensCol.cast("long"))
-      .repartition(p, col("__pid")) // co-locate bands; grouping is by __pid, not physical partition
+      // range- (not hash-) partition the p distinct band ids: hashing p ints
+      // into p buckets leaves ~1/e partitions empty and stacks bands on
+      // hotspots; a range exchange gives ~1 band per partition and still
+      // satisfies the window's clustering on __pid
+      .repartitionByRange(p, col("__pid"))
 
     // P rows to the driver — the only non-distributed step. coalesce: a
     // band whose every token count is null sums to null, not 0
