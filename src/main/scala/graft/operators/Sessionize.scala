@@ -41,4 +41,58 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(on)).as("session_start"),
         max(col(on)).as("session_end"))
+
+  /** Open session carried in group state (bounds in epoch millis). */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+  /** A closed session, emitted exactly once. */
+  final case class ClosedSession(key: Long, session_start: Long, session_end: Long,
+                                 n_events: Long)
+
+  /** CUSTOM-STATE streaming sessionization: the `flatMapGroupsWithState`
+    * twin of [[sessions]] for when the native `session_window` aggregation
+    * cannot express the semantics (here: emit the CLOSED session exactly
+    * once, carrying arbitrary accumulated state). One open session per key
+    * lives in the state store; a session closes either when a later event
+    * proves the gap in-stream, or when the event-time watermark passes
+    * `end + gap` (timeout). Input needs `withWatermark` on `tsCol` —
+    * EventTimeTimeout requires it and it bounds state retention.
+    *
+    * State per key is O(1) (three longs), emitted rows are slim — the shape
+    * that holds at any key cardinality.
+    */
+  def streamingSessions(events: DataFrame, key: String, tsCol: String,
+                        gapMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // NO cast on the event-time column: a cast creates a fresh attribute
+      // and silently drops the withWatermark tag EventTimeTimeout requires
+      .select(col(key).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) { // watermark passed end+gap with no new data
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(k, s.start, s.end, s.n))
+          } else {
+            val times = it.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption.orNull
+            for (t <- times) {
+              if (cur == null) cur = OpenSession(t, t, 1L)
+              else if (t > cur.end + gapMs) { // in-stream proof of closure
+                closed += ClosedSession(k, cur.start, cur.end, cur.n)
+                cur = OpenSession(t, t, 1L)
+              } else cur = OpenSession(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+            closed.iterator
+          }
+      }
+  }
 }

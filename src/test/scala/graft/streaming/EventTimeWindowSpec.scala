@@ -77,6 +77,51 @@ class EventTimeWindowSpec extends SparkSpec {
     assert(rows(("2024-01-01 12:30:00", 1L)) === 1L) // after the gap
   }
 
+  test("flatMapGroupsWithState sessionization emits each closed session once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = graft.operators.Sessionize.streamingSessions(
+      mem.toDF().toDF("ts", "user_id").withWatermark("ts", "10 minutes"),
+      "user_id", "ts", gapMs = 30 * 60 * 1000L)
+
+    val q = out.writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then a 2h gap (new one)
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 12:30:00"), 1L)) // proves session 1 closed in-stream
+    q.processAllAvailable()
+    // advance the watermark far past 12:30+30m so the open session times out
+    mem.addData((ts("2024-01-01 20:00:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 09:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val rows = spark.table("fmgws_sessions")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows.contains((1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 2L)))
+    assert(rows.contains((1L, t("2024-01-01 12:30:00"), t("2024-01-01 12:30:00"), 1L)))
+    // each closed session appears exactly once
+    assert(rows.size === spark.table("fmgws_sessions").count())
+
+    // cross-check against the BATCH twin on the same events (ms ordinals)
+    val batch = Seq((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")),
+      (1L, t("2024-01-01 12:30:00")), (2L, t("2024-01-01 20:00:00")),
+      (2L, t("2024-01-02 09:00:00"))).toDF("user_id", "ms")
+    val expected = graft.operators.Sessionize
+      .sessions(batch, "user_id", "ms", gap = 30 * 60 * 1000L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    // streaming emitted every session the batch twin computes, except any
+    // still open at shutdown (user 2's last event never times out)
+    assert(rows.subsetOf(expected))
+    assert((expected -- rows).forall(_._1 == 2L))
+  }
+
   private implicit class Tuple4Ops(rows: Array[(String, String, Long, Double)]) {
     def toMap2: Map[(String, String), (Long, Double)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
