@@ -282,14 +282,23 @@ xxh AS (
 
   /** Decontamination: distinct-shingle overlap between every training doc
     * and a benchmark built from 12-token snippets of every 20th doc (string
-    * shingle sets stand in for the hashed sets — same counts).
+    * shingle sets stand in for the hashed sets — same counts). Mirrors the
+    * engine's stop-shingle cap: shingles in more than 1000 bench docs are
+    * excluded before counting.
     */
   val decontaminate: String = prelude + """
 WITH bench AS (
   SELECT doc_id AS bench_id,
          array_to_string((g_toks(text))[3:14], ' ') AS btext
   FROM documents WHERE doc_id % 20 = 0),
-bsh AS (SELECT bench_id, g_shingles(btext, 3) AS sh FROM bench),
+bsh0 AS (SELECT bench_id, g_shingles(btext, 3) AS sh FROM bench),
+stoplist AS (
+  SELECT coalesce(list(x), []) AS sl FROM (
+    SELECT x FROM (SELECT unnest(sh) AS x FROM bsh0)
+    GROUP BY x HAVING count(*) > 1000)),
+bsh AS (
+  SELECT b.bench_id, list_filter(b.sh, x -> NOT list_contains(s.sl, x)) AS sh
+  FROM bsh0 b CROSS JOIN stoplist s),
 tsh AS (SELECT doc_id AS train_id, g_shingles(text, 3) AS sh FROM documents)
 SELECT t.train_id, b.bench_id,
        CAST(len(list_filter(t.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS overlap

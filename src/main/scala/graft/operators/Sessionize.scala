@@ -63,6 +63,14 @@ object Sessionize {
   def streamingSessions(events: DataFrame, key: String, tsCol: String,
                         gapMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapMs > 0, s"session gap must be positive: $gapMs")
+    import org.apache.spark.sql.types._
+    events.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"streamingSessions key '$key' must be integral, got $t (a lossy cast " +
+          "would silently collapse distinct keys)")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -79,15 +87,20 @@ object Sessionize {
             state.remove()
             Iterator.single(ClosedSession(k, s.start, s.end, s.n))
           } else {
-            val times = it.map(_._2.getTime).toArray.sorted
+            // gaps-and-islands over the sorted INTERVALS (open state + batch
+            // events): a late-but-in-watermark event more than `gap` BEFORE
+            // the open session is its own earlier session, exactly like the
+            // batch twin — not force-merged into the open one
+            val items = (it.map { case (_, t) => OpenSession(t.getTime, t.getTime, 1L) }
+              ++ state.getOption.iterator).toArray.sortBy(s => (s.start, s.end))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption.orNull
-            for (t <- times) {
-              if (cur == null) cur = OpenSession(t, t, 1L)
-              else if (t > cur.end + gapMs) { // in-stream proof of closure
+            var cur: OpenSession = null
+            for (s <- items) {
+              if (cur == null) cur = s
+              else if (s.start > cur.end + gapMs) { // in-stream proof of closure
                 closed += ClosedSession(k, cur.start, cur.end, cur.n)
-                cur = OpenSession(t, t, 1L)
-              } else cur = OpenSession(math.min(cur.start, t), math.max(cur.end, t), cur.n + 1)
+                cur = s
+              } else cur = OpenSession(cur.start, math.max(cur.end, s.end), cur.n + s.n)
             }
             state.update(cur)
             state.setTimeoutTimestamp(cur.end + gapMs)

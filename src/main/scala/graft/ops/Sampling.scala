@@ -48,7 +48,9 @@ object Sampling {
     * value falls into one of the cumulative-weight bands, so every row has
     * exactly one split, membership is stable under re-partitioning and
     * re-runs, and the assignment is replicable in any engine with md5.
-    * Same 1/65536 rate granularity as [[keep]].
+    * Same 1/65536 rate granularity as [[keep]]. A NULL key yields a NULL
+    * split (the caller decides the policy), matching [[keep]]'s null-drop
+    * stance rather than silently dumping null-keyed rows into one band.
     */
   def splitColumn(key: Column, weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
@@ -56,7 +58,7 @@ object Sampling {
     val prefix = substring(md5(key.cast("string")), 1, 4)
     val cum = weights.scanLeft(0.0)(_ + _._2).tail
     val bands = weights.map(_._1).zip(cum.map(c => math.round(c * 65536)))
-    bands.init.foldLeft(when(lit(false), lit(""))) {
+    val banded = bands.init.foldLeft(when(lit(false), lit(""))) {
       // a band whose bound rounds to 65536 would format as 5-char "10000"
       // and break the 4-char lexicographic compare (keep() has the same
       // guard): such a band swallows everything remaining
@@ -64,6 +66,7 @@ object Sampling {
         if (hi >= 65536) w.when(lit(true), name)
         else w.when(prefix < lit(f"$hi%04x"), name)
     }.otherwise(bands.last._1)
+    when(key.isNull, lit(null).cast("string")).otherwise(banded)
   }
 
   /** Deterministic global shuffle — the epoch-shuffle stage of a training

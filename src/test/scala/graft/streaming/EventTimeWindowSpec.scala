@@ -122,6 +122,35 @@ class EventTimeWindowSpec extends SparkSpec {
     assert((expected -- rows).forall(_._1 == 2L))
   }
 
+  test("late-but-in-watermark event before the open session is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    // 60m watermark keeps a 12:05 straggler admissible while state sits at 12:40
+    val out = graft.operators.Sessionize.streamingSessions(
+      mem.toDF().toDF("ts", "user_id").withWatermark("ts", "60 minutes"),
+      "user_id", "ts", gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fmgws_late")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 12:40:00"), 1L))
+    q.processAllAvailable()
+    // straggler more than gap BEFORE the open session: a separate session,
+    // not a force-merge into [12:40, ...]
+    mem.addData((ts("2024-01-01 12:05:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 20:00:00"), 2L)) // advance watermark, time out u1
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 09:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val u1 = spark.table("fmgws_late").as[(Long, Long, Long, Long)]
+      .collect().filter(_._1 == 1L).toSet
+    assert(u1 === Set((1L, t("2024-01-01 12:05:00"), t("2024-01-01 12:05:00"), 1L),
+                      (1L, t("2024-01-01 12:40:00"), t("2024-01-01 12:40:00"), 1L)))
+  }
+
   private implicit class Tuple4Ops(rows: Array[(String, String, Long, Double)]) {
     def toMap2: Map[(String, String), (Long, Double)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
