@@ -177,6 +177,37 @@ object SparkEntry {
       Changelog.materialize(back, Seq("user_id"))
     },
 
+    "q_route_replace" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // replace-symbol routing over real data: two logical source tables
+      // route through `db.\.* -> ods.<>` and rows carry their ROUTED target
+      import graft.operators.{RouteRule, TableIdRouter}
+      val router = new TableIdRouter(Seq(RouteRule("db.\\.*", "ods.<>", Some("<>"))))
+      val ev = t(dir, "events")
+      Seq("events_even" -> ev.where(pmod(col("user_id"), lit(2)) === 0),
+          "events_odd" -> ev.where(pmod(col("user_id"), lit(2)) === 1))
+        .map { case (name, df) =>
+          val target = router.route(TableId.of("db", name)).head
+          df.select(col("event_id"), lit(target.identifier).as("routed_to"))
+        }.reduce(_ unionByName _)
+    },
+
+    "q_startup_timestamp" -> { (spark, dir) =>
+      // startup-mode pruning on the RAW feed: serialize the events changelog
+      // to debezium lines, resume at ts_ms >= 500, parse + materialize —
+      // the filter must run before payload parsing and skip the backlog
+      val id = TableId.of("db", "events")
+      val json = graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), id)
+      val resumed = graft.sources.StartupOptions(
+        json, graft.sources.StartupOptions.Timestamp(500L), 0L)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val back = graft.sources.DebeziumJson.parse(resumed, schema).drop("__db", "__table")
+      Changelog.materialize(back, Seq("user_id"))
+    },
+
     "q_functions_time" -> { (spark, dir) =>
       // TIME(p) → INT millis-of-day and TIMESTAMP_TZ → instant conventions
       // (model/CdcTypes.scala:11-14) proven end-to-end: build a changelog
@@ -1105,6 +1136,18 @@ object SparkEntry {
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_route_replace" ->
+      """SELECT event_id,
+        |  CASE WHEN user_id % 2 = 0 THEN 'ods.events_even'
+        |       ELSE 'ods.events_odd' END AS routed_to
+        |FROM events""".stripMargin,
+
+    "q_startup_timestamp" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id >= 500) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
     "q_functions_null" ->
       """SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING') = 'MACHINERY', false) AS eq_null_lit,
