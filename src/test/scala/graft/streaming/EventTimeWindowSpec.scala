@@ -122,6 +122,32 @@ class EventTimeWindowSpec extends SparkSpec {
     assert((expected -- rows).forall(_._1 == 2L))
   }
 
+  test("streaming exact dedup drops replays within the watermark horizon") {
+    // the streaming twin of Dedup.exact/exactSurvivors for at-least-once
+    // ingest feeds: keep first arrival per key; state bounded by watermark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = mem.toDF().toDF("ts", "doc_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
+                (ts("2024-01-01 10:02:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:05:00"), 1L)) // replay within watermark: dropped
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:06:00"), 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("stream_dedup").select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
+  }
+
   test("late-but-in-watermark event before the open session is its own session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
