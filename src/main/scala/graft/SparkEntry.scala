@@ -177,6 +177,25 @@ object SparkEntry {
       Changelog.materialize(back, Seq("user_id"))
     },
 
+    "q_cube" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // full CUBE lattice (q_rollup covers the hierarchy): partial-aggregated
+      // like any groupBy, one exchange
+      t(dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
+    "q_pivot" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // pivot with an EXPLICIT value list: one pass, no distinct-values job,
+      // stable schema at any scale
+      t(dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum("value"), 2))
+    },
+
     "q_route_replace" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // replace-symbol routing over real data: two logical source tables
@@ -1136,6 +1155,20 @@ object SparkEntry {
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  ROUND(SUM(value) FILTER (event_type = 'click'), 2) AS click,
+        |  ROUND(SUM(value) FILTER (event_type = 'view'), 2) AS view,
+        |  ROUND(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |  ROUND(SUM(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |  ROUND(SUM(value) FILTER (event_type = 'error'), 2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_route_replace" ->
       """SELECT event_id,
         |  CASE WHEN user_id % 2 = 0 THEN 'ods.events_even'
