@@ -30,6 +30,12 @@ object SparkEntry {
   // ---- changelog fixture: events table replayed as a CDC stream ----
   // pk = user_id, seq = event_id (monotone), op: 'error' events are DELETEs,
   // everything else an upsert (REPLACE) — the shape a Debezium feed lands in.
+  /** Payload shape of the events changelog on the debezium/canal wire. */
+  private val eventsPayloadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+
   private def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "events").select(
@@ -169,10 +175,7 @@ object SparkEntry {
       // path is lossless); same oracle as q_materialize
       val id = TableId.of("db", "events")
       val json = graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), id)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val schema = eventsPayloadSchema
       val back = graft.sources.DebeziumJson.parse(json, schema).drop("__db", "__table")
       Changelog.materialize(back, Seq("user_id"))
     },
@@ -219,10 +222,7 @@ object SparkEntry {
       val json = graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), id)
       val resumed = graft.sources.StartupOptions(
         json, graft.sources.StartupOptions.Timestamp(500L), 0L)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val schema = eventsPayloadSchema
       val back = graft.sources.DebeziumJson.parse(resumed, schema).drop("__db", "__table")
       Changelog.materialize(back, Seq("user_id"))
     },
@@ -256,10 +256,7 @@ object SparkEntry {
       // canal-json wire path is lossless too; same oracle as q_materialize
       val id = TableId.of("db", "events")
       val json = graft.sinks.ChangelogJson.canal(eventsChangelog(spark, dir), id)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val schema = eventsPayloadSchema
       val back = graft.sources.CanalJson.parse(json, schema).drop("__db", "__table")
       Changelog.materialize(back, Seq("user_id"))
     },
@@ -1153,8 +1150,6 @@ object SparkEntry {
         |  CAST(start % 512 AS BIGINT) AS offset_in_window
         |FROM offs WHERE n > 0""".stripMargin,
 
-    // hash-math oracles (full SQL re-implementations of the 64-bit hash
-    // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty
@@ -1196,6 +1191,8 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // hash-math oracles (full SQL re-implementations of the 64-bit hash
+    // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
     "q_decontaminate" -> OracleHashSql.decontaminate,
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
