@@ -41,7 +41,7 @@ object Bench {
       def once() = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
       once()
       val runs = (1 to 3).map(_ => once())
-      (name, runs.map(_._2).sorted.apply(1), runs.head._1)
+      (name, runs.map(_._2).sorted, runs.head._1)
     }
 
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
@@ -82,10 +82,18 @@ object Bench {
       math.min(t0, t1)
     }
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v(1) }.mkString("{", ",", "}")
+    // per-query [min, median, max] of the 3 timed runs: round-6 reported a
+    // 3.5x "regression" on q_dedup_ngram that round-7 could not reproduce
+    // (machine-load noise during the driver run) — the bands let future
+    // rounds separate noise from signal without archaeology
+    val bands = results.map { case (k, v, _) =>
+      "\"" + k + "\":[" + v.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.apply(1)).sum
     // scalastyle:off println
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_bands":$bands,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
       s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}""")
     // scalastyle:on

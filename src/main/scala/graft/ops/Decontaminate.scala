@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (train_id, bench_id, overlap) for every contaminated pair. */
+  /** (train_id, bench_id, overlap) for every contaminated pair.
+    *
+    * `maxBroadcastRows`: the exploded bench shingle set is broadcast only
+    * when the bench side provably fits — at most this many (bench doc ×
+    * shingle) rows, counted before the join (benchmarks are small, so the
+    * count is cheap). A degenerate "benchmark" of millions of docs would
+    * otherwise blow the driver/executor broadcast limit; past the bound the
+    * join falls back to a plain shuffle hash/sort-merge join on `sh`, which
+    * is shuffle-heavy but safe at any size.
+    */
   def flag(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
            shingleSize: Int = 3, minShingles: Int = 2,
-           maxShingleDf: Int = 1000): DataFrame = {
+           maxShingleDf: Int = 1000, maxBroadcastRows: Long = 10_000_000L): DataFrame = {
     def shingles(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).cast("long").as(as),
         explode(graft.functions.CdcExpressions.shingleHashes(
@@ -35,8 +44,13 @@ object Decontaminate {
       .where(col("__df") <= maxShingleDf)
       .drop("__df")
 
+    // broadcast decision: probe the pre-filter exploded row count — an upper
+    // bound for `kept` that costs one narrow pass over the (small) bench
+    // side, no window shuffle, and no lingering persist
+    val broadcastable = benchSh.count() <= maxBroadcastRows
+    val benchSide = if (broadcastable) broadcast(kept) else kept
     shingles(train, "train_id")
-      .join(broadcast(kept), "sh")
+      .join(benchSide, "sh")
       .groupBy("train_id", "bench_id")
       .agg(count_distinct(col("sh")).as("overlap"))
       .where(col("overlap") >= minShingles)

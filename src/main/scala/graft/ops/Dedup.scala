@@ -158,9 +158,16 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                         threshold: Double = 0.8, maxBucketSize: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
 
-    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes).cache()
+    // sigs is referenced three times below (bucket stage + the two verify
+    // joins) and deliberately NOT cached: the signature is a narrow codegen
+    // map over (id, text), so a recompute costs two extra scans of two slim
+    // columns — while a pinned signature cache is itself corpus-scale state
+    // (numHashes × 8 bytes per doc ≈ 1 KB/doc → ~10 TB of executor memory at
+    // 10^10 docs). Identical exchange subtrees are deduplicated by Spark's
+    // ReuseExchange anyway; callers that consume the result more than once
+    // should persist it themselves (every in-repo caller is single-use).
+    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
 
     // band buckets: shuffle key = (band index, hash of the band slice) —
     // the band hashes come from a codegen'd expression + posexplode, never
@@ -189,13 +196,7 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
 
-    // materialize the slim pair set (bytes ≈ pairs × 24, independent of
-    // corpus size), then release the signature cache — the checkpoint cuts
-    // the lineage so nothing downstream re-reads sigs and the cache cannot
-    // leak across queries (the blemish VERDICT r3/r4 flagged)
-    val out = verified.localCheckpoint()
-    sigs.unpersist()
-    out
+    verified
   }
 
   /** All (x,y) pairs with x<y from a sorted array column. */

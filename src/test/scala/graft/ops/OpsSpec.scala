@@ -240,6 +240,26 @@ class SplitDecontamSpec extends SparkSpec {
       minShingles = 1, maxShingleDf = 1000)
     assert(unCapped.count() === 5)
   }
+
+  test("decontaminate falls back to a shuffle join when the bench side is oversized") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (1L, "completely unrelated words about databases and queries"),
+      (2L, "someone said the quick brown fox jumps over whatever")
+    ).toDF("id", "text")
+    // maxBroadcastRows=0 forces every bench side past the bound
+    val out = graft.ops.Decontaminate.flag(train, bench, "id", "text",
+      minShingles = 2, maxBroadcastRows = 0L)
+    // same answer through the fallback path...
+    assert(out.as[(Long, Long, Long)].collect().toSeq === Seq((2L, 100L, 4L)))
+    // ...and the bench side no longer carries the FORCED broadcast hint —
+    // Catalyst stays free to pick (its own size-estimate auto-broadcast is
+    // fine; the bug class is the hint overriding the size check)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // the default bound does force the hint (common path: bench is small)
+    val bcast = graft.ops.Decontaminate.flag(train, bench, "id", "text", minShingles = 2)
+    assert(bcast.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
 }
 
 class PackSpec extends SparkSpec {
