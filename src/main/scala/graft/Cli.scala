@@ -17,9 +17,11 @@ import org.apache.spark.sql.streaming.Trigger
   * Supported sources: `parquet` (batch snapshot; `path` = table directory),
   * `debezium-json` (streaming; `path` = directory of json-lines files, each
   * record one debezium envelope; requires `tables-schema` entries in the
-  * source block or prior CreateTable DDL). Sinks: `parquet` (directory of
-  * result tables), `parquet-upsert` (continuously maintained state dirs),
-  * `values` (print to stdout — smoke runs).
+  * source block or prior CreateTable DDL), `kafka` (streaming; debezium
+  * envelopes consumed via `readStream.format("kafka")` —
+  * [[graft.sources.KafkaSource]]). Sinks: `parquet` (directory of result
+  * tables), `parquet-upsert` (continuously maintained state dirs), `kafka`
+  * (changelog topics), `values` (print to stdout — smoke runs).
   */
 object Cli {
 
@@ -40,7 +42,7 @@ object Cli {
 
     p.source.kind match {
       case "parquet" => runBatch(spark, p)
-      case "debezium-json" => runStreaming(spark, p)
+      case "debezium-json" | "kafka" => runStreaming(spark, p)
       case other => throw new IllegalArgumentException(s"unknown source type: $other")
     }
   }
@@ -68,19 +70,30 @@ object Cli {
   /** Build the streaming pipeline + launch the query; factored out so tests
     * can drive it with `Trigger.AvailableNow` instead of awaiting forever.
     * Returns (pipeline, sink, running query). `kafkaWriter` substitutes the
-    * Kafka producer for tests / embedded runs (the connector jar ships
-    * separately — [[graft.sinks.KafkaChangelogSink]] is classpath-guarded).
+    * Kafka producer, `kafkaReader` the Kafka consumer, for tests / embedded
+    * runs (the connector jar ships separately —
+    * [[graft.sinks.KafkaChangelogSink]] / [[graft.sources.KafkaSource]] are
+    * classpath-guarded).
     */
   def buildStreaming(spark: SparkSession, p: PipelineDef, trigger: Trigger,
-                     kafkaWriter: Option[org.apache.spark.sql.DataFrame => Unit] = None)
+                     kafkaWriter: Option[org.apache.spark.sql.DataFrame => Unit] = None,
+                     kafkaReader: Option[(SparkSession, Map[String, String]) =>
+                       org.apache.spark.sql.DataFrame] = None)
       : (StreamingPipeline, graft.sinks.CdcSink,
          org.apache.spark.sql.streaming.StreamingQuery) = {
-    val inPath = p.source.options.getOrElse("path",
-      throw new IllegalArgumentException("debezium-json source needs `path`"))
-    // `path` doubles as the state dir (checkpoint + startup anchor) for every
-    // streaming sink kind; the parquet-upsert sink also materializes there
-    val outPath = p.sink.options.getOrElse("path",
-      throw new IllegalArgumentException("streaming sink needs `path`"))
+    // state dir (checkpoint + startup anchor): the sink `path` where the
+    // sink has one (parquet-upsert materializes there), else a dedicated
+    // `state-dir` pipeline option. A Kafka sink needs neither — a reference
+    // YAML without `path` must run — so it falls back to a STABLE
+    // per-pipeline-name dir (stable, not a fresh temp dir: a restart must
+    // find the same checkpoint to resume; production sets `state-dir`).
+    val statePath = p.sink.options.get("path")
+      .orElse(p.config.get("state-dir"))
+      .getOrElse {
+        if (p.sink.kind == "kafka")
+          s"${sys.props("java.io.tmpdir")}/graft-state/${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
+      }
 
     // same function surface as the batch composer: parity UDFs, corpus ops,
     // models — usable in streaming transform projections/filters too
@@ -99,7 +112,7 @@ object Cli {
         p.sink.options.getOrElse("topic", ""),
         p.sink.options.getOrElse("value.format", "debezium-json"),
         kafkaWriter)
-      case _ => new ParquetUpsertSink(outPath, buckets)
+      case _ => new ParquetUpsertSink(statePath, buckets)
     }
     val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink)
 
@@ -114,25 +127,35 @@ object Cli {
       pipe.applySchemaChange(CreateTableEvent(id, CdcSchema.of(cols.toIndexedSeq: _*).copy(primaryKeys = pk)))
     }
 
-    // startup mode: lower-bound filter on the raw feed (reference
-    // scan.startup.mode). `latest` anchors at the backlog position at FIRST
-    // launch and persists the anchor beside the checkpoint — a restart must
-    // resume from the stored position, not re-anchor past unprocessed data.
-    val mode = graft.sources.StartupOptions.parse(p.source.options)
-    def anchoredPosition: Long = {
-      val f = java.nio.file.Paths.get(s"$outPath/_startup_position")
-      if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f).trim.toLong
-      else {
-        val pos = graft.sources.StartupOptions.filePosition(spark, inPath)
-        java.nio.file.Files.createDirectories(f.getParent)
-        java.nio.file.Files.writeString(f, pos.toString)
-        pos
-      }
+    val stream = p.source.kind match {
+      case "kafka" =>
+        // startup mode pushes down to the broker-side seek inside the
+        // connector options — no post-filter on the feed
+        graft.sources.KafkaSource.frame(spark, p.source.options, kafkaReader)
+      case _ =>
+        val inPath = p.source.options.getOrElse("path",
+          throw new IllegalArgumentException("debezium-json source needs `path`"))
+        // startup mode: lower-bound filter on the raw feed (reference
+        // scan.startup.mode). `latest` anchors at the backlog position at
+        // FIRST launch and persists the anchor beside the checkpoint — a
+        // restart must resume from the stored position, not re-anchor past
+        // unprocessed data.
+        val mode = graft.sources.StartupOptions.parse(p.source.options)
+        def anchoredPosition: Long = {
+          val f = java.nio.file.Paths.get(s"$statePath/_startup_position")
+          if (java.nio.file.Files.exists(f)) java.nio.file.Files.readString(f).trim.toLong
+          else {
+            val pos = graft.sources.StartupOptions.filePosition(spark, inPath)
+            java.nio.file.Files.createDirectories(f.getParent)
+            java.nio.file.Files.writeString(f, pos.toString)
+            pos
+          }
+        }
+        graft.sources.StartupOptions(
+          spark.readStream.format("text").load(inPath), mode,
+          launchPosition = anchoredPosition)
     }
-    val stream = graft.sources.StartupOptions(
-      spark.readStream.format("text").load(inPath), mode,
-      launchPosition = anchoredPosition)
-    (pipe, sink, pipe.start(stream, s"$outPath/_checkpoint", trigger))
+    (pipe, sink, pipe.start(stream, s"$statePath/_checkpoint", trigger))
   }
 
   private def runStreaming(spark: SparkSession, p: PipelineDef): Unit = {

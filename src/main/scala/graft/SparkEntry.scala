@@ -278,6 +278,41 @@ object SparkEntry {
       sink.read(spark, srcId)
     },
 
+    "q_kafka_pipeline" -> { (spark, dir) =>
+      // the kafka-source seam end-to-end: events changelog serialized to
+      // debezium lines = the topic backlog; the injected reader stands in
+      // for the broker (same classpath-guard design as the sink); YAML CLI
+      // drives readStream → pipeline → parquet-upsert state. Lossless, so
+      // it shares q_materialize's oracle.
+      import org.apache.spark.sql.streaming.Trigger
+      val id = TableId.of("db", "events")
+      val in = java.nio.file.Files.createTempDirectory("graft-q-kafka-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-q-kafka-out").toString
+      graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), id)
+        .write.mode("overwrite").text(in)
+      val yaml =
+        s"""source:
+           |  type: kafka
+           |  properties.bootstrap.servers: broker:9092
+           |  topic: db.events
+           |  schema.db.events: "user_id BIGINT, event_type STRING, value DOUBLE"
+           |sink:
+           |  type: parquet-upsert
+           |  path: $out
+           |  buckets: 32
+           |pipeline:
+           |  name: kafka-events
+           |""".stripMargin
+      val reader = (s: SparkSession, opts: Map[String, String]) => {
+        require(opts("subscribe") == "db.events" && opts("startingOffsets") == "earliest")
+        s.readStream.format("text").load(in)
+      }
+      val (_, sink, q) = Cli.buildStreaming(spark, PipelineDef.fromYaml(yaml),
+        Trigger.AvailableNow(), kafkaReader = Some(reader))
+      q.awaitTermination()
+      sink.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, id)
+    },
+
     // ---------- chunked snapshot source (§2.1) ----------
 
     "q_chunked_read" -> { (spark, dir) =>
@@ -859,6 +894,12 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "q_stream_pipeline" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_kafka_pipeline" ->
       """SELECT user_id, event_type, value FROM (
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

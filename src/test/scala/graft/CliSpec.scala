@@ -84,6 +84,99 @@ class CliSpec extends SparkSpec {
     assert(state === Seq((1L, "ANN2", 31)))
   }
 
+  test("kafka source YAML: injected reader drives debezium feed into parquet-upsert state") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-kafka-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-kafka-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      """{"before":null,"after":{"id":1,"name":"ann"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":null,"after":{"id":2,"name":"bob"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":null,"after":{"id":1,"name":"ann2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}""" + "\n")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: kafka
+         |  properties.bootstrap.servers: broker:9092
+         |  properties.group.id: graft-test
+         |  topic: db.users
+         |  scan.startup.mode: earliest-offset
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |pipeline:
+         |  name: kafka-src-e2e
+         |""".stripMargin)
+    var seenOpts: Map[String, String] = Map.empty
+    val reader = (s: org.apache.spark.sql.SparkSession, opts: Map[String, String]) => {
+      seenOpts = opts
+      s.readStream.format("text").load(in)
+    }
+    val (_, sink, q) = Cli.buildStreaming(spark, p, Trigger.AvailableNow(),
+      kafkaReader = Some(reader))
+    q.awaitTermination(60000)
+    // the injected reader received the resolved connector options
+    assert(seenOpts("kafka.bootstrap.servers") === "broker:9092")
+    assert(seenOpts("subscribe") === "db.users")
+    assert(seenOpts("startingOffsets") === "earliest")
+    assert(seenOpts("kafka.group.id") === "graft-test")
+    // and the feed materialized through the standard upsert path
+    val state = sink.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state === Seq((1L, "ann2"), (2L, "bob")))
+  }
+
+  test("kafka sink YAML without `path` runs on the state-dir fallback") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-k2k-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      """{"before":null,"after":{"id":7,"name":"eve"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n")
+    // unique pipeline name → unique fallback state dir (avoids a stale
+    // checkpoint from an earlier test run of the same suite)
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: kafka
+         |  properties.bootstrap.servers: broker:9092
+         |pipeline:
+         |  name: k2k-nopath-${System.nanoTime()}
+         |""".stripMargin)
+    val records = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val writer = (df: org.apache.spark.sql.DataFrame) => {
+      records ++= df.collect().map(r => (r.getString(0), r.getString(1)))
+      ()
+    }
+    val (_, _, q) = Cli.buildStreaming(spark, p, Trigger.AvailableNow(),
+      kafkaWriter = Some(writer))
+    q.awaitTermination(60000)
+    assert(records.size === 1)
+    assert(records.head._1.contains("\"id\":7"))
+  }
+
+  test("KafkaSource.kafkaOptions maps the reference option surface") {
+    import graft.sources.KafkaSource.kafkaOptions
+    val base = Map("properties.bootstrap.servers" -> "b:9092", "topic" -> "t")
+    assert(kafkaOptions(base)("startingOffsets") === "earliest") // default
+    assert(kafkaOptions(base + ("scan.startup.mode" -> "initial"))("startingOffsets") === "earliest")
+    assert(kafkaOptions(base + ("scan.startup.mode" -> "latest-offset"))("startingOffsets") === "latest")
+    assert(kafkaOptions(base + ("scan.startup.mode" -> "timestamp",
+      "scan.startup.timestamp-ms" -> "123"))("startingTimestamp") === "123")
+    assert(kafkaOptions(base + ("scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offsets" -> """{"t":{"0":42}}"""))("startingOffsets") === """{"t":{"0":42}}""")
+    val pat = Map("properties.bootstrap.servers" -> "b:9092", "topic-pattern" -> "db\\..*")
+    assert(kafkaOptions(pat)("subscribePattern") === "db\\..*")
+    intercept[IllegalArgumentException](kafkaOptions(Map("topic" -> "t")))
+    intercept[IllegalArgumentException](kafkaOptions(Map("properties.bootstrap.servers" -> "b")))
+    intercept[IllegalArgumentException](kafkaOptions(base + ("topic-pattern" -> "x")))
+    intercept[IllegalArgumentException](kafkaOptions(base + ("scan.startup.mode" -> "bogus")))
+  }
+
   test("SOFT_DELETE converter keeps tombstones as flagged rows through the pipeline") {
     import spark.implicits._
     val registry = new SchemaRegistry()
