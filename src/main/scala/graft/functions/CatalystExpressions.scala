@@ -71,6 +71,21 @@ object CdcExprHelpers {
     if (hasNullElement(v)) null
     else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
 
+  /** Nearest-centroid id by cosine (ties → lowest index, matching the
+    * stable-sort semantics of `Ivf.Model.nearest`); null on null elements.
+    */
+  def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): java.lang.Integer = {
+    if (hasNullElement(v)) return null
+    val arr = v.toFloatArray()
+    var best = 0; var bestCos = Double.NegativeInfinity; var i = 0
+    while (i < centroids.length) {
+      val c = graft.ops.Similarity.cosine(centroids(i), arr)
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    Int.box(best)
+  }
+
   /** Cosine similarity of two float vectors; 0.0 on zero norms, NULL when
     * either vector has a null element (matching the null propagation of a
     * `zip_with`+`aggregate` formulation). Accumulates in ascending index
@@ -202,6 +217,38 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** `NEAREST_CENTROID(vec)` with bound centroids — the IVF assignment hot
+  * loop as a codegen'd call over the columnar scan. The assignment stage
+  * runs over the ENTIRE corpus at index-build time, so this is the
+  * expression-over-typed-map rule applied to its own hottest path: no
+  * `DeserializeToObject` encoder round-trip per vector. Centroids ship as a
+  * plan reference object (tiny: k × dim floats), like [[HyperplaneSig]]'s
+  * planes.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true // null input, or null vector elements
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.nearestCentroid(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("cid")
+      s"""java.lang.Integer $boxed = graft.functions.CdcExprHelpers.nearestCentroid($c, $ref);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** `MINHASH_BANDS(sig, bands)` — LSH band keys as a codegen'd call; feeds
   * `posexplode` to produce (band, bucket) shuffle keys without a typed
   * Dataset encoder round-trip.
@@ -256,6 +303,8 @@ object CdcExpressions {
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
   def minhashBands(sig: Column, bands: Int): Column =
     GraftBridge.column(MinHashBands(GraftBridge.expression(sig), bands))
   def estJaccard(a: Column, b: Column): Column =

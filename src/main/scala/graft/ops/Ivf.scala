@@ -78,15 +78,17 @@ object Ivf {
 
   /** Assign every vector its inverted-list id — the distributed "index build".
     * Write the result `partitionBy("centroid_id")` for query-time pruning.
+    *
+    * The assignment runs over the ENTIRE corpus, so it is a native codegen'd
+    * expression (NEAREST_CENTROID, centroids as a plan reference object) —
+    * not a typed-Dataset `.map`, which would round-trip every vector through
+    * the encoder. Train-side sampling keeps its `.map` (sample-sized input
+    * feeding `reduceGroups`).
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, bc.value.nearest(v.toArray).head) }
-      .toDF(idCol, vecCol, "centroid_id")
-  }
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol), col(vecCol),
+      graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
+        .as("centroid_id"))
 
   /** Query: probe the `nprobe` nearest inverted lists, exact-rescore the
     * slice (scans nprobe/k of the index; with a partitioned index the pruning

@@ -59,6 +59,22 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment stays in codegen: no encoder hop on the full-corpus stage") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val p = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("DeserializeToObject"), p.take(2000))
+    assert(!p.contains("MapElements"), p.take(2000))
+    assert(p.contains("nearest_centroid"), p.take(2000))
+    // and the expression agrees with the driver-side model on every vector
+    val mismatch = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+      .collect().count { r =>
+        model.nearest(r.getSeq[Float](1).toArray).head != r.getInt(2)
+      }
+    assert(mismatch === 0)
+  }
+
   test("dedup pipelines stay in codegen: no typed-Dataset encoder hops") {
     // a DeserializeToObject / MapElements node means rows left Tungsten
     // format for a Scala closure — the scan-bound narrow stages of the
