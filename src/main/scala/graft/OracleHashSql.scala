@@ -37,6 +37,11 @@ CREATE OR REPLACE MACRO g_mixb(x) AS g_mulmod(xor(x, x >> 30), 13787848793156543
 CREATE OR REPLACE MACRO g_mixc(x) AS g_mulmod(xor(x, x >> 27), 10723151780598845931);
 CREATE OR REPLACE MACRO g_mix64(x) AS
   xor(g_mixc(g_mixb(g_mixa(x))), g_mixc(g_mixb(g_mixa(x))) >> 31);
+-- BMP-ONLY: folds ord() per CODEPOINT, while the engine's Dedup.hash64
+-- folds charAt per UTF-16 CODE UNIT — identical for all Basic-Multilingual-
+-- Plane text (the documents fixture is pure ASCII) but divergent on
+-- supplementary-plane characters (emoji, rare CJK), where the engine hashes
+-- two surrogates per codepoint. Fixtures feeding hash oracles must stay BMP.
 CREATE OR REPLACE MACRO g_fnv64(s) AS list_reduce(
   list_prepend(CAST(14695981039346656037 AS UBIGINT),
                list_transform(string_split(s, ''), c -> CAST(ord(c) AS UBIGINT))),

@@ -391,11 +391,13 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       // audit view: which doc duplicates which (exact fingerprint pairs).
       // The corpus has no natural exact duplicates, so plant some: every
-      // 50th doc re-appears under a shifted id — the audit must report
-      // exactly those (planted, original) pairs at every sf.
+      // 50th doc re-appears under a NEGATED id — a disjoint id space at any
+      // sf (a fixed +1000000 shift would collide with real doc_ids once the
+      // corpus reaches 1M documents) — the audit must report exactly those
+      // (planted, original) pairs at every sf.
       val docs = t(dir, "documents")
       val planted = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("doc_id", -col("doc_id") - lit(1L))
       Dedup.exactPairs(docs.unionByName(planted), "doc_id",
         TextAnalysis.fingerprint(col("text")))
     },
@@ -965,7 +967,7 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 50 = 0),
         |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |       FROM all_docs),
         |sized AS (SELECT *, count(*) OVER (PARTITION BY f) AS csz FROM fp)

@@ -75,9 +75,15 @@ object CdcUdf {
   private def resolveEval(cls: Class[_]): java.lang.reflect.Method = {
     val evals = cls.getMethods.filter(m => m.getName == "eval" && !m.isBridge)
     require(evals.nonEmpty, s"${cls.getName} is neither a CdcUdf nor has an eval() method")
-    // overloads: the reference registers one eval per descriptor; pick the
-    // highest-arity declared overload deterministically
-    evals.sortBy(e => (-e.getParameterCount, e.toString)).head
+    // a registered UDF binds ONE signature; silently picking among overloads
+    // would register one arity and fail the others at invoke time with an
+    // opaque reflection error — reject up front with the remedy instead
+    require(evals.length == 1,
+      s"${cls.getName} declares ${evals.length} eval(...) overloads " +
+        s"(${evals.map(_.getParameterTypes.map(_.getSimpleName).mkString("(", ",", ")"))
+          .sorted.mkString(", ")}); a registered function binds one signature — " +
+        "split the overloads into separate classes and register each under its own name")
+    evals.head
   }
 
   /** Serializable adapter: `java.lang.reflect.Method` (and an arbitrary UDF

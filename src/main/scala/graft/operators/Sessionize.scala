@@ -51,14 +51,24 @@ object Sessionize {
   /** CUSTOM-STATE streaming sessionization: the `flatMapGroupsWithState`
     * twin of [[sessions]] for when the native `session_window` aggregation
     * cannot express the semantics (here: emit the CLOSED session exactly
-    * once, carrying arbitrary accumulated state). One open session per key
-    * lives in the state store; a session closes either when a later event
-    * proves the gap in-stream, or when the event-time watermark passes
-    * `end + gap` (timeout). Input needs `withWatermark` on `tsCol` —
-    * EventTimeTimeout requires it and it bounds state retention.
+    * once, carrying arbitrary accumulated state). Input needs
+    * `withWatermark` on `tsCol` — EventTimeTimeout requires it and it
+    * bounds state retention.
     *
-    * State per key is O(1) (three longs), emitted rows are slim — the shape
-    * that holds at any key cardinality.
+    * State per key is the list of OPEN islands (sessions the watermark has
+    * not sealed yet), merged gaps-and-islands style with each batch's
+    * events. A session is emitted ONLY once the watermark passes
+    * `end + gap`: an earlier in-stream "proof of closure" (a later event
+    * more than `gap` away) is NOT sufficient in Append mode — a
+    * late-but-admissible straggler could still arrive between the two
+    * islands and bridge them, and the already-emitted session could not be
+    * retracted. Sealing on the watermark makes the emitted sessions exactly
+    * the batch twin's output under any admissible arrival order.
+    *
+    * The island list is bounded: every open island satisfies
+    * `end + gap > watermark`, so a key holds at most
+    * `watermarkDelay / gap + 2` islands — O(1) for any fixed config, slim
+    * rows out.
     */
   def streamingSessions(events: DataFrame, key: String, tsCol: String,
                         gapMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
@@ -79,33 +89,37 @@ object Sessionize {
       .select(col(key).cast("long"), col(tsCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (k: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) { // watermark passed end+gap with no new data
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(k, s.start, s.end, s.n))
-          } else {
-            // gaps-and-islands over the sorted INTERVALS (open state + batch
-            // events): a late-but-in-watermark event more than `gap` BEFORE
-            // the open session is its own earlier session, exactly like the
-            // batch twin — not force-merged into the open one
-            val items = (it.map { case (_, t) => OpenSession(t.getTime, t.getTime, 1L) }
-              ++ state.getOption.iterator).toArray.sortBy(s => (s.start, s.end))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur: OpenSession = null
-            for (s <- items) {
-              if (cur == null) cur = s
-              else if (s.start > cur.end + gapMs) { // in-stream proof of closure
-                closed += ClosedSession(k, cur.start, cur.end, cur.n)
-                cur = s
-              } else cur = OpenSession(cur.start, math.max(cur.end, s.end), cur.n + s.n)
-            }
-            state.update(cur)
-            state.setTimeoutTimestamp(cur.end + gapMs)
-            closed.iterator
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[List[OpenSession]]) =>
+          // gaps-and-islands over the sorted INTERVALS (open islands + batch
+          // events): a late-but-in-watermark event more than `gap` BEFORE an
+          // island is its own earlier island; one within `gap` merges — even
+          // when it bridges two islands formed in earlier batches. On a
+          // timeout invocation `it` is empty and this is a pure re-seal pass.
+          val items = (it.map { case (_, t) => OpenSession(t.getTime, t.getTime, 1L) }
+            ++ state.getOption.getOrElse(Nil).iterator).toArray.sortBy(s => (s.start, s.end))
+          val islands = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          var cur: OpenSession = null
+          for (s <- items) {
+            if (cur == null) cur = s
+            else if (s.start > cur.end + gapMs) { islands += cur; cur = s }
+            else cur = OpenSession(cur.start, math.max(cur.end, s.end), cur.n + s.n)
           }
+          if (cur != null) islands += cur
+          // emit ONLY watermark-sealed islands: any event that could still
+          // extend or bridge one (ts <= end + gap) would now be dropped as
+          // too late, so the emission is final
+          val wm = state.getCurrentWatermarkMs()
+          val (finished, open) = islands.partition(s => s.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.toList)
+            // earliest possible seal time; guaranteed > wm by the partition
+            state.setTimeoutTimestamp(open.map(_.end + gapMs).min)
+          }
+          finished.iterator.map(s => ClosedSession(k, s.start, s.end, s.n))
       }
   }
 }

@@ -88,6 +88,20 @@ class CdcFunctionsSpec extends SparkSpec {
     assert(r.name === "PLUS2")
     assert(Seq(40).toDF("x").selectExpr("PLUS2(x)").as[Int].head() === 42)
   }
+
+  test("eval-overloaded classes are rejected up front, not at invoke time") {
+    val e = intercept[IllegalArgumentException] {
+      CdcUdf.fromClasspath(spark, "graft.functions.OverloadedEvalUdf", Some("OVER"))
+    }
+    assert(e.getMessage.contains("2 eval(...) overloads"), e.getMessage)
+    assert(e.getMessage.contains("separate classes"), e.getMessage)
+  }
+}
+
+/** Fixture: multiple eval overloads — common in Flink UDFs, unbindable here. */
+class OverloadedEvalUdf {
+  def eval(s: String): String = s
+  def eval(s: String, n: Int): String = s * n
 }
 
 /** Fixture: the Flink-`ScalarFunction` shape — no CdcUdf, just eval/open. */

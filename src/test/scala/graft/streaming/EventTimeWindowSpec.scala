@@ -90,7 +90,7 @@ class EventTimeWindowSpec extends SparkSpec {
     // user 1: two events 10 min apart (one session), then a 2h gap (new one)
     mem.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
     q.processAllAvailable()
-    mem.addData((ts("2024-01-01 12:30:00"), 1L)) // proves session 1 closed in-stream
+    mem.addData((ts("2024-01-01 12:30:00"), 1L)) // 2h gap: a new island opens
     q.processAllAvailable()
     // advance the watermark far past 12:30+30m so the open session times out
     mem.addData((ts("2024-01-01 20:00:00"), 2L))
@@ -175,6 +175,35 @@ class EventTimeWindowSpec extends SparkSpec {
       .collect().filter(_._1 == 1L).toSet
     assert(u1 === Set((1L, t("2024-01-01 12:05:00"), t("2024-01-01 12:05:00"), 1L),
                       (1L, t("2024-01-01 12:40:00"), t("2024-01-01 12:40:00"), 1L)))
+  }
+
+  test("late-but-admissible straggler BRIDGES two open islands into one session") {
+    // the Append-mode retraction hazard: had island [12:00] been emitted the
+    // moment 12:40 proved a >gap distance, the 12:20 straggler (admissible
+    // under the 60m watermark) could not merge them anymore — sealing on the
+    // watermark instead yields the batch twin's single session
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = graft.operators.Sessionize.streamingSessions(
+      mem.toDF().toDF("ts", "user_id").withWatermark("ts", "60 minutes"),
+      "user_id", "ts", gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fmgws_bridge")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 12:00:00"), 1L), (ts("2024-01-01 12:40:00"), 1L))
+    q.processAllAvailable() // two open islands, 40m apart (> 30m gap)
+    mem.addData((ts("2024-01-01 12:20:00"), 1L)) // straggler bridges them
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 20:00:00"), 2L)) // advance watermark, seal u1
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-02 09:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    val u1 = spark.table("fmgws_bridge").as[(Long, Long, Long, Long)]
+      .collect().filter(_._1 == 1L).toSet
+    assert(u1 === Set((1L, t("2024-01-01 12:00:00"), t("2024-01-01 12:40:00"), 3L)))
   }
 
   private implicit class Tuple4Ops(rows: Array[(String, String, Long, Double)]) {
