@@ -252,6 +252,40 @@ object SparkEntry {
         .select(col("user_id"), col("t_time"), unix_micros(col("t_tz")).as("t_tz_us"))
     },
 
+    "q_functions_tz" -> { (spark, dir) =>
+      // ZONED timestamp convention (SURVEY §1.3, reference
+      // ZonedTimestampType): the wire carries ONE ISO string with the
+      // original zone; the engine stores instant + `__zone` sidecar and can
+      // render the exact wire form back. Zones vary per row (user_id % 4)
+      // so a dropped/constant zone cannot pass.
+      implicit val s: SparkSession = spark
+      import graft.model.ZonedTime
+      val id = TableId.of("db", "events_ztz")
+      val zones = array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("+01:00"))
+      val ev = t(dir, "events").select(
+        col("user_id"),
+        ZonedTime.render(
+          expr("TIMESTAMP_MICROS(ts DIV 1000)"),
+          element_at(zones, (pmod(col("user_id"), lit(4)) + 1).cast("int"))).as("t_ztz"),
+        lit("REPLACE").as(Changelog.OpCol),
+        col("event_id").as(Changelog.SeqCol))
+      val json = graft.sinks.ChangelogJson.debezium(ev, id)
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", graft.model.CdcTypes.parse("BIGINT")),
+        org.apache.spark.sql.types.StructField("t_ztz", graft.model.CdcTypes.parse("STRING"))))
+      val back = graft.sources.DebeziumJson.parse(json, payload).drop("__db", "__table")
+        // receive-side split into the convention pair: instant + zone sidecar
+        .withColumn("t_tz", ZonedTime.instantOf(col("t_ztz")))
+        .withColumn("t_tz" + ZonedTime.ZoneSuffix, ZonedTime.zoneOf(col("t_ztz")))
+        .drop("t_ztz")
+      Changelog.materialize(back, Seq("user_id"))
+        .select(col("user_id"),
+          unix_micros(col("t_tz")).as("t_us"),          // instant preserved
+          col("t_tz" + ZonedTime.ZoneSuffix).as("t_zone"), // zone preserved
+          ZonedTime.render(col("t_tz"),
+            col("t_tz" + ZonedTime.ZoneSuffix)).as("t_iso")) // wire form re-renderable
+    },
+
     "q_canal_roundtrip" -> { (spark, dir) =>
       // canal-json wire path is lossless too; same oracle as q_materialize
       val id = TableId.of("db", "events")
@@ -888,6 +922,18 @@ object SparkEntry {
         |FROM (SELECT user_id, ts,
         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_functions_tz" ->
+      """SELECT user_id, epoch_us(ts) AS t_us, zone AS t_zone,
+        |  strftime(make_timestamp(epoch_us(ts) + off), '%Y-%m-%dT%H:%M:%S.%f') || zone AS t_iso
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CASE user_id % 4 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |                     WHEN 2 THEN '-08:00' ELSE '+01:00' END AS zone,
+        |    CASE user_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 19800000000
+        |                     WHEN 2 THEN -28800000000 ELSE 3600000000 END AS off,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "q_canal_roundtrip" ->
       """SELECT user_id, event_type, value FROM (

@@ -106,3 +106,46 @@ object CdcTypes {
     case _ => 38
   }
 }
+
+/** The ZONED-timestamp convention (SURVEY.md §1.3): the reference's
+  * `ZonedTimestampType` (common/types/ZonedTimestampType.java,
+  * `DataTypes.java:275`) keeps the ORIGINAL zone with the instant —
+  * `ZonedTimestampData` renders as e.g. `2024-01-01T10:00:00.000000+05:30`.
+  * Spark has no zoned-timestamp type, so the convention is a column PAIR:
+  * `TimestampType` instant + an original-zone string sidecar named
+  * `<col>__zone`. These helpers split an ISO-zoned wire string into the
+  * pair and render the pair back — all native functions (to_timestamp /
+  * regexp_extract / from_utc_timestamp / date_format), fully codegen.
+  */
+object ZonedTime {
+
+  /** Sidecar column suffix: `t` (instant) pairs with `t__zone` (zone). */
+  val ZoneSuffix = "__zone"
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** The instant of an ISO-8601 zoned string (`...+05:30` / `...Z`) as a
+    * TimestampType (UTC instant) — Spark's ISO timestamp cast honors the
+    * offset.
+    */
+  def instantOf(iso: Column): Column = to_timestamp(iso)
+
+  /** The original zone of an ISO-8601 zoned string (`+05:30`, `-08:00`,
+    * `Z`); null when the string carries no offset (callers decide a
+    * default — the reference equally cannot invent a zone it never saw).
+    */
+  def zoneOf(iso: Column): Column = {
+    val z = regexp_extract(iso, "(Z|[+-]\\d{2}:?\\d{2})$", 1)
+    when(z === "", lit(null)).otherwise(z)
+  }
+
+  /** Render (instant, zone) back to the reference's wire form: the wall
+    * clock IN the original zone plus the offset suffix — microsecond
+    * precision, matching the debezium wire options
+    * ([[graft.sinks.ChangelogJson.WireJsonOptions]]).
+    */
+  def render(instant: Column, zone: Column): Column =
+    concat(date_format(from_utc_timestamp(instant, zone),
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), zone)
+}

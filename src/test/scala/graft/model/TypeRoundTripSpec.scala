@@ -68,6 +68,32 @@ class TypeRoundTripSpec extends SparkSpec {
     assert(ddl.contains("""PRIMARY KEY ("c_i32")"""))
   }
 
+  test("ZonedTime splits and re-renders ISO-zoned strings losslessly") {
+    import spark.implicits._
+    val isos = Seq(
+      "2024-03-05T10:30:00.123456+05:30",
+      "2024-03-05T10:30:00.000001-08:00",
+      "2024-12-31T23:59:59.999999Z",
+      "2024-06-15T00:00:00.000000+01:00")
+    val df = isos.toDF("iso").select(
+      col("iso"),
+      ZonedTime.instantOf(col("iso")).as("t"),
+      ZonedTime.zoneOf(col("iso")).as("z"))
+    // zone extracted verbatim
+    assert(df.select("z").as[String].collect().toSeq ===
+      Seq("+05:30", "-08:00", "Z", "+01:00"))
+    // instant honors the offset: +05:30 wall 10:30 = 05:00 UTC
+    assert(df.where(col("z") === "+05:30")
+      .select(unix_micros(col("t"))).as[Long].head() ===
+      java.time.Instant.parse("2024-03-05T05:00:00.123456Z").toEpochMilli * 1000 + 456)
+    // render(instant, zone) reproduces the exact wire string
+    assert(df.select(ZonedTime.render(col("t"), col("z")).as("r"), col("iso"))
+      .where(col("r") =!= col("iso")).count() === 0)
+    // no offset in the string → null zone (callers decide the default)
+    assert(Seq("2024-03-05T10:30:00").toDF("iso")
+      .select(ZonedTime.zoneOf(col("iso"))).head().isNullAt(0))
+  }
+
   test("multi-table values event set materializes both tables") {
     val db = new graft.sinks.ValuesDatabase
     db.applyAll(ValuesSource.singleSplitMultiTable)
