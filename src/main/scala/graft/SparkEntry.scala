@@ -789,6 +789,93 @@ object SparkEntry {
         key = "user_id", on = "ts", gap = 3600000000L)
     },
 
+    // ---------- streaming-NATIVE twins under the correctness gate ----------
+    // Each drives the actual streaming engine (readStream file source,
+    // watermarks, state store, Append-mode sealing) via StreamingNative's
+    // sentinel-flush runs — not the batch shape of the operator. Event-time
+    // µs values ride in the TIMESTAMP ms slot (TIMESTAMP_MILLIS(ts DIV
+    // 1000)), so the engine's ms-granular event-time math (getTime,
+    // watermark, gap) is EXACT integer µs math and cannot diverge from the
+    // µs oracle by sub-ms truncation.
+
+    "q_stream_session_window" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      val base = java.nio.file.Files.createTempDirectory("graft-ssw").toString
+      val in = s"$base/in"
+      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      def sentinel(id: Long): () => Unit = () => {
+        Seq((id, new java.sql.Timestamp(8000000000000000L))).toDF("user_id", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel(-1L), sentinel(-2L))) { stream =>
+        stream.withWatermark("ts_t", "1 second")
+          // gap+1ms: session_window merges on STRICT start < end while the
+          // batch twin/oracle merge INCLUSIVELY (diff <= gap); +1 unit makes
+          // the streaming boundary inclusive at exactly-gap diffs too
+          .groupBy(session_window(col("ts_t"), "3600000001 milliseconds"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), min("ts_t").as("smin"), max("ts_t").as("smax"))
+          .select(col("user_id"), unix_millis(col("smin")).as("session_start"),
+            unix_millis(col("smax")).as("session_end"), col("n_events"))
+      }.where(col("user_id") >= 0)
+    },
+
+    "q_stream_dedup" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      val base = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+      val in = s"$base/in"
+      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      def sentinel(id: Long): () => Unit = () => {
+        Seq((id, new java.sql.Timestamp(8000000000000000L))).toDF("user_id", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel(-1L), sentinel(-2L))) { stream =>
+        // at-least-once ingest dedup: first arrival per key survives; keyed
+        // state expires on the watermark horizon. Key-only projection keeps
+        // the output independent of WHICH replay arrived first.
+        stream.withWatermark("ts_t", "1 second")
+          .dropDuplicatesWithinWatermark("user_id")
+          .select("user_id")
+      }.where(col("user_id") >= 0)
+    },
+
+    "q_stream_sessions_state" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      val base = java.nio.file.Files.createTempDirectory("graft-sfs").toString
+      val in = s"$base/in"
+      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      def sentinel(id: Long): () => Unit = () => {
+        Seq((id, new java.sql.Timestamp(8000000000000000L))).toDF("user_id", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel(-1L), sentinel(-2L))) { stream =>
+        Sessionize.streamingSessions(stream.withWatermark("ts_t", "1 second"),
+            "user_id", "ts_t", gapMs = 3600000000L)
+          .toDF()
+          .withColumnRenamed("key", "user_id")
+      }.where(col("user_id") >= 0)
+    },
+
     "q_percentile" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exact interpolated percentiles (type-7, same definition as DuckDB
@@ -1177,6 +1264,39 @@ object SparkEntry {
         |LEFT JOIN (SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') r
         |  ON r.ts_us > l.ts_us - 300000000 AND r.ts_us <= l.ts_us
         |GROUP BY l.event_id""".stripMargin,
+
+    "q_stream_session_window" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM tagged)
+        |SELECT user_id, count(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_idx""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events",
+
+    "q_stream_sessions_state" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM tagged)
+        |SELECT user_id, count(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_idx""".stripMargin,
 
     "q_sessionize" ->
       """WITH tagged AS (

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Drive a STREAMING-native operator (session_window,
+  * dropDuplicatesWithinWatermark, flatMapGroupsWithState, ...) over a real
+  * `readStream` file source so its output can be oracle-compared like any
+  * batch query — the streaming ENGINE itself under the correctness gate,
+  * not its batch twin.
+  *
+  * Mechanics: the transformed stream appends to a parquet file sink
+  * (exactly-once via the sink's `_spark_metadata` commit log + the
+  * checkpoint). Append-mode stateful operators only EMIT results the
+  * watermark has sealed, and the watermark only advances at batch
+  * boundaries — so after the backlog run, `betweenRuns` callbacks drop
+  * far-future SENTINEL files and re-run: sentinel 1's batch advances the
+  * watermark past every real event; sentinel 2's batch then executes under
+  * that watermark and flushes every sealed result. Callers filter the
+  * sentinel keys out of the returned frame. (Two sentinels, not a reliance
+  * on no-data micro-batches, keep the flush deterministic across Spark's
+  * `noDataMicroBatches` behavior.)
+  */
+object StreamingNative {
+
+  /** Run `build(stream)` to quiescence: one AvailableNow run per element of
+    * `betweenRuns` (invoked in order between runs) plus the initial backlog
+    * run. Returns the committed sink contents as a batch frame.
+    */
+  def fileStreamRuns(spark: SparkSession, inDir: String, schema: StructType,
+                     outDir: String, checkpointDir: String,
+                     betweenRuns: Seq[() => Unit])(
+                     build: DataFrame => DataFrame): DataFrame = {
+    def once(): Unit = {
+      val q = build(spark.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    once()
+    betweenRuns.foreach { cb => cb(); once() }
+    spark.read.parquet(outDir)
+  }
+}
