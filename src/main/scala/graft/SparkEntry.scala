@@ -347,6 +347,55 @@ object SparkEntry {
       sink.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, id)
     },
 
+    "q_schema_evolution" -> { (spark, dir) =>
+      // composed schema-evolution e2e (reference SchemaEvolveE2eITCase):
+      // half the changelog streams under schema v1 (no `value` column) and
+      // materializes; an IN-BAND AddColumn control record plus the second
+      // half (with `value`) arrive mid-stream on a checkpointed restart.
+      // The sink must evolve, upsert the new shape, and read old-state rows
+      // COERCED (null value) — the oracle nulls `value` exactly where the
+      // winning event predates the evolve.
+      implicit val s: SparkSession = spark
+      import org.apache.spark.sql.streaming.Trigger
+      val id = TableId.of("db", "events")
+      val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val in = s"$base/in"
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      val ev = eventsChangelog(spark, dir)
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) <= split).drop("value"), id)
+        .write.mode("overwrite").text(in)
+      val yaml =
+        s"""source:
+           |  type: debezium-json
+           |  path: $in
+           |  schema.db.events: "user_id BIGINT, event_type STRING"
+           |transform:
+           |  - source-table: db.events
+           |    primary-keys: user_id
+           |sink:
+           |  type: parquet-upsert
+           |  path: $base/out
+           |  buckets: 32
+           |pipeline:
+           |  name: evolve-e2e
+           |""".stripMargin
+      val p = PipelineDef.fromYaml(yaml)
+      val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q1.awaitTermination()
+      // mid-stream: in-band DDL + the second half under the evolved schema
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/zz_ddl.json"),
+        graft.model.SchemaChangeJson.toJson(graft.model.AddColumnEvent(
+          id, "value", org.apache.spark.sql.types.DoubleType,
+          graft.model.ColumnPosition.Last)) + "\n")
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) > split), id)
+        .write.mode("append").text(in)
+      val (_, sink2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q2.awaitTermination()
+      sink2.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, id)
+    },
+
     // ---------- chunked snapshot source (§2.1) ----------
 
     "q_chunked_read" -> { (spark, dir) =>
@@ -1037,6 +1086,15 @@ object SparkEntry {
     "q_kafka_pipeline" ->
       """SELECT user_id, event_type, value FROM (
         |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT user_id, event_type,
+        |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN NULL ELSE value END AS value
+        |FROM (
+        |  SELECT user_id, event_type, value, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
