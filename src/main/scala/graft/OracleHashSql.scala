@@ -135,16 +135,16 @@ FROM sized x JOIN sized y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
 WHERE x.bsz BETWEEN 2 AND 64 AND bit_count(xor(x.sim, y.sim)) <= 3
 """
 
-  /** MinHash signatures (128 slots via the 2-hash trick, signed mins), 32
-    * LSH bands (bucket cap 64), estimated-jaccard verify — the full
-    * [[graft.ops.Dedup.minhashCandidates]] pipeline as CTEs ending in `est`.
+  /** MinHash signature/band CTEs (128 slots via the 2-hash trick, signed
+    * mins; 32 LSH band keys) over `rel(doc_id, text)` — the shared front of
+    * every minhash oracle.
     */
-  private val minhashCands: String = """
+  private def minhashSigCtes(rel: String): String = """
 sh AS (
-  SELECT doc_id, """ + h64Chain("shingle") + """,
+  SELECT doc_id, """ + h64Chain("shingle") + s""",
          g_mixa(h1) AS g1, g_mixb(g1) AS g2, g_mixc(g2) AS g3,
          xor(g3, g3 >> 31) | 1 AS h2
-  FROM (SELECT doc_id, unnest(g_shingles(text, 3)) AS shingle FROM documents)),
+  FROM (SELECT doc_id, unnest(g_shingles(text, 3)) AS shingle FROM $rel)),""" + """
 slots AS (
   SELECT doc_id, i.i,
          min(g_tosigned(g_addmod(h1, g_mulmod(CAST(i.i AS UBIGINT), h2)))) AS slot
@@ -156,7 +156,12 @@ bands AS (
   SELECT doc_id, b.b,
          list_reduce(list_prepend(CAST(b.b AS UBIGINT), sig[b.b*4+1 : b.b*4+4]),
                      (h, s) -> g_mix64(xor(h, s))) AS key
-  FROM sigl CROSS JOIN generate_series(0, 31) b(b)),
+  FROM sigl CROSS JOIN generate_series(0, 31) b(b)),"""
+
+  /** The full [[graft.ops.Dedup.minhashCandidates]] pipeline (bucket cap 64,
+    * estimated-jaccard verify) as CTEs ending in `est`.
+    */
+  private val minhashCands: String = minhashSigCtes("documents") + """
 sized AS (
   SELECT *, count(*) OVER (PARTITION BY b, key) AS bsz FROM bands),
 rawpairs AS (
@@ -195,6 +200,39 @@ jac AS (
               ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
   FROM cands c JOIN shs x ON x.doc_id = c.a JOIN shs y ON y.doc_id = c.b)
 SELECT a, b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+  /** Incremental dedup against the persisted MinHash index
+    * ([[graft.ops.Dedup.incrementalCandidates]]): the index is the documents
+    * corpus; the new batch is every 25th doc re-appearing (negated id) with
+    * a drift suffix. Candidates are new×indexed band collisions (index
+    * bucket cap 64, applied at build time), verified at est ≥ 0.8.
+    */
+  val dedupIncremental: String = prelude + """
+WITH all_docs AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT -doc_id - 1, text || ' planted drift suffix', 1
+  FROM documents WHERE doc_id % 25 = 0),""" + minhashSigCtes("all_docs") + """
+isized AS (
+  SELECT b.b AS b, b.key, count(*) AS bsz
+  FROM bands b JOIN all_docs d USING (doc_id) WHERE d.is_new = 0
+  GROUP BY b.b, b.key),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS id, x.doc_id AS dup_of
+  FROM bands n
+  JOIN all_docs nd ON nd.doc_id = n.doc_id AND nd.is_new = 1
+  JOIN bands x ON x.b = n.b AND x.key = n.key
+  JOIN all_docs xd ON xd.doc_id = x.doc_id AND xd.is_new = 0
+  JOIN isized s ON s.b = n.b AND s.key = n.key AND s.bsz <= 64),
+est AS (
+  SELECT p.id, p.dup_of,
+         (count(*) FILTER (sa.slot = sb.slot)) / 128.0 AS est_jaccard
+  FROM pairs p
+  JOIN slots sa ON sa.doc_id = p.id
+  JOIN slots sb ON sb.doc_id = p.dup_of AND sb.i = sa.i
+  GROUP BY p.id, p.dup_of)
+SELECT id, dup_of, est_jaccard FROM est WHERE est_jaccard >= 0.8
 """
 
   /** The GET_EMBEDDING stub ([[graft.functions.AiFunctions.fakeEmbed]]):

@@ -510,6 +510,21 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    "q_dedup_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // streaming-ingest dedup shape: the corpus is a PERSISTED MinHash-LSH
+      // index on disk; a new batch (every 25th doc re-appearing under a
+      // negated id with a drift suffix) is checked against it, reading only
+      // the index partitions the batch's own band keys hash into
+      val docs = t(dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", idxDir)
+      val batch = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
+          concat(col("text"), lit(" planted drift suffix")).as("text"))
+      Dedup.incrementalCandidates(batch, "doc_id", "text", idxDir, threshold = 0.8)
+    },
+
     "q_dedup_simhash" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -522,6 +537,20 @@ object SparkEntry {
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.5)
       Dedup.ngramJaccardVerify(docs, cands.select("a", "b"), "doc_id", "text", threshold = 0.8)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+
+    "q_paragraph_dedup" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // C4-style span dedup: the corpus has no paragraph structure, so
+      // synthesize multi-paragraph "pages" (4 docs joined by \n\n behind a
+      // shared boilerplate header) — cross-page boilerplate is exactly what
+      // paragraph dedup removes and doc-level near-dup passes cannot see
+      val pages = t(dir, "documents")
+        .groupBy((col("doc_id") / 4).cast("long").as("page_id"))
+        .agg(concat(lit("begin boilerplate header end\n\n"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text")), "\n\n")).as("text"))
+      Dedup.paragraphDedup(pages, "page_id", "text")
     },
 
     "q_dedup_embedding" -> { (spark, dir) =>
@@ -1167,6 +1196,26 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    "q_paragraph_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id // 4 AS page_id,
+        |         'begin boilerplate header end' || chr(10) || chr(10) ||
+        |           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |  FROM documents GROUP BY 1),
+        |parts AS (
+        |  SELECT page_id, u.pos - 1 AS pos, u.para
+        |  FROM (SELECT page_id, string_split(text, chr(10) || chr(10)) AS arr FROM pages),
+        |       LATERAL (SELECT unnest(arr) AS para,
+        |                       unnest(generate_series(1, len(arr))) AS pos) u
+        |  WHERE trim(u.para) <> ''),
+        |kept AS (
+        |  SELECT page_id, pos, para, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))
+        |    ORDER BY page_id, pos) AS rn
+        |  FROM parts)
+        |SELECT page_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |FROM kept WHERE rn = 1 GROUP BY page_id""".stripMargin,
+
     "q_dedup_pairs" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -1476,6 +1525,7 @@ object SparkEntry {
     "q_decontaminate" -> OracleHashSql.decontaminate,
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
+    "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
     "q_dedup_ngram" -> OracleHashSql.dedupNgram,
     "q_dedup_embedding" -> OracleHashSql.dedupEmbedding,

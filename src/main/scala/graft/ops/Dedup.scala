@@ -68,6 +68,40 @@ object Dedup {
       .where(col("__rn") === 1)
       .drop("__rn")
 
+  /** Paragraph-level (C4-style span) dedup: split each document on `delim`,
+    * keep only the globally FIRST occurrence (document order: min (id, pos))
+    * of each normalized paragraph, and reassemble the survivors in original
+    * order. Removes cross-document boilerplate (headers, footers, license
+    * blocks) that near-dup doc-level passes cannot see. Documents whose every
+    * paragraph was seen earlier disappear from the output.
+    *
+    * Scale shape: the explode is narrow; first-occurrence selection is ONE
+    * window shuffle keyed by the paragraph fingerprint (the md5 collapses an
+    * arbitrarily long paragraph to a 32-byte shuffle key, but the paragraph
+    * text must ride along for reassembly — one full-corpus shuffle, which is
+    * inherent to any global span dedup); reassembly is one groupBy(id) with
+    * map-side-combinable collect_list (paragraphs of one doc land together).
+    * No self-join, no driver collect.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n\n"): DataFrame = {
+    val parts = df
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__para")))
+      .where(trim(col("__para")) =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col("__para")))
+      .orderBy(col(idCol), col("__pos"))
+    parts
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x("__para")), delim).as(textCol))
+  }
+
   // ---------- shingles / hashing primitives ----------
 
   /** splitmix64 finalizer — cheap avalanche for deriving k hash functions. */
@@ -197,6 +231,95 @@ object Dedup {
       .select("a", "b", "est_jaccard")
 
     verified
+  }
+
+  // ---------- persisted MinHash-LSH index (incremental dedup) ----------
+
+  /** Persist a MinHash-LSH dedup index for incremental (streaming-ingest)
+    * dedup: `path/buckets` holds one slim row per (band, bucket, id),
+    * hash-partitioned on disk by `pbucket = pmod(xxhash64(band, bucket), P)`
+    * so a new batch's candidate lookup prunes at the FILE LISTING — only the
+    * partitions the batch's own band keys hash into are ever read;
+    * `path/sigs` holds (id, signature) range-partitioned and sorted by id,
+    * so the verify join's candidate-id filter prunes at parquet row-group
+    * stats. Degenerate buckets (> `maxBucketSize` members — empty or
+    * boilerplate text, guaranteed at web scale) are dropped at BUILD time,
+    * so no future batch can quadratically explode against them; singleton
+    * buckets stay (a new doc can match a so-far-unique one).
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                        shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        maxBucketSize: Int = 64, numPartitions: Int = 64): Unit = {
+    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
+    sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val buckets = sigs.select(col(idCol).as("id"),
+      posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+        .as(Seq("band", "bucket")))
+    buckets
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .repartition(col("pbucket")) // one writer wave per disk partition, no small files
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/buckets")
+  }
+
+  /** Candidates of a NEW batch against a persisted index: (id, dup_of,
+    * est_jaccard) where `id` is a new doc and `dup_of` an indexed one.
+    *
+    * Scale shape: the batch's band keys determine which `pbucket` disk
+    * partitions can possibly hold a collision — that set (≤ `numPartitions`
+    * ints, a bounded driver collect) is pushed as a partition filter, so a
+    * micro-batch reads a FRACTION of a 100 TB index's file listing. The
+    * est-jaccard verify joins the new signatures (computed in-flight) with
+    * the signature store; candidate ids up to `maxIdPushdown` are pushed as
+    * a literal IN filter so the id-sorted store prunes at row-group stats,
+    * beyond that it degrades to a plain shuffle join of slim rows.
+    */
+  def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
+                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.8, numPartitions: Int = 64,
+                            maxIdPushdown: Int = 100000): DataFrame = {
+    val spark = newDf.sparkSession
+    val newSigs = signatures(newDf, idCol, textCol, shingleSize, numHashes)
+    val newBuckets = newSigs.select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+    val touched = newBuckets.select("pbucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"$path/buckets")
+      .where(col("pbucket").isin(touched: _*))
+    val pairs = newBuckets
+      .join(idx.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
+      .where(col("id") =!= col("dup_of")) // re-indexed batch: skip self-match
+      .select("id", "dup_of").distinct()
+    val sigStore = spark.read.parquet(s"$path/sigs")
+    val candIds = pairs.select("dup_of").distinct().limit(maxIdPushdown + 1)
+      .collect().map(_.getLong(0))
+    val idxSigs =
+      if (candIds.length <= maxIdPushdown) sigStore.where(col(idCol).isin(candIds: _*))
+      else sigStore
+    pairs
+      .join(newSigs.select(col(idCol).as("id"), col("sig").as("sig_new")), "id")
+      .join(idxSigs.select(col(idCol).as("dup_of"), col("sig").as("sig_idx")), "dup_of")
+      .withColumn("est_jaccard",
+        graft.functions.CdcExpressions.estJaccard(col("sig_new"), col("sig_idx")))
+      .where(col("est_jaccard") >= threshold)
+      .select("id", "dup_of", "est_jaccard")
+  }
+
+  /** Admission filter for ingest: keep only new docs that near-dup NOTHING
+    * already in the index (the standard grow-a-corpus dedup policy).
+    */
+  def incrementalDedup(newDf: DataFrame, idCol: String, textCol: String, path: String,
+                       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8): DataFrame = {
+    val doomed = incrementalCandidates(newDf, idCol, textCol, path,
+        shingleSize, numHashes, bands, threshold)
+      .select(col("id").as(idCol)).distinct()
+    newDf.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** All (x,y) pairs with x<y from a sorted array column. */

@@ -84,6 +84,76 @@ class DedupSpec extends SparkSpec {
       .select("id", "extra").as[(Long, String)].collect().toSeq.sorted
     assert(out === Seq((1L, "y"), (3L, "z")))
   }
+
+  test("paragraphDedup keeps the first occurrence of each paragraph and document order") {
+    val boiler = "shared legal footer text"
+    val df = Seq(
+      (1L, s"unique one\n\n$boiler\n\nunique two"),
+      (2L, s"$boiler\n\nfresh paragraph here"),
+      (3L, s"$boiler"), // all-boilerplate doc disappears
+      (4L, s"unique one\n\nlast unique")) // "unique one" seen in doc 1
+      .toDF("id", "text")
+    val out = Dedup.paragraphDedup(df, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> s"unique one\n\n$boiler\n\nunique two",
+      2L -> "fresh paragraph here",
+      4L -> "last unique"))
+  }
+
+  test("paragraphDedup normalizes whitespace/case for matching but keeps original text") {
+    val df = Seq(
+      (1L, "Alpha  Beta"),
+      (2L, "alpha beta\n\nkept paragraph")) // first para is a normalized dup of doc 1
+      .toDF("id", "text")
+    val out = Dedup.paragraphDedup(df, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "Alpha  Beta", 2L -> "kept paragraph"))
+  }
+
+  test("persisted minhash index: incremental batch finds planted near-dup and prunes the listing") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again every day"),
+      (2L, "completely different content about spark catalyst optimizer internals here"),
+      (3L, "a third unrelated document describing shuffle partitions and codegen stages"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    try {
+      Dedup.writeMinhashIndex(corpus, "id", "text", dir)
+      val batch = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again every night"),
+        (200L, "entirely novel text sharing no shingles with anything indexed before now ok"))
+        .toDF("id", "text")
+      val got = Dedup.incrementalCandidates(batch, "id", "text", dir, threshold = 0.5)
+        .select("id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 1L)))
+      // admission filter: the near-dup is refused, the novel doc admitted
+      val kept = Dedup.incrementalDedup(batch, "id", "text", dir, threshold = 0.5)
+        .select("id").as[Long].collect().toSet
+      assert(kept === Set(200L))
+      // the batch's own band keys must prune the bucket scan at the file
+      // listing: one doc → ≤ 32 band keys → ≤ 32 of the 64 disk partitions
+      val one = Dedup.incrementalCandidates(
+        batch.where(col("id") === 100L), "id", "text", dir, threshold = 0.5)
+      // the joins wrap the scan in AQE stages — recurse through them
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val scanned = scans(one.queryExecution.executedPlan).collectFirst {
+        case f if f.relation.location.rootPaths.exists(_.toString.contains("buckets")) =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(scanned.exists(_ <= 32), s"expected <= 32 pruned partitions, got $scanned")
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
