@@ -202,6 +202,22 @@ jac AS (
 SELECT a, b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.8
 """
 
+  /** Transitive-closure near-dup clusters ([[graft.ops.Dedup.minhashClusters]]):
+    * connected components over the verified candidate pairs as a recursive
+    * label walk — min reachable id = cluster id, the same fixpoint the
+    * engine's min-label propagation converges to.
+    */
+  val dedupClusters: String = prelude + "WITH RECURSIVE " + minhashCands + """,
+edges AS (
+  SELECT a, b FROM est WHERE est_jaccard >= 0.8
+  UNION ALL SELECT b, a FROM est WHERE est_jaccard >= 0.8),
+walk(id, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.comp FROM walk w JOIN edges e ON e.b = w.id)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+"""
+
   /** Incremental dedup against the persisted MinHash index
     * ([[graft.ops.Dedup.incrementalCandidates]]): the index is the documents
     * corpus; the new batch is every 25th doc re-appearing (negated id) with

@@ -510,6 +510,13 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    "q_dedup_clusters" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // transitive closure of near-duplication: a~b, b~c puts a,b,c in ONE
+      // cluster (keep-first pair greedy under-approximates this)
+      Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
+    },
+
     "q_dedup_incremental" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // streaming-ingest dedup shape: the corpus is a PERSISTED MinHash-LSH
@@ -1526,6 +1533,7 @@ object SparkEntry {
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
+    "q_dedup_clusters" -> OracleHashSql.dedupClusters,
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
     "q_dedup_ngram" -> OracleHashSql.dedupNgram,
     "q_dedup_embedding" -> OracleHashSql.dedupEmbedding,

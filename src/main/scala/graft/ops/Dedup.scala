@@ -265,6 +265,31 @@ object Dedup {
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/buckets")
   }
 
+  /** Append an (already admitted) batch to an existing index — the write
+    * half of a streaming ingest loop: dedup the micro-batch against the
+    * index, then append the survivors so later batches dedup against them
+    * too. Same on-disk layout as [[writeMinhashIndex]]. The build-time
+    * bucket cap is enforced per write wave only, so a degenerate bucket can
+    * drift past the cap across many appends — a perf (never correctness)
+    * concern, since [[incrementalCandidates]] verifies every pair; periodic
+    * compaction through [[writeMinhashIndex]] restores the cap. Appended
+    * sig files are each id-sorted, so per-file row-group pruning holds even
+    * as batch id-ranges interleave.
+    */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                           shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                           numPartitions: Int = 64): Unit = {
+    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
+    sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+      .write.mode("append").parquet(s"$path/sigs")
+    sigs.select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .repartition(col("pbucket"))
+      .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+  }
+
   /** Candidates of a NEW batch against a persisted index: (id, dup_of,
     * est_jaccard) where `id` is a new doc and `dup_of` an indexed one.
     *
@@ -339,6 +364,59 @@ object Dedup {
       .select(col("b").as(idCol)).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
   }
+
+  // ---------- near-dup clustering (connected components) ----------
+
+  /** Connected components over an undirected pair list (a, b) → (id, comp)
+    * where `comp` is the MINIMUM id in the component — the transitive
+    * closure of pairwise near-duplication, which keep-first greedy dedup
+    * under-approximates (a~b, b~c does not drop c without it).
+    *
+    * Min-label propagation: each round every node takes the min of its own
+    * and its neighbors' labels — exact after `diameter` rounds, and the loop
+    * stops at the measured fixpoint, so the result is the true CC, not an
+    * iteration-capped approximation (`maxIter` only guards a pathological
+    * chain). Scale shape: rounds are O(diameter) — near-dup clusters are
+    * bucket-cap-bounded cliques, so single digits in practice; each round is
+    * one join + one min-aggregation of slim (id, label) rows, and
+    * `localCheckpoint` truncates the otherwise-exponential lineage (the
+    * superseded round's blocks are reclaimed by the ContextCleaner once the
+    * driver drops the reference).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("id")).agg(min("comp").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** MinHash near-dup CLUSTERS: transitive closure of the verified candidate
+    * pairs. Returns (doc_id, cluster_id = min doc_id of the cluster) for
+    * every doc that belongs to a non-trivial cluster.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands, threshold))
+      .select(col("id").as(idCol), col("comp").as("cluster_id"))
 
   // ---------- SimHash ----------
 

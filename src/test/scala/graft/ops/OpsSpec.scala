@@ -154,6 +154,65 @@ class DedupSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("streaming ingest with index admission: later batches dedup against admitted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    try {
+      Dedup.writeMinhashIndex(
+        Seq((1L, "the quick brown fox jumps over the lazy dog again and again every day"))
+          .toDF("id", "text"), "id", "text", dir)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = mem.toDF().toDF("id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // settle the admission decision BEFORE the append mutates the
+          // index files the lazy plan would otherwise re-read
+          val keep = Dedup.incrementalDedup(batch, "id", "text", dir, threshold = 0.5)
+            .localCheckpoint()
+          admitted ++= keep.select("id").as[Long].collect()
+          Dedup.appendToMinhashIndex(keep, "id", "text", dir)
+        }
+        .start()
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again every night"),
+        (11L, "completely different content about spark catalyst optimizer internals here"))
+      q.processAllAvailable()
+      mem.addData(
+        (20L, "completely different content about spark catalyst optimizer internals now"),
+        (21L, "a third unrelated document describing shuffle partitions and codegen stages"))
+      q.processAllAvailable()
+      q.stop()
+      // 10 refused vs the seed; 20 refused vs doc 11 ADMITTED IN BATCH 1 —
+      // the cross-batch index growth is the thing under test
+      assert(admitted.toSet === Set(11L, 21L))
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  test("connectedComponents: chain collapses to one cluster, isolated pair to another") {
+    // 1-2-3-4-5 is a diameter-4 chain (multiple propagation rounds needed);
+    // 10-11 is a separate component
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("minhashClusters groups a transitive near-dup triple under the min id") {
+    val a = "the quick brown fox jumps over the lazy dog again and again every day ok"
+    val df = Seq(
+      (7L, a), (8L, a), (9L, a), // mutual near-dups -> one cluster, id 7
+      (1L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("id", "text")
+    val out = Dedup.minhashClusters(df, "id", "text", threshold = 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
