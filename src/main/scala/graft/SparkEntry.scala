@@ -849,6 +849,28 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    "q_mix_rebalance" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // pretraining data mixing: rebalance the language mix to target
+      // proportions — the binding language (fr: smallest n/w) is kept whole,
+      // every other language downsamples to its proportional share
+      graft.ops.Sampling.rebalance(t(dir, "documents"),
+        key = col("doc_id"), stratum = col("lang"),
+        targetWeights = Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15,
+          "de" -> 0.15, "fr" -> 0.15))
+        .select("doc_id", "lang")
+    },
+
+    "q_sample_weighted" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // quality-weighted pruning: keep probability = unique-token ratio
+      // (1 - repetition), so boilerplate-heavy docs are down-weighted
+      val d = t(dir, "documents")
+      graft.ops.Sampling.weightedSample(d, col("doc_id"),
+        lit(1.0) - TextAnalysis.repetitionRatio(col("text")))
+        .select("doc_id", "lang")
+    },
+
     "q_salt_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // salted skew join must be result-identical to the plain join
@@ -1378,6 +1400,34 @@ object SparkEntry {
         |WHERE CASE WHEN lang = 'en'
         |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |  ELSE TRUE END""".stripMargin,
+
+    "q_mix_rebalance" ->
+      """WITH w(s, wt) AS (SELECT s, CAST(wt AS DOUBLE) FROM (VALUES ('en', 0.4), ('zh', 0.15),
+        |                  ('es', 0.15), ('de', 0.15), ('fr', 0.15)) t(s, wt)),
+        |cnt AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |budget AS (SELECT min(c.n / w.wt) AS t FROM cnt c JOIN w USING (s)),
+        |rates AS (
+        |  SELECT c.s, round(least(1.0, w.wt * b.t / c.n) * 65536) AS thr
+        |  FROM cnt c JOIN w USING (s) CROSS JOIN budget b)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r ON r.s = d.lang
+        |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
+        |  ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
+        |  END""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(round(least(greatest(
+        |      1.0 - (CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |             ELSE ROUND(1.0 -
+        |               CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |               / len(string_split_regex(trim(text), '\s+')), 4) END),
+        |      0.0), 1.0) * 65536) AS INTEGER) AS thr
+        |  FROM documents)
+        |SELECT doc_id, lang FROM s
+        |WHERE CASE WHEN thr >= 65536 THEN TRUE WHEN thr <= 0 THEN FALSE
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', thr) END""".stripMargin,
 
     "q_salt_join" ->
       """SELECT o_orderpriority, count(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -33,6 +33,26 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(keep(key, rate))
 
+  /** Per-ROW-rate keep predicate: like [[keep]] but the rate is a column
+    * (clamped to [0,1]) — quality-weighted sampling, where a document's
+    * keep probability is proportional to its quality score. Deterministic
+    * like [[keep]] (a row's fate depends only on its key and its own
+    * score), nested (a row kept at score s is kept at any s' ≥ s), and a
+    * narrow codegen'd projection: no shuffle, scan-bound at 100 TB.
+    */
+  def keepWeighted(key: Column, rate: Column): Column = {
+    val thr = round(least(greatest(rate, lit(0.0)), lit(1.0)) * 65536).cast("int")
+    when(thr >= 65536, lit(true)).when(thr <= 0, lit(false))
+      .otherwise(substring(md5(key.cast("string")), 1, 4) <
+        format_string("%04x", thr))
+  }
+
+  /** Quality-weighted deterministic sample: keep each row with probability
+    * `rate` (a per-row column, e.g. a quality score in [0,1]).
+    */
+  def weightedSample(df: DataFrame, key: Column, rate: Column): DataFrame =
+    df.where(keepWeighted(key, rate))
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * over-represented languages), `defaultRate` for unlisted strata.
     */
@@ -42,6 +62,35 @@ object Sampling {
       case (w, (s, r)) => w.when(stratum === s, keep(key, r))
     }.otherwise(keep(key, defaultRate))
     df.where(cond)
+  }
+
+  /** Source-mix rebalancing — the data-mixing stage of pretraining corpus
+    * assembly: derive per-stratum keep rates so the SURVIVING mix matches
+    * `targetWeights` (proportions over strata, summing to 1) while keeping
+    * as much data as possible — the binding stratum (smallest n/w) is kept
+    * whole and every other stratum is downsampled to its proportional
+    * share. Strata not in `targetWeights` are dropped; target strata with
+    * zero rows are excluded from the budget computation (their share
+    * cannot be fabricated). Sampling itself is [[keep]]'s deterministic
+    * md5 threshold, so the mix is stable under re-partitioning and re-runs.
+    *
+    * The stratum count table is a bounded driver collect (one row per
+    * stratum — a mixing decision table, like an IVF centroid table), and
+    * the applied filter is a narrow codegen'd projection: scan-bound at
+    * 100 TB.
+    */
+  def rebalance(df: DataFrame, key: Column, stratum: Column,
+                targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0) &&
+      math.abs(targetWeights.values.sum - 1.0) < 1e-9,
+      s"target weights must be positive and sum to 1: $targetWeights")
+    val counts = df.groupBy(stratum.cast("string").as("__stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetWeights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no target stratum present in the data")
+    val budget = present.map { case (s, w) => counts(s) / w }.min
+    val rates = present.map { case (s, w) => s -> math.min(1.0, w * budget / counts(s)) }
+    stratified(df, key, stratum, rates, defaultRate = 0.0)
   }
 
   /** Disjoint deterministic train/val/test split: the key's md5-prefix

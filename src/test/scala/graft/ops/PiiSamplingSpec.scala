@@ -50,4 +50,44 @@ class SamplingSpec extends SparkSpec {
     assert(byS("b") === 5000)
     assert(math.abs(byS("a") - 1000.0) < 150)
   }
+
+  test("keepWeighted with a constant rate equals keep; out-of-range rates clamp") {
+    val const = Sampling.weightedSample(ids, col("id"), lit(0.3))
+      .select("id").as[Long].collect().toSet
+    val uniform = Sampling.hashSample(ids, col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(const === uniform) // identical threshold math per row
+    assert(Sampling.weightedSample(ids, col("id"), lit(1.5)).count() === 10000)
+    assert(Sampling.weightedSample(ids, col("id"), lit(-0.2)).count() === 0)
+  }
+
+  test("weighted sampling is nested: rows kept at a lower score stay kept at a higher one") {
+    val low = Sampling.weightedSample(ids, col("id"), lit(0.2))
+      .select("id").as[Long].collect().toSet
+    val high = Sampling.weightedSample(ids, col("id"), lit(0.6))
+      .select("id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+  }
+
+  test("rebalance: binding stratum kept whole, others downsampled to the target mix") {
+    // a:2000 (w .5), b:8000 (w .5) → budget = min(4000, 16000) → a whole,
+    // b at rate .5*4000/8000 = .25 → surviving mix ~50/50
+    val df = ids.withColumn("s", when(col("id") < 2000, "a").otherwise("b"))
+    val out = Sampling.rebalance(df, col("id"), col("s"), Map("a" -> 0.5, "b" -> 0.5))
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("a") === 2000)                   // binding stratum: rate exactly 1
+    assert(math.abs(byS("b") - 2000.0) < 200)   // ±4σ of binomial(8000, .25)
+    // deterministic under re-partitioning
+    assert(out.count() ===
+      Sampling.rebalance(df.repartition(13), col("id"), col("s"),
+        Map("a" -> 0.5, "b" -> 0.5)).count())
+  }
+
+  test("rebalance drops unlisted strata and ignores empty target strata") {
+    val df = ids.withColumn("s", when(col("id") < 2000, "a").otherwise("junk"))
+    val out = Sampling.rebalance(df, col("id"), col("s"),
+      Map("a" -> 0.5, "ghost" -> 0.5)) // ghost has no rows: excluded from budget
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS === Map("a" -> 2000L)) // junk dropped, a kept whole
+  }
 }
