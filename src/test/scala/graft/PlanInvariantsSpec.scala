@@ -86,4 +86,21 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("MapElements"), q)
     }
   }
+
+  test("paragraph dedup costs exactly its two inherent exchanges") {
+    // one window shuffle on the paragraph fingerprint + one groupBy(id)
+    // reassembly — a third exchange would mean a lost partitioning reuse
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.Dedup.paragraphDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sampling filters are narrow: no exchange anywhere in the plan") {
+    for (q <- Seq("q_sample_stratified", "q_sample_weighted")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be scan-bound:\n${p.take(2000)}")
+    }
+  }
 }
