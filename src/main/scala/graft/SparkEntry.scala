@@ -861,6 +861,19 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_vocab_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // corpus vocabulary heavy hitters: exact token counts (map-side
+      // partial agg collapses the explode before the one shuffle), top-k
+      // via per-partition heaps (TakeOrderedAndProject — no global sort)
+      t(dir, "documents")
+        .select(explode(split(lower(col("text")), "\\W+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(50)
+    },
+
     "q_sample_weighted" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // quality-weighted pruning: keep probability = unique-token ratio
@@ -1414,6 +1427,12 @@ object SparkEntry {
         |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
         |  ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
         |  END""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH s AS (

@@ -302,13 +302,18 @@ object Dedup {
     * a literal IN filter so the id-sorted store prunes at row-group stats,
     * beyond that it degrades to a plain shuffle join of slim rows.
     */
-  def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
-                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                            threshold: Double = 0.8, numPartitions: Int = 64,
-                            maxIdPushdown: Int = 100000): DataFrame = {
+  /** Raw band-collision probe of a new batch against the index: lazy
+    * (id, dup_of) pairs, with the batch's own band-partition keys pushed as
+    * the file-listing partition filter (the plan carries the pruned scan —
+    * PlanInvariants-style specs assert on it here). Unverified:
+    * [[incrementalCandidates]] wraps this with the est-jaccard check.
+    */
+  def indexProbe(newDf: DataFrame, idCol: String, textCol: String, path: String,
+                 shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                 numPartitions: Int = 64): DataFrame = {
     val spark = newDf.sparkSession
-    val newSigs = signatures(newDf, idCol, textCol, shingleSize, numHashes)
-    val newBuckets = newSigs.select(col(idCol).as("id"),
+    val newBuckets = signatures(newDf, idCol, textCol, shingleSize, numHashes)
+      .select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
       .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
@@ -316,10 +321,24 @@ object Dedup {
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(s"$path/buckets")
       .where(col("pbucket").isin(touched: _*))
-    val pairs = newBuckets
+    newBuckets
       .join(idx.withColumnRenamed("id", "dup_of"), Seq("band", "bucket"))
       .where(col("id") =!= col("dup_of")) // re-indexed batch: skip self-match
       .select("id", "dup_of").distinct()
+  }
+
+  def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
+                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                            threshold: Double = 0.8, numPartitions: Int = 64,
+                            maxIdPushdown: Int = 100000): DataFrame = {
+    val spark = newDf.sparkSession
+    val newSigs = signatures(newDf, idCol, textCol, shingleSize, numHashes)
+    // pinned: bounded by (bucket cap × batch size) slim rows, and consumed
+    // twice below (candidate-id collect + final join) — without the pin the
+    // pruned index probe would run twice
+    val pairs = indexProbe(newDf, idCol, textCol, path,
+        shingleSize, numHashes, bands, numPartitions)
+      .localCheckpoint()
     val sigStore = spark.read.parquet(s"$path/sigs")
     val candIds = pairs.select("dup_of").distinct().limit(maxIdPushdown + 1)
       .collect().map(_.getLong(0))

@@ -133,8 +133,8 @@ class DedupSpec extends SparkSpec {
       assert(kept === Set(200L))
       // the batch's own band keys must prune the bucket scan at the file
       // listing: one doc → ≤ 32 band keys → ≤ 32 of the 64 disk partitions
-      val one = Dedup.incrementalCandidates(
-        batch.where(col("id") === 100L), "id", "text", dir, threshold = 0.5)
+      // (asserted on the lazy probe — incrementalCandidates pins its result)
+      val one = Dedup.indexProbe(batch.where(col("id") === 100L), "id", "text", dir)
       // the joins wrap the scan in AQE stages — recurse through them
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
