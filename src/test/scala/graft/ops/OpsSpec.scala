@@ -155,6 +155,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("paragraphDedup is invariant under re-partitioning") {
+    // second paragraph is a case-variant of the first: a normalized dup both
+    // within the doc and across docs — the survivor set must not depend on
+    // physical partitioning
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id AS id", "concat(text, '\n\n', upper(text)) AS text")
+    val a = Dedup.paragraphDedup(docs, "id", "text")
+      .as[(Long, String)].collect().toMap
+    val b = Dedup.paragraphDedup(docs.repartition(11), "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("streaming ingest with index admission: later batches dedup against admitted docs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
