@@ -229,6 +229,64 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+/** Property tests (fixed seeds — deterministic): the dedup operators must
+  * agree with brute-force reference semantics on randomized inputs.
+  */
+class DedupPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  test("paragraphDedup agrees with brute-force first-occurrence and is idempotent") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps") // tiny vocab → frequent dups
+    for (round <- 1 to 3) {
+      val docs = (0L until 40L).map { i =>
+        val ps = Seq.fill(1 + rnd.nextInt(4)) {
+          Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        (i, ps.mkString("\n\n"))
+      }
+      val got = Dedup.paragraphDedup(docs.toDF("id", "text"), "id", "text")
+        .as[(Long, String)].collect().toMap
+
+      def norm(p: String) = p.trim.toLowerCase.replaceAll("\\s+", " ")
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.flatMap { case (id, text) =>
+        val kept = text.split("\n\n").filter(_.trim.nonEmpty).filter(p => seen.add(norm(p)))
+        if (kept.isEmpty) None else Some(id -> kept.mkString("\n\n"))
+      }.toMap
+      assert(got === expected, s"round $round")
+
+      // a dedup of the dedup changes nothing
+      val twice = Dedup.paragraphDedup(got.toSeq.toDF("id", "text"), "id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(twice === got, s"round $round idempotence")
+    }
+  }
+
+  test("connectedComponents agrees with brute-force union-find on random graphs") {
+    for (round <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // union-by-min
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      assert(got === expected, s"round $round")
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
