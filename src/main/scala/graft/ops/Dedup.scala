@@ -302,6 +302,35 @@ object Dedup {
     * a literal IN filter so the id-sorted store prunes at row-group stats,
     * beyond that it degrades to a plain shuffle join of slim rows.
     */
+  /** Compact a persisted index: rebuild `path/buckets` FROM THE SIGNATURE
+    * STORE (no corpus text needed) and re-apply the degenerate-bucket cap
+    * that per-wave appends let drift — a bucket fed 40+40 identical docs in
+    * two waves passes each wave's cap but is degenerate in aggregate, and
+    * every future batch pays for probing it until compaction drops it.
+    * The rewrite is write-then-swap (never a read-overwrite of the live
+    * dir); the moment of swap is a directory rename.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
+                          path: String, bands: Int = 32, maxBucketSize: Int = 64,
+                          numPartitions: Int = 64): Unit = {
+    val sigs = spark.read.parquet(s"$path/sigs")
+    sigs.select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/buckets.compact")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    fs.delete(live, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/buckets.compact"), live),
+      s"compaction swap failed for $path/buckets")
+  }
+
   /** Raw band-collision probe of a new batch against the index: lazy
     * (id, dup_of) pairs, with the batch's own band-partition keys pushed as
     * the file-listing partition filter (the plan carries the pruned scan —

@@ -207,6 +207,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("index compaction drops buckets that drifted past the cap across appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val seedText = "unrelated seed document about shuffle partitions and stages ok then"
+      Dedup.writeMinhashIndex(Seq((1L, seedText)).toDF("id", "text"), "id", "text", dir)
+      val flood = "identical boilerplate paragraph repeated across the whole web forever"
+      // two waves of 40 identical docs: each passes the per-wave cap (64),
+      // the 80-member aggregate is degenerate
+      Dedup.appendToMinhashIndex(
+        (100L to 139L).map((_, flood)).toDF("id", "text"), "id", "text", dir)
+      Dedup.appendToMinhashIndex(
+        (200L to 239L).map((_, flood)).toDF("id", "text"), "id", "text", dir)
+      val probe = Seq((999L, flood)).toDF("id", "text")
+      assert(Dedup.indexProbe(probe, "id", "text", dir).count() === 80)
+      Dedup.compactMinhashIndex(spark, "id", dir)
+      assert(Dedup.indexProbe(probe, "id", "text", dir).count() === 0)
+      // a healthy singleton bucket survives compaction
+      val seedProbe = Seq((998L, seedText)).toDF("id", "text")
+      assert(Dedup.incrementalCandidates(seedProbe, "id", "text", dir, threshold = 0.5)
+        .count() === 1)
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("connectedComponents: chain collapses to one cluster, isolated pair to another") {
     // 1-2-3-4-5 is a diameter-4 chain (multiple propagation rounds needed);
     // 10-11 is a separate component
