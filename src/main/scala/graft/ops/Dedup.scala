@@ -452,6 +452,10 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // never return a silently-truncated fixpoint: a diameter beyond maxIter
+    // means wrong cluster ids, which a downstream dedup would act on
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds (graph diameter too large)")
     labels
   }
 

@@ -243,6 +243,20 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents refuses to return a truncated fixpoint") {
+    // a diameter-9 chain cannot converge in 2 rounds — must fail loudly,
+    // never silently hand wrong cluster ids to a destructive dedup
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to one component
+    val ok = Dedup.connectedComponents(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("minhashClusters groups a transitive near-dup triple under the min id") {
     val a = "the quick brown fox jumps over the lazy dog again and again every day ok"
     val df = Seq(
