@@ -861,6 +861,25 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_corpus_assembly" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the full corpus-assembly chain in one query: exact-dedup survivors →
+      // quality gate → language-mix rebalance → disjoint train/val/test
+      // split → per-(lang, split) stats; every stage is the operator the
+      // standalone queries verify, composed
+      val survivors = Dedup.exactSurvivors(t(dir, "documents"), "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+      val gated = survivors.where(TextAnalysis.tokenCount(col("text")) >= 30)
+      val balanced = graft.ops.Sampling.rebalance(gated, col("doc_id"), col("lang"),
+        Map("en" -> 0.4, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15))
+      balanced
+        .withColumn("split", graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    },
+
     "q_vocab_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // corpus vocabulary heavy hitters: exact token counts (map-side
@@ -1427,6 +1446,39 @@ object SparkEntry {
         |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
         |  ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
         |  END""".stripMargin,
+
+    "q_corpus_assembly" ->
+      """WITH surv AS (
+        |  SELECT doc_id, lang, text,
+        |         row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM surv WHERE rn = 1),
+        |gated2 AS (SELECT * FROM gated WHERE n_tok >= 30),
+        |w(s, wt) AS (SELECT s, CAST(wt AS DOUBLE) FROM (VALUES ('en', 0.4), ('zh', 0.15),
+        |             ('es', 0.15), ('de', 0.15), ('fr', 0.15)) t(s, wt)),
+        |cnt AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n FROM gated2 GROUP BY 1),
+        |budget AS (SELECT min(c.n / w.wt) AS t FROM cnt c JOIN w USING (s)),
+        |rates AS (
+        |  SELECT c.s, round(least(1.0, w.wt * b.t / c.n) * 65536) AS thr
+        |  FROM cnt c JOIN w USING (s) CROSS JOIN budget b),
+        |bal AS (
+        |  SELECT g.* FROM gated2 g JOIN rates r ON r.s = g.lang
+        |  WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
+        |    ELSE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
+        |    END),
+        |spl AS (
+        |  SELECT lang, n_tok,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM bal)
+        |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM spl GROUP BY 1, 2""".stripMargin,
 
     "q_vocab_topk" ->
       """SELECT tok, count(*) AS cnt
