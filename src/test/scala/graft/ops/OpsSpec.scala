@@ -207,6 +207,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup tolerates an empty micro-batch (streaming loops see these)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhempty").toString
+    try {
+      Dedup.writeMinhashIndex(
+        Seq((1L, "some indexed document about spark plans and shuffles ok")).toDF("id", "text"),
+        "id", "text", dir)
+      val empty = Seq.empty[(Long, String)].toDF("id", "text")
+      assert(Dedup.incrementalCandidates(empty, "id", "text", dir).count() === 0)
+      assert(Dedup.incrementalDedup(empty, "id", "text", dir).count() === 0)
+      Dedup.appendToMinhashIndex(empty, "id", "text", dir) // no-op, not a crash
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("index compaction drops buckets that drifted past the cap across appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     try {
