@@ -84,15 +84,23 @@ object Cli {
     // state dir (checkpoint + startup anchor): the sink `path` where the
     // sink has one (parquet-upsert materializes there), else a dedicated
     // `state-dir` pipeline option. A Kafka sink needs neither — a reference
-    // YAML without `path` must run — so it falls back to a STABLE
-    // per-pipeline-name dir (stable, not a fresh temp dir: a restart must
-    // find the same checkpoint to resume; production sets `state-dir`).
+    // YAML without `path` must run — so it falls back to a STABLE dir
+    // (stable, not a fresh temp dir: a restart must find the same
+    // checkpoint to resume; production sets `state-dir`). The dir is keyed
+    // by name PLUS a digest of the source/sink identity: two differently-
+    // wired pipelines that happen to share a name must not resume from each
+    // other's offsets.
     val statePath = p.sink.options.get("path")
       .orElse(p.config.get("state-dir"))
       .getOrElse {
-        if (p.sink.kind == "kafka")
-          s"${sys.props("java.io.tmpdir")}/graft-state/${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}"
-        else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
+        if (p.sink.kind == "kafka") {
+          val identity = (p.source.options.toSeq.sorted ++ p.sink.options.toSeq.sorted)
+            .map { case (k, v) => s"$k=$v" }.mkString("\n")
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(identity.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          s"${sys.props("java.io.tmpdir")}/graft-state/" +
+            s"${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+        } else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
       }
 
     // same function surface as the batch composer: parity UDFs, corpus ops,

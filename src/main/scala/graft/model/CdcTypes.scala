@@ -144,8 +144,16 @@ object ZonedTime {
     * clock IN the original zone plus the offset suffix — microsecond
     * precision, matching the debezium wire options
     * ([[graft.sinks.ChangelogJson.WireJsonOptions]]).
+    *
+    * `date_format` renders in the SESSION zone, so the naive
+    * `from_utc_timestamp(instant, zone)` shift is only right under a UTC
+    * session — and `Cli` sets the session zone from the pipeline's
+    * `local-time-zone`. The `to_utc_timestamp(..., current_timezone())`
+    * composition cancels the session offset (identity under UTC, so the
+    * wire form is session-independent).
     */
   def render(instant: Column, zone: Column): Column =
-    concat(date_format(from_utc_timestamp(instant, zone),
+    concat(date_format(
+      to_utc_timestamp(from_utc_timestamp(instant, zone), current_timezone()),
       "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), zone)
 }

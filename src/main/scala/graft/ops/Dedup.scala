@@ -268,52 +268,20 @@ object Dedup {
   /** Append an (already admitted) batch to an existing index — the write
     * half of a streaming ingest loop: dedup the micro-batch against the
     * index, then append the survivors so later batches dedup against them
-    * too. Same on-disk layout as [[writeMinhashIndex]]. The build-time
-    * bucket cap is enforced per write wave only, so a degenerate bucket can
-    * drift past the cap across many appends — a perf (never correctness)
-    * concern, since [[incrementalCandidates]] verifies every pair; periodic
-    * compaction through [[writeMinhashIndex]] restores the cap. Appended
-    * sig files are each id-sorted, so per-file row-group pruning holds even
-    * as batch id-ranges interleave.
+    * too. Same on-disk layout and per-wave `maxBucketSize` cap as
+    * [[writeMinhashIndex]]; a bucket can still drift past the cap in
+    * AGGREGATE across many waves — a perf (never correctness) concern,
+    * since [[incrementalCandidates]] verifies every pair — and
+    * [[compactMinhashIndex]] restores it. Appended sig files are each
+    * id-sorted, so per-file row-group pruning holds even as batch
+    * id-ranges interleave.
     */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                           numPartitions: Int = 64): Unit = {
+                           maxBucketSize: Int = 64, numPartitions: Int = 64): Unit = {
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
     sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
       .write.mode("append").parquet(s"$path/sigs")
-    sigs.select(col(idCol).as("id"),
-        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-          .as(Seq("band", "bucket")))
-      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-      .repartition(col("pbucket"))
-      .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
-  }
-
-  /** Candidates of a NEW batch against a persisted index: (id, dup_of,
-    * est_jaccard) where `id` is a new doc and `dup_of` an indexed one.
-    *
-    * Scale shape: the batch's band keys determine which `pbucket` disk
-    * partitions can possibly hold a collision — that set (≤ `numPartitions`
-    * ints, a bounded driver collect) is pushed as a partition filter, so a
-    * micro-batch reads a FRACTION of a 100 TB index's file listing. The
-    * est-jaccard verify joins the new signatures (computed in-flight) with
-    * the signature store; candidate ids up to `maxIdPushdown` are pushed as
-    * a literal IN filter so the id-sorted store prunes at row-group stats,
-    * beyond that it degrades to a plain shuffle join of slim rows.
-    */
-  /** Compact a persisted index: rebuild `path/buckets` FROM THE SIGNATURE
-    * STORE (no corpus text needed) and re-apply the degenerate-bucket cap
-    * that per-wave appends let drift — a bucket fed 40+40 identical docs in
-    * two waves passes each wave's cap but is degenerate in aggregate, and
-    * every future batch pays for probing it until compaction drops it.
-    * The rewrite is write-then-swap (never a read-overwrite of the live
-    * dir); the moment of swap is a directory rename.
-    */
-  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
-                          path: String, bands: Int = 32, maxBucketSize: Int = 64,
-                          numPartitions: Int = 64): Unit = {
-    val sigs = spark.read.parquet(s"$path/sigs")
     sigs.select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
@@ -322,13 +290,49 @@ object Dedup {
       .where(col("__bsz") <= maxBucketSize).drop("__bsz")
       .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
       .repartition(col("pbucket"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/buckets.compact")
+      .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+  }
+
+  /** Compact a persisted index: rebuild `path/buckets` FROM THE SIGNATURE
+    * STORE (no corpus text needed) and re-apply the degenerate-bucket cap
+    * that per-wave appends let drift in aggregate — a bucket fed 40+40
+    * identical docs in two waves passes each wave's cap but is degenerate
+    * combined, and every future batch pays for probing it until compaction
+    * drops it.
+    *
+    * The rewrite is displace-then-swap: build `buckets.compact`, rename the
+    * live dir aside, rename the rebuild in, delete the old. A plain
+    * filesystem has no atomic multi-dir commit, so a crash between the two
+    * renames leaves no live dir — the next compaction call repairs it from
+    * `buckets.old` before doing anything else. Maintenance assumes a single
+    * writer and no concurrent probes during the (two-rename) swap window.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
+                          path: String, bands: Int = 32, maxBucketSize: Int = 64,
+                          numPartitions: Int = 64): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    fs.delete(live, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/buckets.compact"), live),
-      s"compaction swap failed for $path/buckets")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
+    val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
+    // repair a swap that died between its two renames in a prior run
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"crash repair failed for $live")
+    fs.delete(next, true)
+    fs.delete(old, true)
+    spark.read.parquet(s"$path/sigs")
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
+    require(fs.rename(live, old), s"compaction displace failed for $live")
+    require(fs.rename(next, live), s"compaction swap failed for $live")
+    fs.delete(old, true)
   }
 
   /** Raw band-collision probe of a new batch against the index: lazy
@@ -339,10 +343,14 @@ object Dedup {
     */
   def indexProbe(newDf: DataFrame, idCol: String, textCol: String, path: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                 numPartitions: Int = 64): DataFrame = {
-    val spark = newDf.sparkSession
-    val newBuckets = signatures(newDf, idCol, textCol, shingleSize, numHashes)
-      .select(col(idCol).as("id"),
+                 numPartitions: Int = 64): DataFrame =
+    probeFromSigs(signatures(newDf, idCol, textCol, shingleSize, numHashes),
+      idCol, path, bands, numPartitions)
+
+  private def probeFromSigs(newSigs: DataFrame, idCol: String, path: String,
+                            bands: Int, numPartitions: Int): DataFrame = {
+    val spark = newSigs.sparkSession
+    val newBuckets = newSigs.select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
       .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
@@ -356,17 +364,33 @@ object Dedup {
       .select("id", "dup_of").distinct()
   }
 
+  /** Candidates of a NEW batch against a persisted index: (id, dup_of,
+    * est_jaccard) where `id` is a new doc and `dup_of` an indexed one.
+    *
+    * Scale shape: the batch's band keys determine which `pbucket` disk
+    * partitions can possibly hold a collision — that set (≤ `numPartitions`
+    * ints, a bounded driver collect) is pushed as a partition filter, so a
+    * micro-batch reads a FRACTION of a 100 TB index's file listing. The
+    * est-jaccard verify joins the new signatures with the signature store;
+    * candidate ids up to `maxIdPushdown` are pushed as a literal IN filter
+    * so the id-sorted store prunes at row-group stats, beyond that it
+    * degrades to a plain shuffle join of slim rows. `numPartitions` MUST
+    * match the value the index was written with — the partition filter
+    * silently misses collisions otherwise.
+    */
   def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
                             shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                             threshold: Double = 0.8, numPartitions: Int = 64,
                             maxIdPushdown: Int = 100000): DataFrame = {
     val spark = newDf.sparkSession
+    // ONE signature pass per batch: pinned (batch-bounded) and shared by
+    // the probe's bucket/touched stages and the verify join below
     val newSigs = signatures(newDf, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint()
     // pinned: bounded by (bucket cap × batch size) slim rows, and consumed
     // twice below (candidate-id collect + final join) — without the pin the
     // pruned index probe would run twice
-    val pairs = indexProbe(newDf, idCol, textCol, path,
-        shingleSize, numHashes, bands, numPartitions)
+    val pairs = probeFromSigs(newSigs, idCol, path, bands, numPartitions)
       .localCheckpoint()
     val sigStore = spark.read.parquet(s"$path/sigs")
     val candIds = pairs.select("dup_of").distinct().limit(maxIdPushdown + 1)
@@ -384,15 +408,20 @@ object Dedup {
   }
 
   /** Admission filter for ingest: keep only new docs that near-dup NOTHING
-    * already in the index (the standard grow-a-corpus dedup policy).
+    * already in the index (the standard grow-a-corpus dedup policy). The
+    * result is EAGER (settled before return) so the admit → append loop
+    * can mutate the index files immediately — a lazy plan would re-read
+    * them mid-mutation. `numPartitions` must match the index layout, as in
+    * [[incrementalCandidates]].
     */
   def incrementalDedup(newDf: DataFrame, idCol: String, textCol: String, path: String,
                        shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8, numPartitions: Int = 64,
+                       maxIdPushdown: Int = 100000): DataFrame = {
     val doomed = incrementalCandidates(newDf, idCol, textCol, path,
-        shingleSize, numHashes, bands, threshold)
+        shingleSize, numHashes, bands, threshold, numPartitions, maxIdPushdown)
       .select(col("id").as(idCol)).distinct()
-    newDf.join(doomed, Seq(idCol), "left_anti")
+    newDf.join(doomed, Seq(idCol), "left_anti").localCheckpoint()
   }
 
   /** All (x,y) pairs with x<y from a sorted array column. */
@@ -443,13 +472,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id")).agg(min("comp").as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // the changed-flag rides in the round's own pass (old comp and
+      // neighbor min are side by side here), so convergence detection is a
+      // narrow filter over the materialized round — not a second join of
+      // the full label set
+      val round = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).isEmpty
-      labels = updated
+      converged = round.where(col("__changed")).isEmpty
+      labels = round.drop("__changed")
       i += 1
     }
     // never return a silently-truncated fixpoint: a diameter beyond maxIter

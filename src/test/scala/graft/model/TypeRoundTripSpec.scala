@@ -94,6 +94,21 @@ class TypeRoundTripSpec extends SparkSpec {
       .select(ZonedTime.zoneOf(col("iso"))).head().isNullAt(0))
   }
 
+  test("render is session-zone independent (Cli sets the session zone from local-time-zone)") {
+    import spark.implicits._
+    val isos = Seq("2024-03-05T10:30:00.123456+05:30", "2024-12-31T23:59:59.999999Z")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = isos.toDF("iso").select(
+        col("iso"),
+        ZonedTime.instantOf(col("iso")).as("t"),
+        ZonedTime.zoneOf(col("iso")).as("z"))
+      assert(df.select(ZonedTime.render(col("t"), col("z")).as("r"), col("iso"))
+        .where(col("r") =!= col("iso")).count() === 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("multi-table values event set materializes both tables") {
     val db = new graft.sinks.ValuesDatabase
     db.applyAll(ValuesSource.singleSplitMultiTable)

@@ -181,10 +181,9 @@ class DedupSpec extends SparkSpec {
       val admitted = scala.collection.mutable.ArrayBuffer[Long]()
       val q = mem.toDF().toDF("id", "text").writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // settle the admission decision BEFORE the append mutates the
-          // index files the lazy plan would otherwise re-read
+          // incrementalDedup settles its admission decision eagerly, so the
+          // append below can mutate the index files it just read
           val keep = Dedup.incrementalDedup(batch, "id", "text", dir, threshold = 0.5)
-            .localCheckpoint()
           admitted ++= keep.select("id").as[Long].collect()
           Dedup.appendToMinhashIndex(keep, "id", "text", dir)
         }
