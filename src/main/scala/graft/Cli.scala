@@ -67,6 +67,36 @@ object Cli {
     }
   }
 
+  /** Resolve the streaming state dir (checkpoint + startup anchor): the sink
+    * `path` where the sink has one, else the `state-dir` pipeline option, else
+    * (kafka sink — a reference YAML without `path` must run) a STABLE
+    * fallback keyed by pipeline name plus a digest of the source/sink
+    * IDENTITY only. Digesting the full option maps would mean any tuning
+    * edit (poll timeout, maxOffsetsPerTrigger, …) silently relocates the
+    * checkpoint and the pipeline restarts from its startup anchor; only
+    * what the pipeline reads and where it writes participates. Kind is
+    * included so same-name pipelines with identical option maps but
+    * different source/sink kinds don't collide.
+    */
+  private[graft] def stateDir(p: PipelineDef): String =
+    p.sink.options.get("path")
+      .orElse(p.config.get("state-dir"))
+      .getOrElse {
+        if (p.sink.kind == "kafka") {
+          val identityKeys = Seq("path", "topic", "topic-pattern",
+            "properties.bootstrap.servers", "hostname", "port", "database-name",
+            "schema-name", "table-name", "tables")
+          def identityOf(kind: String, opts: Map[String, String]): Seq[String] =
+            s"kind=$kind" +: identityKeys.flatMap(k => opts.get(k).map(v => s"$k=$v"))
+          val identity = (identityOf(p.source.kind, p.source.options) ++
+            identityOf(p.sink.kind, p.sink.options)).mkString("\n")
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(identity.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+          s"${sys.props("java.io.tmpdir")}/graft-state/" +
+            s"${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+        } else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
+      }
+
   /** Build the streaming pipeline + launch the query; factored out so tests
     * can drive it with `Trigger.AvailableNow` instead of awaiting forever.
     * Returns (pipeline, sink, running query). `kafkaWriter` substitutes the
@@ -81,27 +111,11 @@ object Cli {
                        org.apache.spark.sql.DataFrame] = None)
       : (StreamingPipeline, graft.sinks.CdcSink,
          org.apache.spark.sql.streaming.StreamingQuery) = {
-    // state dir (checkpoint + startup anchor): the sink `path` where the
-    // sink has one (parquet-upsert materializes there), else a dedicated
-    // `state-dir` pipeline option. A Kafka sink needs neither — a reference
-    // YAML without `path` must run — so it falls back to a STABLE dir
-    // (stable, not a fresh temp dir: a restart must find the same
-    // checkpoint to resume; production sets `state-dir`). The dir is keyed
-    // by name PLUS a digest of the source/sink identity: two differently-
-    // wired pipelines that happen to share a name must not resume from each
-    // other's offsets.
-    val statePath = p.sink.options.get("path")
-      .orElse(p.config.get("state-dir"))
-      .getOrElse {
-        if (p.sink.kind == "kafka") {
-          val identity = (p.source.options.toSeq.sorted ++ p.sink.options.toSeq.sorted)
-            .map { case (k, v) => s"$k=$v" }.mkString("\n")
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(identity.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-          s"${sys.props("java.io.tmpdir")}/graft-state/" +
-            s"${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
-        } else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
-      }
+    val statePath = stateDir(p)
+    // a relocated state dir means a pipeline restarting from its startup
+    // anchor instead of resuming — make the resolved path visible
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .warn(s"pipeline '${p.name}' state dir: $statePath")
 
     // same function surface as the batch composer: parity UDFs, corpus ops,
     // models — usable in streaming transform projections/filters too

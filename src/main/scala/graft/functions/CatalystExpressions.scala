@@ -86,6 +86,25 @@ object CdcExprHelpers {
     Int.box(best)
   }
 
+  private val WireFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** Render an instant (epoch micros) as the reference's zoned wire form:
+    * the wall clock IN the row's zone plus the zone suffix verbatim. Pure
+    * java.time keyed on the row's zone — no session-zone dependence, so a
+    * wall clock landing in the SESSION zone's DST spring-forward gap cannot
+    * shift the output (the reference's ZonedTimestampData renders the same
+    * way, common/data/ZonedTimestampData.java).
+    */
+  def renderZoned(micros: Long, zone: UTF8String): UTF8String = {
+    val zoneStr = zone.toString
+    val instant = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    UTF8String.fromString(
+      java.time.LocalDateTime.ofInstant(instant, java.time.ZoneId.of(zoneStr))
+        .format(WireFormatter) + zoneStr)
+  }
+
   /** Cosine similarity of two float vectors; 0.0 on zero norms, NULL when
     * either vector has a null element (matching the null propagation of a
     * `zip_with`+`aggregate` formulation). Accumulates in ascending index
@@ -291,6 +310,28 @@ case class EstJaccard(left: Expression, right: Expression)
   override def prettyName: String = "est_jaccard"
 }
 
+/** `RENDER_ZONED(instant, zone)` — the zoned-timestamp wire renderer
+  * ([[graft.model.ZonedTime.render]]): wall clock computed from the instant
+  * under the ROW's zone via java.time, zone suffix appended verbatim.
+  * Codegen'd static call; per-row zones, zero session-zone dependence.
+  */
+case class RenderZoned(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.TimestampType &&
+        right.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (TIMESTAMP, STRING), got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CdcExprHelpers.renderZoned(a.asInstanceOf[Long], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CdcExprHelpers.renderZoned($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RenderZoned =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "render_zoned"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
@@ -309,6 +350,8 @@ object CdcExpressions {
     GraftBridge.column(MinHashBands(GraftBridge.expression(sig), bands))
   def estJaccard(a: Column, b: Column): Column =
     GraftBridge.column(EstJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def renderZoned(instant: Column, zone: Column): Column =
+    GraftBridge.column(RenderZoned(GraftBridge.expression(instant), GraftBridge.expression(zone)))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {

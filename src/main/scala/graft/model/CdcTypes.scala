@@ -145,15 +145,15 @@ object ZonedTime {
     * precision, matching the debezium wire options
     * ([[graft.sinks.ChangelogJson.WireJsonOptions]]).
     *
-    * `date_format` renders in the SESSION zone, so the naive
-    * `from_utc_timestamp(instant, zone)` shift is only right under a UTC
-    * session — and `Cli` sets the session zone from the pipeline's
-    * `local-time-zone`. The `to_utc_timestamp(..., current_timezone())`
-    * composition cancels the session offset (identity under UTC, so the
-    * wire form is session-independent).
+    * A native codegen expression ([[graft.functions.RenderZoned]]) computing
+    * the wall clock via java.time under the ROW's zone. The earlier
+    * `to_utc_timestamp(from_utc_timestamp(instant, zone), current_timezone())`
+    * composition only cancels the session offset when that offset is the
+    * same at both evaluation points: a rendered wall clock landing in the
+    * session zone's DST spring-forward gap (e.g. session America/New_York,
+    * wall clock 02:30 on the transition day) got resolved an hour off. The
+    * java.time path has no session-zone term at all.
     */
   def render(instant: Column, zone: Column): Column =
-    concat(date_format(
-      to_utc_timestamp(from_utc_timestamp(instant, zone), current_timezone()),
-      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), zone)
+    graft.functions.CdcExpressions.renderZoned(instant, zone)
 }

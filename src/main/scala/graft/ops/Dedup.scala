@@ -293,6 +293,48 @@ object Dedup {
       .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
   }
 
+  /** The filesystem that OWNS `path` — `Path.getFileSystem`, not
+    * `FileSystem.get(URI, conf)`: for a scheme-less path the latter returns
+    * the DEFAULT filesystem (HDFS when `fs.defaultFS` points there), which
+    * is not necessarily where the index lives.
+    */
+  private def fsOf(path: String, spark: org.apache.spark.sql.SparkSession) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The single-maintainer lease file guarding index rewrites. */
+  private[graft] def maintenanceLock(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_maintenance.lock")
+
+  /** Acquire the index-maintenance lease, or fail loudly: a second
+    * concurrent maintainer would corrupt the displace-then-swap rename
+    * sequence, so it must refuse — not proceed — while a live lease exists.
+    * A lease older than `leaseMs` is presumed orphaned by a dead maintainer
+    * (a JVM crash can't delete its lock) and is broken; losing the re-create
+    * race after a break also fails loudly.
+    */
+  private def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                                     leaseMs: Long): org.apache.hadoop.fs.Path = {
+    val lock = maintenanceLock(path)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
+        out.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue } // vanished: retry below
+      if (age < leaseMs) throw new IllegalStateException(
+        s"another maintainer holds $lock (age ${age}ms < lease ${leaseMs}ms); a concurrent " +
+        "index rewrite would corrupt the swap — wait for it, or delete the lock if its owner died")
+      fs.delete(lock, false)
+      if (!tryCreate()) throw new IllegalStateException(
+        s"lost the race re-acquiring $lock after breaking a stale lease")
+    }
+    lock
+  }
+
   /** Compact a persisted index: rebuild `path/buckets` FROM THE SIGNATURE
     * STORE (no corpus text needed) and re-apply the degenerate-bucket cap
     * that per-wave appends let drift in aggregate — a bucket fed 40+40
@@ -304,35 +346,43 @@ object Dedup {
     * live dir aside, rename the rebuild in, delete the old. A plain
     * filesystem has no atomic multi-dir commit, so a crash between the two
     * renames leaves no live dir — the next compaction call repairs it from
-    * `buckets.old` before doing anything else. Maintenance assumes a single
-    * writer and no concurrent probes during the (two-rename) swap window.
+    * `buckets.old` before doing anything else (and so does the probe read
+    * path when no maintainer is live). The single-writer assumption is
+    * ENFORCED: a `_maintenance.lock` lease is taken for the duration, and a
+    * second concurrent maintainer fails loudly instead of corrupting the
+    * swap; a lease left by a dead maintainer is broken after `leaseMs`.
+    * Probes during the (two-rename) swap window still race by design —
+    * schedule compaction off the ingest path.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
                           path: String, bands: Int = 32, maxBucketSize: Int = 64,
-                          numPartitions: Int = 64): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
-    val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
-    // repair a swap that died between its two renames in a prior run
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"crash repair failed for $live")
-    fs.delete(next, true)
-    fs.delete(old, true)
-    spark.read.parquet(s"$path/sigs")
-      .select(col(idCol).as("id"),
-        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-          .as(Seq("band", "bucket")))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-      .repartition(col("pbucket"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
-    require(fs.rename(live, old), s"compaction displace failed for $live")
-    require(fs.rename(next, live), s"compaction swap failed for $live")
-    fs.delete(old, true)
+                          numPartitions: Int = 64,
+                          leaseMs: Long = 30 * 60 * 1000L): Unit = {
+    val fs = fsOf(path, spark)
+    val lock = acquireMaintenanceLock(fs, path, leaseMs)
+    try {
+      val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+      val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
+      val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
+      // repair a swap that died between its two renames in a prior run
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"crash repair failed for $live")
+      fs.delete(next, true)
+      fs.delete(old, true)
+      spark.read.parquet(s"$path/sigs")
+        .select(col(idCol).as("id"),
+          posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+            .as(Seq("band", "bucket")))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
+      require(fs.rename(live, old), s"compaction displace failed for $live")
+      require(fs.rename(next, live), s"compaction swap failed for $live")
+      fs.delete(old, true)
+    } finally fs.delete(lock, false)
   }
 
   /** Raw band-collision probe of a new batch against the index: lazy
@@ -350,6 +400,22 @@ object Dedup {
   private def probeFromSigs(newSigs: DataFrame, idCol: String, path: String,
                             bands: Int, numPartitions: Int): DataFrame = {
     val spark = newSigs.sparkSession
+    // A compaction that died between its two swap renames leaves no live
+    // buckets dir. When no maintainer is live (no lease), the read path
+    // repairs it here instead of failing on every probe until the next
+    // compaction happens to run; under a live lease the swap is in flight —
+    // surface WHAT is happening rather than a bare missing-path error.
+    val fs = fsOf(path, spark)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    if (!fs.exists(live)) {
+      val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
+      if (fs.exists(old)) {
+        if (fs.exists(maintenanceLock(path))) throw new IllegalStateException(
+          s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running " +
+          "(or died holding its lease); retry after it completes, or run compactMinhashIndex")
+        require(fs.rename(old, live), s"crash repair failed for $live")
+      }
+    }
     val newBuckets = newSigs.select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))

@@ -39,6 +39,12 @@ object Sampling {
     * like [[keep]] (a row's fate depends only on its key and its own
     * score), nested (a row kept at score s is kept at any s' ≥ s), and a
     * narrow codegen'd projection: no shuffle, scan-bound at 100 TB.
+    *
+    * A NULL rate yields a NULL predicate, so a null-scored row is DROPPED
+    * by `where` — the same null stance as [[keep]]'s null key and
+    * [[splitColumn]]'s null split. Callers wanting a different policy pass
+    * `coalesce(rate, lit(default))` and choose the default explicitly; this
+    * function does not invent one.
     */
   def keepWeighted(key: Column, rate: Column): Column = {
     val thr = round(least(greatest(rate, lit(0.0)), lit(1.0)) * 65536).cast("int")
@@ -48,7 +54,8 @@ object Sampling {
   }
 
   /** Quality-weighted deterministic sample: keep each row with probability
-    * `rate` (a per-row column, e.g. a quality score in [0,1]).
+    * `rate` (a per-row column, e.g. a quality score in [0,1]). Rows with a
+    * NULL rate are dropped ([[keepWeighted]]'s documented null stance).
     */
   def weightedSample(df: DataFrame, key: Column, rate: Column): DataFrame =
     df.where(keepWeighted(key, rate))

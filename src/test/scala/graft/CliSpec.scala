@@ -159,6 +159,28 @@ class CliSpec extends SparkSpec {
     assert(records.head._1.contains("\"id\":7"))
   }
 
+  test("fallback state dir is stable under tuning-option edits, distinct on identity edits") {
+    import graft.pipeline.PipelineDef
+    def kafkaDef(extraSource: String, topic: String) = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: /data/in
+         |$extraSource
+         |sink:
+         |  type: kafka
+         |  properties.bootstrap.servers: broker:9092
+         |  topic: $topic
+         |pipeline:
+         |  name: same-name
+         |""".stripMargin.replaceAll("(?m)^\\s*$\\n", ""))
+    val base = Cli.stateDir(kafkaDef("", "t1"))
+    // tuning knobs do NOT relocate the checkpoint
+    assert(Cli.stateDir(kafkaDef("  properties.poll.timeout.ms: 500", "t1")) === base)
+    // identity edits DO
+    assert(Cli.stateDir(kafkaDef("", "t2")) !== base)
+    assert(Cli.stateDir(kafkaDef("  topic-pattern: db\\..*", "t1")) !== base)
+  }
+
   test("KafkaSource.kafkaOptions maps the reference option surface") {
     import graft.sources.KafkaSource.kafkaOptions
     val base = Map("properties.bootstrap.servers" -> "b:9092", "topic" -> "t")

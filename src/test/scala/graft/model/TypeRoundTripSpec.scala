@@ -109,6 +109,22 @@ class TypeRoundTripSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("render survives a wall clock in the session zone's DST spring-forward gap") {
+    import spark.implicits._
+    // +05:30 wall 02:30 on 2024-03-10 = 2024-03-09T21:00Z; 02:30 does not
+    // exist in America/New_York that day (spring forward), so any render
+    // that round-trips through the session zone shifts it an hour.
+    val iso = "2024-03-10T02:30:00.000000+05:30"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val df = Seq(iso).toDF("iso").select(
+        ZonedTime.instantOf(col("iso")).as("t"),
+        ZonedTime.zoneOf(col("iso")).as("z"))
+      assert(df.select(ZonedTime.render(col("t"), col("z"))).as[String].head() === iso)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("multi-table values event set materializes both tables") {
     val db = new graft.sinks.ValuesDatabase
     db.applyAll(ValuesSource.singleSplitMultiTable)

@@ -248,6 +248,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("a second concurrent index maintainer is refused; a stale lease is broken") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    try {
+      Dedup.writeMinhashIndex(
+        Seq((1L, "some indexed document about spark plans and shuffles ok")).toDF("id", "text"),
+        "id", "text", dir)
+      // maintainer A holds the lease → maintainer B must fail loudly, and
+      // must NOT have touched the live dir
+      val lock = Dedup.maintenanceLock(dir)
+      val out = fs.create(lock, false); out.writeBytes("pid=fake\n"); out.close()
+      val e = intercept[IllegalStateException] { Dedup.compactMinhashIndex(spark, "id", dir) }
+      assert(e.getMessage.contains("another maintainer"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/buckets")))
+      assert(fs.exists(lock)) // B did not release A's lease
+      // a lease older than leaseMs is presumed orphaned and broken
+      fs.setTimes(lock, System.currentTimeMillis() - 60000, -1)
+      Dedup.compactMinhashIndex(spark, "id", dir, leaseMs = 1000)
+      assert(!fs.exists(lock)) // released after the successful run
+      assert(Dedup.indexProbe(
+        Seq((2L, "some indexed document about spark plans and shuffles ok")).toDF("id", "text"),
+        "id", "text", dir).count() === 1)
+    } finally {
+      val _ = fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  test("probe read path repairs a crashed swap; refuses while a maintainer lease is live") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapcrash").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    try {
+      val text = "some indexed document about spark plans and shuffles ok"
+      Dedup.writeMinhashIndex(Seq((1L, text)).toDF("id", "text"), "id", "text", dir)
+      val live = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/buckets.old")
+      // simulate a compaction that died between its two swap renames
+      assert(fs.rename(live, old))
+      val probe = Seq((2L, text)).toDF("id", "text")
+      assert(Dedup.indexProbe(probe, "id", "text", dir).count() === 1) // repaired in-line
+      assert(fs.exists(live) && !fs.exists(old))
+      // same state but a maintainer lease is live → mid-swap, don't race it
+      assert(fs.rename(live, old))
+      val out = fs.create(Dedup.maintenanceLock(dir), false); out.writeBytes("pid=fake\n"); out.close()
+      val e = intercept[IllegalStateException] {
+        Dedup.indexProbe(probe, "id", "text", dir).count()
+      }
+      assert(e.getMessage.contains("mid-swap"))
+    } finally {
+      val _ = fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("connectedComponents: chain collapses to one cluster, isolated pair to another") {
     // 1-2-3-4-5 is a diameter-4 chain (multiple propagation rounds needed);
     // 10-11 is a separate component

@@ -61,6 +61,16 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(ids, col("id"), lit(-0.2)).count() === 0)
   }
 
+  test("weighted sampling drops NULL-rate rows; coalesce opts into a default") {
+    val scored = ids.withColumn("r",
+      when(col("id") < 100, lit(null).cast("double")).otherwise(lit(1.0)))
+    // documented null stance: null score → dropped (like keep's null key)
+    assert(Sampling.weightedSample(scored, col("id"), col("r")).count() === 9900)
+    // callers choose a different policy explicitly
+    assert(Sampling.weightedSample(scored, col("id"),
+      coalesce(col("r"), lit(1.0))).count() === 10000)
+  }
+
   test("weighted sampling is nested: rows kept at a lower score stay kept at a higher one") {
     val low = Sampling.weightedSample(ids, col("id"), lit(0.2))
       .select("id").as[Long].collect().toSet
