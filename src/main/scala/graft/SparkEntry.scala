@@ -55,7 +55,8 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
-    "q_schema_evolution", "q_kafka_pipeline")
+    "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
+    "q_kafka_pipeline")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -403,6 +404,109 @@ object SparkEntry {
           graft.model.ColumnPosition.Last)) + "\n")
       graft.sinks.ChangelogJson.debezium(
         ev.where(col(Changelog.SeqCol) > split), id)
+        .write.mode("append").text(in)
+      val (_, sink2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q2.awaitTermination()
+      sink2.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, id)
+    },
+
+    "q_schema_evolution_multi" -> { (spark, dir) =>
+      // composed schema-evolution e2e over the REMAINING evolution types
+      // (reference SchemaEvolveE2eITCase): phase 1 materializes under
+      // (user_id, event_type, value, score INT); an in-band DropColumn +
+      // RenameColumn + AlterColumnType(widening) arrive on a checkpointed
+      // restart, then phase 2 streams under the evolved shape (payload field
+      // renamed upstream, scores past INT range). The sink must drop
+      // `value`, surface the rename as add+drop (the routed-schema
+      // normalization — phase-1 winners read kind NULL), and widen the
+      // phase-1 scores losslessly to BIGINT.
+      implicit val s: SparkSession = spark
+      import org.apache.spark.sql.streaming.Trigger
+      val id = TableId.of("db", "events")
+      val base = java.nio.file.Files.createTempDirectory("graft-evolve-multi").toString
+      val in = s"$base/in"
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      val ev = eventsChangelog(spark, dir)
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) <= split)
+          .withColumn("score", (col(Changelog.SeqCol) % 1000).cast("int")), id)
+        .write.mode("overwrite").text(in)
+      val yaml =
+        s"""source:
+           |  type: debezium-json
+           |  path: $in
+           |  schema.db.events: "user_id BIGINT, event_type STRING, value DOUBLE, score INT"
+           |transform:
+           |  - source-table: db.events
+           |    primary-keys: user_id
+           |sink:
+           |  type: parquet-upsert
+           |  path: $base/out
+           |  buckets: 32
+           |pipeline:
+           |  name: evolve-multi-e2e
+           |""".stripMargin
+      val p = PipelineDef.fromYaml(yaml)
+      val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q1.awaitTermination()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/zz_ddl.json"),
+        graft.model.SchemaChangeJson.toJson(graft.model.DropColumnEvent(id, "value")) + "\n" +
+        graft.model.SchemaChangeJson.toJson(
+          graft.model.RenameColumnEvent(id, "event_type", "kind")) + "\n" +
+        graft.model.SchemaChangeJson.toJson(graft.model.AlterColumnTypeEvent(
+          id, "score", org.apache.spark.sql.types.LongType)) + "\n")
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) > split)
+          .withColumnRenamed("event_type", "kind").drop("value")
+          .withColumn("score", col(Changelog.SeqCol) * 1000000L), id)
+        .write.mode("append").text(in)
+      val (_, sink2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q2.awaitTermination()
+      sink2.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, id)
+    },
+
+    "q_schema_evolution_lenient" -> { (spark, dir) =>
+      // LENIENT behavior through the same CLI restart path: the rename
+      // becomes AddColumn(kind) with the OLD column kept (nulled for new
+      // rows), and the drop is deferred (column kept, new rows null it) —
+      // existing sink consumers keep every column they know
+      // (SchemaDerivator.java:154-296 lenientization).
+      implicit val s: SparkSession = spark
+      import org.apache.spark.sql.streaming.Trigger
+      val id = TableId.of("db", "events")
+      val base = java.nio.file.Files.createTempDirectory("graft-evolve-lenient").toString
+      val in = s"$base/in"
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      val ev = eventsChangelog(spark, dir)
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) <= split), id)
+        .write.mode("overwrite").text(in)
+      val yaml =
+        s"""source:
+           |  type: debezium-json
+           |  path: $in
+           |  schema.db.events: "user_id BIGINT, event_type STRING, value DOUBLE"
+           |transform:
+           |  - source-table: db.events
+           |    primary-keys: user_id
+           |sink:
+           |  type: parquet-upsert
+           |  path: $base/out
+           |  buckets: 32
+           |pipeline:
+           |  name: evolve-lenient-e2e
+           |  schema.change.behavior: lenient
+           |""".stripMargin
+      val p = PipelineDef.fromYaml(yaml)
+      val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+      q1.awaitTermination()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/zz_ddl.json"),
+        graft.model.SchemaChangeJson.toJson(
+          graft.model.RenameColumnEvent(id, "event_type", "kind")) + "\n" +
+        graft.model.SchemaChangeJson.toJson(graft.model.DropColumnEvent(id, "value")) + "\n")
+      graft.sinks.ChangelogJson.debezium(
+        ev.where(col(Changelog.SeqCol) > split)
+          .withColumnRenamed("event_type", "kind").drop("value"), id)
         .write.mode("append").text(in)
       val (_, sink2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
       q2.awaitTermination()
@@ -1196,6 +1300,31 @@ object SparkEntry {
       """SELECT user_id, event_type,
         |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events)
         |       THEN NULL ELSE value END AS value
+        |FROM (
+        |  SELECT user_id, event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_schema_evolution_multi" ->
+      """SELECT user_id,
+        |  CASE WHEN event_id > (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN event_type END AS kind,
+        |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN CAST(event_id % 1000 AS BIGINT)
+        |       ELSE event_id * 1000000 END AS score
+        |FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_schema_evolution_lenient" ->
+      """SELECT user_id,
+        |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN event_type END AS event_type,
+        |  CASE WHEN event_id <= (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN value END AS value,
+        |  CASE WHEN event_id > (SELECT MAX(event_id) // 2 FROM events)
+        |       THEN event_type END AS kind
         |FROM (
         |  SELECT user_id, event_type, value, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

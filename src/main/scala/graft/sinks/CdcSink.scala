@@ -57,8 +57,9 @@ final class ValuesSink(val db: ValuesDatabase) extends CdcSink {
   * work is distributed (one hash aggregation keyed by PK); the driver only
   * moves directories. Idempotent per batch — replaying a batch converges to
   * the same state, so at-least-once delivery becomes effectively-once.
-  * Schema evolution: state on disk may lag the evolved schema after an
-  * AddColumn — it is coerced (cast + null-pad) to the current shape on read.
+  * Schema evolution: DDL rewrites state eagerly ([[applySchemaChange]]), and
+  * the merge path ALSO coerces (cast + null-pad) on read as a belt-and-
+  * braces for state that lags after a crash between DDL and rewrite.
   *
   * `buckets > 0` partitions state by `pmod(xxhash64(pk), buckets)`: a batch
   * then reads and rewrites ONLY the PK-hash partitions it touches (partition
@@ -96,6 +97,86 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
   override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit =
     tableLocks.computeIfAbsent(tablePath(id), _ => new Object).synchronized {
       doWrite(id, changelog, schema)
+    }
+
+  /** DDL applies EAGERLY to on-disk state (the reference's MetadataApplier
+    * runs its ALTER TABLE before the data resumes): lazy coercion alone
+    * would leave buckets a batch never touches under the OLD shape, and a
+    * schema-less `spark.read.parquet` of mixed-shape files infers whichever
+    * file it samples — a dropped column could resurface or an added one
+    * vanish from [[read]]. A rewrite per DDL event is O(state), but DDL is
+    * rare by construction; the Delta/Iceberg swap-in does the same change as
+    * a metadata-only commit. Rename never arrives here — the routed-schema
+    * diff normalizes it to add+drop ([[graft.operators.SchemaDerivator.diff]],
+    * reference SchemaDerivator.java:154-296) — but is handled for direct SPI
+    * callers. Each rewrite is idempotent (guarded on the current on-disk
+    * shape), so a crash-replayed batch re-applying its in-band DDL converges.
+    */
+  override def applySchemaChange(e: SchemaChangeEvent): Unit = {
+    import graft.model._
+    e match {
+      case CreateTableEvent(_, _) => () // state materializes on first write
+      case AddColumnEvent(id, n, dt, _) =>
+        rewriteState(id)(df => if (df.columns.contains(n)) df
+                               else df.withColumn(n, lit(null).cast(dt)))
+      case DropColumnEvent(id, n) => rewriteState(id)(_.drop(n))
+      case RenameColumnEvent(id, f, t) => rewriteState(id)(_.withColumnRenamed(f, t))
+      case AlterColumnTypeEvent(id, n, dt) =>
+        rewriteState(id)(df => if (df.columns.contains(n)) df.withColumn(n, col(n).cast(dt))
+                               else df)
+      case TruncateTableEvent(id) => deleteState(id)
+      case DropTableEvent(id) => deleteState(id)
+    }
+  }
+
+  /** Rewrite the whole state dir through `fn` with the same write-new-then-
+    * swap commit as [[doWrite]]; no-op when the table has no state yet.
+    */
+  private def rewriteState(id: TableId)(fn: DataFrame => DataFrame): Unit =
+    tableLocks.computeIfAbsent(tablePath(id), _ => new Object).synchronized {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException("no SparkSession for sink DDL"))
+      val path = tablePath(id)
+      val fs = hfs(spark, path)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      recoverCrashedSwap(fs, path, dst)
+      if (fs.exists(dst)) {
+        val state = spark.read.parquet(path)
+        val next = fn(state)
+        // cheap no-op detection: same shape → skip the rewrite (idempotent
+        // replay of a batch's DDL, or a drop of a never-present column)
+        if (next.schema != state.schema) {
+          val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+          val old = new org.apache.hadoop.fs.Path(path + ".old")
+          fs.delete(tmp, true)
+          val writer = next.write.mode("overwrite")
+          (if (buckets > 0 && next.columns.contains(BucketCol)) writer.partitionBy(BucketCol)
+           else writer).parquet(tmp.toString)
+          fs.delete(old, true)
+          renameOrThrow(fs, dst, old)
+          try renameOrThrow(fs, tmp, dst)
+          catch {
+            case ex: java.io.IOException =>
+              if (!fs.rename(old, dst)) {
+                ex.addSuppressed(new java.io.IOException(s"restore of $old also failed"))
+              }
+              throw ex
+          }
+          fs.delete(old, true)
+          ()
+        }
+      }
+    }
+
+  private def deleteState(id: TableId): Unit =
+    tableLocks.computeIfAbsent(tablePath(id), _ => new Object).synchronized {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException("no SparkSession for sink DDL"))
+      val fs = hfs(spark, tablePath(id))
+      Seq("", ".tmp", ".old").foreach(sfx =>
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath(id) + sfx), true))
     }
 
   /** All state moves go through Hadoop [[org.apache.hadoop.fs.FileSystem]] so
