@@ -33,28 +33,53 @@ object Bench {
     // JVM/codegen warmup so per-query numbers measure the engine, not JIT
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // A query that throws is SURFACED in an `errors` map and excluded from
+    // the timings — a -1 s sentinel folded into `total` (the old behavior)
+    // reads as a fast query, not a broken one.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedOrError(name: String)(f: => Unit): Option[Double] =
+      try Some(time(f)._2)
+      catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(300)
+          None
+      }
+
     // one untimed warmup run per query (JIT, codegen cache, page cache), then
     // median of three timed runs: round-4 showed 5x same-code swings under
     // single-shot timing (q_embed_ivf_topk 0.82s vs 4.01s), which makes a 2x
-    // perf gate unadjudicable — the median absorbs GC/JIT outliers both ways
+    // perf gate unadjudicable — the median absorbs GC/JIT outliers both ways.
+    // A band whose max/min exceeds 3x is remeasured once (round-7's
+    // q_startup_timestamp shipped a poisoned median with exactly that
+    // signature) and the tighter of the two triples is reported.
+    val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
-      .map { case (name, fn) =>
-        def once() = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-        once()
-        val runs = (1 to 3).map(_ => once())
-        (name, runs.map(_._2).sorted, runs.head._1)
+      .flatMap { case (name, fn) =>
+        def once(): Option[Double] = timedOrError(name) { fn(spark, sfDir).count(); () }
+        once() // warmup
+        def triple(): Option[Seq[Double]] =
+          if (errors.contains(name)) None
+          else {
+            val rs = (1 to 3).map(_ => once())
+            if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sorted)
+          }
+        def spread(t: Seq[Double]): Double = t.last / math.max(t.head, 1e-9)
+        triple().flatMap { t1 =>
+          if (spread(t1) > 3.0) {
+            reran += name
+            triple().map(t2 => if (spread(t2) < spread(t1)) t2 else t1)
+          } else Some(t1)
+        }.map(bands => (name, bands))
       }
 
     // composed e2e control-path rows: launch-overhead-bound (sf-invariant),
     // run once each and reported OUTSIDE the throughput total — see
     // SparkEntry.launchBoundE2e
-    val e2e = SparkEntry.launchBoundE2e.toSeq.sorted.map { name =>
-      val (_, sec) = time {
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-      }
-      (name, sec)
+    val e2e = SparkEntry.launchBoundE2e.toSeq.sorted.flatMap { name =>
+      timedOrError(name) { SparkEntry.queries(name)(spark, sfDir).count(); () }
+        .map(sec => (name, sec))
     }
 
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
@@ -95,22 +120,42 @@ object Bench {
       math.min(t0, t1)
     }
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v(1) }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v(1) }.mkString("{", ",", "}")
     // per-query [min, median, max] of the 3 timed runs: round-6 reported a
     // 3.5x "regression" on q_dedup_ngram that round-7 could not reproduce
     // (machine-load noise during the driver run) — the bands let future
     // rounds separate noise from signal without archaeology
-    val bands = results.map { case (k, v, _) =>
-      "\"" + k + "\":[" + v.mkString(",") + "]"
+    val bands = results.map { case (k, v) =>
+      jstr(k) + ":[" + v.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.apply(1)).sum
-    val e2eJson = e2e.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // scalastyle:off println
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val e2eJson = e2e.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val reranJson = reran.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""query_bands":$bands,"e2e_untimed_sec":$e2eJson,""" +
+      s""""errors":$errJson,"reran":$reranJson,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
-      s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}""")
+      s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}"""
+    // scalastyle:off println
+    println(line)
     // scalastyle:on
+    // ALSO persist the record: round-7's stdout tail capture truncated 65 of
+    // 79 per-query numbers — a file copy makes the record loss-proof
+    try {
+      val p = java.nio.file.Paths.get("target/bench-latest.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+      ()
+    } catch { case _: Exception => () } // stdout line already carries the record
     spark.stop()
   }
 }

@@ -36,6 +36,18 @@ object SparkEntry {
     org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
 
+  // one persisted minhash index per (JVM, sf dir): q_dedup_incremental_probe
+  // measures the steady-state probe a deployment pays per micro-batch, so the
+  // one-time build must not be inside its timed body
+  private val mhIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashIndexFor(spark: SparkSession, dir: String): String =
+    mhIndexCache.computeIfAbsent(dir, _ => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx-shared").toString
+      Dedup.writeMinhashIndex(spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", idxDir)
+      idxDir
+    })
+
   private def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "events").select(
@@ -619,6 +631,21 @@ object SparkEntry {
       // transitive closure of near-duplication: a~b, b~c puts a,b,c in ONE
       // cluster (keep-first pair greedy under-approximates this)
       Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
+    },
+
+    "q_dedup_incremental_probe" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the STEADY-STATE half of the ingest loop: the persisted index
+      // already exists (built once per JVM, shared across runs), so a
+      // micro-batch pays only the pruned probe + verify join — the number a
+      // deployment pays per batch, vs q_dedup_incremental which also times
+      // the one-time full-corpus index build
+      val idxDir = minhashIndexFor(spark, dir)
+      val docs = t(dir, "documents")
+      val batch = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
+          concat(col("text"), lit(" planted drift suffix")).as("text"))
+      Dedup.incrementalCandidates(batch, "doc_id", "text", idxDir, threshold = 0.8)
     },
 
     "q_dedup_incremental" -> { (spark, dir) =>
@@ -1783,6 +1810,7 @@ object SparkEntry {
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
+    "q_dedup_incremental_probe" -> OracleHashSql.dedupIncremental,
     "q_dedup_clusters" -> OracleHashSql.dedupClusters,
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
     "q_dedup_ngram" -> OracleHashSql.dedupNgram,
