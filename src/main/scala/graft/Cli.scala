@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.Trigger
   * envelopes consumed via `readStream.format("kafka")` —
   * [[graft.sources.KafkaSource]]). Sinks: `parquet` (directory of result
   * tables), `parquet-upsert` (continuously maintained state dirs), `kafka`
-  * (changelog topics), `values` (print to stdout — smoke runs).
+  * (changelog topics), `delta` (lakehouse MERGE INTO catalog tables —
+  * [[graft.sinks.DeltaMergeSink]]), `values` (print to stdout — smoke runs).
   */
 object Cli {
 
@@ -82,7 +83,8 @@ object Cli {
     p.sink.options.get("path")
       .orElse(p.config.get("state-dir"))
       .getOrElse {
-        if (p.sink.kind == "kafka") {
+        // kafka and delta sinks address by topic / catalog table, not path
+        if (p.sink.kind == "kafka" || p.sink.kind == "delta") {
           val identityKeys = Seq("path", "topic", "topic-pattern",
             "properties.bootstrap.servers", "hostname", "port", "database-name",
             "schema-name", "table-name", "tables")
@@ -108,7 +110,8 @@ object Cli {
   def buildStreaming(spark: SparkSession, p: PipelineDef, trigger: Trigger,
                      kafkaWriter: Option[org.apache.spark.sql.DataFrame => Unit] = None,
                      kafkaReader: Option[(SparkSession, Map[String, String]) =>
-                       org.apache.spark.sql.DataFrame] = None)
+                       org.apache.spark.sql.DataFrame] = None,
+                     sqlRunner: Option[(SparkSession, String) => Unit] = None)
       : (StreamingPipeline, graft.sinks.CdcSink,
          org.apache.spark.sql.streaming.StreamingQuery) = {
     val statePath = stateDir(p)
@@ -134,6 +137,8 @@ object Cli {
         p.sink.options.getOrElse("topic", ""),
         p.sink.options.getOrElse("value.format", "debezium-json"),
         kafkaWriter)
+      case "delta" => new graft.sinks.DeltaMergeSink(
+        p.sink.options.getOrElse("database", "graft"), sqlRunner)
       case _ => new ParquetUpsertSink(statePath, buckets)
     }
     val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink)

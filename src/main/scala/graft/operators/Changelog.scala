@@ -43,6 +43,22 @@ object Changelog {
       .select((pkCols.map(col) ++ payloadCols.map(c => col(s"__last.$c").as(c))).toSeq: _*)
   }
 
+  /** Per-PK last event INCLUDING delete markers — the reduced frame a
+    * MERGE-shaped sink feeds its WHEN MATCHED / NOT MATCHED branches
+    * (MERGE requires unique source keys, so the within-batch reduction is
+    * mandatory, not an optimization). Same one-hash-aggregation shape as
+    * [[materialize]]; only the DELETE filter differs — the sink's DELETE
+    * branch needs the marker row.
+    */
+  def lastImage(changelog: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(c => c == OpCol || c == SeqCol || pkCols.contains(c))
+    changelog
+      .groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct((payloadCols.map(col) :+ col(OpCol)).toSeq: _*), col(SeqCol)).as("__last"))
+      .select((pkCols.map(col) ++ payloadCols.map(c => col(s"__last.$c").as(c))
+        :+ col(s"__last.$OpCol").as(OpCol)).toSeq: _*)
+  }
+
   /** SOFT_DELETE converter (runtime/operators/transform/converter/
     * SoftDeleteConverter.java:27): DELETE events become data rows flagged
     * `__deleted = true` instead of removing state.
