@@ -111,7 +111,13 @@ object Cli {
                      kafkaWriter: Option[org.apache.spark.sql.DataFrame => Unit] = None,
                      kafkaReader: Option[(SparkSession, Map[String, String]) =>
                        org.apache.spark.sql.DataFrame] = None,
-                     sqlRunner: Option[(SparkSession, String) => Unit] = None)
+                     sqlRunner: Option[(SparkSession, String) => Unit] = None,
+                     /** Failure-injection seam: wraps the sink so crash/replay
+                       * tests can kill the driver BETWEEN two tables' writes
+                       * of one batch (the composed analog of the sink's own
+                       * kill-point specs).
+                       */
+                     sinkDecorator: Option[graft.sinks.CdcSink => graft.sinks.CdcSink] = None)
       : (StreamingPipeline, graft.sinks.CdcSink,
          org.apache.spark.sql.streaming.StreamingQuery) = {
     val statePath = stateDir(p)
@@ -129,7 +135,7 @@ object Cli {
 
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
     val buckets = p.sink.options.getOrElse("buckets", "32").toInt
-    val sink: graft.sinks.CdcSink = p.sink.kind match {
+    val sink0: graft.sinks.CdcSink = p.sink.kind match {
       case "kafka" => new graft.sinks.KafkaChangelogSink(
         p.sink.options.getOrElse("properties.bootstrap.servers",
           throw new IllegalArgumentException(
@@ -141,7 +147,11 @@ object Cli {
         p.sink.options.getOrElse("database", "graft"), sqlRunner)
       case _ => new ParquetUpsertSink(statePath, buckets)
     }
-    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink)
+    val sink = sinkDecorator.map(_(sink0)).getOrElse(sink0)
+    // concurrent per-table writes within a batch (reference: parallelized
+    // pipeline, FlinkParallelizedPipelineITCase)
+    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink,
+      tableParallelism = p.config.getOrElse("table-parallelism", "4").toInt)
 
     // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`
     p.source.options.collect { case (k, v) if k.startsWith("schema.") =>

@@ -338,6 +338,73 @@ object SparkEntry {
       sink.read(spark, srcId)
     },
 
+    "q_multi_table_pipeline" -> { (spark, dir) =>
+      // parallelized multi-table pipeline (reference
+      // FlinkParallelizedPipelineITCase): ONE streaming CLI run carries
+      // three interleaved source tables with `table-parallelism: 4`
+      // (concurrent per-table slice processing) and a 3→1 route into a
+      // single widest-merged sink table — customer INT keys widen to
+      // supplier's BIGINT, nation contributes neither acctbal nor
+      // mktsegment (null-padded), key spaces kept disjoint by a
+      // source-tagged key transform. Negative-balance customers arrive as
+      // DELETEs and must not materialize.
+      implicit val s: SparkSession = spark
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-multitbl").toString
+      val in = s"$base/in"
+      graft.sinks.ChangelogJson.debezium(
+        t(dir, "customer").select(
+          (col("c_custkey") * 10 + 1).cast("int").as("id"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"),
+          when(col("c_acctbal") < 0, "DELETE").otherwise("REPLACE").as(Changelog.OpCol),
+          col("c_custkey").as(Changelog.SeqCol)),
+        TableId.of("tpch", "customer")).write.mode("overwrite").text(in)
+      graft.sinks.ChangelogJson.debezium(
+        t(dir, "supplier").select(
+          (col("s_suppkey") * 10 + 2).as("id"),
+          col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("REPLACE").as(Changelog.OpCol),
+          col("s_suppkey").as(Changelog.SeqCol)),
+        TableId.of("tpch", "supplier")).write.mode("append").text(in)
+      graft.sinks.ChangelogJson.debezium(
+        t(dir, "nation").select(
+          (col("n_nationkey") * 10 + 3).cast("int").as("id"),
+          col("n_name").as("name"),
+          lit("REPLACE").as(Changelog.OpCol),
+          col("n_nationkey").as(Changelog.SeqCol)),
+        TableId.of("tpch", "nation")).write.mode("append").text(in)
+      val yaml =
+        s"""source:
+           |  type: debezium-json
+           |  path: $in
+           |  schema.tpch.customer: "id INT, name STRING, acctbal DOUBLE, mktsegment STRING"
+           |  schema.tpch.supplier: "id BIGINT, name STRING, acctbal DOUBLE"
+           |  schema.tpch.nation: "id INT, name STRING"
+           |transform:
+           |  - source-table: tpch.customer
+           |    primary-keys: id
+           |  - source-table: tpch.supplier
+           |    primary-keys: id
+           |  - source-table: tpch.nation
+           |    primary-keys: id
+           |route:
+           |  - source-table: tpch.customer,tpch.supplier,tpch.nation
+           |    sink-table: out.parties
+           |sink:
+           |  type: parquet-upsert
+           |  path: $base/out
+           |  buckets: 32
+           |pipeline:
+           |  name: multi-table-e2e
+           |  table-parallelism: 4
+           |""".stripMargin
+      val (_, sink, q) = Cli.buildStreaming(spark, PipelineDef.fromYaml(yaml),
+        Trigger.AvailableNow())
+      q.awaitTermination()
+      sink.asInstanceOf[graft.sinks.ParquetUpsertSink].read(spark, TableId.of("out", "parties"))
+    },
+
     "q_kafka_pipeline" -> { (spark, dir) =>
       // the kafka-source seam end-to-end: events changelog serialized to
       // debezium lines = the topic backlog; the injected reader stands in
@@ -1322,6 +1389,15 @@ object SparkEntry {
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_multi_table_pipeline" ->
+      """SELECT id, name, acctbal, mktsegment FROM (
+        |  SELECT c_custkey * 10 + 1 AS id, c_name AS name, c_acctbal AS acctbal,
+        |         c_mktsegment AS mktsegment FROM customer WHERE c_acctbal >= 0
+        |  UNION ALL
+        |  SELECT s_suppkey * 10 + 2, s_name, s_acctbal, NULL FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey * 10 + 3, n_name, NULL, NULL FROM nation)""".stripMargin,
 
     "q_schema_evolution" ->
       """SELECT user_id, event_type,

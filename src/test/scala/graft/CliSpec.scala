@@ -159,6 +159,74 @@ class CliSpec extends SparkSpec {
     assert(records.head._1.contains("\"id\":7"))
   }
 
+  test("mid-batch kill between two tables' sink writes replays to convergence") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-kill-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-kill-out").toString
+    def dbz(table: String, payload: String, ts: Long) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$ts,"source":{"db":"db","table":"$table"}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch1.json"),
+      dbz("users", """{"id":1,"name":"ann"}""", 1) + "\n" +
+      dbz("users", """{"id":2,"name":"bob"}""", 2) + "\n" +
+      dbz("orders", """{"id":10,"total":5.5}""", 3) + "\n" +
+      dbz("orders", """{"id":11,"total":7.25}""", 4) + "\n")
+    val yaml =
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |  schema.db.orders: "id BIGINT, total DOUBLE"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |""".stripMargin
+    val p = PipelineDef.fromYaml(yaml)
+
+    // the driver "dies" between the batch's per-table writes: orders never
+    // lands, the checkpoint does NOT commit the batch
+    final class KillOnOrders(inner: graft.sinks.CdcSink) extends graft.sinks.CdcSink {
+      override def applySchemaChange(e: graft.model.SchemaChangeEvent): Unit =
+        inner.applySchemaChange(e)
+      override def write(id: TableId, df: org.apache.spark.sql.DataFrame,
+                         schema: CdcSchema): Unit = {
+        if (id.tableName == "orders") throw new RuntimeException("injected mid-batch kill")
+        inner.write(id, df, schema)
+      }
+    }
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow(),
+      sinkDecorator = Some(new KillOnOrders(_)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000); q1.stop()
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/db__orders")))
+
+    // restart WITHOUT the fault: the uncommitted batch replays; users
+    // rewrites idempotently (it may or may not have landed before the kill),
+    // orders lands — at-least-once x idempotent = effectively-once
+    val (_, s2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val sink2 = s2.asInstanceOf[graft.sinks.ParquetUpsertSink]
+    assert(sink2.read(spark, TableId.of("db", "users")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann"), (2L, "bob")))
+    assert(sink2.read(spark, TableId.of("db", "orders")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((10L, 5.5), (11L, 7.25)))
+
+    // and the recovered pipeline keeps consuming: a post-recovery batch
+    // upserts on top of the replayed state
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch2.json"),
+      dbz("users", """{"id":1,"name":"ann2"}""", 5) + "\n")
+    val (_, s3, q3) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+    assert(s3.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann2"), (2L, "bob")))
+  }
+
   test("fallback state dir is stable under tuning-option edits, distinct on identity edits") {
     import graft.pipeline.PipelineDef
     def kafkaDef(extraSource: String, topic: String) = PipelineDef.fromYaml(
