@@ -148,10 +148,18 @@ object Cli {
       case _ => new ParquetUpsertSink(statePath, buckets)
     }
     val sink = sinkDecorator.map(_(sink0)).getOrElse(sink0)
+    // `dead-letter-dir`: unroutable records (unparseable JSON, missing
+    // source ids) quarantine as text under one dir per batch instead of
+    // silently dropping — the YAML face of StreamingPipeline.deadLetter
+    val deadLetter = p.config.get("dead-letter-dir").map { dlq =>
+      (bad: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        bad.write.mode("append").text(s"$dlq/batch_$batchId")
+    }
     // concurrent per-table writes within a batch (reference: parallelized
     // pipeline, FlinkParallelizedPipelineITCase)
     val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink,
-      tableParallelism = p.config.getOrElse("table-parallelism", "4").toInt)
+      tableParallelism = p.config.getOrElse("table-parallelism", "4").toInt,
+      deadLetter = deadLetter)
 
     // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`
     p.source.options.collect { case (k, v) if k.startsWith("schema.") =>

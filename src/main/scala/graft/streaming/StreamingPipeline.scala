@@ -56,6 +56,17 @@ final class StreamingPipeline(
     */
   def applySchemaChange(e: SchemaChangeEvent): Unit = {
     if (registry.apply(e).isEmpty) return
+    e match {
+      case TruncateTableEvent(src) =>
+        // truncate leaves the schema unchanged, so the derived-diff path
+        // below would swallow it — forward it to every routed table the
+        // sink already knows (in an N→1 route the merged table truncates,
+        // like the reference's MetadataApplier applying the routed event)
+        for (out <- router.route(src) if sinkSchemas.contains(out))
+          sink.applySchemaChange(TruncateTableEvent(out))
+        return
+      case _ => ()
+    }
     for (out <- router.route(e.tableId)) {
       val live = router.sourcesFor(out, registry.tableIds).flatMap(registry.evolvedSchema)
       (sinkSchemas.get(out), live) match {

@@ -227,6 +227,106 @@ class CliSpec extends SparkSpec {
       Seq((1L, "ann2"), (2L, "bob")))
   }
 
+  test("in-band TruncateTable empties sink state before the batch's own data applies") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-trunc-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-trunc-out").toString
+    def dbz(payload: String, ts: Long) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$ts,"source":{"db":"db","table":"users"}}"""
+    val yaml =
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |""".stripMargin
+    val p = PipelineDef.fromYaml(yaml)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch1.json"),
+      dbz("""{"id":1,"name":"ann"}""", 1) + "\n" + dbz("""{"id":2,"name":"bob"}""", 2) + "\n")
+    val (_, s1, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(s1.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).count() === 2)
+    // truncate + a fresh row in ONE batch: DDL applies first, so the final
+    // state is exactly the post-truncate row
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch2.json"),
+      graft.model.SchemaChangeJson.toJson(
+        graft.model.TruncateTableEvent(TableId.of("db", "users"))) + "\n" +
+      dbz("""{"id":7,"name":"eve"}""", 3) + "\n")
+    val (_, s2, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(s2.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "eve")))
+  }
+
+  test("in-band DropTable removes sink state and later rows for the table are skipped") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-drop-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-drop-out").toString
+    def dbz(payload: String, ts: Long) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$ts,"source":{"db":"db","table":"users"}}"""
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch1.json"),
+      dbz("""{"id":1,"name":"ann"}""", 1) + "\n")
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/db__users")))
+    // drop + a straggler row in one batch: the DDL applies first, the
+    // table's schema is gone, so the straggler is an unknown-table row
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch2.json"),
+      graft.model.SchemaChangeJson.toJson(
+        graft.model.DropTableEvent(TableId.of("db", "users"))) + "\n" +
+      dbz("""{"id":9,"name":"late"}""", 2) + "\n")
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/db__users")))
+  }
+
+  test("dead-letter-dir quarantines unroutable records instead of dropping them") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-dlq-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dlq-out").toString
+    val dlq = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      """{"before":null,"after":{"id":1,"name":"ann"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """this line is not json at all""" + "\n")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |pipeline:
+         |  dead-letter-dir: $dlq
+         |""".stripMargin)
+    val (_, s1, q) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    // the good row materialized, the bad line quarantined verbatim
+    assert(s1.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).count() === 1)
+    val quarantined = spark.read.text(s"$dlq/batch_*").collect().map(_.getString(0)).toSeq
+    assert(quarantined === Seq("this line is not json at all"))
+  }
+
   test("fallback state dir is stable under tuning-option edits, distinct on identity edits") {
     import graft.pipeline.PipelineDef
     def kafkaDef(extraSource: String, topic: String) = PipelineDef.fromYaml(
