@@ -297,6 +297,55 @@ class CliSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/db__users")))
   }
 
+  test("EXCEPTION behavior fails the stream loudly on in-band DDL; IGNORE swallows it") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    def dbz(payload: String, ts: Long) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$ts,"source":{"db":"db","table":"users"}}"""
+    def yamlFor(in: String, out: String, behavior: String) =
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |pipeline:
+         |  schema.change.behavior: $behavior
+         |""".stripMargin
+    val ddl = graft.model.SchemaChangeJson.toJson(graft.model.AddColumnEvent(
+      TableId.of("db", "users"), "age", org.apache.spark.sql.types.IntegerType))
+
+    // EXCEPTION: the DDL control record kills the query — never silently applied
+    val in1 = java.nio.file.Files.createTempDirectory("graft-exc-in").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft-exc-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in1/feed.json"),
+      dbz("""{"id":1,"name":"ann"}""", 1) + "\n" + ddl + "\n")
+    val (_, _, q1) = Cli.buildStreaming(spark,
+      PipelineDef.fromYaml(yamlFor(in1, out1, "exception")), Trigger.AvailableNow())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000); q1.stop()
+    }
+    assert(e.getMessage.contains("rejected by EXCEPTION behavior"))
+
+    // IGNORE: the DDL is swallowed; rows with the new field still parse
+    // under the OLD schema (extra field dropped), state keeps its shape
+    val in2 = java.nio.file.Files.createTempDirectory("graft-ign-in").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-ign-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in2/feed.json"),
+      dbz("""{"id":1,"name":"ann"}""", 1) + "\n" + ddl + "\n" +
+      dbz("""{"id":2,"name":"bob","age":40}""", 2) + "\n")
+    val (_, s2, q2) = Cli.buildStreaming(spark,
+      PipelineDef.fromYaml(yamlFor(in2, out2, "ignore")), Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val state = s2.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users"))
+    assert(state.columns.toSeq === Seq("id", "name"))
+    assert(state.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ann"), (2L, "bob")))
+  }
+
   test("dead-letter-dir quarantines unroutable records instead of dropping them") {
     import graft.pipeline.PipelineDef
     import org.apache.spark.sql.streaming.Trigger
