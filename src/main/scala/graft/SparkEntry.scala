@@ -1091,6 +1091,15 @@ object SparkEntry {
         .limit(50)
     },
 
+    "q_doc_rarity" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // corpus-statistics quality signal: per doc, the count / df-sum /
+      // df-min of its DISTINCT tokens' document frequencies (boilerplate
+      // scores high frequencies, rare vocabulary low). Integer aggregates
+      // only — exact and summation-order-free, so it hash-compares
+      TextAnalysis.rarityProfile(t(dir, "documents"), "doc_id", "text")
+    },
+
     "q_sample_weighted" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // quality-weighted pruning: keep probability = unique-token ratio
@@ -1717,6 +1726,15 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+
+    "q_doc_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+        |  FROM documents),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(d.df) AS BIGINT) AS df_sum, MIN(d.df) AS df_min
+        |FROM toks t JOIN dfreq d USING (tok) GROUP BY t.doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH s AS (

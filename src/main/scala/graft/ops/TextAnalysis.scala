@@ -94,4 +94,38 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** One row per (doc, DISTINCT token): the corpus-statistics base relation.
+    * `array_distinct` runs per doc inside the scan, so the explode emits the
+    * doc's vocabulary, not its token stream — no (doc, token) dedup shuffle.
+    */
+  def docTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))).as("tok"))
+
+  /** Token document frequencies over the corpus: (tok, df). */
+  def docFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTokens(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Per-document RARITY profile — the corpus-statistics quality signal of
+    * pretraining filters (a page of boilerplate scores high document
+    * frequencies; a page of rare vocabulary scores low): per doc, its
+    * distinct-token count, the SUM and MIN of those tokens' document
+    * frequencies. Deliberately integer aggregates only — a floating mean
+    * or log-idf would hash-differ across engines by summation order, while
+    * BIGINT sums are exact and order-free; callers derive ratios.
+    *
+    * Scale shape: three map-side-combinable shuffles — the df aggregation,
+    * the (tok)-keyed join of the token relation with the df table (AQE
+    * broadcasts it when the vocabulary is small; heavy-hitter tokens are
+    * bounded because each doc contributes a token once), and the per-doc
+    * aggregation. No driver state, no collect.
+    */
+  def rarityProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docTokens(df, idCol, textCol)
+    toks.join(docFrequencies(df, idCol, textCol), "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"), min("df").as("df_min"))
+  }
 }

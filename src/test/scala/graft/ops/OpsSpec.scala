@@ -639,6 +639,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0, 0)))
   }
 
+  test("rarityProfile: distinct-token counts and exact df sums, invariant under repartitioning") {
+    // corpus: "the" in 3 docs (df 3), "cat"/"dog" in 1 each, "sat" in 2
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat sat"), // repeated token counts once (distinct per doc)
+      (3L, "the")).toDF("doc_id", "text")
+    def profile(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.rarityProfile(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = profile(df)
+    assert(out(1L) === ((3L, 3L + 1L + 2L, 1L))) // the(3) + cat(1) + sat(2)
+    assert(out(2L) === ((3L, 3L + 1L + 2L, 1L))) // the(3) + dog(1) + sat(2)
+    assert(out(3L) === ((1L, 3L, 3L)))
+    assert(profile(df.repartition(7)) === out)
+  }
+
   test("langId picks the dominant stopword language") {
     val df = Seq(
       (1L, "the cat is on the mat and it is happy"),
