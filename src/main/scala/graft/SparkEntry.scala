@@ -68,7 +68,7 @@ object SparkEntry {
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
-    "q_kafka_pipeline")
+    "q_kafka_pipeline", "q_multi_table_pipeline")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
