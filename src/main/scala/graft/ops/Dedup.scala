@@ -279,6 +279,15 @@ object Dedup {
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                            maxBucketSize: Int = 64, numPartitions: Int = 64): Unit = {
+    // An append racing a compaction is silent data loss, not a crash: bucket
+    // rows landing in the live dir after the rebuild's read are dropped by
+    // the swap (their sigs survive, so probes MISS those docs until the next
+    // compaction — admitted duplicates). Refuse while a maintainer lease is
+    // live; the ingest loop and the maintainer are one logical writer.
+    val fs = fsOf(path, df.sparkSession)
+    if (fs.exists(maintenanceLock(path))) throw new IllegalStateException(
+      s"index append refused: a maintainer holds ${maintenanceLock(path)} — appends during " +
+      "compaction are silently dropped by the swap; quiesce ingest while compacting")
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
     sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
       .write.mode("append").parquet(s"$path/sigs")

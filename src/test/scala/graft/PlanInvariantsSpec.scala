@@ -59,6 +59,13 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("rarity profile: partial df aggregation, no nested-loop joins") {
+    val p = plan("q_doc_rarity")
+    assert(p.contains("partial_count"), p.take(2000)) // df agg combines map-side
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("IVF assignment stays in codegen: no encoder hop on the full-corpus stage") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)

@@ -263,6 +263,13 @@ class DedupSpec extends SparkSpec {
       assert(e.getMessage.contains("another maintainer"))
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/buckets")))
       assert(fs.exists(lock)) // B did not release A's lease
+      // an append during a live lease would be silently dropped by the swap —
+      // it must refuse too
+      val e2 = intercept[IllegalStateException] {
+        Dedup.appendToMinhashIndex(
+          Seq((5L, "another document to append right now")).toDF("id", "text"), "id", "text", dir)
+      }
+      assert(e2.getMessage.contains("append refused"))
       // a lease older than leaseMs is presumed orphaned and broken
       fs.setTimes(lock, System.currentTimeMillis() - 60000, -1)
       Dedup.compactMinhashIndex(spark, "id", dir, leaseMs = 1000)
