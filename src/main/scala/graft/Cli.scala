@@ -86,8 +86,8 @@ object Cli {
         // kafka and delta sinks address by topic / catalog table, not path
         if (p.sink.kind == "kafka" || p.sink.kind == "delta") {
           val identityKeys = Seq("path", "topic", "topic-pattern",
-            "properties.bootstrap.servers", "hostname", "port", "database-name",
-            "schema-name", "table-name", "tables")
+            "properties.bootstrap.servers", "hostname", "port", "database",
+            "database-name", "schema-name", "table-name", "tables")
           def identityOf(kind: String, opts: Map[String, String]): Seq[String] =
             s"kind=$kind" +: identityKeys.flatMap(k => opts.get(k).map(v => s"$k=$v"))
           val identity = (identityOf(p.source.kind, p.source.options) ++
@@ -150,10 +150,13 @@ object Cli {
     val sink = sinkDecorator.map(_(sink0)).getOrElse(sink0)
     // `dead-letter-dir`: unroutable records (unparseable JSON, missing
     // source ids) quarantine as text under one dir per batch instead of
-    // silently dropping — the YAML face of StreamingPipeline.deadLetter
+    // silently dropping — the YAML face of StreamingPipeline.deadLetter.
+    // OVERWRITE into the batch-scoped dir: the handler runs at most once per
+    // batch, so a crash-replayed batch (same batchId) rewrites rather than
+    // duplicates its quarantine — idempotent like the sink writes.
     val deadLetter = p.config.get("dead-letter-dir").map { dlq =>
       (bad: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        bad.write.mode("append").text(s"$dlq/batch_$batchId")
+        bad.write.mode("overwrite").text(s"$dlq/batch_$batchId")
     }
     // concurrent per-table writes within a batch (reference: parallelized
     // pipeline, FlinkParallelizedPipelineITCase)

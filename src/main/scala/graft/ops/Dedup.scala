@@ -278,14 +278,17 @@ object Dedup {
     */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                           maxBucketSize: Int = 64, numPartitions: Int = 64): Unit = {
+                           maxBucketSize: Int = 64, numPartitions: Int = 64,
+                           leaseMs: Long = 30 * 60 * 1000L): Unit = {
     // An append racing a compaction is silent data loss, not a crash: bucket
     // rows landing in the live dir after the rebuild's read are dropped by
     // the swap (their sigs survive, so probes MISS those docs until the next
     // compaction — admitted duplicates). Refuse while a maintainer lease is
-    // live; the ingest loop and the maintainer are one logical writer.
+    // LIVE (the ingest loop and the maintainer are one logical writer); a
+    // stale lease is a dead maintainer, not a running one — blocking ingest
+    // on it forever would turn one crashed compaction into an outage.
     val fs = fsOf(path, df.sparkSession)
-    if (fs.exists(maintenanceLock(path))) throw new IllegalStateException(
+    if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
       s"index append refused: a maintainer holds ${maintenanceLock(path)} — appends during " +
       "compaction are silently dropped by the swap; quiesce ingest while compacting")
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
@@ -315,12 +318,45 @@ object Dedup {
   private[graft] def maintenanceLock(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_maintenance.lock")
 
+  /** Is a live (younger than `leaseMs`) maintenance lease present? A lease
+    * older than that is presumed orphaned by a dead maintainer (a JVM crash
+    * can't delete its lock).
+    */
+  private def liveLease(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                        leaseMs: Long): Boolean =
+    try System.currentTimeMillis() - fs.getFileStatus(maintenanceLock(path))
+      .getModificationTime < leaseMs
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Break an orphaned lease ATOMICALLY: rename it aside (exactly one of N
+    * concurrent breakers wins the rename; the losers see false and must
+    * re-examine). A plain delete-then-create would let breaker B delete the
+    * fresh lock breaker A just created. After winning, the captured file's
+    * own mtime is re-verified: if it turned out live (its owner refreshed
+    * between our staleness check and the rename), it is restored and the
+    * break reports failure.
+    */
+  private def breakStaleLease(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                              leaseMs: Long): Boolean = {
+    val lock = maintenanceLock(path)
+    val aside = new org.apache.hadoop.fs.Path(
+      s"${lock.toString}.broken.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    val won = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
+    won && {
+      val stillStale =
+        try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime >= leaseMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stillStale) fs.delete(aside, false)
+      else if (!fs.rename(aside, lock)) fs.delete(aside, false) // owner re-created: drop ours
+      stillStale
+    }
+  }
+
   /** Acquire the index-maintenance lease, or fail loudly: a second
     * concurrent maintainer would corrupt the displace-then-swap rename
     * sequence, so it must refuse — not proceed — while a live lease exists.
-    * A lease older than `leaseMs` is presumed orphaned by a dead maintainer
-    * (a JVM crash can't delete its lock) and is broken; losing the re-create
-    * race after a break also fails loudly.
+    * An orphaned (stale) lease is broken atomically; losing any race on the
+    * way also fails loudly rather than proceeding.
     */
   private def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem, path: String,
                                      leaseMs: Long): org.apache.hadoop.fs.Path = {
@@ -332,14 +368,14 @@ object Dedup {
         out.close(); true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
-      val age = try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue } // vanished: retry below
-      if (age < leaseMs) throw new IllegalStateException(
-        s"another maintainer holds $lock (age ${age}ms < lease ${leaseMs}ms); a concurrent " +
-        "index rewrite would corrupt the swap — wait for it, or delete the lock if its owner died")
-      fs.delete(lock, false)
-      if (!tryCreate()) throw new IllegalStateException(
-        s"lost the race re-acquiring $lock after breaking a stale lease")
+      if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
+        s"another maintainer holds $lock (lease $leaseMs ms); a concurrent index rewrite " +
+        "would corrupt the swap — wait for it, or delete the lock if its owner died")
+      // stale: exactly one breaker wins the atomic rename; a loser's lock
+      // may now belong to the winner, so it must NOT delete — just retry
+      // the create once and fail loudly if someone else got there first
+      if (!breakStaleLease(fs, path, leaseMs) || !tryCreate()) throw new IllegalStateException(
+        s"lost the race re-acquiring $lock after a stale lease break")
     }
     lock
   }
@@ -410,8 +446,9 @@ object Dedup {
                             bands: Int, numPartitions: Int): DataFrame = {
     val spark = newSigs.sparkSession
     // A compaction that died between its two swap renames leaves no live
-    // buckets dir. When no maintainer is live (no lease), the read path
-    // repairs it here instead of failing on every probe until the next
+    // buckets dir. When no maintainer is LIVE (no lease, or a stale one —
+    // a dead maintainer's lock must not turn every probe into an error),
+    // the read path repairs it here instead of failing until the next
     // compaction happens to run; under a live lease the swap is in flight —
     // surface WHAT is happening rather than a bare missing-path error.
     val fs = fsOf(path, spark)
@@ -419,9 +456,9 @@ object Dedup {
     if (!fs.exists(live)) {
       val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
       if (fs.exists(old)) {
-        if (fs.exists(maintenanceLock(path))) throw new IllegalStateException(
-          s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running " +
-          "(or died holding its lease); retry after it completes, or run compactMinhashIndex")
+        if (liveLease(fs, path, 30 * 60 * 1000L)) throw new IllegalStateException(
+          s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running; " +
+          "retry after it completes, or run compactMinhashIndex")
         require(fs.rename(old, live), s"crash repair failed for $live")
       }
     }

@@ -99,8 +99,11 @@ final class StreamingPipeline(
       .exists(_.postTransformConverter.exists(_.equalsIgnoreCase("SOFT_DELETE")))
 
   // post-transform struct per source, memoized on the evolved source struct
-  // (invalidated naturally when schema evolution changes it)
-  private val outStructCache = scala.collection.mutable.Map.empty[
+  // (invalidated naturally when schema evolution changes it). Concurrent:
+  // writeSlice → sinkSchema → transformedStruct runs on the per-table pool
+  // when tableParallelism > 1, and a plain mutable.Map can corrupt under a
+  // racing resize.
+  private val outStructCache = scala.collection.concurrent.TrieMap.empty[
     (TableId, org.apache.spark.sql.types.StructType), org.apache.spark.sql.types.StructType]
 
   private def transformedStruct(src: TableId, sch: CdcSchema): org.apache.spark.sql.types.StructType =
