@@ -376,6 +376,41 @@ class CliSpec extends SparkSpec {
     assert(quarantined === Seq("this line is not json at all"))
   }
 
+  test("user-defined-function YAML block registers a classpath UDF usable in projections") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-udf-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-udf-out").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      """{"before":null,"after":{"id":1,"name":"ann"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":null,"after":{"id":2,"name":null},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""" + "\n")
+    // PlainEvalUdf is the Flink-ScalarFunction shape: a plain class with
+    // eval(String) — the reference's UdfE2eITCase loads exactly this way
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |transform:
+         |  - source-table: db.users
+         |    projection: "id, SHOUT(name) AS name"
+         |    primary-keys: id
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |user-defined-function:
+         |  - name: SHOUT
+         |    classpath: graft.functions.PlainEvalUdf
+         |""".stripMargin)
+    val (_, s1, q) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(s1.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("db", "users")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "ANN!"), (2L, null)))
+  }
+
   test("fallback state dir is stable under tuning-option edits, distinct on identity edits") {
     import graft.pipeline.PipelineDef
     def kafkaDef(extraSource: String, topic: String) = PipelineDef.fromYaml(
