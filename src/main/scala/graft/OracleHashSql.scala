@@ -373,6 +373,39 @@ SELECT doc_id,
 FROM xxh
 """
 
+  /** SQ8 top-k: per-vector affine uint8 quantization, dequantized
+    * approximate dot ranking (`vmin·Σq + scale·Σ(c_i·q_i)`), exact cosine
+    * re-rank of the top 40 — [[graft.ops.Similarity.sq8TopK]] end to end.
+    * Expression shapes (parenthesization, double casts, ascending sums)
+    * mirror the Spark side exactly so scores are bit-identical.
+    */
+  val embedSq8Topk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+sumq AS (SELECT list_sum(list_transform(q, x -> CAST(x AS DOUBLE))) AS sq FROM qv),
+sq8 AS (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+         CASE WHEN list_max(embedding) = list_min(embedding)
+              THEN list_transform(generate_series(1, 64), k -> 0)
+              ELSE list_transform(generate_series(1, 64), k ->
+                CAST(round(((CAST(embedding[k] AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0)
+                  / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INTEGER))
+         END AS codes
+  FROM embeddings),
+approx AS (
+  SELECT s.vec_id, s.embedding,
+         s.vmin * m.sq + s.scale * list_sum(list_transform(generate_series(1, 64),
+           k -> CAST(s.codes[k] AS DOUBLE) * CAST(qv.q[k] AS DOUBLE))) AS a
+  FROM sq8 s, qv, sumq m),
+cands AS (SELECT vec_id, embedding FROM approx ORDER BY a DESC, vec_id LIMIT 40)
+SELECT c.vec_id FROM cands c, qv
+ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10
+"""
+  }
+
   /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
     * rotations via wrap-multiply), two Lloyd iterations with renormalized
     * float centroids and keep-old-on-empty clusters, nprobe=4 probing,

@@ -790,6 +790,17 @@ object SparkEntry {
         .select("vec_id")
     },
 
+    "q_embed_sq8_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // SQ8 quantized ANN: uint8 codes (4x less scan bandwidth than floats)
+      // rank candidates by the dequantized approximate dot; exact cosine
+      // re-ranks the top 40
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.sq8TopK(emb, "vec_id", "embedding", query, k = 10, rerank = 40)
+    },
+
     "q_embed_lsh_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       val emb = t(dir, "embeddings")
@@ -1911,6 +1922,7 @@ object SparkEntry {
     "q_dedup_embedding" -> OracleHashSql.dedupEmbedding,
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
+    "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_multimodal_decode" -> OracleHashSql.multimodalDecode
   )
 

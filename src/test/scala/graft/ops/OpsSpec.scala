@@ -435,6 +435,23 @@ class SimilaritySpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(top.headOption.contains(7L)) // its own bucket always probed
   }
+
+  test("sq8TopK: exact re-rank recovers the brute-force top-k; constant vectors survive") {
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 31 + d) % 1000) / 1000.0f)))
+    } :+ (200L, Array.fill(dim)(0.5f)) // range-0 vector: codes all zero, scale 0
+    val query = vecs(7)._2
+    val df = vecs.toDF("id", "v")
+    val sq8 = Similarity.sq8TopK(df, "id", "v", query, k = 10, rerank = 40)
+      .as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(sq8.head === 7L)
+    // 8-bit quantization error is tiny relative to cosine gaps here; the
+    // 4x-rerank window recovers the exact top-k ordering
+    assert(sq8 === brute)
+  }
 }
 
 class IvfSpec extends SparkSpec {
