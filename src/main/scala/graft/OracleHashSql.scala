@@ -406,6 +406,51 @@ ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10
 """
   }
 
+  /** DSIR importance-resampling selection — [[graft.ops.Dsir.select]] end
+    * to end: hashed unigram+bigram buckets (`g_mix64(g_fnv64(gram)) pmod
+    * 4096` ≡ the engine's `NgramBuckets`), target (lang='en') vs raw
+    * distributions with add-half smoothing, and the per-doc log-weight
+    * folded in ascending-bucket order via `list_reduce` — the exact
+    * accumulation order of the Spark side's `aggregate` over the
+    * bucket-sorted counts array, so weights are bit-identical modulo `ln`
+    * rounding (both engines' `ln` is correctly rounded to well under the
+    * inter-document weight gaps).
+    */
+  val dsirSelect: String = prelude + """
+WITH toks AS (SELECT doc_id, lang, g_toks(text) AS tk FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(list_concat(tk,
+    list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]))) AS gram
+  FROM toks),
+hashed AS (SELECT doc_id, lang, """ + h64Chain("gram") + """ FROM grams),
+fb AS (SELECT doc_id, lang,
+       CAST(((g_tosigned(h1) % 4096) + 4096) % 4096 AS INTEGER) AS bucket FROM hashed),
+tfit AS (SELECT bucket, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY bucket),
+rfit AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+stats AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(t.tc, 0) AS tc, coalesce(r.rc, 0) AS rc
+  FROM tfit t FULL OUTER JOIN rfit r ON t.bucket = r.bucket),
+tot AS (SELECT CAST(sum(tc) AS DOUBLE) + 0.5 * 4096 AS tt,
+               CAST(sum(rc) AS DOUBLE) + 0.5 * 4096 AS rr FROM stats),
+perdoc AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY doc_id, bucket),
+fs AS (
+  SELECT p.doc_id,
+         list(struct_pack(bucket := p.bucket, cnt := p.cnt,
+              tc := coalesce(s.tc, 0), rc := coalesce(s.rc, 0))
+              ORDER BY p.bucket) AS fs
+  FROM perdoc p LEFT JOIN stats s ON p.bucket = s.bucket
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id, list_reduce(list_prepend(0.0, list_transform(fs, f ->
+           CAST(f.cnt AS DOUBLE) *
+           (ln((CAST(f.tc AS DOUBLE) + 0.5) / tot.tt)
+            - ln((CAST(f.rc AS DOUBLE) + 0.5) / tot.rr)))),
+         (a, x) -> a + x) AS weight
+  FROM fs, tot)
+SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
   /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
     * rotations via wrap-multiply), two Lloyd iterations with renormalized
     * float centroids and keep-old-on-empty clusters, nprobe=4 probing,

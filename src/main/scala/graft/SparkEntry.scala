@@ -1121,6 +1121,18 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_dsir_select" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // DSIR importance resampling (Xie et al. 2023): select the 100 raw
+      // docs whose hashed unigram+bigram profile most over-indexes on the
+      // English-document target distribution — slim (id, bucket, cnt)
+      // shuffles, broadcast bucket-stats join, TakeOrderedAndProject
+      val docs = t(dir, "documents")
+      graft.ops.Dsir.select(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", k = 100)
+        .select("doc_id")
+    },
+
     "q_salt_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // salted skew join must be result-identical to the plain join
@@ -1923,6 +1935,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
+    "q_dsir_select" -> OracleHashSql.dsirSelect,
     "q_multimodal_decode" -> OracleHashSql.multimodalDecode
   )
 

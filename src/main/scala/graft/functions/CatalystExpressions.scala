@@ -31,6 +31,34 @@ object CdcExprHelpers {
   def shingleData(s: UTF8String, shingleSize: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Dedup.shingleHashes(s.toString, shingleSize))
 
+  /** Hashed word-n-gram feature buckets of a text: for every n in 1..maxN,
+    * each n-gram's `Dedup.hash64` folded into `buckets` via pmod — the
+    * hashed bag-of-n-grams featurization of DSIR-style importance
+    * resampling (one array element PER OCCURRENCE, not a set: importance
+    * weights need counts).
+    */
+  def ngramBuckets(s: UTF8String, maxN: Int, buckets: Int): ArrayData = {
+    val toks = s.toString.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val nToks = toks.length
+    var total = 0
+    var n = 1
+    while (n <= maxN) { total += math.max(0, nToks - n + 1); n += 1 }
+    val out = new Array[Int](total)
+    var j = 0
+    n = 1
+    while (n <= maxN) {
+      var i = 0
+      while (i + n <= nToks) {
+        val gram = if (n == 1) toks(i) else toks.slice(i, i + n).mkString(" ")
+        val h = Dedup.hash64(gram)
+        out(j) = (((h % buckets) + buckets) % buckets).toInt
+        j += 1; i += 1
+      }
+      n += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** LSH band keys of a minhash signature: one mixed hash per band over its
     * signature slice (banding per Broder/LSH; `rows = sig.length / bands`).
     */
@@ -159,6 +187,28 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `NGRAM_BUCKETS(text)` — hashed n-gram feature-bucket ids (one per n-gram
+  * occurrence, n = 1..maxN), the DSIR featurization ([[graft.ops.Dsir]]).
+  * Codegen'd: the featurize stage stays scan-bound inside WholeStageCodegen.
+  */
+case class NgramBuckets(child: Expression, maxN: Int = 2, buckets: Int = 4096)
+    extends UnaryExpression {
+  require(maxN >= 1 && buckets >= 2, s"need maxN >= 1 and buckets >= 2: $maxN, $buckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.ngramBuckets(input.asInstanceOf[UTF8String], maxN, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.ngramBuckets($c, $maxN, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): NgramBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_buckets"
 }
 
 /** `SIMHASH64(text)` — 64-bit SimHash of the token set (Charikar '02). */
@@ -340,6 +390,8 @@ object CdcExpressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
   def shingleHashes(text: Column, shingleSize: Int = 3): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), shingleSize))
+  def ngramBuckets(text: Column, maxN: Int = 2, buckets: Int = 4096): Column =
+    GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets))
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
