@@ -686,6 +686,18 @@ object SparkEntry {
       t(dir, "documents").select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    "q_text_normalize" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // canonical cleaning: NFC + control strip + whitespace collapse. The
+      // appended suffix plants a DECOMPOSED accent (e + U+0301), a vertical
+      // tab, a BEL and ragged whitespace, so the oracle genuinely exercises
+      // cross-engine Unicode composition on the ASCII fixture
+      val messy = concat(col("text"),
+        lit(" cafe\u0301  \u000b\tz\u0007 "))
+      t(dir, "documents").select(col("doc_id"),
+        TextAnalysis.cleanText(messy).as("clean"))
+    },
+
     "q_dedup_minhash" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // survivors after MinHash-LSH near-dup removal (keep-min-id greedy)
@@ -1519,6 +1531,16 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    // decomposed accent (chr 769 = U+0301), vertical tab, BEL and ragged
+    // whitespace appended — NFC must compose, controls strip, runs collapse
+    "q_text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || ' caf' || chr(101) || chr(769) || '  ' ||
+        |                chr(11) || chr(9) || 'z' || chr(7) || ' '),
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |  '[ \t\n\r]+', ' ', 'g')) AS clean
         |FROM documents""".stripMargin,
 
     "q_paragraph_dedup" ->

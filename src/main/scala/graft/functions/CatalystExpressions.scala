@@ -114,6 +114,13 @@ object CdcExprHelpers {
     Int.box(best)
   }
 
+  /** Unicode normalization (UAX #15) — the NFC/NFKC step of text cleaning;
+    * `form` is validated at plan time by [[UnicodeNormalize]].
+    */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+
   private val WireFormatter =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
@@ -209,6 +216,29 @@ case class NgramBuckets(child: Expression, maxN: Int = 2, buckets: Int = 4096)
   override protected def withNewChildInternal(newChild: Expression): NgramBuckets =
     copy(child = newChild)
   override def prettyName: String = "ngram_buckets"
+}
+
+/** `UNICODE_NORMALIZE(text)` — UAX #15 normalization (NFC/NFKC/NFD/NFKD),
+  * the first stage of corpus text cleaning ([[graft.ops.TextAnalysis
+  * .cleanText]]): composed characters get one canonical byte form so
+  * hashing/dedup/tokenization see "café" identically however it was typed.
+  * Codegen'd static call; the form is validated at construction.
+  */
+case class UnicodeNormalize(child: Expression, form: String = "NFC")
+    extends UnaryExpression {
+  java.text.Normalizer.Form.valueOf(form) // fail at plan time, not per row
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.CdcExprHelpers.unicodeNormalize($c, "$form")""")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_normalize"
 }
 
 /** `SIMHASH64(text)` — 64-bit SimHash of the token set (Charikar '02). */
@@ -392,6 +422,8 @@ object CdcExpressions {
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), shingleSize))
   def ngramBuckets(text: Column, maxN: Int = 2, buckets: Int = 4096): Column =
     GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =

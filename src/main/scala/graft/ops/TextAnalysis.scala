@@ -82,6 +82,24 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Canonical text cleaning (the CCNet/C4-style pre-dedup stage): Unicode
+    * normalization (UAX #15 `form`, default NFC — composed characters get
+    * one byte form so downstream hashing/dedup/tokenization see "café"
+    * identically however it was typed), control/format character strip
+    * (C0 controls + DEL, keeping tab/newline/CR for the collapse), then
+    * whitespace-run collapse to single spaces and trim. The whitespace
+    * class is the EXPLICIT `[ \t\n\r]` — Java's `\s` includes `\x0B` while
+    * RE2's does not, so an engine-replicable clean never uses `\s`.
+    * Entirely codegen (native [[graft.functions.UnicodeNormalize]] + Spark
+    * regexp_replace): a narrow scan-bound projection at 100 TB.
+    */
+  def cleanText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.CdcExpressions.unicodeNormalize(text, form),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   /** Document fingerprint: md5 of case/whitespace-normalized text. The
     * canonical normalize-then-hash fingerprint used for exact-dup detection
     * across formatting variants.

@@ -647,6 +647,30 @@ class PackSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cleanText: NFC composition, control strip, whitespace collapse, idempotence") {
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq(
+      (1L, s"  AB  $decomposed \t end "),
+      (2L, "AB café end"), // precomposed, no ragged space
+      (3L, " "),
+      (4L, "ﬁle")) // fi ligature: NFC keeps it, NFKC folds it
+    .toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.cleanText(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "AB café end")
+    assert(out(1L) === out(2L)) // decomposed == precomposed after clean
+    assert(out(3L) === "")
+    assert(out(4L) === "ﬁle")
+    val nfkc = df.where(col("id") === 4L)
+      .select(TextAnalysis.cleanText(col("text"), "NFKC")).head().getString(0)
+    assert(nfkc === "file")
+    // idempotent: cleaning a cleaned text is a no-op
+    val twice = df.select(col("id"),
+      TextAnalysis.cleanText(TextAnalysis.cleanText(col("text"))).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(twice === out)
+  }
+
   test("token/punct counts and fingerprint normalization") {
     val df = Seq(
       (1L, "Hello,  world! How are you?"),
