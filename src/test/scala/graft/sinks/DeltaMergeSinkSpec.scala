@@ -140,4 +140,55 @@ class DeltaMergeSinkSpec extends SparkSpec {
     assert(statements.exists(_.startsWith("MERGE INTO `lake`.`db_users`")))
     assert(store.toMap === Map(1L -> "ann2")) // 2 deleted, 1 upserted to last image
   }
+
+  test("kafka source + delta sink in one YAML: the full production shape, both seams injected") {
+    // the deployment target: CDC topic in, lakehouse MERGE out — no local
+    // state except the checkpoint; both connector seams swap in their
+    // injectable stand-ins exactly as a broker/catalog deployment would
+    // swap in the real clients
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-k2d-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      """{"before":null,"after":{"id":1,"name":"ann"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":null,"after":{"id":2,"name":"bob"},"op":"c","ts_ms":2,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":null,"after":{"id":1,"name":"ann2"},"op":"u","ts_ms":3,"source":{"db":"db","table":"users"}}""" + "\n" +
+      """{"before":{"id":2,"name":"bob"},"after":null,"op":"d","ts_ms":4,"source":{"db":"db","table":"users"}}""" + "\n")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: kafka
+         |  properties.bootstrap.servers: broker:9092
+         |  topic: db.users
+         |  scan.startup.mode: earliest-offset
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: delta
+         |  database: lake
+         |pipeline:
+         |  name: kafka-to-delta-e2e-${System.nanoTime()}
+         |""".stripMargin)
+    val reader = (s: SparkSession, opts: Map[String, String]) => {
+      assert(opts("subscribe") === "db.users")
+      s.readStream.format("text").load(in)
+    }
+    val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+    val store = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    val runner: (SparkSession, String) => Unit = (s, sql) => {
+      statements += sql
+      if (sql.startsWith("MERGE INTO")) {
+        val view = sql.split("USING ")(1).split(" ")(0)
+        s.table(view).collect().foreach { r =>
+          val k = r.getAs[Long]("id")
+          if (r.getAs[String](Changelog.OpCol) == "DELETE") store.remove(k)
+          else store(k) = r.getAs[String]("name")
+        }
+      }
+    }
+    val (_, _, q) = graft.Cli.buildStreaming(spark, p, Trigger.AvailableNow(),
+      kafkaReader = Some(reader), sqlRunner = Some(runner))
+    q.awaitTermination(60000)
+    assert(statements.head ===
+      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING) USING delta")
+    assert(store.toMap === Map(1L -> "ann2")) // last image upserted, delete applied
+  }
 }
