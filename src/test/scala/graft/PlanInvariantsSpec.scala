@@ -110,4 +110,18 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q should be scan-bound:\n${p.take(2000)}")
     }
   }
+
+  test("DSIR: map-side-combined counts, broadcast stats join, heap-based selection") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("partial_count"), p.take(3000)) // counts combine before their exchange
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // bucket stats stay broadcast
+    assert(p.contains("TakeOrderedAndProject")) // selection never global-sorts
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SQ8 top-k: both ranking stages are per-partition heaps; quantization is narrow") {
+    val p = plan("q_embed_sq8_topk")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size === 2, p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000)) // no data shuffle at all
+  }
 }
