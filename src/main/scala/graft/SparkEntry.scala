@@ -1133,6 +1133,13 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_tfidf_terms" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // per-doc top-3 characteristic terms: tf·(N/df) raw-idf keyword
+      // extraction — WindowGroupLimit per-partition heaps, no global sort
+      TextAnalysis.tfidfTopTerms(t(dir, "documents"), "doc_id", "text", k = 3)
+    },
+
     "q_dsir_select" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // DSIR importance resampling (Xie et al. 2023): select the 100 raw
@@ -1958,6 +1965,25 @@ object SparkEntry {
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
+
+    // raw (log-free) idf: tf·N exact integer, one correctly-rounded division
+    // — bit-identical ranking in every IEEE engine (ln is not)
+    "q_tfidf_terms" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS tok
+        |    FROM documents) GROUP BY doc_id, tok),
+        |dfq AS (
+        |  SELECT tok, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))) AS tok
+        |    FROM documents) GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT t.doc_id, t.tok AS term,
+        |         row_number() OVER (PARTITION BY t.doc_id ORDER BY
+        |           CAST(t.tf * n.n AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.tok) AS rnk
+        |  FROM tfc t JOIN dfq d USING (tok), n)
+        |SELECT doc_id, term, rnk FROM ranked WHERE rnk <= 3""".stripMargin,
     "q_multimodal_decode" -> OracleHashSql.multimodalDecode
   )
 

@@ -29,6 +29,7 @@ object CorpusFunctions {
         (args: Seq[Expression]) => GraftBridge.convertedExpression(f(c(args.head))), "built-in")
 
     one("LANG_ID")(TextAnalysis.langId)
+    one("CLEAN_TEXT")(TextAnalysis.cleanText(_))
     one("TOKEN_COUNT")(TextAnalysis.tokenCount)
     one("SUBWORD_COUNT")(TextAnalysis.subwordCount)
     one("FINGERPRINT")(TextAnalysis.fingerprint)

@@ -146,4 +146,35 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"), min("df").as("df_min"))
   }
+
+  /** Per-document top-k characteristic terms by tf·idf with RAW idf
+    * (`score = tf·N/df`, no logarithm) — keyword extraction for topic
+    * labeling / cluster naming / dedup explanation. The log-free idf is
+    * deliberate: `tf·N` is an exact integer and one correctly-rounded
+    * division is bit-identical in every IEEE engine, whereas `ln` is
+    * correctly rounded in none — mathematically-equal scores computed via
+    * different (tf, df) pairs (e.g. `1·ln100 = 2·ln10`) could rank
+    * differently across engines. Equal scores break by term.
+    *
+    * Scale shape: token tf is one map-side-combinable aggregation; the df
+    * table joins on (tok) (AQE broadcasts small vocabularies); the per-doc
+    * top-k window rewrites to `WindowGroupLimit` (per-partition group
+    * heaps), so no doc's full term list is ever buffered or sorted
+    * globally. Integer/ratio math only — no driver state.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    nDocs: Long = -1L): DataFrame = {
+    val n = if (nDocs >= 0) nDocs else df.count()
+    val tf = df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(docFrequencies(df, idCol, textCol), "tok")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("tok").as("term"), col("rank").cast("long").as("rnk"))
+  }
 }

@@ -151,6 +151,15 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("CorpusFunctions YAML surface: CLEAN_TEXT callable from SQL expressions") {
+    CorpusFunctions.register(spark)
+    val out = Seq("  A  \tB ").toDF("text")
+      .selectExpr("CLEAN_TEXT(text) AS c", "TOKEN_COUNT(CLEAN_TEXT(text)) AS n")
+      .head()
+    assert(out.getString(0) === "A B")
+    assert(out.getInt(1) === 2)
+  }
+
   test("cosine_sim propagates null for null vector elements") {
     val df = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
       .toDF("id", "a", "b")

@@ -671,6 +671,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice === out)
   }
 
+  test("tfidfTopTerms surfaces rare characteristic terms over common ones") {
+    val df = Seq(
+      (1L, "common common common quantum quantum physics"),
+      (2L, "common words only common words only common"),
+      (3L, "common biology molecules cells cells")).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "id", "text", k = 2)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toSeq }
+    // doc 1: quantum (tf 2, df 1, score 6) ranks above the score-3 tie
+    // (physics tf1/df1 vs common tf3/df3), which breaks by term
+    assert(out(1L) === Seq("quantum", "common"))
+    assert(out(3L).head === "cells")
+    // every doc gets at most k rows, ranks are 1..k
+    assert(out(2L).size <= 2)
+  }
+
   test("token/punct counts and fingerprint normalization") {
     val df = Seq(
       (1L, "Hello,  world! How are you?"),
