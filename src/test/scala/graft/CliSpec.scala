@@ -84,6 +84,43 @@ class CliSpec extends SparkSpec {
     assert(state === Seq((1L, "ANN2", 31)))
   }
 
+  test("streaming corpus ingest: CLEAN_TEXT/TOKEN_COUNT quality gate inside the YAML transform") {
+    // the training-data ingest shape: a document feed arrives as CDC events,
+    // the transform cleans and gates text AT INGEST (corpus functions are
+    // registered on the streaming path too), and only passing docs land
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-corpus-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, text STRING"
+         |transform:
+         |  - source-table: corpus.docs
+         |    projection: "id, CLEAN_TEXT(text) AS text, TOKEN_COUNT(text) AS n_tok"
+         |    filter: "TOKEN_COUNT(text) >= 4"
+         |    primary-keys: id
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 2
+         |""".stripMargin)
+    def doc(id: Int, text: String) =
+      s"""{"before":null,"after":{"id":$id,"text":"$text"},"op":"c","ts_ms":$id,"source":{"db":"corpus","table":"docs"}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+      doc(1, """long   enough document with ragged\tspacing""") + "\n" +
+      doc(2, "too short") + "\n")
+    val (_, sink, q) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val state = sink.asInstanceOf[graft.sinks.ParquetUpsertSink]
+      .read(spark, TableId.of("corpus", "docs")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // doc 2 gated out; doc 1 cleaned (runs collapsed) and counted
+    assert(state === Seq((1L, "long enough document with ragged spacing")))
+  }
+
   test("kafka source YAML: injected reader drives debezium feed into parquet-upsert state") {
     import graft.pipeline.PipelineDef
     import org.apache.spark.sql.streaming.Trigger
