@@ -456,9 +456,13 @@ SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 100
     * float centroids and keep-old-on-empty clusters, nprobe=4 probing,
     * exact cosine top-10 — [[graft.ops.Ivf]] end to end.
     */
-  val embedIvfTopk: String = {
+  /** The IVF train+assign CTE chain (xxhash64 seeding, two Lloyd
+    * iterations, final nearest-centroid assignment) ending in `finalasg` —
+    * shared by the top-k and cluster-balance oracles.
+    */
+  private def ivfAssignCtes: String = {
     val c = (x: String, y: String) => cos(64, x, y)
-    prelude + "WITH " + xxhashCte("embeddings", "vec_id") + """,
+    "WITH " + xxhashCte("embeddings", "vec_id") + """,
 seeds AS (
   SELECT row_number() OVER (ORDER BY g_tosigned(x.h)) - 1 AS cid,
          e.embedding AS c
@@ -499,7 +503,12 @@ finalasg AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1),
+    FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1)"""
+  }
+
+  val embedIvfTopk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + ivfAssignCtes + """,
 qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
 probes AS (
   SELECT c.cid FROM cent2 c, qv
@@ -510,4 +519,22 @@ WHERE f.cid IN (SELECT cid FROM probes)
 ORDER BY """ + c("f.embedding", "qv.q") + """ DESC, f.vec_id LIMIT 10
 """
   }
+
+  /** Cluster-balanced curation — [[graft.ops.Ivf.assign]] composed with
+    * [[graft.ops.Sampling.rebalance]] to a uniform 1/16 cluster mix: the
+    * same budget/rate/threshold math as `q_mix_rebalance`, stratified on
+    * the k-means cluster id instead of the language column.
+    */
+  val clusterBalance: String = prelude + ivfAssignCtes + """,
+cnt AS (SELECT cid, CAST(count(*) AS DOUBLE) AS n FROM finalasg GROUP BY cid),
+budget AS (SELECT min(n / (CAST(1 AS DOUBLE) / 16)) AS t FROM cnt),
+rates AS (
+  SELECT cid, round(least(1.0, (CAST(1 AS DOUBLE) / 16) * b.t / n) * 65536) AS thr
+  FROM cnt CROSS JOIN budget b)
+SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid
+FROM finalasg f JOIN rates r USING (cid)
+WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
+  ELSE substr(md5(CAST(f.vec_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
+  END
+"""
 }

@@ -802,6 +802,21 @@ object SparkEntry {
         .select("vec_id")
     },
 
+    "q_cluster_balance" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // SemDeDup/DataComp-style curation: k-means-cluster the embedding
+      // space, then rebalance the corpus to a UNIFORM cluster mix so no
+      // semantic neighborhood dominates pretraining — IVF assignment
+      // (broadcast centroids, codegen NearestCentroid) composed with the
+      // bounded-decision-table rebalance filter
+      val emb = t(dir, "embeddings")
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val assigned = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+      val uniform = (0 until 16).map(c => c.toString -> 1.0 / 16).toMap
+      graft.ops.Sampling.rebalance(assigned, col("vec_id"), col("centroid_id"), uniform)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+    },
+
     "q_embed_sq8_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // SQ8 quantized ANN: uint8 codes (4x less scan bandwidth than floats)
@@ -1964,6 +1979,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
+    "q_cluster_balance" -> OracleHashSql.clusterBalance,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
 
     // raw (log-free) idf: tf·N exact integer, one correctly-rounded division

@@ -93,6 +93,31 @@ class SamplingSpec extends SparkSpec {
         Map("a" -> 0.5, "b" -> 0.5)).count())
   }
 
+  test("cluster-balanced curation: rebalance over k-means clusters evens the mix") {
+    // the q_cluster_balance composition: assign embeddings to centroids,
+    // rebalance to a uniform cluster mix — the dominant cluster must lose
+    // share and the output mix must be closer to uniform than the input
+    val dim = 8
+    val vecs = (0 until 400).map { i =>
+      // 300 vectors near one direction (a dominant semantic neighborhood),
+      // 100 spread elsewhere
+      val base = if (i < 300) Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.01f * (i % 7))
+                 else Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 13 + d) % 1000) / 1000.0f))
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 4, iters = 2)
+    val assigned = Ivf.assign(df, "id", "v", model)
+    val uniform = (0 until 4).map(c => c.toString -> 0.25).toMap
+    val out = Sampling.rebalance(assigned, col("id"), col("centroid_id"), uniform)
+    def spread(d: org.apache.spark.sql.DataFrame): Double = {
+      val counts = d.groupBy("centroid_id").count().collect().map(_.getLong(1).toDouble)
+      counts.max / counts.min
+    }
+    assert(spread(out) < spread(assigned)) // strictly closer to uniform
+    assert(out.count() < assigned.count()) // the dominant cluster was cut
+  }
+
   test("rebalance drops unlisted strata and ignores empty target strata") {
     val df = ids.withColumn("s", when(col("id") < 2000, "a").otherwise("junk"))
     val out = Sampling.rebalance(df, col("id"), col("s"),
