@@ -379,10 +379,13 @@ FROM xxh
     * Expression shapes (parenthesization, double casts, ascending sums)
     * mirror the Spark side exactly so scores are bit-identical.
     */
-  val embedSq8Topk: String = {
-    val c = (x: String, y: String) => cos(64, x, y)
-    prelude + """
-WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+  /** SQ8 quantization + query-vector CTEs (`qv`, `sumq`, `sq8`) and the
+    * approximate-dot expression, shared by the flat-SQ8 and IVF-SQ8
+    * oracles. Expression shapes mirror [[graft.ops.Similarity.sq8Quant]] /
+    * `sq8ApproxDot` exactly.
+    */
+  private val sq8Ctes: String = """
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
 sumq AS (SELECT list_sum(list_transform(q, x -> CAST(x AS DOUBLE))) AS sq FROM qv),
 sq8 AS (
   SELECT vec_id, embedding,
@@ -394,12 +397,38 @@ sq8 AS (
                 CAST(round(((CAST(embedding[k] AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0)
                   / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INTEGER))
          END AS codes
-  FROM embeddings),
+  FROM embeddings)"""
+
+  private val sq8ApproxExpr: String =
+    """s.vmin * m.sq + s.scale * list_sum(list_transform(generate_series(1, 64),
+      |           k -> CAST(s.codes[k] AS DOUBLE) * CAST(qv.q[k] AS DOUBLE)))""".stripMargin
+
+  val embedSq8Topk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + "WITH " + sq8Ctes + """,
 approx AS (
-  SELECT s.vec_id, s.embedding,
-         s.vmin * m.sq + s.scale * list_sum(list_transform(generate_series(1, 64),
-           k -> CAST(s.codes[k] AS DOUBLE) * CAST(qv.q[k] AS DOUBLE))) AS a
+  SELECT s.vec_id, s.embedding, """ + sq8ApproxExpr + """ AS a
   FROM sq8 s, qv, sumq m),
+cands AS (SELECT vec_id, embedding FROM approx ORDER BY a DESC, vec_id LIMIT 40)
+SELECT c.vec_id FROM cands c, qv
+ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10
+"""
+  }
+
+  /** IVF-SQ8 index probe — [[graft.ops.Ivf.topKSq8]] end to end: the IVF
+    * train/assign chain picks nprobe=4 lists, the SQ8 approximate dot ranks
+    * only the PROBED vectors, and exact cosine re-ranks the top 40.
+    */
+  val embedIvfSq8Topk: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + ivfAssignCtes + ",\n" + sq8Ctes + """,
+probes AS (
+  SELECT c.cid FROM cent2 c, qv
+  ORDER BY """ + c("qv.q", "c.c") + """ DESC, c.cid LIMIT 4),
+approx AS (
+  SELECT s.vec_id, s.embedding, """ + sq8ApproxExpr + """ AS a
+  FROM finalasg f JOIN sq8 s USING (vec_id), qv, sumq m
+  WHERE f.cid IN (SELECT cid FROM probes)),
 cands AS (SELECT vec_id, embedding FROM approx ORDER BY a DESC, vec_id LIMIT 40)
 SELECT c.vec_id FROM cands c, qv
 ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10

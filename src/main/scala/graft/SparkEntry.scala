@@ -40,6 +40,20 @@ object SparkEntry {
   // measures the steady-state probe a deployment pays per micro-batch, so the
   // one-time build must not be inside its timed body
   private val mhIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfSq8Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM shared IVF-SQ8 index over the embeddings table (the
+    * steady-state deployment shape: the index exists, queries pay only the
+    * pruned probe — like [[minhashIndexFor]]).
+    */
+  private def ivfSq8IndexFor(spark: SparkSession, dir: String): String =
+    ivfSq8Cache.computeIfAbsent(dir, _ => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfsq8-shared").toString
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ops.Ivf.writeIndexSq8(emb, "vec_id", "embedding", model, idxDir)
+      idxDir
+    })
   private def minhashIndexFor(spark: SparkSession, dir: String): String =
     mhIndexCache.computeIfAbsent(dir, _ => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx-shared").toString
@@ -800,6 +814,19 @@ object SparkEntry {
       val assigned = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
       graft.ops.Ivf.topK(assigned, "vec_id", "embedding", model, query, 10, nprobe = 4)
         .select("vec_id")
+    },
+
+    "q_embed_ivfsq_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the Faiss IVF,SQ8 layout: nprobe file-listing pruning × 4x less
+      // scan bandwidth (uint8 codes); exact cosine re-ranks the top 40 via
+      // an IN-pushdown join back to the float table
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = ivfSq8IndexFor(spark, dir)
+      graft.ops.Ivf.topKSq8(spark, idx, emb, "vec_id", "embedding", query,
+        k = 10, nprobe = 4, rerank = 40)
     },
 
     "q_cluster_balance" -> { (spark, dir) =>
@@ -1980,6 +2007,7 @@ object SparkEntry {
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_cluster_balance" -> OracleHashSql.clusterBalance,
+    "q_embed_ivfsq_topk" -> OracleHashSql.embedIvfSq8Topk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
 
     // raw (log-free) idf: tf·N exact integer, one correctly-rounded division

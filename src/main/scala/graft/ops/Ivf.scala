@@ -129,4 +129,56 @@ object Ivf {
       .collect().sortBy(_._1).map(_._2.toArray)
     (spark.read.parquet(s"$path/lists"), Model(centroids))
   }
+
+  /** Persist an IVF-SQ8 index (the Faiss `IVF,SQ8` layout): inverted lists
+    * partitioned by `centroid_id` storing uint8 codes + per-vector
+    * (vmin, scale) instead of the float vectors. A probe prunes to
+    * nprobe/k of the FILES (partition filter at the listing, like
+    * [[writeIndex]]) and then scans 1/4 of the BYTES (codes, not floats) —
+    * the two scale levers compose. Quantization reuses the exact
+    * [[Similarity.sq8Quant]] expression shapes, so an oracle can replay it.
+    */
+  def writeIndexSq8(df: DataFrame, idCol: String, vecCol: String, model: Model,
+                    path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (vmin, scale, codes) = Similarity.sq8Quant(col(vecCol))
+    assign(df, idCol, vecCol, model)
+      .select(col(idCol), col("centroid_id"),
+        vmin.as("vmin"), scale.as("scale"), codes.as("codes"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query an IVF-SQ8 index: probe the nprobe nearest lists (file-listing
+    * pruning), rank the probed codes by the dequantized approximate dot,
+    * then exact-rescore only the top `rerank` ids against the FULL vectors
+    * — their ids push down as an IN filter (row-group pruning on the float
+    * table, the same slim-candidate join shape as the MinHash index
+    * verify). Driver state: k centroids + `rerank` candidate ids.
+    */
+  def topKSq8(spark: SparkSession, path: String, full: DataFrame,
+              idCol: String, vecCol: String, query: Array[Float], k: Int,
+              nprobe: Int = 4, rerank: Int = 40): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("centroid_id", "centroid").as[(Int, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val probes = Model(centroids).nearest(query, nprobe)
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("centroid_id").isin(probes: _*))
+    val approx = Similarity.sq8ApproxDot(col("vmin"), col("scale"), col("codes"), query)
+    val candIds = lists.select(col(idCol), approx.as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol)).limit(rerank)
+      .select(col(idCol)).as[Long].collect()
+    full.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .where(col(idCol).isin(candIds: _*))
+      .select(col(idCol), Similarity.cosineCol(col(vecCol), query).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .select(col(idCol))
+  }
 }

@@ -72,22 +72,37 @@ object Similarity {
     * oracle replicates it bit-exactly. A constant vector (range 0) codes to
     * all-zero with scale 0: approx degrades to `vmin·Σq`, its true dot.
     */
-  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Array[Float],
-              k: Int, rerank: Int = 40): DataFrame = {
-    val vec = col(vecCol)
+  /** The SQ8 quantization columns of a vector: (vmin, scale, codes) with
+    * `v_i ≈ vmin + scale·c_i`. Expression shapes mirror the oracle SQL
+    * exactly — double math is deterministic only under identical
+    * parenthesization — and are shared by [[sq8TopK]] and the IVF-SQ8
+    * index ([[Ivf.writeIndexSq8]]) so index and plan quantize identically.
+    */
+  private[ops] def sq8Quant(vec: Column): (Column, Column, Column) = {
     val vmin = array_min(vec).cast("double")
     val range = array_max(vec).cast("double") - vmin
-    // expression shapes mirror the oracle SQL exactly — double math is
-    // deterministic only under identical parenthesization
     val codes = when(range === 0, transform(vec, _ => lit(0)))
       .otherwise(transform(vec, x =>
         round(((x.cast("double") - vmin) * lit(255.0)) / range).cast("int")))
-    val quant = df.select(col(idCol).cast("long").as(idCol), vec,
-      vmin.as("__vmin"), (range / lit(255.0)).as("__scale"), codes.as("__codes"))
+    (vmin, range / lit(255.0), codes)
+  }
+
+  /** Dequantized approximate dot product `vmin·Σq + scale·Σ(c_i·q_i)`. */
+  private[ops] def sq8ApproxDot(vmin: Column, scale: Column, codes: Column,
+                                query: Array[Float]): Column = {
     val sumQ = query.map(_.toDouble).sum
-    val approx = col("__vmin") * lit(sumQ) + col("__scale") *
-      aggregate(zip_with(col("__codes"), lit(query),
+    vmin * lit(sumQ) + scale *
+      aggregate(zip_with(codes, lit(query),
         (c, x) => c.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+  }
+
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+              k: Int, rerank: Int = 40): DataFrame = {
+    val vec = col(vecCol)
+    val (vmin, scale, codes) = sq8Quant(vec)
+    val quant = df.select(col(idCol).cast("long").as(idCol), vec,
+      vmin.as("__vmin"), scale.as("__scale"), codes.as("__codes"))
+    val approx = sq8ApproxDot(col("__vmin"), col("__scale"), col("__codes"), query)
     val cands = quant.select(col(idCol), vec, approx.as("__approx"))
       .orderBy(col("__approx").desc, col(idCol)).limit(rerank)
     cands.select(col(idCol), cosineCol(vec, query).as("score"))

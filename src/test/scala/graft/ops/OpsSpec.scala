@@ -515,6 +515,35 @@ class IvfSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("IVF-SQ8 index: probe recovers the planted vector and prunes the listing") {
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    try {
+      Ivf.writeIndexSq8(df, "id", "v", model, dir)
+      val query = vecs(42)._2
+      val got = Ivf.topKSq8(spark, dir, df, "id", "v", query, k = 10, nprobe = 3)
+        .select("id").as[Long].collect().toSeq
+      assert(got.head === 42L) // its own list always probed; SQ8 error tiny
+      // quantized probe ≈ full-precision probe on the same lists
+      val full = Ivf.topK(Ivf.assign(df, "id", "v", model), "id", "v", model,
+        query, 10, nprobe = 3).select("id").as[Long].collect().toSet
+      assert(got.toSet.intersect(full).size >= 8, s"sq8=$got full=$full")
+      // the probe filter prunes the CODES scan at the file listing
+      val lists = spark.read.parquet(s"$dir/lists")
+        .where(col("centroid_id").isin(model.nearest(query, 3): _*))
+      val scanned = lists.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }
+      assert(scanned.exists(_ <= 3), s"expected <= nprobe partitions, got $scanned")
+      // the code rows carry no float vectors — the bandwidth win is real
+      assert(!spark.read.parquet(s"$dir/lists").columns.contains("v"))
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
 }
 
 class SplitDecontamSpec extends SparkSpec {
