@@ -1175,6 +1175,14 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_chunk_text" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // RAG/embedding prep: overlapping 40-token windows, stride 32 —
+      // stable (doc_id, chunk_ix) identity for incremental re-embedding
+      TextAnalysis.chunkText(t(dir, "documents"), "doc_id", "text",
+        size = 40, overlap = 8)
+    },
+
     "q_tfidf_terms" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // per-doc top-3 characteristic terms: tf·(N/df) raw-idf keyword
@@ -2009,6 +2017,22 @@ object SparkEntry {
     "q_cluster_balance" -> OracleHashSql.clusterBalance,
     "q_embed_ivfsq_topk" -> OracleHashSql.embedIvfSq8Topk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
+
+    "q_chunk_text" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |nc AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN len(tk) <= 8 THEN 1
+        |              ELSE (len(tk) - 8 + 31) // 32 END AS nchunks
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, nchunks - 1)) AS chunk_ix
+        |  FROM nc)
+        |SELECT doc_id, chunk_ix,
+        |       array_to_string(tk[chunk_ix*32 + 1 : chunk_ix*32 + 40], ' ') AS chunk
+        |FROM ex""".stripMargin,
 
     // raw (log-free) idf: tf·N exact integer, one correctly-rounded division
     // — bit-identical ranking in every IEEE engine (ln is not)

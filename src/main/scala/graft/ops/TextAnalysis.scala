@@ -147,6 +147,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"), min("df").as("df_min"))
   }
 
+  /** Split each document into overlapping token-window chunks — the
+    * retrieval/embedding prep stage (chunk → embed → index): chunk `i`
+    * covers tokens `[i·stride, i·stride + size)` with
+    * `stride = size − overlap`, the last window is partial, and a doc
+    * shorter than `size` yields one chunk. `(id, chunk_ix)` is the stable
+    * chunk identity — deterministic, so re-chunking an updated corpus
+    * yields identical ids for unchanged docs (incremental embedding
+    * refresh). A narrow projection + explode: no shuffle, scan-bound at
+    * 100 TB; integer chunk math only (ceil via floor-div — no
+    * rounding-mode ambiguity across engines).
+    */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = when(n <= overlap, lit(1L))
+      .otherwise(floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        array_join(slice(col("__toks"),
+          (col("chunk_ix") * stride + 1).cast("int"), lit(size)), " ").as("chunk"))
+  }
+
   /** Per-document top-k characteristic terms by tf·idf with RAW idf
     * (`score = tf·N/df`, no logarithm) — keyword extraction for topic
     * labeling / cluster naming / dedup explanation. The log-free idf is

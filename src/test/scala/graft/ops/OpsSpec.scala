@@ -700,6 +700,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice === out)
   }
 
+  test("chunkText: overlapping windows cover every token; short docs yield one chunk") {
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")), // 10 tokens
+      (2L, "a b c"),             // shorter than size
+      (3L, "   "),               // blank: no chunks
+      (4L, "x")).toDF("id", "text")
+    val out = TextAnalysis.chunkText(df, "id", "text", size = 5, overlap = 2)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    // stride 3: ceil((10-2)/3) = 3 chunks — [0,5), [3,8), [6,10)
+    assert(out.filter(_._1 == 1L).map(_._3) === Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 4L) === Seq((4L, 0L, "x")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === words.toSet)
+  }
+
   test("tfidfTopTerms surfaces rare characteristic terms over common ones") {
     val df = Seq(
       (1L, "common common common quantum quantum physics"),
