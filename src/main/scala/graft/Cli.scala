@@ -78,6 +78,15 @@ object Cli {
     * what the pipeline reads and where it writes participates. Kind is
     * included so same-name pipelines with identical option maps but
     * different source/sink kinds don't collide.
+    *
+    * RELOCATION NOTE: the digest basis changed from the FULL sorted option
+    * maps to the identity-key subset — a path-less pipeline created under
+    * the old scheme resolves to a NEW dir on upgrade and would replay from
+    * its startup anchor (duplicate delivery for at-least-once consumers).
+    * [[warnIfLegacyStateDir]] probes for the old-digest dir and tells the
+    * operator to move it (we warn rather than silently adopt it: silent
+    * adoption would resurrect the old scheme's defect, where a tuning edit
+    * relocates the checkpoint).
     */
   private[graft] def stateDir(p: PipelineDef): String =
     p.sink.options.get("path")
@@ -92,12 +101,36 @@ object Cli {
             s"kind=$kind" +: identityKeys.flatMap(k => opts.get(k).map(v => s"$k=$v"))
           val identity = (identityOf(p.source.kind, p.source.options) ++
             identityOf(p.sink.kind, p.sink.options)).mkString("\n")
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(identity.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-          s"${sys.props("java.io.tmpdir")}/graft-state/" +
-            s"${p.name.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+          fallbackDir(p.name, identity)
         } else throw new IllegalArgumentException(s"${p.sink.kind} sink needs `path`")
       }
+
+  private def fallbackDir(name: String, identity: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(identity.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-state/" +
+      s"${name.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
+  }
+
+  /** If a checkpoint dir from the pre-identity digest scheme (full sorted
+    * source/sink option maps) exists where the current scheme's does not,
+    * warn loudly with both paths: resuming requires the operator to move
+    * the old dir, otherwise this run replays from its startup anchor.
+    */
+  private def warnIfLegacyStateDir(p: PipelineDef, resolved: String): Unit =
+    if (p.sink.options.get("path").isEmpty && p.config.get("state-dir").isEmpty &&
+        (p.sink.kind == "kafka" || p.sink.kind == "delta")) {
+      val legacyIdentity = (p.source.options.toSeq.sorted ++ p.sink.options.toSeq.sorted)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      val legacy = fallbackDir(p.name, legacyIdentity)
+      if (legacy != resolved && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(legacy))
+          && !java.nio.file.Files.exists(java.nio.file.Paths.get(resolved)))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pipeline '${p.name}': found a checkpoint under the LEGACY state-dir scheme at " +
+          s"$legacy but none at $resolved — this run will START OVER from its startup anchor " +
+          s"(duplicate delivery for at-least-once consumers). To resume instead, stop now and " +
+          s"move the old dir: mv '$legacy' '$resolved'")
+    }
 
   /** Build the streaming pipeline + launch the query; factored out so tests
     * can drive it with `Trigger.AvailableNow` instead of awaiting forever.
@@ -122,9 +155,11 @@ object Cli {
          org.apache.spark.sql.streaming.StreamingQuery) = {
     val statePath = stateDir(p)
     // a relocated state dir means a pipeline restarting from its startup
-    // anchor instead of resuming — make the resolved path visible
+    // anchor instead of resuming — make the resolved path visible, and
+    // probe for a checkpoint stranded under the pre-identity digest scheme
     org.slf4j.LoggerFactory.getLogger(getClass)
       .warn(s"pipeline '${p.name}' state dir: $statePath")
+    warnIfLegacyStateDir(p, statePath)
 
     // same function surface as the batch composer: parity UDFs, corpus ops,
     // models — usable in streaming transform projections/filters too

@@ -2020,7 +2020,7 @@ object SparkEntry {
 
     "q_chunk_text" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS tk
         |  FROM documents WHERE length(trim(text)) > 0),
         |nc AS (
         |  SELECT doc_id, tk,

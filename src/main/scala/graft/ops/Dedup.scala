@@ -279,106 +279,38 @@ object Dedup {
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                            maxBucketSize: Int = 64, numPartitions: Int = 64,
-                           leaseMs: Long = 30 * 60 * 1000L): Unit = {
+                           leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
     // An append racing a compaction is silent data loss, not a crash: bucket
     // rows landing in the live dir after the rebuild's read are dropped by
     // the swap (their sigs survive, so probes MISS those docs until the next
     // compaction — admitted duplicates). Refuse while a maintainer lease is
-    // LIVE (the ingest loop and the maintainer are one logical writer); a
-    // stale lease is a dead maintainer, not a running one — blocking ingest
-    // on it forever would turn one crashed compaction into an outage.
-    val fs = fsOf(path, df.sparkSession)
-    if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
-      s"index append refused: a maintainer holds ${maintenanceLock(path)} — appends during " +
-      "compaction are silently dropped by the swap; quiesce ingest while compacting")
-    val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
-    sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
-      .write.mode("append").parquet(s"$path/sigs")
-    sigs.select(col(idCol).as("id"),
-        posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-          .as(Seq("band", "bucket")))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-      .repartition(col("pbucket"))
-      .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+    // LIVE; for the residual check-then-act window (our lease check passes
+    // just before a maintainer acquires), beginAppend publishes an epoch
+    // marker BEFORE any write — the compactor re-checks markers + the sigs
+    // listing before its swap and rebuilds again if we raced it.
+    val fs = IndexMaintenance.fsOf(path, df.sparkSession)
+    val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
+    try {
+      val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
+      sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+        .write.mode("append").parquet(s"$path/sigs")
+      sigs.select(col(idCol).as("id"),
+          posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+            .as(Seq("band", "bucket")))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+        .repartition(col("pbucket"))
+        .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+    } finally IndexMaintenance.endAppend(fs, marker)
   }
 
-  /** The filesystem that OWNS `path` — `Path.getFileSystem`, not
-    * `FileSystem.get(URI, conf)`: for a scheme-less path the latter returns
-    * the DEFAULT filesystem (HDFS when `fs.defaultFS` points there), which
-    * is not necessarily where the index lives.
+  /** The single-maintainer lease file guarding index rewrites (shared
+    * protocol: [[IndexMaintenance]]).
     */
-  private def fsOf(path: String, spark: org.apache.spark.sql.SparkSession) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** The single-maintainer lease file guarding index rewrites. */
-  private[graft] def maintenanceLock(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_maintenance.lock")
-
-  /** Is a live (younger than `leaseMs`) maintenance lease present? A lease
-    * older than that is presumed orphaned by a dead maintainer (a JVM crash
-    * can't delete its lock).
-    */
-  private def liveLease(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                        leaseMs: Long): Boolean =
-    try System.currentTimeMillis() - fs.getFileStatus(maintenanceLock(path))
-      .getModificationTime < leaseMs
-    catch { case _: java.io.FileNotFoundException => false }
-
-  /** Break an orphaned lease ATOMICALLY: rename it aside (exactly one of N
-    * concurrent breakers wins the rename; the losers see false and must
-    * re-examine). A plain delete-then-create would let breaker B delete the
-    * fresh lock breaker A just created. After winning, the captured file's
-    * own mtime is re-verified: if it turned out live (its owner refreshed
-    * between our staleness check and the rename), it is restored and the
-    * break reports failure.
-    */
-  private def breakStaleLease(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                              leaseMs: Long): Boolean = {
-    val lock = maintenanceLock(path)
-    val aside = new org.apache.hadoop.fs.Path(
-      s"${lock.toString}.broken.${ProcessHandle.current().pid()}.${System.nanoTime()}")
-    val won = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
-    won && {
-      val stillStale =
-        try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime >= leaseMs
-        catch { case _: java.io.FileNotFoundException => false }
-      if (stillStale) fs.delete(aside, false)
-      else if (!fs.rename(aside, lock)) fs.delete(aside, false) // owner re-created: drop ours
-      stillStale
-    }
-  }
-
-  /** Acquire the index-maintenance lease, or fail loudly: a second
-    * concurrent maintainer would corrupt the displace-then-swap rename
-    * sequence, so it must refuse — not proceed — while a live lease exists.
-    * An orphaned (stale) lease is broken atomically; losing any race on the
-    * way also fails loudly rather than proceeding.
-    */
-  private def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                                     leaseMs: Long): org.apache.hadoop.fs.Path = {
-    val lock = maintenanceLock(path)
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false) // atomic create-if-absent
-        out.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
-        out.close(); true
-      } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
-        s"another maintainer holds $lock (lease $leaseMs ms); a concurrent index rewrite " +
-        "would corrupt the swap — wait for it, or delete the lock if its owner died")
-      // stale: exactly one breaker wins the atomic rename; a loser's lock
-      // may now belong to the winner, so it must NOT delete — just retry
-      // the create once and fail loudly if someone else got there first
-      if (!breakStaleLease(fs, path, leaseMs) || !tryCreate()) throw new IllegalStateException(
-        s"lost the race re-acquiring $lock after a stale lease break")
-    }
-    lock
-  }
+  private[graft] def maintenanceLock(path: String): org.apache.hadoop.fs.Path =
+    IndexMaintenance.maintenanceLock(path)
 
   /** Compact a persisted index: rebuild `path/buckets` FROM THE SIGNATURE
     * STORE (no corpus text needed) and re-apply the degenerate-bucket cap
@@ -396,37 +328,58 @@ object Dedup {
     * ENFORCED: a `_maintenance.lock` lease is taken for the duration, and a
     * second concurrent maintainer fails loudly instead of corrupting the
     * swap; a lease left by a dead maintainer is broken after `leaseMs`.
-    * Probes during the (two-rename) swap window still race by design —
-    * schedule compaction off the ingest path.
+    * An append whose lease check passed JUST before this lease was acquired
+    * may still be writing during the rebuild — before swapping, the sigs
+    * listing is re-checked against the pre-rebuild snapshot and in-flight
+    * append markers must have drained ([[IndexMaintenance.quiescedSince]]);
+    * anything moved → rebuild again (the in-flight set only shrinks, since
+    * new appends refuse under this live lease). Probes during the
+    * (two-rename) swap window still race by design — schedule compaction
+    * off the ingest path.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
                           path: String, bands: Int = 32, maxBucketSize: Int = 64,
                           numPartitions: Int = 64,
-                          leaseMs: Long = 30 * 60 * 1000L): Unit = {
-    val fs = fsOf(path, spark)
-    val lock = acquireMaintenanceLock(fs, path, leaseMs)
+                          leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
+                          maxRebuilds: Int = 5): Unit = {
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val lock = IndexMaintenance.acquireMaintenanceLock(fs, path, leaseMs)
     try {
       val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
       val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
       val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
+      val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
       // repair a swap that died between its two renames in a prior run
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"crash repair failed for $live")
-      fs.delete(next, true)
+      IndexMaintenance.repairCrashedSwap(fs, live, old)
       fs.delete(old, true)
-      spark.read.parquet(s"$path/sigs")
-        .select(col(idCol).as("id"),
-          posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-            .as(Seq("band", "bucket")))
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-        .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-        .repartition(col("pbucket"))
-        .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
-      require(fs.rename(live, old), s"compaction displace failed for $live")
-      require(fs.rename(next, live), s"compaction swap failed for $live")
-      fs.delete(old, true)
+      var attempt = 0
+      var swapped = false
+      while (!swapped) {
+        attempt += 1
+        fs.delete(next, true)
+        val snapshot = IndexMaintenance.listingFingerprint(fs, sigsDir)
+        spark.read.parquet(sigsDir.toString)
+          .select(col(idCol).as("id"),
+            posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+              .as(Seq("band", "bucket")))
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+          .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+          .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+          .repartition(col("pbucket"))
+          .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
+        if (IndexMaintenance.quiescedSince(fs, path, sigsDir, snapshot, leaseMs)) {
+          require(fs.rename(live, old), s"compaction displace failed for $live")
+          require(fs.rename(next, live), s"compaction swap failed for $live")
+          fs.delete(old, true)
+          swapped = true
+        } else if (attempt >= maxRebuilds) {
+          fs.delete(next, true)
+          throw new IllegalStateException(
+            s"compaction of $path aborted after $maxRebuilds rebuilds: appends kept landing " +
+            "during the rebuild (in-flight markers or new sig files) — quiesce ingest and retry")
+        } else Thread.sleep(200L * attempt) // racing appends predate our lease; they drain
+      }
     } finally fs.delete(lock, false)
   }
 
@@ -438,12 +391,13 @@ object Dedup {
     */
   def indexProbe(newDf: DataFrame, idCol: String, textCol: String, path: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                 numPartitions: Int = 64): DataFrame =
+                 numPartitions: Int = 64,
+                 leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame =
     probeFromSigs(signatures(newDf, idCol, textCol, shingleSize, numHashes),
-      idCol, path, bands, numPartitions)
+      idCol, path, bands, numPartitions, leaseMs)
 
   private def probeFromSigs(newSigs: DataFrame, idCol: String, path: String,
-                            bands: Int, numPartitions: Int): DataFrame = {
+                            bands: Int, numPartitions: Int, leaseMs: Long): DataFrame = {
     val spark = newSigs.sparkSession
     // A compaction that died between its two swap renames leaves no live
     // buckets dir. When no maintainer is LIVE (no lease, or a stale one —
@@ -451,15 +405,20 @@ object Dedup {
     // the read path repairs it here instead of failing until the next
     // compaction happens to run; under a live lease the swap is in flight —
     // surface WHAT is happening rather than a bare missing-path error.
-    val fs = fsOf(path, spark)
+    // `leaseMs` is the SAME value the append/compact paths use — a probe
+    // judging liveness by a different clock would treat a live short-lease
+    // maintainer as dead (or error on an already-stale long lease).
+    val fs = IndexMaintenance.fsOf(path, spark)
     val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
     if (!fs.exists(live)) {
       val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
       if (fs.exists(old)) {
-        if (liveLease(fs, path, 30 * 60 * 1000L)) throw new IllegalStateException(
+        if (IndexMaintenance.liveLease(fs, path, leaseMs)) throw new IllegalStateException(
           s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running; " +
           "retry after it completes, or run compactMinhashIndex")
-        require(fs.rename(old, live), s"crash repair failed for $live")
+        // two concurrent probes both repairing: one rename wins, the loser
+        // proceeds on seeing the healthy dir (repairCrashedSwap re-checks)
+        IndexMaintenance.repairCrashedSwap(fs, live, old)
       }
     }
     val newBuckets = newSigs.select(col(idCol).as("id"),
@@ -493,7 +452,8 @@ object Dedup {
   def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
                             shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                             threshold: Double = 0.8, numPartitions: Int = 64,
-                            maxIdPushdown: Int = 100000): DataFrame = {
+                            maxIdPushdown: Int = 100000,
+                            leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     val spark = newDf.sparkSession
     // ONE signature pass per batch: pinned (batch-bounded) and shared by
     // the probe's bucket/touched stages and the verify join below
@@ -502,7 +462,7 @@ object Dedup {
     // pinned: bounded by (bucket cap × batch size) slim rows, and consumed
     // twice below (candidate-id collect + final join) — without the pin the
     // pruned index probe would run twice
-    val pairs = probeFromSigs(newSigs, idCol, path, bands, numPartitions)
+    val pairs = probeFromSigs(newSigs, idCol, path, bands, numPartitions, leaseMs)
       .localCheckpoint()
     val sigStore = spark.read.parquet(s"$path/sigs")
     val candIds = pairs.select("dup_of").distinct().limit(maxIdPushdown + 1)
@@ -529,9 +489,10 @@ object Dedup {
   def incrementalDedup(newDf: DataFrame, idCol: String, textCol: String, path: String,
                        shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
                        threshold: Double = 0.8, numPartitions: Int = 64,
-                       maxIdPushdown: Int = 100000): DataFrame = {
+                       maxIdPushdown: Int = 100000,
+                       leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     val doomed = incrementalCandidates(newDf, idCol, textCol, path,
-        shingleSize, numHashes, bands, threshold, numPartitions, maxIdPushdown)
+        shingleSize, numHashes, bands, threshold, numPartitions, maxIdPushdown, leaseMs)
       .select(col("id").as(idCol)).distinct()
     newDf.join(doomed, Seq(idCol), "left_anti").localCheckpoint()
   }

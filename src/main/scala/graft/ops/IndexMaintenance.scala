@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared maintenance protocol for persisted on-disk indexes (the MinHash-LSH
+  * dedup index in [[Dedup]] and the IVF/IVF-SQ8 ANN index in [[Ivf]]): a
+  * single-maintainer lease for compaction-style rewrites, an append-epoch
+  * marker protocol that makes the append/compact race DETECTABLE, and the
+  * crash-repair of a displace-then-swap that died between its two renames.
+  *
+  * Why a protocol and not a transaction: a plain filesystem (and most object
+  * stores) has no atomic multi-file commit. The index layouts here are
+  * append-friendly (new parquet files land beside old ones), so the only
+  * dangerous writer is a REWRITER (compaction). The protocol makes the three
+  * races explicit:
+  *
+  *  1. two concurrent compactors — excluded by `_maintenance.lock`
+  *     (create-if-absent is the atomic primitive; a stale lock from a dead
+  *     maintainer is broken atomically via rename-aside);
+  *  2. an append racing a compaction — the compactor's rebuild cannot see
+  *     rows appended after its read, and its swap would silently drop them.
+  *     Appends REFUSE while a lease is live; for the remaining window (the
+  *     append's lease check passes just before the compactor acquires), the
+  *     append publishes an epoch marker BEFORE its first write and removes
+  *     it after its last, and the compactor re-checks markers + the source
+  *     listing after its rebuild, retrying while anything moved — see
+  *     [[beginAppend]] / [[quiescedSince]];
+  *  3. two concurrent crash-repairers — both rename `old → live`; exactly
+  *     one rename wins, and the loser must treat "someone else repaired it"
+  *     as success — [[repairCrashedSwap]].
+  */
+object IndexMaintenance {
+
+  /** Default maintenance-lease duration: a lease file older than this is
+    * presumed orphaned by a dead maintainer (a JVM crash can't delete its
+    * own lock).
+    */
+  val DefaultLeaseMs: Long = 30 * 60 * 1000L
+
+  /** The filesystem that OWNS `path` — `Path.getFileSystem`, not
+    * `FileSystem.get(URI, conf)`: for a scheme-less path the latter returns
+    * the DEFAULT filesystem (HDFS when `fs.defaultFS` points there), which
+    * is not necessarily where the index lives.
+    */
+  def fsOf(path: String, spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The single-maintainer lease file guarding index rewrites. */
+  private[graft] def maintenanceLock(path: String): Path =
+    new Path(s"$path/_maintenance.lock")
+
+  /** Is a live (younger than `leaseMs`) maintenance lease present? */
+  def liveLease(fs: FileSystem, path: String, leaseMs: Long): Boolean =
+    try System.currentTimeMillis() - fs.getFileStatus(maintenanceLock(path))
+      .getModificationTime < leaseMs
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Break an orphaned lease ATOMICALLY: rename it aside (exactly one of N
+    * concurrent breakers wins the rename; the losers see false and must
+    * re-examine). A plain delete-then-create would let breaker B delete the
+    * fresh lock breaker A just created. After winning, the captured file's
+    * own mtime is re-verified: if it turned out live (its owner refreshed
+    * between our staleness check and the rename), it is restored and the
+    * break reports failure.
+    */
+  private def breakStaleLease(fs: FileSystem, path: String, leaseMs: Long): Boolean = {
+    val lock = maintenanceLock(path)
+    val aside = new Path(
+      s"${lock.toString}.broken.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    val won = try fs.rename(lock, aside) catch { case _: java.io.IOException => false }
+    won && {
+      val stillStale =
+        try System.currentTimeMillis() - fs.getFileStatus(aside).getModificationTime >= leaseMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stillStale) fs.delete(aside, false)
+      else if (!fs.rename(aside, lock)) fs.delete(aside, false) // owner re-created: drop ours
+      stillStale
+    }
+  }
+
+  /** Acquire the index-maintenance lease, or fail loudly: a second
+    * concurrent maintainer would corrupt the displace-then-swap rename
+    * sequence, so it must refuse — not proceed — while a live lease exists.
+    * An orphaned (stale) lease is broken atomically; losing any race on the
+    * way also fails loudly rather than proceeding.
+    */
+  def acquireMaintenanceLock(fs: FileSystem, path: String, leaseMs: Long): Path = {
+    val lock = maintenanceLock(path)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.writeBytes(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n")
+        out.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
+        s"another maintainer holds $lock (lease $leaseMs ms); a concurrent index rewrite " +
+        "would corrupt the swap — wait for it, or delete the lock if its owner died")
+      // stale: exactly one breaker wins the atomic rename; a loser's lock
+      // may now belong to the winner, so it must NOT delete — just retry
+      // the create once and fail loudly if someone else got there first
+      if (!breakStaleLease(fs, path, leaseMs) || !tryCreate()) throw new IllegalStateException(
+        s"lost the race re-acquiring $lock after a stale lease break")
+    }
+    lock
+  }
+
+  /** Directory of in-flight append markers under an index root. */
+  private[graft] def appendMarkerDir(path: String): Path = new Path(s"$path/_appends")
+
+  /** Publish an append-epoch marker, THEN check the maintainer lease —
+    * in that order, so that by the time any append data hits the disk its
+    * marker is already visible to a compactor's quiescence check. The
+    * narrower ordering (check lease, then write) is check-then-act: a
+    * maintainer acquiring the lock right after the check would rebuild
+    * without our rows and silently drop them at its swap. With the marker
+    * first, one of two things is true for every append that writes at all:
+    * its marker is still present at the compactor's pre-swap check (append
+    * in flight → compactor retries), or the append completed and the
+    * compactor's source re-listing sees its files (→ compactor retries).
+    *
+    * Refuses (deleting the marker) while a maintainer lease is LIVE; a
+    * stale lease is a dead maintainer, not a running one — blocking ingest
+    * on it forever would turn one crashed compaction into an outage.
+    * Returns the marker path; callers MUST [[endAppend]] it when done.
+    */
+  def beginAppend(fs: FileSystem, path: String, leaseMs: Long): Path = {
+    val marker = new Path(appendMarkerDir(path),
+      s"append.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    val out = fs.create(marker, false)
+    out.writeBytes(s"ts=${System.currentTimeMillis()}\n")
+    out.close()
+    if (liveLease(fs, path, leaseMs)) {
+      fs.delete(marker, false)
+      throw new IllegalStateException(
+        s"index append refused: a maintainer holds ${maintenanceLock(path)} — appends during " +
+        "compaction are silently dropped by the swap; quiesce ingest while compacting")
+    }
+    marker
+  }
+
+  /** Retire an append-epoch marker (the append's writes are all committed). */
+  def endAppend(fs: FileSystem, marker: Path): Unit = fs.delete(marker, false)
+
+  /** A stable fingerprint of a directory's committed files (name, length,
+    * mtime) — the compactor's source snapshot. Missing dir → empty.
+    */
+  def listingFingerprint(fs: FileSystem, dir: Path): Set[(String, Long, Long)] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+
+  /** Pre-swap quiescence check for a compactor holding the lease: true iff
+    * no append markers are in flight AND `sourceDir`'s listing still equals
+    * the `snapshot` taken before the rebuild read it. Markers older than
+    * `leaseMs` are orphans of a crashed appender (its uncommitted Spark
+    * write published nothing) and are cleaned here rather than wedging
+    * compaction forever.
+    */
+  def quiescedSince(fs: FileSystem, path: String, sourceDir: Path,
+                    snapshot: Set[(String, Long, Long)], leaseMs: Long): Boolean = {
+    val markers =
+      try fs.listStatus(appendMarkerDir(path)).filter(_.isFile).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val (stale, live) = markers.partition(
+      m => System.currentTimeMillis() - m.getModificationTime >= leaseMs)
+    stale.foreach(m => fs.delete(m.getPath, false))
+    live.isEmpty && listingFingerprint(fs, sourceDir) == snapshot
+  }
+
+  /** Repair a displace-then-swap that died between its two renames (the
+    * `old` dir exists, `live` does not): rename `old → live`. Two
+    * concurrent repairers both attempt the rename; exactly one wins — the
+    * loser re-checks for the live dir and treats another repairer's win as
+    * success, throwing only when the dir is still missing. Returns true if
+    * `live` exists on exit (repaired, or was never broken).
+    */
+  def repairCrashedSwap(fs: FileSystem, live: Path, old: Path): Boolean =
+    fs.exists(live) || (fs.exists(old) && {
+      val won = try fs.rename(old, live) catch { case _: java.io.IOException => false }
+      won || fs.exists(live) || sys.error(s"crash repair failed for $live")
+      true
+    })
+}

@@ -126,6 +126,31 @@ object TextAnalysis {
   def docFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
     docTokens(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("df"))
 
+  /** Per-doc term frequencies (one row per DISTINCT (doc, token), with the
+    * token's in-doc count): the shared base relation of [[tfidfTopTerms]]
+    * and [[rarityProfile]]. Shaped as an AGGREGATION (groupBy, not
+    * array_distinct-in-scan) deliberately: a consumer that needs both the
+    * per-pair rows AND a `tok`-level rollup derives the rollup from THIS
+    * relation, and the two plan branches then share the
+    * `(doc, tok)`-partitioned exchange (Spark's ReuseExchange — the
+    * documents scan and its regex tokenization run ONCE). At 100 TB the
+    * text scan + regex pass is the dominant cost of these operators; one
+    * slim-pair shuffle (map-side combine collapses repeats before it) is
+    * cheaper than a second pass over the corpus.
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      // tf > 0 is a tautology (a count is ≥ 1) the optimizer cannot prove,
+      // and that is the point: it pins `tf` as CONSUMED in every branch
+      // that reads this relation. Without it, a consumer that ignores `tf`
+      // (the df rollup needs only distinctness) gets its count pruned to
+      // `functions=[]`, its exchange subtree stops being canonically equal
+      // to its sibling's, and AQE loses the stage reuse — the corpus would
+      // be regex-tokenized twice. Cost: one integer compare per pair.
+      .where(col("tf") > 0)
+
   /** Per-document RARITY profile — the corpus-statistics quality signal of
     * pretraining filters (a page of boilerplate scores high document
     * frequencies; a page of rare vocabulary scores low): per doc, its
@@ -134,15 +159,18 @@ object TextAnalysis {
     * or log-idf would hash-differ across engines by summation order, while
     * BIGINT sums are exact and order-free; callers derive ratios.
     *
-    * Scale shape: three map-side-combinable shuffles — the df aggregation,
-    * the (tok)-keyed join of the token relation with the df table (AQE
-    * broadcasts it when the vocabulary is small; heavy-hitter tokens are
-    * bounded because each doc contributes a token once), and the per-doc
-    * aggregation. No driver state, no collect.
+    * Scale shape: ONE tokenization pass. The df table is derived from the
+    * same [[termFrequencies]] relation the per-doc side consumes (each row
+    * is a distinct (doc, tok) pair, so `count per tok` IS the document
+    * frequency), and the shared exchange is deduplicated by ReuseExchange —
+    * the plan carries a single RegExpExtractAll-bearing scan
+    * (PlanInvariantsSpec asserts it). Downstream: the slim df table joins
+    * on (tok) (AQE broadcasts small vocabularies) and the per-doc
+    * aggregation shuffles by id. No driver state, no collect.
     */
   def rarityProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docTokens(df, idCol, textCol)
-    toks.join(docFrequencies(df, idCol, textCol), "tok")
+    val tf = termFrequencies(df, idCol, textCol)
+    tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"), min("df").as("df_min"))
   }
@@ -156,14 +184,17 @@ object TextAnalysis {
     * yields identical ids for unchanged docs (incremental embedding
     * refresh). A narrow projection + explode: no shuffle, scan-bound at
     * 100 TB; integer chunk math only (ceil via floor-div — no
-    * rounding-mode ambiguity across engines).
+    * rounding-mode ambiguity across engines). Tokenization splits on the
+    * EXPLICIT class `[ \t\n\r]+` (the [[cleanText]] stance): Java's `\s`
+    * includes `\x0B` (vertical tab) and RE2's does not, so a `\s` split
+    * chunks differently across engines on a document containing one.
     */
   def chunkText(df: DataFrame, idCol: String, textCol: String,
                 size: Int, overlap: Int = 0): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size: size=$size overlap=$overlap")
     val stride = size - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\r]+")
     val n = org.apache.spark.sql.functions.size(toks)
     val nChunks = when(n <= overlap, lit(1L))
       .otherwise(floor((n - lit(overlap) + lit(stride - 1)) / lit(stride)))
@@ -184,8 +215,13 @@ object TextAnalysis {
     * different (tf, df) pairs (e.g. `1·ln100 = 2·ln10`) could rank
     * differently across engines. Equal scores break by term.
     *
-    * Scale shape: token tf is one map-side-combinable aggregation; the df
-    * table joins on (tok) (AQE broadcasts small vocabularies); the per-doc
+    * Scale shape: ONE tokenization pass — token tf is one
+    * map-side-combinable aggregation ([[termFrequencies]]), the df table is
+    * a rollup of THAT relation (a tf row is a distinct (doc, tok) pair, so
+    * `count per tok` is the document frequency) and ReuseExchange dedupes
+    * the shared shuffle, so the documents scan + regex run once
+    * (PlanInvariantsSpec asserts the single tokenizer scan); the df table
+    * joins back on (tok) (AQE broadcasts small vocabularies); the per-doc
     * top-k window rewrites to `WindowGroupLimit` (per-partition group
     * heaps), so no doc's full term list is ever buffered or sorted
     * globally. Integer/ratio math only — no driver state.
@@ -193,10 +229,8 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
                     nDocs: Long = -1L): DataFrame = {
     val n = if (nDocs >= 0) nDocs else df.count()
-    val tf = df.select(col(idCol),
-        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val scored = tf.join(docFrequencies(df, idCol, textCol), "tok")
+    val tf = termFrequencies(df, idCol, textCol)
+    val scored = tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
       .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
     import org.apache.spark.sql.expressions.Window
     scored

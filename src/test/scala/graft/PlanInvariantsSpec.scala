@@ -66,6 +66,25 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tfidf and rarity tokenize ONCE: the df rollup reuses the tf exchange") {
+    // both operators derive the document-frequency table from the SAME
+    // termFrequencies relation their per-doc side consumes; at runtime AQE
+    // must dedupe the shared (doc, tok) shuffle, leaving a single
+    // RegExpExtractAll-bearing scan — a second tokenizer scan means the
+    // reuse was lost and the corpus is regex-scanned twice
+    for (q <- Seq("q_tfidf_terms", "q_doc_rarity")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes (and reuses) stages only on execution
+      // the AQE toString appends the pre-execution "Initial Plan" (which
+      // legitimately shows both branches) — assert on the FINAL plan only
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val tokenizerScans = "regexp_extract_all".r.findAllIn(p).size
+      assert(tokenizerScans === 1, s"$q: $tokenizerScans tokenizer scans\n${p.take(4000)}")
+      assert(p.contains("ReusedExchange"), s"$q lost the tf stage reuse\n${p.take(4000)}")
+    }
+  }
+
   test("IVF assignment stays in codegen: no encoder hop on the full-corpus stage") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)
