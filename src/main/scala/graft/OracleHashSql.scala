@@ -48,6 +48,12 @@ CREATE OR REPLACE MACRO g_fnv64(s) AS list_reduce(
   (h, c) -> g_mulmod(xor(h, c), 1099511628211));
 CREATE OR REPLACE MACRO g_toks(t) AS
   list_filter(string_split_regex(lower(t), '\W+'), x -> x <> '');
+-- the rolling token hash of AiFunctions.fakeEmbed: h = 31*h + char, from
+-- 1125899906842597, per UTF-16 unit (≡ codepoint for the BMP fixtures)
+CREATE OR REPLACE MACRO g_embhash(s) AS list_reduce(
+  list_prepend(CAST(1125899906842597 AS UBIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ord(c) AS UBIGINT))),
+  (h, c) -> g_addmod(g_mulmod(h, 31), c));
 CREATE OR REPLACE MACRO g_shingles(t, n) AS CASE
   WHEN len(g_toks(t)) = 0 THEN []
   WHEN len(g_toks(t)) < n THEN [array_to_string(g_toks(t), ' ')]
@@ -384,11 +390,13 @@ FROM xxh
     * oracles. Expression shapes mirror [[graft.ops.Similarity.sq8Quant]] /
     * `sq8ApproxDot` exactly.
     */
-  private val sq8Ctes: String = """
-qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+  private def sq8Ctes(rel: String = "embeddings", idCol: String = "vec_id",
+                      qvFrom: String = "SELECT embedding AS q FROM embeddings WHERE vec_id = 0")
+      : String = s"""
+qv AS ($qvFrom),
 sumq AS (SELECT list_sum(list_transform(q, x -> CAST(x AS DOUBLE))) AS sq FROM qv),
 sq8 AS (
-  SELECT vec_id, embedding,
+  SELECT $idCol, embedding,
          CAST(list_min(embedding) AS DOUBLE) AS vmin,
          (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
          CASE WHEN list_max(embedding) = list_min(embedding)
@@ -397,7 +405,7 @@ sq8 AS (
                 CAST(round(((CAST(embedding[k] AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0)
                   / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS INTEGER))
          END AS codes
-  FROM embeddings)"""
+  FROM $rel)"""
 
   private val sq8ApproxExpr: String =
     """s.vmin * m.sq + s.scale * list_sum(list_transform(generate_series(1, 64),
@@ -405,7 +413,7 @@ sq8 AS (
 
   val embedSq8Topk: String = {
     val c = (x: String, y: String) => cos(64, x, y)
-    prelude + "WITH " + sq8Ctes + """,
+    prelude + "WITH " + sq8Ctes() + """,
 approx AS (
   SELECT s.vec_id, s.embedding, """ + sq8ApproxExpr + """ AS a
   FROM sq8 s, qv, sumq m),
@@ -415,24 +423,115 @@ ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10
 """
   }
 
+  /** The probe+approx+rerank tail shared by the IVF-SQ8 oracles (follows
+    * `ivfAssignCtes` + `sq8Ctes`): nprobe=4 lists from the final centroids,
+    * SQ8 approximate dot over the probed slice only, exact cosine re-rank
+    * of the top 40.
+    */
+  private def ivfSq8ProbeTail(idCol: String = "vec_id",
+                              finalSelect: String = "c.vec_id"): String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    s""",
+probes AS (
+  SELECT c.cid FROM cent2 c, qv
+  ORDER BY """ + c("qv.q", "c.c") + s""" DESC, c.cid LIMIT 4),
+approx AS (
+  SELECT s.$idCol, s.embedding, """ + sq8ApproxExpr + s""" AS a
+  FROM finalasg f JOIN sq8 s USING ($idCol), qv, sumq m
+  WHERE f.cid IN (SELECT cid FROM probes)),
+cands AS (SELECT $idCol, embedding FROM approx ORDER BY a DESC, $idCol LIMIT 40)
+SELECT $finalSelect FROM cands c, qv
+ORDER BY """ + c("c.embedding", "qv.q") + s""" DESC, c.$idCol LIMIT 10
+"""
+  }
+
   /** IVF-SQ8 index probe — [[graft.ops.Ivf.topKSq8]] end to end: the IVF
     * train/assign chain picks nprobe=4 lists, the SQ8 approximate dot ranks
     * only the PROBED vectors, and exact cosine re-ranks the top 40.
     */
-  val embedIvfSq8Topk: String = {
-    val c = (x: String, y: String) => cos(64, x, y)
-    prelude + ivfAssignCtes + ",\n" + sq8Ctes + """,
-probes AS (
-  SELECT c.cid FROM cent2 c, qv
-  ORDER BY """ + c("qv.q", "c.c") + """ DESC, c.cid LIMIT 4),
-approx AS (
-  SELECT s.vec_id, s.embedding, """ + sq8ApproxExpr + """ AS a
-  FROM finalasg f JOIN sq8 s USING (vec_id), qv, sumq m
-  WHERE f.cid IN (SELECT cid FROM probes)),
-cands AS (SELECT vec_id, embedding FROM approx ORDER BY a DESC, vec_id LIMIT 40)
-SELECT c.vec_id FROM cands c, qv
-ORDER BY """ + c("c.embedding", "qv.q") + """ DESC, c.vec_id LIMIT 10
-"""
+  val embedIvfSq8Topk: String =
+    prelude + ivfAssignCtes() + ",\n" + sq8Ctes() + ivfSq8ProbeTail()
+
+  /** The grown-index lifecycle — base build + append with EXISTING
+    * centroids ([[graft.ops.Ivf.appendToIndexSq8]]): training (seeding +
+    * both Lloyd passes) sees ONLY the base corpus (vec_id >= 100), but the
+    * final assignment covers every vector — exactly what "append assigns
+    * with the index's centroids" means, since base-build assignment and
+    * append assignment both use the final trained centroids. Compaction
+    * rewrites files, not rows, so it is invisible here. The query vector
+    * (vec 0) is in the appended batch.
+    */
+  val embedIvfSq8Incremental: String =
+    prelude + ivfAssignCtes(train = "base",
+      pre = "base AS (SELECT * FROM embeddings WHERE vec_id >= 100),") +
+      ",\n" + sq8Ctes() + ivfSq8ProbeTail()
+
+  /** The deterministic-stub embedding of [[graft.functions.AiFunctions.fakeEmbed]]
+    * over `rel($idCol, $textCol)` as CTEs ending in
+    * `$outRel($idCol, embedding)`: per-token rolling hash → 64-bucket ±1
+    * votes → unit-normalize. Every intermediate is integer-valued (vote
+    * sums), so the double norm and the final REAL casts are bit-identical
+    * across engines regardless of aggregation order. CTE names are
+    * prefixed with `p` so two chains (corpus + query literal) can coexist.
+    */
+  private def embedCtes(rel: String, idCol: String, textCol: String,
+                        outRel: String, p: String): String = s"""
+${p}tok AS (SELECT $idCol, unnest(g_toks($textCol)) AS tok FROM $rel),
+${p}th AS (SELECT $idCol, g_embhash(tok) AS h FROM ${p}tok),
+${p}votes AS (
+  SELECT $idCol, CAST(((g_tosigned(h) % 64) + 64) % 64 AS INTEGER) AS idx,
+         CAST(sum(CASE WHEN ((h >> 32) & 1) = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+  FROM ${p}th GROUP BY $idCol, idx),
+${p}allv AS (
+  SELECT b.$idCol, i.i, coalesce(v.v, 0.0) AS x
+  FROM (SELECT DISTINCT $idCol FROM $rel) b
+  CROSS JOIN generate_series(0, 63) i(i)
+  LEFT JOIN ${p}votes v ON v.$idCol = b.$idCol AND v.idx = i.i),
+${p}nrm AS (SELECT $idCol, sqrt(sum(x * x)) AS nrm FROM ${p}allv GROUP BY $idCol),
+$outRel AS (
+  SELECT a.$idCol,
+         list(CAST(CASE WHEN n.nrm > 0 THEN a.x / n.nrm ELSE a.x END AS REAL)
+              ORDER BY a.i) AS embedding
+  FROM ${p}allv a JOIN ${p}nrm n ON n.$idCol = a.$idCol
+  GROUP BY a.$idCol)"""
+
+  /** The query text of `q_chunk_embed_topk`, shared with the engine side so
+    * the two cannot drift.
+    */
+  val chunkQueryText: String = "hash join shuffle partitions merge sort"
+
+  /** Composed RAG assembly — [[graft.ops.TextAnalysis.chunkText]] →
+    * stub-embed each chunk → IVF-SQ8 index → top-k with (doc_id, chunk_ix)
+    * provenance: the full downstream story the stable chunk identity
+    * exists for. Chunk ids pack as doc_id·2^20 + chunk_ix; the final
+    * SELECT unpacks them.
+    */
+  val chunkEmbedTopk: String = {
+    val chunkPre = """
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r]+') AS tk
+  FROM documents WHERE length(trim(text)) > 0),
+nc AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= 8 THEN 1
+              ELSE (len(tk) - 8 + 31) // 32 END AS nchunks
+  FROM base),
+ex AS (
+  SELECT doc_id, tk, unnest(generate_series(0, nchunks - 1)) AS chunk_ix
+  FROM nc),
+chunks AS (
+  SELECT doc_id * 1048576 + chunk_ix AS chunk_id,
+         array_to_string(tk[chunk_ix*32 + 1 : chunk_ix*32 + 40], ' ') AS chunk
+  FROM ex),""" +
+      embedCtes("chunks", "chunk_id", "chunk", "vecs", "ce_") + "," + s"""
+qsrc AS (SELECT 0 AS qid, '$chunkQueryText' AS qt),""" +
+      embedCtes("qsrc", "qid", "qt", "qvec", "qe_") + ","
+    prelude + ivfAssignCtes(train = "vecs", pre = chunkPre,
+        full = "vecs", idCol = "chunk_id") + ",\n" +
+      sq8Ctes(rel = "vecs", idCol = "chunk_id",
+        qvFrom = "SELECT embedding AS q FROM qvec") +
+      ivfSq8ProbeTail(idCol = "chunk_id",
+        finalSelect = "c.chunk_id // 1048576 AS doc_id, c.chunk_id % 1048576 AS chunk_ix")
   }
 
   /** DSIR importance-resampling selection — [[graft.ops.Dsir.select]] end
@@ -489,20 +588,26 @@ SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 100
     * iterations, final nearest-centroid assignment) ending in `finalasg` —
     * shared by the top-k and cluster-balance oracles.
     */
-  private def ivfAssignCtes: String = {
+  private def ivfAssignCtes(train: String = "embeddings", pre: String = "",
+                             full: String = "embeddings",
+                             idCol: String = "vec_id"): String = {
     val c = (x: String, y: String) => cos(64, x, y)
-    "WITH " + xxhashCte("embeddings", "vec_id") + """,
+    // `train` scopes SEEDING and both Lloyd passes (what Ivf.train saw);
+    // finalasg always assigns the FULL embeddings table with the trained
+    // centroids — for train == embeddings the two coincide, for a grown
+    // index (append with existing centroids) they deliberately differ
+    "WITH " + pre + xxhashCte(train, idCol) + s""",
 seeds AS (
   SELECT row_number() OVER (ORDER BY g_tosigned(x.h)) - 1 AS cid,
          e.embedding AS c
-  FROM xxh x JOIN embeddings e USING (vec_id)
+  FROM xxh x JOIN $train e USING ($idCol)
   ORDER BY g_tosigned(x.h) LIMIT 16),
 asg1 AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, s.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY """ + c("e.embedding", "s.c") + """ DESC, s.cid) AS rn
-    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+  SELECT $idCol, embedding, cid FROM (
+    SELECT e.$idCol, e.embedding, s.cid,
+           row_number() OVER (PARTITION BY e.$idCol
+             ORDER BY """ + c("e.embedding", "s.c") + s""" DESC, s.cid) AS rn
+    FROM $train e CROSS JOIN seeds s) WHERE rn = 1),
 mean1 AS (
   SELECT a.cid, i.i, avg(CAST(a.embedding[i.i] AS DOUBLE)) AS m
   FROM asg1 a CROSS JOIN generate_series(1, 64) i(i) GROUP BY a.cid, i.i),
@@ -513,11 +618,11 @@ cent1 AS (
     FROM (SELECT cid, i, m, sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm FROM mean1)
     GROUP BY cid) n ON n.cid = s.cid),
 asg2 AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent1 c) WHERE rn = 1),
+  SELECT $idCol, embedding, cid FROM (
+    SELECT e.$idCol, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.$idCol
+             ORDER BY """ + c("e.embedding", "c.c") + s""" DESC, c.cid) AS rn
+    FROM $train e CROSS JOIN cent1 c) WHERE rn = 1),
 mean2 AS (
   SELECT a.cid, i.i, avg(CAST(a.embedding[i.i] AS DOUBLE)) AS m
   FROM asg2 a CROSS JOIN generate_series(1, 64) i(i) GROUP BY a.cid, i.i),
@@ -528,16 +633,16 @@ cent2 AS (
     FROM (SELECT cid, i, m, sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm FROM mean2)
     GROUP BY cid) n ON n.cid = c1.cid),
 finalasg AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent2 c) WHERE rn = 1)"""
+  SELECT $idCol, embedding, cid FROM (
+    SELECT e.$idCol, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.$idCol
+             ORDER BY """ + c("e.embedding", "c.c") + s""" DESC, c.cid) AS rn
+    FROM $full e CROSS JOIN cent2 c) WHERE rn = 1)"""
   }
 
   val embedIvfTopk: String = {
     val c = (x: String, y: String) => cos(64, x, y)
-    prelude + ivfAssignCtes + """,
+    prelude + ivfAssignCtes() + """,
 qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
 probes AS (
   SELECT c.cid FROM cent2 c, qv
@@ -554,7 +659,7 @@ ORDER BY """ + c("f.embedding", "qv.q") + """ DESC, f.vec_id LIMIT 10
     * same budget/rate/threshold math as `q_mix_rebalance`, stratified on
     * the k-means cluster id instead of the language column.
     */
-  val clusterBalance: String = prelude + ivfAssignCtes + """,
+  val clusterBalance: String = prelude + ivfAssignCtes() + """,
 cnt AS (SELECT cid, CAST(count(*) AS DOUBLE) AS n FROM finalasg GROUP BY cid),
 budget AS (SELECT min(n / (CAST(1 AS DOUBLE) / 16)) AS t FROM cnt),
 rates AS (

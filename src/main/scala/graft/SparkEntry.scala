@@ -62,6 +62,88 @@ object SparkEntry {
       idxDir
     })
 
+  private val ivfSq8IncrCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val chunkEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private val streamSteadyCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.streaming.StreamingPipeline, graft.sinks.ParquetUpsertSink,
+             DataFrame, graft.model.TableId)]()
+
+  /** Once-per-JVM LOADED streaming state: the full events changelog already
+    * merged into a parquet upsert sink, plus a pinned 10k-row re-batch.
+    * `q_stream_steady` measures what a deployment pays PER MICRO-BATCH —
+    * merging a batch into existing state — with the one-time bring-up
+    * (sink creation + initial snapshot load) outside the timed body, the
+    * same split the dedup index gets via `q_dedup_incremental_probe`.
+    * Replaying rows the state already holds is the worst-case-shaped but
+    * result-neutral batch: last-write-wins on equal `__seq` leaves the
+    * state bit-identical, so the oracle is `q_stream_pipeline`'s.
+    */
+  private def streamSteadyFor(spark: SparkSession, dir: String) =
+    streamSteadyCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val srcId = TableId.of("db", "events")
+      val schema = graft.model.CdcSchema.of(
+        "user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
+        .copy(primaryKeys = Seq("user_id"))
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-steady").toString
+      val sink = new graft.sinks.ParquetUpsertSink(out, buckets = 32)
+      val pipe = new graft.streaming.StreamingPipeline(
+        new graft.operators.SchemaRegistry(), sink = sink)
+      pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
+      pipe.processBatch(
+        graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), srcId), 0L)
+      val batch = graft.sinks.ChangelogJson.debezium(
+        eventsChangelog(spark, dir).limit(10000), srcId).localCheckpoint()
+      (pipe, sink, batch, srcId)
+    })
+
+  /** Once-per-JVM RAG store: documents chunked (40-token windows, stride
+    * 32), each chunk stub-embedded, the embeddings PERSISTED (at 100 TB
+    * the chunk-embedding table is a materialized asset, not a recompute —
+    * the exact-rerank IN-pushdown reads it, never re-embeds the corpus),
+    * and an IVF-SQ8 index built over them. Chunk identity packs as
+    * doc_id·2^20 + chunk_ix, the stable id [[graft.ops.TextAnalysis.chunkText]]
+    * exists to provide.
+    */
+  private def chunkEmbedIndexFor(spark: SparkSession, dir: String): (String, String) =
+    chunkEmbCache.computeIfAbsent(dir, _ => {
+      val embDir = java.nio.file.Files.createTempDirectory("graft-chunkemb").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-chunkidx").toString
+      val embedUdf = udf(graft.functions.AiFunctions.fakeEmbed _)
+      graft.ops.TextAnalysis.chunkText(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          size = 40, overlap = 8)
+        .select((col("doc_id") * 1048576 + col("chunk_ix")).as("chunk_id"),
+          embedUdf(col("chunk")).as("embedding"))
+        .write.mode("overwrite").parquet(embDir)
+      val emb = spark.read.parquet(embDir)
+      val model = graft.ops.Ivf.train(emb, "chunk_id", "embedding", k = 16, iters = 2)
+      graft.ops.Ivf.writeIndexSq8(emb, "chunk_id", "embedding", model, idxDir)
+      (embDir, idxDir)
+    })
+
+  /** Once-per-JVM GROWN IVF-SQ8 index: built over the base corpus
+    * (vec_id >= 100), then the first 100 vectors appended with the
+    * EXISTING centroids and the per-append file waves compacted — the
+    * steady-state lifecycle of a continuously-growing embedding store.
+    * Probes must find appended-batch neighbors (the query vector, vec 0,
+    * is itself in the appended batch).
+    */
+  private def ivfSq8GrownIndexFor(spark: SparkSession, dir: String): String =
+    ivfSq8IncrCache.computeIfAbsent(dir, _ => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfsq8-incr").toString
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.where(col("vec_id") >= 100)
+      val model = graft.ops.Ivf.train(base, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ops.Ivf.writeIndexSq8(base, "vec_id", "embedding", model, idxDir)
+      graft.ops.Ivf.appendToIndexSq8(
+        emb.where(col("vec_id") < 100), "vec_id", "embedding", idxDir)
+      graft.ops.Ivf.compactIndexSq8(spark, idxDir)
+      idxDir
+    })
+
   private def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "events").select(
@@ -349,6 +431,16 @@ object SparkEntry {
       val pipe = new StreamingPipeline(new graft.operators.SchemaRegistry(), sink = sink)
       pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
       pipe.processBatch(graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), srcId), 0L)
+      sink.read(spark, srcId)
+    },
+
+    "q_stream_steady" -> { (spark, dir) =>
+      // the per-micro-batch steady state of the topology above: merge a
+      // pinned 10k-row batch into ALREADY-LOADED sink state (bring-up is
+      // cached outside the timed body — the widest bench band in r7/r8
+      // was q_stream_pipeline timing bring-up + load + read as one number)
+      val (pipe, sink, batch, srcId) = streamSteadyFor(spark, dir)
+      pipe.processBatch(batch, 1L)
       sink.read(spark, srcId)
     },
 
@@ -827,6 +919,36 @@ object SparkEntry {
       val idx = ivfSq8IndexFor(spark, dir)
       graft.ops.Ivf.topKSq8(spark, idx, emb, "vec_id", "embedding", query,
         k = 10, nprobe = 4, rerank = 40)
+    },
+
+    "q_embed_ivfsq_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // index LIFECYCLE, not just layout: base build (vec_id >= 100) →
+      // append the first 100 vectors with the EXISTING centroids →
+      // compact the append's file waves → probe. The query vector (vec 0)
+      // is in the APPENDED batch, so a hit proves appended vectors are
+      // probe-visible; the plan still prunes to nprobe lists at the listing
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val idx = ivfSq8GrownIndexFor(spark, dir)
+      graft.ops.Ivf.topKSq8(spark, idx, emb, "vec_id", "embedding", query,
+        k = 10, nprobe = 4, rerank = 40)
+    },
+
+    "q_chunk_embed_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // composed RAG assembly: chunk → stub-embed → IVF-SQ8 probe → top-k
+      // chunks WITH (doc_id, chunk_ix) provenance — the downstream consumer
+      // the stable chunk identity exists for. Retrieval plan = the grown
+      // index's (file-listing pruning × uint8 bandwidth × IN-pushdown
+      // exact rerank against the PERSISTED embedding table)
+      val (embDir, idxDir) = chunkEmbedIndexFor(spark, dir)
+      val query = graft.functions.AiFunctions.fakeEmbed(OracleHashSql.chunkQueryText)
+      graft.ops.Ivf.topKSq8(spark, idxDir, spark.read.parquet(embDir),
+          "chunk_id", "embedding", query, k = 10, nprobe = 4, rerank = 40)
+        .select(expr("chunk_id DIV 1048576").as("doc_id"),
+          expr("chunk_id % 1048576").as("chunk_ix"))
     },
 
     "q_cluster_balance" -> { (spark, dir) =>
@@ -1485,6 +1607,14 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
+    // replaying already-held rows is state-neutral under seq LWW, so the
+    // steady-state merge converges to the same materialization
+    "q_stream_steady" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
     "q_kafka_pipeline" ->
       """SELECT user_id, event_type, value FROM (
         |  SELECT user_id, event_type, value,
@@ -2016,6 +2146,8 @@ object SparkEntry {
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_cluster_balance" -> OracleHashSql.clusterBalance,
     "q_embed_ivfsq_topk" -> OracleHashSql.embedIvfSq8Topk,
+    "q_embed_ivfsq_incremental" -> OracleHashSql.embedIvfSq8Incremental,
+    "q_chunk_embed_topk" -> OracleHashSql.chunkEmbedTopk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
 
     "q_chunk_text" ->

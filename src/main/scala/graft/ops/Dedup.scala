@@ -343,44 +343,23 @@ object Dedup {
                           leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
                           maxRebuilds: Int = 5): Unit = {
     val fs = IndexMaintenance.fsOf(path, spark)
-    val lock = IndexMaintenance.acquireMaintenanceLock(fs, path, leaseMs)
-    try {
-      val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-      val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
-      val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
-      val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
-      // repair a swap that died between its two renames in a prior run
-      IndexMaintenance.repairCrashedSwap(fs, live, old)
-      fs.delete(old, true)
-      var attempt = 0
-      var swapped = false
-      while (!swapped) {
-        attempt += 1
-        fs.delete(next, true)
-        val snapshot = IndexMaintenance.listingFingerprint(fs, sigsDir)
-        spark.read.parquet(sigsDir.toString)
-          .select(col(idCol).as("id"),
-            posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-              .as(Seq("band", "bucket")))
-          .withColumn("__bsz", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-          .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-          .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-          .repartition(col("pbucket"))
-          .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
-        if (IndexMaintenance.quiescedSince(fs, path, sigsDir, snapshot, leaseMs)) {
-          require(fs.rename(live, old), s"compaction displace failed for $live")
-          require(fs.rename(next, live), s"compaction swap failed for $live")
-          fs.delete(old, true)
-          swapped = true
-        } else if (attempt >= maxRebuilds) {
-          fs.delete(next, true)
-          throw new IllegalStateException(
-            s"compaction of $path aborted after $maxRebuilds rebuilds: appends kept landing " +
-            "during the rebuild (in-flight markers or new sig files) — quiesce ingest and retry")
-        } else Thread.sleep(200L * attempt) // racing appends predate our lease; they drain
-      }
-    } finally fs.delete(lock, false)
+    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
+    val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
+    val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    IndexMaintenance.runCompaction(fs, path, live, old, next, sigsDir,
+        leaseMs, maxRebuilds) { () =>
+      spark.read.parquet(sigsDir.toString)
+        .select(col(idCol).as("id"),
+          posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+            .as(Seq("band", "bucket")))
+        .withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
+    }
   }
 
   /** Raw band-collision probe of a new batch against the index: lazy
@@ -409,18 +388,9 @@ object Dedup {
     // judging liveness by a different clock would treat a live short-lease
     // maintainer as dead (or error on an already-stale long lease).
     val fs = IndexMaintenance.fsOf(path, spark)
-    val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    if (!fs.exists(live)) {
-      val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
-      if (fs.exists(old)) {
-        if (IndexMaintenance.liveLease(fs, path, leaseMs)) throw new IllegalStateException(
-          s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running; " +
-          "retry after it completes, or run compactMinhashIndex")
-        // two concurrent probes both repairing: one rename wins, the loser
-        // proceeds on seeing the healthy dir (repairCrashedSwap re-checks)
-        IndexMaintenance.repairCrashedSwap(fs, live, old)
-      }
-    }
+    IndexMaintenance.ensureLiveDir(fs, path,
+      new org.apache.hadoop.fs.Path(s"$path/buckets"),
+      new org.apache.hadoop.fs.Path(s"$path/buckets.old"), leaseMs)
     val newBuckets = newSigs.select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))

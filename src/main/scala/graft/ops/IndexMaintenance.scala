@@ -145,11 +145,25 @@ object IndexMaintenance {
 
   /** A stable fingerprint of a directory's committed files (name, length,
     * mtime) — the compactor's source snapshot. Missing dir → empty.
+    * `recursive` for layouts whose files live under partition subdirs
+    * (e.g. `lists/centroid_id=N/part-*.parquet`); names are then
+    * root-relative so the fingerprint is position-independent.
     */
-  def listingFingerprint(fs: FileSystem, dir: Path): Set[(String, Long, Long)] =
+  def listingFingerprint(fs: FileSystem, dir: Path,
+                         recursive: Boolean = false): Set[(String, Long, Long)] =
     if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).filter(_.isFile)
+    else if (!recursive) fs.listStatus(dir).filter(_.isFile)
       .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    else {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.Set.empty[(String, Long, Long)]
+      val prefix = fs.makeQualified(dir).toString
+      while (it.hasNext) {
+        val s = it.next()
+        buf += ((s.getPath.toString.stripPrefix(prefix), s.getLen, s.getModificationTime))
+      }
+      buf.toSet
+    }
 
   /** Pre-swap quiescence check for a compactor holding the lease: true iff
     * no append markers are in flight AND `sourceDir`'s listing still equals
@@ -159,15 +173,76 @@ object IndexMaintenance {
     * compaction forever.
     */
   def quiescedSince(fs: FileSystem, path: String, sourceDir: Path,
-                    snapshot: Set[(String, Long, Long)], leaseMs: Long): Boolean = {
+                    snapshot: Set[(String, Long, Long)], leaseMs: Long,
+                    recursive: Boolean = false): Boolean = {
     val markers =
       try fs.listStatus(appendMarkerDir(path)).filter(_.isFile).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     val (stale, live) = markers.partition(
       m => System.currentTimeMillis() - m.getModificationTime >= leaseMs)
     stale.foreach(m => fs.delete(m.getPath, false))
-    live.isEmpty && listingFingerprint(fs, sourceDir) == snapshot
+    live.isEmpty && listingFingerprint(fs, sourceDir, recursive) == snapshot
   }
+
+  /** The whole compaction shape shared by every persisted index: acquire
+    * the lease, repair a previously crashed swap, then loop — snapshot the
+    * source listing, run `rebuild` (read source, write `next`), and swap
+    * `next` into place ONLY if nothing moved during the rebuild
+    * ([[quiescedSince]]); anything moved → rebuild again (the in-flight
+    * set only shrinks: new appends refuse under this live lease). Aborts
+    * loudly after `maxRebuilds`, leaving the live dir untouched.
+    *
+    * `sourceDir` may BE `live` (an index that compacts from its own files,
+    * e.g. small-file coalescing): the rebuild's read happens before the
+    * displace rename, and a retry re-reads whatever landed since.
+    */
+  def runCompaction(fs: FileSystem, path: String, live: Path, old: Path, next: Path,
+                    sourceDir: Path, leaseMs: Long, maxRebuilds: Int,
+                    recursiveListing: Boolean = false)(rebuild: () => Unit): Unit = {
+    val lock = acquireMaintenanceLock(fs, path, leaseMs)
+    try {
+      // repair a swap that died between its two renames in a prior run
+      repairCrashedSwap(fs, live, old)
+      fs.delete(old, true)
+      var attempt = 0
+      var swapped = false
+      while (!swapped) {
+        attempt += 1
+        fs.delete(next, true)
+        val snapshot = listingFingerprint(fs, sourceDir, recursiveListing)
+        rebuild()
+        if (quiescedSince(fs, path, sourceDir, snapshot, leaseMs, recursiveListing)) {
+          require(fs.rename(live, old), s"compaction displace failed for $live")
+          require(fs.rename(next, live), s"compaction swap failed for $live")
+          fs.delete(old, true)
+          swapped = true
+        } else if (attempt >= maxRebuilds) {
+          fs.delete(next, true)
+          throw new IllegalStateException(
+            s"compaction of $path aborted after $maxRebuilds rebuilds: appends kept landing " +
+            "during the rebuild (in-flight markers or new source files) — quiesce ingest " +
+            "and retry")
+        } else Thread.sleep(200L * attempt) // racing appends predate our lease; they drain
+      }
+    } finally fs.delete(lock, false)
+  }
+
+  /** Probe-side guard shared by every persisted index's read path: if the
+    * live dir is missing because a compaction died between its two swap
+    * renames, repair it in-line when no maintainer is LIVE; under a live
+    * lease the swap is in flight — surface WHAT is happening rather than a
+    * bare missing-path error.
+    */
+  def ensureLiveDir(fs: FileSystem, path: String, live: Path, old: Path,
+                    leaseMs: Long): Unit =
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (liveLease(fs, path, leaseMs)) throw new IllegalStateException(
+        s"$live is mid-swap under ${maintenanceLock(path)} — a compaction is running; " +
+        "retry after it completes, or rerun the index compaction")
+      // two concurrent probes both repairing: one rename wins, the loser
+      // proceeds on seeing the healthy dir (repairCrashedSwap re-checks)
+      repairCrashedSwap(fs, live, old)
+    }
 
   /** Repair a displace-then-swap that died between its two renames (the
     * `old` dir exists, `live` does not): rename `old → live`. Two

@@ -119,16 +119,30 @@ object Ivf {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Reload a persisted index's model: only the k centroids are collected
+    * to the driver. The centroids table is append-free (appends assign with
+    * the EXISTING model; re-training is a rebuild, see [[compactIndexSq8]]),
+    * so this read needs no maintenance guard.
+    */
+  def readModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(s"$path/centroids")
+      .select("centroid_id", "centroid").as[(Int, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray))
+  }
+
   /** Reload a persisted index: (assigned lists, model). Only the k centroids
     * are collected to the driver.
     */
   def readIndex(spark: SparkSession, path: String): (DataFrame, Model) = {
-    import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("centroid_id", "centroid").as[(Int, Seq[Float])]
-      .collect().sortBy(_._1).map(_._2.toArray)
-    (spark.read.parquet(s"$path/lists"), Model(centroids))
+    val fs = IndexMaintenance.fsOf(path, spark)
+    IndexMaintenance.ensureLiveDir(fs, path, listsDir(path), oldListsDir(path),
+      IndexMaintenance.DefaultLeaseMs)
+    (spark.read.parquet(s"$path/lists"), readModel(spark, path))
   }
+
+  private def listsDir(path: String) = new org.apache.hadoop.fs.Path(s"$path/lists")
+  private def oldListsDir(path: String) = new org.apache.hadoop.fs.Path(s"$path/lists.old")
 
   /** Persist an IVF-SQ8 index (the Faiss `IVF,SQ8` layout): inverted lists
     * partitioned by `centroid_id` storing uint8 codes + per-vector
@@ -154,6 +168,66 @@ object Ivf {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch of vectors to a persisted IVF-SQ8 index: assign with
+    * the EXISTING centroids (read from the index — appending must not move
+    * the quantizer under concurrent probes), quantize with the same
+    * [[Similarity.sq8Quant]] shapes, and land the codes as new files inside
+    * the existing `centroid_id=` partition dirs. The growth path of a
+    * 100 TB embedding store: per-batch cost is one narrow codegen pass over
+    * the BATCH (assign + quantize) plus one write wave per touched list —
+    * the index is never rewritten. Drift care: vectors far from every
+    * centroid still land in their nearest list (recall decays gracefully);
+    * re-training is a REBUILD, not an append — see [[compactIndexSq8]].
+    *
+    * Maintenance protocol = the MinHash index's ([[IndexMaintenance]]):
+    * refuses while a compactor's lease is live, and publishes an
+    * append-epoch marker so a racing compactor detects us and rebuilds.
+    */
+  def appendToIndexSq8(df: DataFrame, idCol: String, vecCol: String, path: String,
+                       leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
+    val spark = df.sparkSession
+    val fs = IndexMaintenance.fsOf(path, spark)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")),
+      s"no IVF-SQ8 index at $path (missing centroids) — writeIndexSq8 first")
+    val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
+    try {
+      val model = readModel(spark, path)
+      val (vmin, scale, codes) = Similarity.sq8Quant(col(vecCol))
+      assign(df, idCol, vecCol, model)
+        .select(col(idCol), col("centroid_id"),
+          vmin.as("vmin"), scale.as("scale"), codes.as("codes"))
+        .repartition(col("centroid_id")) // one file wave per touched list
+        .write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
+    } finally IndexMaintenance.endAppend(fs, marker)
+  }
+
+  /** Compact a persisted IVF/IVF-SQ8 index: rewrite `path/lists` from its
+    * own files, coalescing the one-file-wave-per-append accumulation back
+    * to one wave per list (a year of hourly appends is ~9k files per
+    * partition dir — the listing, not the bytes, becomes the probe cost).
+    * Same displace-then-swap + lease + append-quiescence protocol as the
+    * MinHash index ([[IndexMaintenance.runCompaction]]); the source dir IS
+    * the live dir, so a retry re-reads whatever a racing append landed.
+    *
+    * Deliberately does NOT re-train: new centroids re-partition EVERY code
+    * (a full rebuild, not a compaction) and invalidate concurrent probes'
+    * centroid snapshots mid-flight. To re-train, build a fresh index with
+    * [[train]]+[[writeIndexSq8]] at a new path and flip the reader.
+    */
+  def compactIndexSq8(spark: SparkSession, path: String,
+                      leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
+                      maxRebuilds: Int = 5): Unit = {
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val live = listsDir(path)
+    val next = new org.apache.hadoop.fs.Path(s"$path/lists.compact")
+    IndexMaintenance.runCompaction(fs, path, live, oldListsDir(path), next,
+        sourceDir = live, leaseMs, maxRebuilds, recursiveListing = true) { () =>
+      spark.read.parquet(live.toString)
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(next.toString)
+    }
+  }
+
   /** Query an IVF-SQ8 index: probe the nprobe nearest lists (file-listing
     * pruning), rank the probed codes by the dequantized approximate dot,
     * then exact-rescore only the top `rerank` ids against the FULL vectors
@@ -163,12 +237,12 @@ object Ivf {
     */
   def topKSq8(spark: SparkSession, path: String, full: DataFrame,
               idCol: String, vecCol: String, query: Array[Float], k: Int,
-              nprobe: Int = 4, rerank: Int = 40): DataFrame = {
+              nprobe: Int = 4, rerank: Int = 40,
+              leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("centroid_id", "centroid").as[(Int, Seq[Float])]
-      .collect().sortBy(_._1).map(_._2.toArray)
-    val probes = Model(centroids).nearest(query, nprobe)
+    val fs = IndexMaintenance.fsOf(path, spark)
+    IndexMaintenance.ensureLiveDir(fs, path, listsDir(path), oldListsDir(path), leaseMs)
+    val probes = readModel(spark, path).nearest(query, nprobe)
     val lists = spark.read.parquet(s"$path/lists")
       .where(col("centroid_id").isin(probes: _*))
     val approx = Similarity.sq8ApproxDot(col("vmin"), col("scale"), col("codes"), query)

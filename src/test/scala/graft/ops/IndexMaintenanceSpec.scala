@@ -122,6 +122,59 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8 lifecycle: append with existing centroids is probe-visible; compact coalesces waves") {
+    withDir { (dir, fs) =>
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val base = emb.where(org.apache.spark.sql.functions.col("vec_id") >= 100)
+      val batch = emb.where(org.apache.spark.sql.functions.col("vec_id") < 100)
+      val model = Ivf.train(base, "vec_id", "embedding", k = 4, iters = 1)
+      Ivf.writeIndexSq8(base, "vec_id", "embedding", model, dir)
+      val query = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      // before the append, vec 0 is not in the index — it cannot be found
+      val before = Ivf.topKSq8(spark, dir, emb, "vec_id", "embedding", query, k = 5)
+        .as[Long].collect()
+      assert(!before.contains(0L))
+      Ivf.appendToIndexSq8(batch, "vec_id", "embedding", dir)
+      // the appended vector IS its own exact-cosine nearest neighbor
+      val after = Ivf.topKSq8(spark, dir, emb, "vec_id", "embedding", query, k = 5)
+        .as[Long].collect()
+      assert(after.head === 0L)
+      // compaction coalesces the two write waves; probe result is unchanged
+      val filesBefore = IndexMaintenance
+        .listingFingerprint(fs, new Path(s"$dir/lists"), recursive = true).size
+      Ivf.compactIndexSq8(spark, dir)
+      val filesAfter = IndexMaintenance
+        .listingFingerprint(fs, new Path(s"$dir/lists"), recursive = true).size
+      assert(filesAfter < filesBefore,
+        s"compaction should shrink the file count ($filesBefore -> $filesAfter)")
+      val compacted = Ivf.topKSq8(spark, dir, emb, "vec_id", "embedding", query, k = 5)
+        .as[Long].collect()
+      assert(compacted.toSeq === after.toSeq)
+    }
+  }
+
+  test("IVF-SQ8 append refuses under a live lease; probe repairs a crashed list swap") {
+    withDir { (dir, fs) =>
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val model = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+      Ivf.writeIndexSq8(emb, "vec_id", "embedding", model, dir)
+      val out = fs.create(IndexMaintenance.maintenanceLock(dir), false)
+      out.writeBytes("pid=fake\n"); out.close()
+      val e = intercept[IllegalStateException] {
+        Ivf.appendToIndexSq8(emb.limit(5), "vec_id", "embedding", dir)
+      }
+      assert(e.getMessage.contains("append refused"))
+      fs.delete(IndexMaintenance.maintenanceLock(dir), false)
+      // a compaction that died between its two renames: probe repairs in-line
+      assert(fs.rename(new Path(s"$dir/lists"), new Path(s"$dir/lists.old")))
+      val query = emb.select("embedding").head().getSeq[Float](0).toArray
+      assert(Ivf.topKSq8(spark, dir, emb, "vec_id", "embedding", query, k = 3)
+        .as[Long].collect().length === 3)
+      assert(fs.exists(new Path(s"$dir/lists")) && !fs.exists(new Path(s"$dir/lists.old")))
+    }
+  }
+
   test("repairCrashedSwap: loser of the rename race treats the winner's repair as success") {
     withDir { (dir, fs) =>
       val live = new Path(s"$dir/buckets")
