@@ -84,6 +84,16 @@ object Ivf {
     * not a typed-Dataset `.map`, which would round-trip every vector through
     * the encoder. Train-side sampling keeps its `.map` (sample-sized input
     * feeding `reduceGroups`).
+    *
+    * CONSUMERS THAT PASS OVER THE ASSIGNMENT TWICE (e.g.
+    * [[Sampling.rebalance]], whose decision-table count and final filter
+    * each evaluate their stratum): at 100 TB, persist the slim
+    * (id, centroid_id) projection once ([[writeIndex]] already does) and
+    * run both passes over THAT table — two scans of a two-column parquet
+    * instead of two corpus-wide assignments; join survivors back to the
+    * wide corpus by id only if the payload is needed downstream.
+    * `IvfSpec` pins that the persisted-assignment composition selects the
+    * identical row set.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     df.select(col(idCol).cast("long").as(idCol), col(vecCol),

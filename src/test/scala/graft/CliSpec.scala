@@ -383,6 +383,71 @@ class CliSpec extends SparkSpec {
       Seq((1L, "ann"), (2L, "bob")))
   }
 
+  test("TRY_EVOLVE tolerates sink DDL failure and keeps flowing; EVOLVE on the same input dies") {
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    def dbz(payload: String, ts: Long) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$ts,"source":{"db":"db","table":"users"}}"""
+    def yamlFor(in: String, out: String, behavior: String) =
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 4
+         |pipeline:
+         |  schema.change.behavior: $behavior
+         |""".stripMargin
+    val ddl = graft.model.SchemaChangeJson.toJson(graft.model.AddColumnEvent(
+      TableId.of("db", "users"), "age", org.apache.spark.sql.types.IntegerType))
+    def feed(in: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/feed.json"),
+        dbz("""{"id":1,"name":"ann"}""", 1) + "\n" + ddl + "\n" +
+        dbz("""{"id":2,"name":"bob","age":40}""", 2) + "\n")
+    // a sink whose ALTER path is broken (the reference scenario: a target
+    // database that cannot ALTER TABLE) — injected via the decorator seam
+    val refuse: graft.sinks.CdcSink => graft.sinks.CdcSink = inner => new graft.sinks.CdcSink {
+      override def applySchemaChange(e: graft.model.SchemaChangeEvent): Unit = e match {
+        case _: graft.model.AddColumnEvent =>
+          throw new RuntimeException("sink DDL refused: ALTER unsupported")
+        case other => inner.applySchemaChange(other)
+      }
+      override def write(id: TableId, changelog: org.apache.spark.sql.DataFrame,
+                         schema: graft.model.CdcSchema): Unit =
+        inner.write(id, changelog, schema)
+    }
+
+    // TRY_EVOLVE: the DDL failure is tolerated; the post-DDL row still lands
+    val in1 = java.nio.file.Files.createTempDirectory("graft-tryev-in").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft-tryev-out").toString
+    feed(in1)
+    val (_, _, q1) = Cli.buildStreaming(spark,
+      PipelineDef.fromYaml(yamlFor(in1, out1, "try_evolve")), Trigger.AvailableNow(),
+      sinkDecorator = Some(refuse))
+    q1.awaitTermination(60000)
+    val state = new graft.sinks.ParquetUpsertSink(out1, 4).read(spark, TableId.of("db", "users"))
+    assert(state.count() === 2) // the stream survived the refused ALTER
+    // the engine-side registry DID evolve, so bob's age flows once the
+    // parquet sink's coerce-on-merge catches state up
+    val bob = state.where(org.apache.spark.sql.functions.col("id") === 2).head()
+    assert(bob.getAs[String]("name") === "bob")
+    assert(bob.getAs[Int]("age") === 40)
+
+    // EVOLVE: the same refused ALTER must kill the query, not drop the DDL
+    val in2 = java.nio.file.Files.createTempDirectory("graft-ev-in").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-ev-out").toString
+    feed(in2)
+    val (_, _, q2) = Cli.buildStreaming(spark,
+      PipelineDef.fromYaml(yamlFor(in2, out2, "evolve")), Trigger.AvailableNow(),
+      sinkDecorator = Some(refuse))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(60000); q2.stop()
+    }
+    assert(e.getMessage.contains("sink DDL refused"))
+  }
+
   test("dead-letter-dir quarantines unroutable records instead of dropping them") {
     import graft.pipeline.PipelineDef
     import org.apache.spark.sql.streaming.Trigger

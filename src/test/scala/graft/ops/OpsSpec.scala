@@ -544,6 +544,33 @@ class IvfSpec extends SparkSpec {
         .delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
+
+  test("persisted-assignment rebalance selects the identical rows as the recomputed one") {
+    // the 100 TB shape documented on Ivf.assign: both rebalance passes
+    // (decision-table count + filter) read the slim persisted
+    // (id, centroid_id) table instead of re-running the assignment over
+    // the wide corpus — the selected row set must be IDENTICAL because
+    // keep()'s md5 threshold depends only on (id, stratum, rate)
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 4, iters = 1)
+    val assigned = Ivf.assign(df, "id", "v", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rebal").toString
+    try {
+      Ivf.writeIndex(assigned, model, dir)
+      val uniform = (0 until 4).map(c => c.toString -> 0.25).toMap
+      val recomputed = Sampling.rebalance(assigned, col("id"), col("centroid_id"), uniform)
+        .select("id").as[Long].collect().toSet
+      val persisted = Sampling.rebalance(spark.read.parquet(s"$dir/lists"),
+          col("id"), col("centroid_id"), uniform)
+        .select("id").as[Long].collect().toSet
+      assert(persisted === recomputed)
+      assert(persisted.nonEmpty)
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
 }
 
 class SplitDecontamSpec extends SparkSpec {
