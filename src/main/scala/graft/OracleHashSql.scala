@@ -351,11 +351,20 @@ xxh AS (
     * engine's stop-shingle cap: shingles in more than 1000 bench docs are
     * excluded before counting.
     */
-  val decontaminate: String = prelude + """
+  val decontaminate: String = decontaminateSql(benchMod = 20, tokFrom = 3, tokLen = 12)
+
+  /** The Bloom-prefiltered variant is output-identical to the exact flag by
+    * construction (false positives die in the exact join), so its oracle is
+    * the SAME exact-overlap SQL at the variant's parameters — a hash match
+    * proves the prefilter changed the plan, not the answer.
+    */
+  val decontaminateBloom: String = decontaminateSql(benchMod = 10, tokFrom = 5, tokLen = 12)
+
+  private def decontaminateSql(benchMod: Int, tokFrom: Int, tokLen: Int): String = prelude + s"""
 WITH bench AS (
   SELECT doc_id AS bench_id,
-         array_to_string((g_toks(text))[3:14], ' ') AS btext
-  FROM documents WHERE doc_id % 20 = 0),
+         array_to_string((g_toks(text))[$tokFrom:${tokFrom + tokLen - 1}], ' ') AS btext
+  FROM documents WHERE doc_id % $benchMod = 0),
 bsh0 AS (SELECT bench_id, g_shingles(btext, 3) AS sh FROM bench),
 stoplist AS (
   SELECT coalesce(list(x), []) AS sl FROM (
@@ -577,6 +586,61 @@ w AS (
          (a, x) -> a + x) AS weight
   FROM fs, tot)
 SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
+  /** CCNet-style bigram-LM head selection — [[graft.ops.LmScore.headSelect]]
+    * end to end: hashed conditional bigram LM (`g_mix64(g_fnv64(gram)) pmod
+    * 65536` ≡ the engine's `NgramBuckets`) fitted on the lang='en' slice,
+    * add-half-smoothed log-probs, and the per-doc nll folded in ascending
+    * (b1, b12) order via `list_reduce` — the exact accumulation order of the
+    * Spark side's `aggregate` over the sorted counts array ([[dsirSelect]]'s
+    * determinism stance). Distinct grams are hashed once in a vocab CTE and
+    * mapped back by string join, because the h64 alias chain hashes a single
+    * source column.
+    */
+  val lmHead: String = prelude + """
+WITH toks AS (SELECT doc_id, lang, g_toks(text) AS tk FROM documents),
+occ AS (
+  SELECT doc_id, lang, (p).w1 AS w1, (p).w12 AS w12 FROM (
+    SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(tk) - 1),
+      i -> struct_pack(w1 := tk[i], w12 := tk[i] || ' ' || tk[i + 1]))) AS p
+    FROM toks WHERE len(tk) >= 2)),
+vocab AS (
+  SELECT gram FROM (SELECT w1 AS gram FROM occ UNION SELECT w12 FROM occ)),
+gh0 AS (SELECT gram, """ + h64Chain("gram") + """ FROM vocab),
+gh AS (SELECT gram,
+       CAST(((g_tosigned(h1) % 65536) + 65536) % 65536 AS INTEGER) AS bucket
+       FROM gh0),
+c1 AS (
+  SELECT g.bucket AS b1, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w1 FROM toks WHERE lang = 'en') u
+  JOIN gh g ON g.gram = u.w1 GROUP BY g.bucket),
+c2 AS (
+  SELECT g.bucket AS b12, count(*) AS c2
+  FROM occ o JOIN gh g ON g.gram = o.w12 WHERE o.lang = 'en' GROUP BY g.bucket),
+perdoc AS (
+  SELECT o.doc_id, g1.bucket AS b1, g2.bucket AS b12, count(*) AS cnt
+  FROM occ o JOIN gh g1 ON g1.gram = o.w1 JOIN gh g2 ON g2.gram = o.w12
+  GROUP BY o.doc_id, g1.bucket, g2.bucket),
+fs AS (
+  SELECT p.doc_id,
+         list(struct_pack(b1 := p.b1, b12 := p.b12, cnt := p.cnt,
+              c1 := coalesce(u.c1, 0), c2 := coalesce(b.c2, 0))
+              ORDER BY p.b1, p.b12) AS fs
+  FROM perdoc p LEFT JOIN c1 u ON u.b1 = p.b1 LEFT JOIN c2 b ON b.b12 = p.b12
+  GROUP BY p.doc_id),
+w AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(fs, f -> f.cnt)), (a, x) -> a + x) AS n_bigrams,
+         -(list_reduce(list_prepend(0.0, list_transform(fs, f ->
+             CAST(f.cnt AS DOUBLE) *
+             ln((CAST(f.c2 AS DOUBLE) + 0.5) / (CAST(f.c1 AS DOUBLE) + 32768.0)))),
+           (a, x) -> a + x))
+         / CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(fs, f -> f.cnt)), (a, x) -> a + x) AS DOUBLE) AS nll
+  FROM fs)
+SELECT doc_id, n_bigrams FROM w ORDER BY nll ASC, doc_id LIMIT 100
 """
 
   /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,

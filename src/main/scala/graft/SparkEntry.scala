@@ -1051,6 +1051,20 @@ object SparkEntry {
       graft.ops.Decontaminate.flag(docs, bench, "doc_id", "text", minShingles = 2)
     },
 
+    "q_decontaminate_bloom" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the big-bench regime: bloom-prefiltered exact contamination check —
+      // same answer as the broadcast path, but the train shuffle carries
+      // only bloom survivors (bench = 12-token snippets of every 10th doc,
+      // snippet starting at token 5)
+      val docs = t(dir, "documents")
+      val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\W+'), x -> x != ''), 5, 12), ' ')")
+            .as("text"))
+      graft.ops.Decontaminate.flagBloom(docs, bench, "doc_id", "text", minShingles = 2)
+    },
+
     "q_shuffle_deterministic" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // epoch shuffle: exact rank in xxhash64-of-key order, computed with
@@ -1322,6 +1336,18 @@ object SparkEntry {
       graft.ops.Dsir.select(docs, docs.where(col("lang") === "en"),
           "doc_id", "text", k = 100)
         .select("doc_id")
+    },
+
+    "q_lm_head" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // CCNet-style fluency selection (Wenzek et al. 2019): the 100 docs
+      // with the lowest avg bigram negative log-prob under a hashed bigram
+      // LM fitted on the English slice — two broadcast-bounded count
+      // tables, slim (id, b1, b12, cnt) shuffle, TakeOrderedAndProject
+      val docs = t(dir, "documents")
+      graft.ops.LmScore.headSelect(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", k = 100)
+        .select("doc_id", "n_bigrams")
     },
 
     "q_salt_join" -> { (spark, dir) =>
@@ -2133,6 +2159,7 @@ object SparkEntry {
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)
     "q_decontaminate" -> OracleHashSql.decontaminate,
+    "q_decontaminate_bloom" -> OracleHashSql.decontaminateBloom,
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
@@ -2149,6 +2176,7 @@ object SparkEntry {
     "q_embed_ivfsq_incremental" -> OracleHashSql.embedIvfSq8Incremental,
     "q_chunk_embed_topk" -> OracleHashSql.chunkEmbedTopk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
+    "q_lm_head" -> OracleHashSql.lmHead,
 
     "q_chunk_text" ->
       """WITH base AS (

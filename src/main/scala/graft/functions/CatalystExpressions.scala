@@ -37,15 +37,23 @@ object CdcExprHelpers {
     * resampling (one array element PER OCCURRENCE, not a set: importance
     * weights need counts).
     */
-  def ngramBuckets(s: UTF8String, maxN: Int, buckets: Int): ArrayData = {
+  def ngramBuckets(s: UTF8String, maxN: Int, buckets: Int): ArrayData =
+    ngramBuckets(s, 1, maxN, buckets)
+
+  /** As above with a lower bound on n — `minN = maxN = 2` yields bigram-only
+    * occurrence buckets (the pair side of [[graft.ops.LmScore]]'s hashed
+    * conditional bigram LM). Buckets appear in (n, position) order, so the
+    * n = k slice aligns positionally with the token sequence.
+    */
+  def ngramBuckets(s: UTF8String, minN: Int, maxN: Int, buckets: Int): ArrayData = {
     val toks = s.toString.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val nToks = toks.length
     var total = 0
-    var n = 1
+    var n = minN
     while (n <= maxN) { total += math.max(0, nToks - n + 1); n += 1 }
     val out = new Array[Int](total)
     var j = 0
-    n = 1
+    n = minN
     while (n <= maxN) {
       var i = 0
       while (i + n <= nToks) {
@@ -200,19 +208,21 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3)
   * occurrence, n = 1..maxN), the DSIR featurization ([[graft.ops.Dsir]]).
   * Codegen'd: the featurize stage stays scan-bound inside WholeStageCodegen.
   */
-case class NgramBuckets(child: Expression, maxN: Int = 2, buckets: Int = 4096)
+case class NgramBuckets(child: Expression, maxN: Int = 2, buckets: Int = 4096,
+                        minN: Int = 1)
     extends UnaryExpression {
-  require(maxN >= 1 && buckets >= 2, s"need maxN >= 1 and buckets >= 2: $maxN, $buckets")
+  require(minN >= 1 && maxN >= minN && buckets >= 2,
+    s"need 1 <= minN <= maxN and buckets >= 2: $minN, $maxN, $buckets")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    CdcExprHelpers.ngramBuckets(input.asInstanceOf[UTF8String], maxN, buckets)
+    CdcExprHelpers.ngramBuckets(input.asInstanceOf[UTF8String], minN, maxN, buckets)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CdcExprHelpers.ngramBuckets($c, $maxN, $buckets)")
+      s"graft.functions.CdcExprHelpers.ngramBuckets($c, $minN, $maxN, $buckets)")
   override protected def withNewChildInternal(newChild: Expression): NgramBuckets =
     copy(child = newChild)
   override def prettyName: String = "ngram_buckets"
@@ -422,6 +432,8 @@ object CdcExpressions {
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), shingleSize))
   def ngramBuckets(text: Column, maxN: Int = 2, buckets: Int = 4096): Column =
     GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets))
+  def ngramBucketsRange(text: Column, minN: Int, maxN: Int, buckets: Int): Column =
+    GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets, minN))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =
@@ -436,6 +448,19 @@ object CdcExpressions {
     GraftBridge.column(EstJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
   def renderZoned(instant: Column, zone: Column): Column =
     GraftBridge.column(RenderZoned(GraftBridge.expression(instant), GraftBridge.expression(zone)))
+
+  /** Spark's own codegen'd Bloom membership test over a serialized filter
+    * (the expression its runtime row-group filtering injects) bound to a
+    * BINARY literal — the prefilter of [[graft.ops.Decontaminate.flagBloom]].
+    * The literal ships with the stage's task binary (torrent-broadcast once
+    * per executor, like a broadcast variable), so the predicate runs inside
+    * WholeStageCodegen directly over the scan.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(value)))
 
   /** SQL names on an existing session (tests / interactive). */
   def register(spark: SparkSession): Unit = {

@@ -648,6 +648,99 @@ class SplitDecontamSpec extends SparkSpec {
     val bcast = graft.ops.Decontaminate.flag(train, bench, "id", "text", minShingles = 2)
     assert(bcast.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
+
+  test("flagBloom output is identical to flag; the prefilter is in the plan") {
+    val bench = (1L to 5L).map(i => (i, s"legal disclaimer text unique$i tail of bench doc")) :+
+      (100L, "the quick brown fox jumps over the lazy dog")
+    val benchDf = bench.toDF("id", "text")
+    val train = Seq(
+      (1L, "completely unrelated words about databases and queries"),
+      (2L, "someone said the quick brown fox jumps over whatever"),
+      (3L, "legal disclaimer text unique3 tail matching one bench doc"),
+      (4L, "quick brown dog")).toDF("id", "text")
+    val exact = graft.ops.Decontaminate.flag(train, benchDf, "id", "text", minShingles = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = graft.ops.Decontaminate.flagBloom(train, benchDf, "id", "text", minShingles = 1)
+    assert(bloomed.as[(Long, Long, Long)].collect().toSet === exact)
+    assert(exact.nonEmpty) // the equality must not pass vacuously
+    // the codegen'd membership test sits on the train side before the join
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"))
+    // and the bench side is NOT broadcast (this path exists for bench sides
+    // past the broadcast budget — forcing the hint would defeat it)
+    assert(!bloomed.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("bloomMightContain: no false negatives, fpp-bounded false positives") {
+    val members = (1L to 2000L).toDF("sh")
+    val bloom = members.stat.bloomFilter("sh", 2000L, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    val pred = graft.functions.CdcExpressions.bloomMightContain(bytes, col("sh"))
+    // every member passes — a false negative would silently drop real
+    // contamination, the one failure mode the design must exclude
+    assert(members.where(pred).count() === 2000L)
+    // non-members mostly rejected: 20k probes at 1% fpp — allow 4x slack
+    val strangers = (1_000_000L to 1_020_000L).toDF("sh")
+    assert(strangers.where(pred).count() <= 800L)
+  }
+}
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("featurize aligns each bigram with its context unigram") {
+    val df = Seq((1L, "Alpha beta gamma"), (2L, "solo"), (3L, "")).toDF("id", "text")
+    val out = LmScore.featurize(df, "id", "text", buckets = 4096)
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(r => (r._1, r._2, r._3))
+    def b(g: String) = (((Dedup.hash64(g) % 4096) + 4096) % 4096).toInt
+    // "alpha beta gamma" -> (b(alpha), b(alpha beta)), (b(beta), b(beta gamma));
+    // one-token and empty docs emit nothing
+    assert(out === Seq(
+      (1L, b("alpha"), b("alpha beta")),
+      (1L, b("beta"), b("beta gamma"))).sortBy(r => (r._1, r._2, r._3)))
+  }
+
+  test("scoreNll ranks reference-like text as more fluent than gibberish") {
+    val ref = (1L to 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (102L, "zxqv wkjh pqrs mnbv lkjg fdsa qwer tyui opas") // unseen bigrams
+    ).toDF("id", "text")
+    val nll = LmScore.scoreNll(docs, "id", "text", LmScore.fit(ref, "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(nll(101L) < nll(102L), nll)
+  }
+
+  test("scoreNll is bit-identical under repartitioning") {
+    val docs = (1L to 40L).map(i => (i, s"token$i shared words appear here token${i % 7}"))
+      .toDF("id", "text")
+    val fit = LmScore.fit(docs.where(col("id") % 3 === 0), "text", buckets = 1024)
+    val a = LmScore.scoreNll(docs, "id", "text", fit)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LmScore.scoreNll(docs.repartition(7), "id", "text", fit)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b) // Set equality on raw doubles: the fold order is pinned
+  }
+
+  test("perplexityBuckets labels head/middle/tail by thresholds") {
+    val df = Seq((1L, 2.0), (2L, 5.0), (3L, 9.0)).toDF("id", "nll")
+    val out = df.select(col("id"),
+        LmScore.perplexityBuckets(col("nll"), headBelow = 3.0, middleBelow = 7.0).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
+
+  test("ngramBucketsRange: bigram-only slice aligns with the combined array") {
+    val df = Seq(Tuple1("one two three four")).toDF("text")
+    val both = df.select(
+      graft.functions.CdcExpressions.ngramBuckets(col("text"), 2, 512).as("all"),
+      graft.functions.CdcExpressions.ngramBucketsRange(col("text"), 1, 1, 512).as("uni"),
+      graft.functions.CdcExpressions.ngramBucketsRange(col("text"), 2, 2, 512).as("bi"))
+      .as[(Seq[Int], Seq[Int], Seq[Int])].head()
+    assert(both._1 === both._2 ++ both._3) // (n, position) emission order
+    assert(both._2.length === 4 && both._3.length === 3)
+  }
 }
 
 class PackSpec extends SparkSpec {
