@@ -643,6 +643,32 @@ w AS (
 SELECT doc_id, n_bigrams FROM w ORDER BY nll ASC, doc_id LIMIT 100
 """
 
+  /** fastText-style linear quality scoring — [[graft.ops.QualityModel
+    * .logits]] with the deterministic stub model: hashed unigram+bigram
+    * buckets (pmod 4096), stub weight `mix64(b+1)/2^63·4` recomputed
+    * bit-for-bit, and the per-doc weight sum folded in ascending-bucket
+    * order via `list_reduce` — the exact accumulation order of the Spark
+    * side's codegen'd BUCKET_WEIGHT_SUM over the sorted bucket array.
+    */
+  val qualityModel: String = prelude + """
+WITH toks AS (SELECT doc_id, g_toks(text) AS tk FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(tk,
+    list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]))) AS gram
+  FROM toks),
+hashed AS (SELECT doc_id, """ + h64Chain("gram") + """ FROM grams),
+fb AS (SELECT doc_id,
+       CAST(((g_tosigned(h1) % 4096) + 4096) % 4096 AS INTEGER) AS bucket FROM hashed),
+bs AS (SELECT doc_id, list(bucket ORDER BY bucket) AS bs, count(*) AS n
+       FROM fb GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+       0.0 + list_reduce(list_prepend(0.0, list_transform(bs, b ->
+           g_tosigned(g_mix64(CAST(b + 1 AS UBIGINT)))
+           / 9223372036854775808.0 * 4.0)),
+         (a, x) -> a + x) / CAST(n AS DOUBLE) AS logit
+FROM bs
+"""
+
   /** IVF top-k: xxhash64(vec_id, seed 42) seeding (Spark XXH64.hashLong,
     * rotations via wrap-multiply), two Lloyd iterations with renormalized
     * float centroids and keep-old-on-empty clusters, nprobe=4 probing,

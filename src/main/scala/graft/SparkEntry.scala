@@ -1350,6 +1350,15 @@ object SparkEntry {
         .select("doc_id", "n_bigrams")
     },
 
+    "q_quality_model" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // learned-quality-filter inference (fastText-shaped linear model over
+      // hashed n-gram buckets, deterministic stub weights): one narrow
+      // codegen projection — no shuffle, no join, model as plan reference
+      graft.ops.QualityModel.logits(t(dir, "documents"), "doc_id", "text",
+        graft.ops.QualityModel.stubModel())
+    },
+
     "q_salt_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // salted skew join must be result-identical to the plain join
@@ -2177,6 +2186,7 @@ object SparkEntry {
     "q_chunk_embed_topk" -> OracleHashSql.chunkEmbedTopk,
     "q_dsir_select" -> OracleHashSql.dsirSelect,
     "q_lm_head" -> OracleHashSql.lmHead,
+    "q_quality_model" -> OracleHashSql.qualityModel,
 
     "q_chunk_text" ->
       """WITH base AS (

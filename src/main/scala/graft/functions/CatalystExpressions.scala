@@ -94,6 +94,17 @@ object CdcExprHelpers {
     eq.toDouble / n
   }
 
+  /** Sum of `weights(b)` over the bucket array in array order (the caller
+    * sorts for a pinned IEEE accumulation); out-of-range buckets fail loudly
+    * — a bucket id past the weight table is a model/featurizer mismatch.
+    */
+  def bucketWeightSum(a: ArrayData, weights: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { s += weights(a.getInt(i)); i += 1 }
+    s
+  }
+
   private def hasNullElement(a: ArrayData): Boolean = {
     var i = 0
     while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
@@ -400,6 +411,33 @@ case class EstJaccard(left: Expression, right: Expression)
   override def prettyName: String = "est_jaccard"
 }
 
+/** `BUCKET_WEIGHT_SUM(buckets)` with bound weights — the linear-model
+  * scoring hot loop of [[graft.ops.QualityModel]] as a codegen'd call: sums
+  * `weights(b)` over the bucket array IN ARRAY ORDER (callers pass a sorted
+  * array so the IEEE accumulation order is partitioning-invariant and
+  * oracle-replicable). Weights ship as a plan reference object (buckets
+  * doubles), like [[NearestCentroid]]'s centroids; the whole score stays a
+  * narrow scan-bound projection — no shuffle, no per-gram join.
+  */
+case class BucketWeightSum(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<INT>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.bucketWeightSum(input.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.bucketWeightSum($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
+    copy(child = newChild)
+  override def prettyName: String = "bucket_weight_sum"
+}
+
 /** `RENDER_ZONED(instant, zone)` — the zoned-timestamp wire renderer
   * ([[graft.model.ZonedTime.render]]): wall clock computed from the instant
   * under the ROW's zone via java.time, zone suffix appended verbatim.
@@ -434,6 +472,8 @@ object CdcExpressions {
     GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets))
   def ngramBucketsRange(text: Column, minN: Int, maxN: Int, buckets: Int): Column =
     GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets, minN))
+  def bucketWeightSum(buckets: Column, weights: Array[Double]): Column =
+    GraftBridge.column(BucketWeightSum(GraftBridge.expression(buckets), weights))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

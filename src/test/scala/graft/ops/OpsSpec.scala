@@ -743,6 +743,52 @@ class LmScoreSpec extends SparkSpec {
   }
 }
 
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logits: narrow single-scan plan, partitioning-invariant doubles") {
+    val docs = (1L to 50L).map(i => (i, s"some text number $i with shared tokens here"))
+      .toDF("id", "text")
+    val m = QualityModel.stubModel(buckets = 512)
+    val a = QualityModel.logits(docs, "id", "text", m)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = QualityModel.logits(docs.repartition(7), "id", "text", m)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b) // raw-double set equality: sorted-array fold is pinned
+    // no shuffle in the plan: scoring is a projection over the scan
+    val plan = QualityModel.logits(docs, "id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("empty and feature-less docs are dropped; n_grams counts uni+bi") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "  ,;  ")).toDF("id", "text")
+    val out = QualityModel.logits(docs, "id", "text", QualityModel.stubModel())
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set(1L))
+    assert(out.head._2 === 5L) // 3 unigrams + 2 bigrams
+  }
+
+  test("filter in logit space matches sigmoid-space threshold on scores") {
+    val docs = (1L to 200L).map(i => (i, s"document $i words tok${i % 13} tok${i % 7}"))
+      .toDF("id", "text")
+    val m = QualityModel.stubModel(buckets = 256)
+    val kept = QualityModel.filter(docs, "id", "text", m, minScore = 0.5)
+      .select("id").as[Long].collect().toSet
+    val viaScores = QualityModel.scores(docs, "id", "text", m)
+      .where(col("score") >= 0.5).select("id").as[Long].collect().toSet
+    assert(kept === viaScores)
+    assert(kept.nonEmpty && kept.size < 200) // threshold actually separates
+  }
+
+  test("fromTable loads sparse weights, missing buckets weigh zero") {
+    val w = Seq((0, 2.0), (3, -1.0)).toDF("bucket", "weight")
+    val m = QualityModel.fromTable(w, buckets = 8, bias = 0.25)
+    assert(m.weights.toSeq === Seq(2.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, 0.0))
+    assert(m.bias === 0.25)
+  }
+}
+
 class PackSpec extends SparkSpec {
   import spark.implicits._
 
