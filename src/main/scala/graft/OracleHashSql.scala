@@ -95,6 +95,37 @@ CREATE OR REPLACE MACRO g_shingles(t, n) AS CASE
     s"planes(p, pl) AS (SELECT * FROM (VALUES $rows) t(p, pl))"
   }
 
+  /** The literal ±1 sign matrix of [[graft.ops.Similarity.signProjection]]
+    * as a VALUES CTE — generated from the same code, so it cannot drift
+    * (the [[planesCte]] pattern).
+    */
+  private def signsCte(outDim: Int, dim: Int, seed: Long = 42L): String = {
+    val m = graft.ops.Similarity.signProjection(outDim, dim, seed)
+    val rows = m.zipWithIndex.map { case (row, p) =>
+      "(" + p + ", [" + row.map(f => f.toString + "::REAL").mkString(", ") + "])"
+    }.mkString(",\n  ")
+    s"signs(p, s) AS (SELECT * FROM (VALUES $rows) t(p, s))"
+  }
+
+  /** JL sign-projection ANN — [[graft.ops.Similarity.projectedTopK]] end to
+    * end: 16 signed dots per vector (double accumulation, REAL cast),
+    * projected-space cosine top-40, exact 64-dim cosine top-10 re-rank.
+    */
+  val embedProjectTopk: String = prelude + "WITH " + signsCte(16, 64) + """,
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT list(CAST((""" + dot(64, "s", "q") + """) AS REAL) ORDER BY p) AS qp
+       FROM signs, qv),
+vp AS (
+  SELECT e.vec_id, e.embedding,
+         list(CAST((""" + dot(64, "s", "e.embedding") + """) AS REAL) ORDER BY p) AS vp
+  FROM embeddings e CROSS JOIN signs GROUP BY e.vec_id, e.embedding),
+cand AS (
+  SELECT vec_id, embedding FROM vp, qp
+  ORDER BY """ + cos(16, "vp", "qp.qp") + """ DESC, vec_id LIMIT 40)
+SELECT vec_id FROM cand, qv
+ORDER BY """ + cos(64, "embedding", "q") + """ DESC, vec_id LIMIT 10
+"""
+
   /** Multimodal stub decode: FNV-1a over the synthetic payload bytes, then
     * the width/height extraction of [[graft.ops.Multimodal.stubDecodeImage]].
     */

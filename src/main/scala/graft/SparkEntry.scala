@@ -977,6 +977,18 @@ object SparkEntry {
       Similarity.sq8TopK(emb, "vec_id", "embedding", query, k = 10, rerank = 40)
     },
 
+    "q_embed_project_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // JL sign-projection ANN: rank in 16-dim projected space (4x fewer
+      // bytes than the 64-dim floats when the projection is persisted),
+      // exact cosine re-rank of the top 40
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.projectedTopK(emb, "vec_id", "embedding", query,
+        k = 10, outDim = 16, rerank = 40)
+    },
+
     "q_embed_lsh_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       val emb = t(dir, "embeddings")
@@ -2180,6 +2192,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
+    "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,
     "q_cluster_balance" -> OracleHashSql.clusterBalance,
     "q_embed_ivfsq_topk" -> OracleHashSql.embedIvfSq8Topk,
     "q_embed_ivfsq_incremental" -> OracleHashSql.embedIvfSq8Incremental,

@@ -118,6 +118,28 @@ object CdcExprHelpers {
     if (hasNullElement(v)) null
     else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
 
+  /** Sign random projection: out(j) = Σ_i v(i)·m(j)(i) accumulated in
+    * double ascending-i order, cast to float — cosine is scale-invariant,
+    * so the JL 1/√k normalizer is deliberately omitted. Null on null
+    * elements (boxed propagation like [[planeSig]]).
+    */
+  def projectVec(v: ArrayData, m: Array[Array[Float]]): ArrayData = {
+    if (hasNullElement(v)) return null
+    val arr = v.toFloatArray()
+    val out = new Array[Float](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(arr.length, row.length)
+      while (i < n) { dot += arr(i).toDouble * row(i); i += 1 }
+      out(j) = dot.toFloat
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Nearest-centroid id by cosine (ties → lowest index, matching the
     * stable-sort semantics of `Ivf.Model.nearest`); null on null elements.
     */
@@ -369,6 +391,39 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `PROJECT_VEC(vec)` with a bound sign matrix — Johnson-Lindenstrauss
+  * dimensionality reduction as a codegen'd call over the columnar scan
+  * ([[graft.ops.Similarity.projectedTopK]]): `out_dim` signed dots per
+  * vector, matrix as a plan reference object (out_dim × dim floats). The
+  * projected column is 1/(dim/out_dim) the bytes of the original — persist
+  * it and the ANN candidate scan reads a fraction of the embedding store.
+  */
+case class ProjectVec(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullable: Boolean = true // null input, or null vector elements
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.projectVec(input.asInstanceOf[ArrayData], matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", matrix, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("proj")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.CdcExprHelpers.projectVec($c, $ref);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProjectVec =
+    copy(child = newChild)
+  override def prettyName: String = "project_vec"
+}
+
 /** `MINHASH_BANDS(sig, bands)` — LSH band keys as a codegen'd call; feeds
   * `posexplode` to produce (band, bucket) shuffle keys without a typed
   * Dataset encoder round-trip.
@@ -474,6 +529,8 @@ object CdcExpressions {
     GraftBridge.column(NgramBuckets(GraftBridge.expression(text), maxN, buckets, minN))
   def bucketWeightSum(buckets: Column, weights: Array[Double]): Column =
     GraftBridge.column(BucketWeightSum(GraftBridge.expression(buckets), weights))
+  def projectVec(vec: Column, matrix: Array[Array[Float]]): Column =
+    GraftBridge.column(ProjectVec(GraftBridge.expression(vec), matrix))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

@@ -110,6 +110,59 @@ object Similarity {
       .select(col(idCol))
   }
 
+  // ---------- sign random projection (the dimensionality scale path) ----------
+
+  /** Deterministic Rademacher (±1) projection matrix — Johnson-Lindenstrauss
+    * by random signs (Achlioptas 2003, database-friendly projections): the
+    * sign is the top bit of `mix64(seed ^ (j<<32) ^ i)`, so any engine can
+    * reproduce the matrix. Cosine is scale-invariant, so the 1/√k JL
+    * normalizer is omitted throughout.
+    */
+  def signProjection(outDim: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(dim) { i =>
+        if (Dedup.mix64(seed ^ (j.toLong << 32) ^ i.toLong) >= 0) 1.0f else -1.0f
+      }
+    }
+
+  /** Driver-side projection of a query vector (same double-accumulate /
+    * float-cast math as the codegen'd [[graft.functions.ProjectVec]]).
+    */
+  def project(v: Array[Float], m: Array[Array[Float]]): Array[Float] =
+    m.map { row =>
+      var dot = 0.0; var i = 0
+      val n = math.min(v.length, row.length)
+      while (i < n) { dot += v(i).toDouble * row(i); i += 1 }
+      dot.toFloat
+    }
+
+  /** ANN top-k via JL sign projection: rank ALL vectors by cosine in the
+    * `outDim`-dimensional projected space (a narrow codegen projection —
+    * `outDim` signed dots/row), exactly re-score the top `rerank` in the
+    * original space. Same two-stage `TakeOrderedAndProject` shape as
+    * [[sq8TopK]], trading quantization's bandwidth win for a DIMENSION win:
+    * at 100 TB the projected column is `outDim/dim` the bytes (16/64 = 4×
+    * here) and is meant to be PERSISTED next to the vectors — the candidate
+    * scan then reads only the narrow projection, exactly like probing an
+    * SQ8 code column, and composes with IVF partition pruning.
+    */
+  def projectedTopK(df: DataFrame, idCol: String, vecCol: String,
+                    query: Array[Float], k: Int, outDim: Int = 16,
+                    rerank: Int = 40, seed: Long = 42L): DataFrame = {
+    val mat = signProjection(outDim, query.length, seed)
+    val qp = project(query, mat)
+    val vec = col(vecCol)
+    val cands = df
+      .select(col(idCol).cast("long").as(idCol), vec,
+        graft.functions.CdcExpressions.projectVec(vec, mat).as("__p"))
+      .select(col(idCol), vec,
+        graft.functions.CdcExpressions.cosineSim(col("__p"), lit(qp)).as("__pcos"))
+      .orderBy(col("__pcos").desc, col(idCol)).limit(rerank)
+    cands.select(col(idCol), cosineCol(vec, query).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .select(col(idCol))
+  }
+
   // ---------- hyperplane LSH (the ANN scale path) ----------
 
   /** Deterministic pseudo-random hyperplanes (gaussian-ish via sum of mixes). */

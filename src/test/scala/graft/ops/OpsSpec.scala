@@ -452,6 +452,42 @@ class SimilaritySpec extends SparkSpec {
     // 4x-rerank window recovers the exact top-k ordering
     assert(sq8 === brute)
   }
+
+  test("projectedTopK: JL re-rank recovers the brute-force top-k") {
+    val dim = 32
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 31 + d) % 1000) / 1000.0f)))
+    }
+    val query = vecs(7)._2
+    val df = vecs.toDF("id", "v")
+    val proj = Similarity.projectedTopK(df, "id", "v", query, k = 10,
+        outDim = 12, rerank = 60)
+      .as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(proj.head === 7L) // the planted identical vector survives projection
+    // approximate stage: a 6x-rerank window at 12 dims must carry most of
+    // the true top-10 (JL distortion loses the odd boundary id, not the set)
+    assert(proj.toSet.intersect(brute.toSet).size >= 8, s"$proj vs $brute")
+    // with the rerank window covering every row, the exact re-score IS
+    // brute force — the approximate stage must only reorder, never drop
+    val full = Similarity.projectedTopK(df, "id", "v", query, k = 10,
+        outDim = 12, rerank = 200)
+      .as[Long].collect().toSeq
+    assert(full === brute)
+  }
+
+  test("signProjection is deterministic; project matches the codegen expression") {
+    val m1 = Similarity.signProjection(8, 16, 42L)
+    val m2 = Similarity.signProjection(8, 16, 42L)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(f => f == 1.0f || f == -1.0f))
+    val v = Array.tabulate(16)(i => (i * 0.37f) - 2f)
+    val viaExpr = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.CdcExpressions.projectVec(col("v"), m1).as("p"))
+      .as[Seq[Float]].head()
+    assert(viaExpr === Similarity.project(v, m1).toSeq)
+  }
 }
 
 class IvfSpec extends SparkSpec {
