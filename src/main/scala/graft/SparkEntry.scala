@@ -1272,6 +1272,16 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_mix_temperature" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // temperature mixing (mC4/mT5): surviving language mix follows
+      // n^alpha — alpha=0.5 halves the log-gap between high- and
+      // low-resource languages; derived decision table, md5 thresholds
+      graft.ops.Sampling.temperatureRebalance(t(dir, "documents"),
+          key = col("doc_id"), stratum = col("lang"), alpha = 0.5)
+        .select("doc_id", "lang")
+    },
+
     "q_corpus_assembly" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the full corpus-assembly chain in one query: exact-dedup survivors →
@@ -1961,6 +1971,25 @@ object SparkEntry {
         |rates AS (
         |  SELECT c.s, round(least(1.0, w.wt * b.t / c.n) * 65536) AS thr
         |  FROM cnt c JOIN w USING (s) CROSS JOIN budget b)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r ON r.s = d.lang
+        |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
+        |  ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
+        |  END""".stripMargin,
+
+    // temperature mixing: q_d ∝ n_d^0.5 derived from observed counts; Z is
+    // folded in stratum-sorted order (the engine's fixed accumulation
+    // order), then the same budget/rate/threshold math as q_mix_rebalance
+    "q_mix_temperature" ->
+      """WITH cnt AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n
+        |            FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |z AS (SELECT list_reduce(list_prepend(0.0, list(pow(n, 0.5) ORDER BY s)),
+        |             (a, x) -> a + x) AS z FROM cnt),
+        |w AS (SELECT s, n, pow(n, 0.5) / z.z AS wt FROM cnt, z),
+        |budget AS (SELECT min(n / wt) AS t FROM w),
+        |rates AS (
+        |  SELECT w.s, round(least(1.0, w.wt * b.t / w.n) * 65536) AS thr
+        |  FROM w CROSS JOIN budget b)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN rates r ON r.s = d.lang
         |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE

@@ -125,6 +125,37 @@ object Sampling {
     when(key.isNull, lit(null).cast("string")).otherwise(banded)
   }
 
+  /** Temperature-scaled mixture rebalancing — the low-resource-upweighting
+    * mixing rule of multilingual/multi-domain pretraining (mC4/mT5,
+    * Xue et al. 2021): the surviving mix follows `q_d ∝ n_d^α` (α = 1/T;
+    * α = 1 keeps the natural mix, α → 0 approaches uniform), instead of
+    * [[rebalance]]'s externally-specified target weights. The target is
+    * DERIVED from the observed counts, then applied with the same
+    * keep-the-binding-stratum budget math and [[keep]]'s deterministic md5
+    * thresholds. Rows with a NULL stratum are dropped and excluded from the
+    * mix computation (no stratum, no mixing claim).
+    *
+    * Same scale shape as [[rebalance]]: one bounded driver collect (a row
+    * per stratum) and a narrow codegen'd filter — scan-bound at 100 TB.
+    */
+  def temperatureRebalance(df: DataFrame, key: Column, stratum: Column,
+                           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    // stratum-sorted so the double sum for Z has one fixed order — the
+    // decision table must not depend on hash-map iteration order
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("__stratum")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "no non-null stratum present in the data")
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val weights = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, alpha) / z }.toMap
+    val budget = counts.map { case (s, n) => n / weights(s) }.min
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, weights(s) * budget / n) }.toMap
+    stratified(df, key, stratum, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic global shuffle — the epoch-shuffle stage of a training
     * pipeline: rows ordered by `xxhash64(key)`, with `shuffle_pos` the exact
     * 0-based rank in that order. Reproducible across runs, engines, and

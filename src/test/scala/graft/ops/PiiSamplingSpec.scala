@@ -125,4 +125,31 @@ class SamplingSpec extends SparkSpec {
     val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byS === Map("a" -> 2000L)) // junk dropped, a kept whole
   }
+
+  test("temperatureRebalance: alpha=1 keeps the natural mix whole") {
+    val df = ids.withColumn("s", when(col("id") < 2000, "a").otherwise("b"))
+    // q_d = n_d / N: every stratum is binding, all rates are exactly 1
+    assert(Sampling.temperatureRebalance(df, col("id"), col("s"), alpha = 1.0)
+      .count() === 10000L)
+  }
+
+  test("temperatureRebalance: alpha<1 upweights the low-resource stratum") {
+    // a:1000, b:9000; alpha=.5 → q ∝ (√1000, √9000) = 1:3 — a is binding
+    // and kept whole, b downsamples to 3x a's share (3000), not 9x
+    val df = ids.withColumn("s", when(col("id") < 1000, "a").otherwise("b"))
+    val out = Sampling.temperatureRebalance(df, col("id"), col("s"), alpha = 0.5)
+    val byS = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("a") === 1000)
+    assert(math.abs(byS("b") - 3000.0) < 250, byS) // ±4σ of binomial(9000, 1/3)
+    // deterministic under re-partitioning
+    assert(out.count() ===
+      Sampling.temperatureRebalance(df.repartition(13), col("id"), col("s"), 0.5).count())
+  }
+
+  test("temperatureRebalance drops NULL-stratum rows and excludes them from the mix") {
+    val df = ids.withColumn("s", when(col("id") < 2000, "a")
+      .when(col("id") < 4000, lit(null).cast("string")).otherwise("b"))
+    val out = Sampling.temperatureRebalance(df, col("id"), col("s"), alpha = 0.5)
+    assert(out.where(col("s").isNull).count() === 0L)
+  }
 }
