@@ -126,6 +126,24 @@ SELECT vec_id FROM cand, qv
 ORDER BY """ + cos(64, "embedding", "q") + """ DESC, vec_id LIMIT 10
 """
 
+  /** Morton z-value layout key — [[graft.ops.Layout.zValue2]]: the same
+    * shift-or-mask spread pyramid in BIGINT arithmetic (identical masks,
+    * identical shifts — pure integer math, exact in any engine).
+    */
+  val zorderLayout: String = """
+CREATE OR REPLACE MACRO g_sp0(v) AS v & 65535;
+CREATE OR REPLACE MACRO g_sp1(x) AS (x | (x << 8)) & 16711935;
+CREATE OR REPLACE MACRO g_sp2(x) AS (x | (x << 4)) & 252645135;
+CREATE OR REPLACE MACRO g_sp3(x) AS (x | (x << 2)) & 858993459;
+CREATE OR REPLACE MACRO g_sp4(x) AS (x | (x << 1)) & 1431655765;
+CREATE OR REPLACE MACRO g_spread2(v) AS g_sp4(g_sp3(g_sp2(g_sp1(g_sp0(v)))));
+SELECT o_orderkey,
+       g_spread2(CAST(o_custkey AS BIGINT))
+       | (g_spread2(CAST(date_diff('day', DATE '1992-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT)) << 1) AS zval
+FROM orders
+"""
+
   /** Multimodal stub decode: FNV-1a over the synthetic payload bytes, then
     * the width/height extraction of [[graft.ops.Multimodal.stubDecodeImage]].
     */

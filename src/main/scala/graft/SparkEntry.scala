@@ -1282,6 +1282,16 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_zorder_layout" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // z-order layout key: Morton-interleave (custkey, order-day) so a
+      // range-partitioned write prunes on BOTH dimensions; pure codegen
+      // integer projection (the clustering itself is zOrderBy2, spec'd)
+      t(dir, "orders").select(col("o_orderkey"),
+        graft.ops.Layout.zValue2(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01"))).as("zval"))
+    },
+
     "q_corpus_assembly" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the full corpus-assembly chain in one query: exact-dedup survivors →
@@ -2229,6 +2239,7 @@ object SparkEntry {
     "q_dsir_select" -> OracleHashSql.dsirSelect,
     "q_lm_head" -> OracleHashSql.lmHead,
     "q_quality_model" -> OracleHashSql.qualityModel,
+    "q_zorder_layout" -> OracleHashSql.zorderLayout,
 
     "q_chunk_text" ->
       """WITH base AS (

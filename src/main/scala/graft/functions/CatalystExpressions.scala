@@ -118,6 +118,20 @@ object CdcExprHelpers {
     if (hasNullElement(v)) null
     else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
 
+  /** Binary-search bucket index: the number of `bounds` ≤ v (bounds
+    * ascending) — `width_bucket` over arbitrary quantile bounds, the
+    * assignment half of [[graft.ops.Layout.rankBucket]].
+    */
+  def rangeBucket(v: Double, bounds: Array[Double]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Sign random projection: out(j) = Σ_i v(i)·m(j)(i) accumulated in
     * double ascending-i order, cast to float — cosine is scale-invariant,
     * so the JL 1/√k normalizer is deliberately omitted. Null on null
@@ -391,6 +405,28 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `RANGE_BUCKET(v)` with bound quantile bounds — `width_bucket` over an
+  * arbitrary ascending bounds table as a codegen'd binary search (the
+  * assignment half of [[graft.ops.Layout.rankBucket]]; bounds ship as a
+  * plan reference object, one double per bucket).
+  */
+case class RangeBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires DOUBLE, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.rangeBucket(input.asInstanceOf[Double], bounds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.rangeBucket($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RangeBucket =
+    copy(child = newChild)
+  override def prettyName: String = "range_bucket"
+}
+
 /** `PROJECT_VEC(vec)` with a bound sign matrix — Johnson-Lindenstrauss
   * dimensionality reduction as a codegen'd call over the columnar scan
   * ([[graft.ops.Similarity.projectedTopK]]): `out_dim` signed dots per
@@ -531,6 +567,8 @@ object CdcExpressions {
     GraftBridge.column(BucketWeightSum(GraftBridge.expression(buckets), weights))
   def projectVec(vec: Column, matrix: Array[Array[Float]]): Column =
     GraftBridge.column(ProjectVec(GraftBridge.expression(vec), matrix))
+  def rangeBucket(v: Column, bounds: Array[Double]): Column =
+    GraftBridge.column(RangeBucket(GraftBridge.expression(v), bounds))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

@@ -779,6 +779,55 @@ class LmScoreSpec extends SparkSpec {
   }
 }
 
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits: a at even positions, b at odd") {
+    def slowZ(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (10, 6), (65535, 0), (0, 65535),
+      (12345, 54321), (65535, 65535))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z")).as[Long].collect().toSeq
+    assert(got === cases.map { case (a, b) => slowZ(a, b) })
+  }
+
+  test("zOrderBy2 yields disjoint sorted z-ranges per output slice") {
+    val df = (0 until 4000).map { i =>
+      (i.toLong, Dedup.mix64(i.toLong).toInt & 0x3FF, Dedup.mix64(i + 7777L).toInt & 0x3FF)
+    }.toDF("id", "x", "y")
+    val laid = Layout.zOrderBy2(df, col("x"), col("y"), numFiles = 8)
+    // recompute z with the slice id: ranges must not overlap — that
+    // disjointness is exactly what makes file-level min/max pruning work
+    val ranges = laid
+      .select(spark_partition_id().as("p"), Layout.zValue2(col("x"), col("y")).as("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo").as[(Int, Long, Long)].collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping slices: $a vs $b")
+    }
+    assert(laid.count() === 4000) // clustering reorders, never drops
+  }
+
+  test("rankBucket uniformizes a skewed dimension; assignment is monotone") {
+    // exponential-ish skew: raw low-16-bit use would waste most z-bits
+    val df = (0 until 3000).map(i => Tuple1(math.pow(1.003, i))).toDF("v")
+    val b = Layout.rankBucket(df, col("v"), buckets = 16)
+    val counts = df.select(b.as("b")).groupBy("b").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.keys.min >= 0 && counts.keys.max <= 15)
+    // every bucket populated and no bucket hogs the distribution
+    assert(counts.size === 16, counts)
+    assert(counts.values.max <= 2L * counts.values.min, counts)
+    // monotone: bucket of a larger value never decreases
+    val pairs = df.select(col("v"), b.as("b")).orderBy("v").as[(Double, Int)].collect()
+    pairs.sliding(2).foreach { case Array((_, b1), (_, b2)) => assert(b1 <= b2) }
+  }
+}
+
 class QualityModelSpec extends SparkSpec {
   import spark.implicits._
 
