@@ -118,6 +118,19 @@ object CdcExprHelpers {
     if (hasNullElement(v)) null
     else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
 
+  /** Mean-weight logit in one pass: `bias + (Σ weights(b)) / n` over the
+    * bucket array in array order; null (boxed) on an empty array — no
+    * features, no logit.
+    */
+  def bucketLogit(a: ArrayData, weights: Array[Double], bias: Double): java.lang.Double = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += weights(a.getInt(i)); i += 1 }
+    java.lang.Double.valueOf(bias + s / n)
+  }
+
   /** Binary-search bucket index: the number of `bounds` ≤ v (bounds
     * ascending) — `width_bucket` over arbitrary quantile bounds, the
     * assignment half of [[graft.ops.Layout.rankBucket]].
@@ -405,6 +418,40 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `BUCKET_LOGIT(buckets)` — [[BucketWeightSum]] fused with the mean and
+  * bias into ONE codegen'd call, so a filter predicate referencing the
+  * logit evaluates the (expensive) featurize-and-sort child exactly once:
+  * Catalyst's predicate pushdown textually duplicates a projected column
+  * into filters, and `bias + sum(arr)/size(arr)` would otherwise evaluate
+  * `arr` twice per row ([[graft.ops.QualityModel.filter]]'s hot path).
+  * Null on an empty array (no features, no decision — the `>=` comparison
+  * then yields null and the row drops).
+  */
+case class BucketLogit(child: Expression, weights: Array[Double], bias: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<INT>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // null input, or empty array
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.bucketLogit(input.asInstanceOf[ArrayData], weights, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refW = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("logit")
+      s"""java.lang.Double $boxed = graft.functions.CdcExprHelpers.bucketLogit($c, $refW, $bias);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): BucketLogit =
+    copy(child = newChild)
+  override def prettyName: String = "bucket_logit"
+}
+
 /** `RANGE_BUCKET(v)` with bound quantile bounds — `width_bucket` over an
   * arbitrary ascending bounds table as a codegen'd binary search (the
   * assignment half of [[graft.ops.Layout.rankBucket]]; bounds ship as a
@@ -569,6 +616,8 @@ object CdcExpressions {
     GraftBridge.column(ProjectVec(GraftBridge.expression(vec), matrix))
   def rangeBucket(v: Column, bounds: Array[Double]): Column =
     GraftBridge.column(RangeBucket(GraftBridge.expression(v), bounds))
+  def bucketLogit(buckets: Column, weights: Array[Double], bias: Double): Column =
+    GraftBridge.column(BucketLogit(GraftBridge.expression(buckets), weights, bias))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

@@ -68,8 +68,11 @@ object QualityModel {
   def logits(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
     val arr = array_sort(CdcExpressions.ngramBuckets(
       col(textCol), model.maxN, model.buckets))
-    docs.select(col(idCol), arr.as("bs"))
-      .where(size(col("bs")) > 0)
+    // emptiness gate as a cheap regex on the RAW text (a word char exists
+    // iff the tokenizer emits a gram): `size(bs) > 0` would be pushed
+    // below the projection and duplicate the featurize+sort tree per row
+    docs.where(col(textCol).rlike("\\w"))
+      .select(col(idCol), arr.as("bs"))
       .select(col(idCol), size(col("bs")).cast("long").as("n_grams"),
         (lit(model.bias) + CdcExpressions.bucketWeightSum(col("bs"), model.weights) /
           size(col("bs")).cast("double")).as("logit"))
@@ -92,13 +95,11 @@ object QualityModel {
              minScore: Double = 0.5): DataFrame = {
     require(minScore > 0 && minScore < 1, s"minScore must be in (0,1): $minScore")
     val minLogit = math.log(minScore / (1.0 - minScore))
-    // single scan: the featurize+fold predicate runs inline — no join back
-    val arr = array_sort(CdcExpressions.ngramBuckets(
-      col(textCol), model.maxN, model.buckets))
-    docs.withColumn("__bs", arr)
-      .where(size(col("__bs")) > 0 &&
-        lit(model.bias) + CdcExpressions.bucketWeightSum(col("__bs"), model.weights) /
-          size(col("__bs")).cast("double") >= lit(minLogit))
-      .drop("__bs")
+    // single scan, single evaluation: the fused BUCKET_LOGIT call computes
+    // featurize→sort→fold→mean once per row inside the filter (null on no
+    // features → the comparison is null → dropped)
+    docs.where(CdcExpressions.bucketLogit(
+      array_sort(CdcExpressions.ngramBuckets(col(textCol), model.maxN, model.buckets)),
+      model.weights, model.bias) >= lit(minLogit))
   }
 }
