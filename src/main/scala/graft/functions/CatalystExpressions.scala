@@ -118,6 +118,27 @@ object CdcExprHelpers {
     if (hasNullElement(v)) null
     else Long.box(graft.ops.Similarity.planeSignature(v.toFloatArray(), planes))
 
+  /** One-tokenization bigram featurize for the hashed conditional LM
+    * ([[graft.ops.LmScore]]): for each bigram occurrence, the context
+    * unigram's bucket and the bigram's bucket PACKED as `b1<<32 | b12`
+    * (buckets ≤ 65536 « 2^31, so both halves are exact) — a Column-level
+    * `zip_with(slice(uni,…,size(bi)), bi, …)` would tokenize the text three
+    * times per row (bi appears twice, uni once).
+    */
+  def bigramPairBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val toks = s.toString.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val n = math.max(0, toks.length - 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val b1 = ((Dedup.hash64(toks(i)) % buckets) + buckets) % buckets
+      val b12 = ((Dedup.hash64(toks(i) + " " + toks(i + 1)) % buckets) + buckets) % buckets
+      out(i) = (b1 << 32) | b12
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Mean-weight logit in one pass: `bias + (Σ weights(b)) / n` over the
     * bucket array in array order; null (boxed) on an empty array — no
     * features, no logit.
@@ -418,6 +439,27 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `BIGRAM_PAIR_BUCKETS(text)` — the LM featurizer as one codegen'd call:
+  * packed (context-unigram bucket, bigram bucket) pairs, ONE tokenization
+  * per row (see [[CdcExprHelpers.bigramPairBuckets]]).
+  */
+case class BigramPairBuckets(child: Expression, buckets: Int = 65536)
+    extends UnaryExpression {
+  require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2, 65536]: $buckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.bigramPairBuckets(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.bigramPairBuckets($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): BigramPairBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_pair_buckets"
+}
+
 /** `BUCKET_LOGIT(buckets)` — [[BucketWeightSum]] fused with the mean and
   * bias into ONE codegen'd call, so a filter predicate referencing the
   * logit evaluates the (expensive) featurize-and-sort child exactly once:
@@ -618,6 +660,8 @@ object CdcExpressions {
     GraftBridge.column(RangeBucket(GraftBridge.expression(v), bounds))
   def bucketLogit(buckets: Column, weights: Array[Double], bias: Double): Column =
     GraftBridge.column(BucketLogit(GraftBridge.expression(buckets), weights, bias))
+  def bigramPairBuckets(text: Column, buckets: Int): Column =
+    GraftBridge.column(BigramPairBuckets(GraftBridge.expression(text), buckets))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

@@ -34,16 +34,15 @@ object LmScore {
     * left token of bigram i). Docs with fewer than two tokens emit nothing.
     */
   def featurize(df: DataFrame, idCol: String, textCol: String,
-                buckets: Int): DataFrame = {
-    val uni = CdcExpressions.ngramBucketsRange(col(textCol), 1, 1, buckets)
-    val bi = CdcExpressions.ngramBucketsRange(col(textCol), 2, 2, buckets)
-    // zip the unigram prefix with the bigram array: slice's length-0 edge
-    // (one-token doc) yields an empty zip, not a malformed sequence
+                buckets: Int): DataFrame =
+    // one codegen'd call, ONE tokenization per row (a zip_with over two
+    // NgramBuckets arrays would tokenize three times); pairs unpack from
+    // the packed long with exact integer arithmetic
     df.select(col(idCol),
-        explode(zip_with(slice(uni, lit(1), size(bi)), bi,
-          (a, b) => struct(a.as("b1"), b.as("b12")))).as("p"))
-      .select(col(idCol), col("p.b1").as("b1"), col("p.b12").as("b12"))
-  }
+        explode(CdcExpressions.bigramPairBuckets(col(textCol), buckets)).as("p"))
+      .select(col(idCol),
+        shiftright(col("p"), 32).cast("int").as("b1"),
+        col("p").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("b12"))
 
   /** Fitted hashed bigram LM: per-bucket context (`c1`) and bigram (`c2`)
     * counts — each at most `buckets` rows, broadcast at score time.
