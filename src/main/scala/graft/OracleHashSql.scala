@@ -592,6 +592,83 @@ qsrc AS (SELECT 0 AS qid, '$chunkQueryText' AS qt),""" +
         finalSelect = "c.chunk_id // 1048576 AS doc_id, c.chunk_id % 1048576 AS chunk_ix")
   }
 
+  /** Product-quantization ADC top-k — [[graft.ops.Pq.topK]] end to end:
+    * per-subspace 2-iteration L2 k-means (same xxhash64 seeding rows as the
+    * IVF oracle, sliced per subspace), final argmin-L2 encoding, the
+    * query's ADC table as per-centroid dots, the approximate score as the
+    * ascending-j lookup sum, exact cosine re-rank of the top 40. The whole
+    * 8-subspace chain is GENERATED so engine and oracle cannot drift.
+    */
+  val embedPqTopk: String = {
+    val m = 8; val ds = 8; val k = 16
+    def lo(j: Int): Int = j * ds + 1
+    // squared-L2 of the j-th slice of full vector `a` against ds-dim list
+    // `c`, diff*diff like the engine loop (NOT pow)
+    def l2(j: Int, a: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, $ds), t -> " +
+        s"(CAST($a[${lo(j)} + t - 1] AS DOUBLE) - CAST($c[t] AS DOUBLE)) * " +
+        s"(CAST($a[${lo(j)} + t - 1] AS DOUBLE) - CAST($c[t] AS DOUBLE))))"
+    def qdot(j: Int, c: String): String =
+      s"list_sum(list_transform(generate_series(1, $ds), t -> " +
+        s"CAST(q[${lo(j)} + t - 1] AS DOUBLE) * CAST($c[t] AS DOUBLE)))"
+    def asg(j: Int, name: String, cents: String): String = s"""
+$name AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${l2(j, "e.embedding", "c.c")} ASC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)"""
+    def mean(j: Int, name: String, from: String): String = s"""
+$name AS (
+  SELECT a.cid, i.i AS i, avg(CAST(e.embedding[${lo(j)} + i.i - 1] AS DOUBLE)) AS mn
+  FROM $from a JOIN embeddings e USING (vec_id)
+  CROSS JOIN generate_series(1, $ds) i(i) GROUP BY a.cid, i.i)"""
+    def cent(name: String, prev: String, means: String): String = s"""
+$name AS (
+  SELECT p.cid, coalesce(n.c2, p.c) AS c
+  FROM $prev p LEFT JOIN (
+    SELECT cid, list(CAST(mn AS REAL) ORDER BY i) AS c2 FROM $means GROUP BY cid) n
+  USING (cid))"""
+    val chains = (0 until m).map { j =>
+      s"""
+seed_$j AS (SELECT cid, c[${lo(j)}:${lo(j) + ds - 1}] AS c FROM seeds),""" +
+        asg(j, s"asg1_$j", s"seed_$j") + "," +
+        mean(j, s"mean1_$j", s"asg1_$j") + "," +
+        cent(s"cent1_$j", s"seed_$j", s"mean1_$j") + "," +
+        asg(j, s"asg2_$j", s"cent1_$j") + "," +
+        mean(j, s"mean2_$j", s"asg2_$j") + "," +
+        cent(s"cent2_$j", s"cent1_$j", s"mean2_$j") + "," + s"""
+enc_$j AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${l2(j, "e.embedding", "c.c")} ASC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2_$j c) WHERE rn = 1),
+adc_$j AS (SELECT c.cid, ${qdot(j, "c.c")} AS d FROM cent2_$j c, qv)"""
+    }.mkString(",")
+    val joins = (1 until m).map(j =>
+      s"JOIN enc_$j e$j ON e$j.vec_id = e0.vec_id JOIN adc_$j a$j ON a$j.cid = e$j.code")
+      .mkString("\n    ")
+    val sum = (1 until m).foldLeft("a0.d") { (acc, j) => s"($acc + a$j.d)" }
+    prelude + "WITH " + xxhashCte("embeddings", "vec_id") + s""",
+seeds AS (
+  SELECT row_number() OVER (ORDER BY g_tosigned(x.h)) - 1 AS cid,
+         e.embedding AS c
+  FROM xxh x JOIN embeddings e USING (vec_id)
+  ORDER BY g_tosigned(x.h) LIMIT $k),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),""" + chains + s""",
+approx AS (
+  SELECT e0.vec_id, $sum AS ap
+  FROM enc_0 e0 JOIN adc_0 a0 ON a0.cid = e0.code
+    $joins),
+cand AS (
+  SELECT a.vec_id, e.embedding FROM approx a JOIN embeddings e USING (vec_id)
+  ORDER BY a.ap DESC, a.vec_id LIMIT 40)
+SELECT vec_id FROM cand, qv
+ORDER BY """ + cos(64, "embedding", "q") + """ DESC, vec_id LIMIT 10
+"""
+  }
+
   /** DSIR importance-resampling selection — [[graft.ops.Dsir.select]] end
     * to end: hashed unigram+bigram buckets (`g_mix64(g_fnv64(gram)) pmod
     * 4096` ≡ the engine's `NgramBuckets`), target (lang='en') vs raw

@@ -977,6 +977,18 @@ object SparkEntry {
       Similarity.sq8TopK(emb, "vec_id", "embedding", query, k = 10, rerank = 40)
     },
 
+    "q_embed_pq_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // product-quantization ADC: 8 subspace codebooks, codes packed into
+      // one int64 (32x less candidate-scan bandwidth than floats), m-lookup
+      // approximate dot, exact cosine re-rank of the top 40
+      val emb = t(dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val model = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      graft.ops.Pq.topK(emb, "vec_id", "embedding", model, query, k = 10, rerank = 40)
+    },
+
     "q_embed_project_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // JL sign-projection ANN: rank in 16-dim projected space (4x fewer
@@ -2232,6 +2244,7 @@ object SparkEntry {
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,
+    "q_embed_pq_topk" -> OracleHashSql.embedPqTopk,
     "q_cluster_balance" -> OracleHashSql.clusterBalance,
     "q_embed_ivfsq_topk" -> OracleHashSql.embedIvfSq8Topk,
     "q_embed_ivfsq_incremental" -> OracleHashSql.embedIvfSq8Incremental,

@@ -139,6 +139,37 @@ object CdcExprHelpers {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** PQ encode: per subspace, the argmin-L2 centroid index, packed 4 bits
+    * per code (`Σ code_j << 4j`). Null on null elements.
+    */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Float]]]): java.lang.Long = {
+    if (hasNullElement(v)) return null
+    val arr = v.toFloatArray()
+    val m = books.length
+    val ds = arr.length / m
+    var packed = 0L
+    var j = 0
+    while (j < m) {
+      val sub = java.util.Arrays.copyOfRange(arr, j * ds, (j + 1) * ds)
+      packed |= graft.ops.Pq.argminL2(sub, books(j)).toLong << (4 * j)
+      j += 1
+    }
+    Long.box(packed)
+  }
+
+  /** ADC approximate dot: `Σ_j table(j·k + code_j)` over the packed codes,
+    * ascending j (pinned fold order).
+    */
+  def pqAdcDot(packed: Long, table: Array[Double], m: Int, k: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += table(j * k + ((packed >>> (4 * j)) & 0xFL).toInt)
+      j += 1
+    }
+    s
+  }
+
   /** Mean-weight logit in one pass: `bias + (Σ weights(b)) / n` over the
     * bucket array in array order; null (boxed) on an empty array — no
     * features, no logit.
@@ -439,6 +470,57 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `PQ_ENCODE(vec)` with bound codebooks — product-quantization encoding
+  * as a codegen'd call over the columnar scan ([[graft.ops.Pq]]): m argmin-
+  * L2 searches per vector, codes packed into one int64 (32× smaller than
+  * the floats when persisted). Codebooks ride as a plan reference object
+  * (m × k × ds floats).
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null input, or null vector elements
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.pqEncode(input.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("codes")
+      s"""java.lang.Long $boxed = graft.functions.CdcExprHelpers.pqEncode($c, $ref);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `PQ_ADC_DOT(codes)` with a bound query table — the asymmetric-distance
+  * ranking loop: m table lookups per row, table as a plan reference
+  * (m × k doubles).
+  */
+case class PqAdcDot(child: Expression, table: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.pqAdcDot(input.asInstanceOf[Long], table, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("table", table, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.pqAdcDot($c, $ref, $m, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDot =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc_dot"
+}
+
 /** `BIGRAM_PAIR_BUCKETS(text)` — the LM featurizer as one codegen'd call:
   * packed (context-unigram bucket, bigram bucket) pairs, ONE tokenization
   * per row (see [[CdcExprHelpers.bigramPairBuckets]]).
@@ -662,6 +744,10 @@ object CdcExpressions {
     GraftBridge.column(BucketLogit(GraftBridge.expression(buckets), weights, bias))
   def bigramPairBuckets(text: Column, buckets: Int): Column =
     GraftBridge.column(BigramPairBuckets(GraftBridge.expression(text), buckets))
+  def pqEncode(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), books))
+  def pqAdcDot(codes: Column, table: Array[Double], m: Int, k: Int): Column =
+    GraftBridge.column(PqAdcDot(GraftBridge.expression(codes), table, m, k))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =

@@ -477,6 +477,55 @@ class SimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("pq topK: planted duplicate first; full-rerank equals brute force; codes pack 4 bits") {
+    val dim = 32
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 31 + d) % 1000) / 1000.0f)))
+    }
+    val query = vecs(7)._2
+    val df = vecs.toDF("id", "v")
+    val model = Pq.train(df, "id", "v", m = 4, k = 16, iters = 2)
+    assert(model.m === 4 && model.k === 16 && model.ds === 8)
+    val pq = Pq.topK(df, "id", "v", model, query, k = 10, rerank = 60)
+      .as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, "id", "v", query, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(pq.head === 7L) // the planted identical vector wins ADC + re-rank
+    assert(pq.toSet.intersect(brute.toSet).size >= 7, s"$pq vs $brute")
+    // rerank window covering every row: the exact re-score IS brute force
+    val full = Pq.topK(df, "id", "v", model, query, k = 10, rerank = 200)
+      .as[Long].collect().toSeq
+    assert(full === brute)
+    // codes honor the 4-bit packing: every nibble below k
+    val codes = Pq.encode(df, "id", "v", model).select("codes").as[Long].collect()
+    assert(codes.forall(c => (0 until 4).forall(j => ((c >>> (4 * j)) & 0xFL) < 16)))
+    // training is deterministic (fixed seeding + fixed iteration count)
+    val model2 = Pq.train(df.repartition(7), "id", "v", m = 4, k = 16, iters = 2)
+    assert(model.codebooks.flatten.map(_.toSeq).toSeq ===
+      model2.codebooks.flatten.map(_.toSeq).toSeq)
+  }
+
+  test("pq adcTable approximates the true dot within quantization error") {
+    val dim = 32
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((Dedup.mix64(i.toLong * 17 + d) % 1000) / 1000.0f)))
+    }
+    val df = vecs.toDF("id", "v")
+    val model = Pq.train(df, "id", "v", m = 4, k = 16, iters = 2)
+    val query = vecs(3)._2
+    val table = model.adcTable(query)
+    val approx = Pq.encode(df, "id", "v", model)
+      .select(col("id"), graft.functions.CdcExpressions
+        .pqAdcDot(col("codes"), table, model.m, model.k).as("a"))
+      .as[(Long, Double)].collect().toMap
+    val exactDots = vecs.map { case (id, v) =>
+      id -> v.zip(query).map { case (a, b) => a.toDouble * b }.sum }.toMap
+    // mean absolute ADC error small relative to the dot magnitudes
+    val errs = vecs.map { case (id, _) => math.abs(approx(id) - exactDots(id)) }
+    val scale = exactDots.values.map(math.abs).max
+    assert(errs.sum / errs.size < 0.15 * scale, s"mean err ${errs.sum / errs.size} vs $scale")
+  }
+
   test("signProjection is deterministic; project matches the codegen expression") {
     val m1 = Similarity.signProjection(8, 16, 42L)
     val m2 = Similarity.signProjection(8, 16, 42L)
