@@ -37,7 +37,6 @@ object Cli {
       .appName(p.name)
       .config("spark.sql.shuffle.partitions", math.max(p.parallelism, cpus.toInt))
       .config("spark.sql.session.timeZone", p.localTimeZone)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

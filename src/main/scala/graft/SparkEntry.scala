@@ -144,6 +144,31 @@ object SparkEntry {
       idxDir
     })
 
+  /** Schema-tolerant events accessor. The driver regenerates
+    * `/root/testdata` between rounds and the physical encoding of `ts` has
+    * already drifted once (parquet `timestamp[ns]`, bound as BIGINT nanos
+    * under the legacy reader flag, → `timestamp[us]`, bound as
+    * TIMESTAMP_NTZ). Branch on the BOUND dtype and yield the table with one
+    * canonical BIGINT `ts_us` column (µs since epoch) so every event-time
+    * query does exact integer µs math — the same value DuckDB's
+    * `epoch_us(ts)` computes on the oracle side — and none depends on the
+    * physical encoding or a legacy reader flag. NTZ wall-clock equals the
+    * UTC instant because every entrypoint builder pins
+    * `spark.sql.session.timeZone=UTC`.
+    */
+  private def events(dir: String)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType             => expr("ts DIV 1000") // legacy nanos-as-long
+      case TimestampNTZType     => unix_micros(col("ts").cast(TimestampType))
+      case _: TimestampType     => unix_micros(col("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts bound as unsupported type $other — teach SparkEntry.events the new encoding")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
+
   private def eventsChangelog(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     t(dir, "events").select(
@@ -358,10 +383,10 @@ object SparkEntry {
       // survivors' time values for DuckDB's independent time math to check
       implicit val s: SparkSession = spark
       val id = TableId.of("db", "events_time")
-      val ev = t(dir, "events").select(
+      val ev = events(dir).select(
         col("user_id"),
-        expr("CAST(((ts DIV 1000) % 86400000000) DIV 1000 AS INT)").as("t_time"),
-        expr("TIMESTAMP_MICROS(ts DIV 1000)").as("t_tz"),
+        expr("CAST((ts_us % 86400000000) DIV 1000 AS INT)").as("t_time"),
+        expr("TIMESTAMP_MICROS(ts_us)").as("t_tz"),
         lit("REPLACE").as(Changelog.OpCol),
         col("event_id").as(Changelog.SeqCol))
       val json = graft.sinks.ChangelogJson.debezium(ev, id)
@@ -384,10 +409,10 @@ object SparkEntry {
       import graft.model.ZonedTime
       val id = TableId.of("db", "events_ztz")
       val zones = array(lit("Z"), lit("+05:30"), lit("-08:00"), lit("+01:00"))
-      val ev = t(dir, "events").select(
+      val ev = events(dir).select(
         col("user_id"),
         ZonedTime.render(
-          expr("TIMESTAMP_MICROS(ts DIV 1000)"),
+          expr("TIMESTAMP_MICROS(ts_us)"),
           element_at(zones, (pmod(col("user_id"), lit(4)) + 1).cast("int"))).as("t_ztz"),
         lit("REPLACE").as(Changelog.OpCol),
         col("event_id").as(Changelog.SeqCol))
@@ -1209,11 +1234,11 @@ object SparkEntry {
 
     "q_window_agg" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
-      // tumbling 1h event-time window (ts read as epoch nanos); integer
-      // division keeps full precision — the batch shape of the streaming
+      // tumbling 1h event-time window over canonical µs; integer division
+      // keeps full precision — the batch shape of the streaming
       // `window(ts, "1 hour")` aggregation
-      t(dir, "events")
-        .selectExpr("ts DIV 3600000000000 AS hour_bucket", "event_type", "value")
+      events(dir)
+        .selectExpr("ts_us DIV 3600000000 AS hour_bucket", "event_type", "value")
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
@@ -1423,7 +1448,7 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       // key-less range join, binned: per purchase, platform-wide error count
       // in the preceding 5 minutes — hash join on bins, never a nested loop
-      val ev = t(dir, "events").selectExpr("event_id", "event_type", "ts DIV 1000 AS ts_us")
+      val ev = events(dir).selectExpr("event_id", "event_type", "ts_us")
       val purchases = ev.where(col("event_type") === "purchase").select("event_id", "ts_us")
       val errors = ev.where(col("event_type") === "error").select("event_id", "ts_us")
       RangeJoin.binned(purchases, errors, on = "ts_us",
@@ -1435,9 +1460,9 @@ object SparkEntry {
     "q_sessionize" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // session windows (1h inactivity gap) over the event stream — batch
-      // backfill shape of streaming session_window aggregation. Micros, not
-      // nanos: DuckDB truncates parquet TIMESTAMP(NANOS) to µs
-      Sessionize.sessions(t(dir, "events").selectExpr("user_id", "ts DIV 1000 AS ts"),
+      // backfill shape of streaming session_window aggregation, on the
+      // canonical µs column (DuckDB side is epoch_us)
+      Sessionize.sessions(events(dir).selectExpr("user_id", "ts_us AS ts"),
         key = "user_id", on = "ts", gap = 3600000000L)
     },
 
@@ -1445,8 +1470,8 @@ object SparkEntry {
     // Each drives the actual streaming engine (readStream file source,
     // watermarks, state store, Append-mode sealing) via StreamingNative's
     // sentinel-flush runs — not the batch shape of the operator. Event-time
-    // µs values ride in the TIMESTAMP ms slot (TIMESTAMP_MILLIS(ts DIV
-    // 1000)), so the engine's ms-granular event-time math (getTime,
+    // µs values ride in the TIMESTAMP ms slot (TIMESTAMP_MILLIS(ts_us)),
+    // so the engine's ms-granular event-time math (getTime,
     // watermark, gap) is EXACT integer µs math and cannot diverge from the
     // µs oracle by sub-ms truncation.
 
@@ -1456,7 +1481,7 @@ object SparkEntry {
       import graft.streaming.StreamingNative
       val base = java.nio.file.Files.createTempDirectory("graft-ssw").toString
       val in = s"$base/in"
-      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+      events(dir).select(col("user_id"), expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
         .write.parquet(in)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -1484,7 +1509,7 @@ object SparkEntry {
       import graft.streaming.StreamingNative
       val base = java.nio.file.Files.createTempDirectory("graft-sdd").toString
       val in = s"$base/in"
-      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+      events(dir).select(col("user_id"), expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
         .write.parquet(in)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -1510,7 +1535,7 @@ object SparkEntry {
       import graft.streaming.StreamingNative
       val base = java.nio.file.Files.createTempDirectory("graft-sfs").toString
       val in = s"$base/in"
-      t(dir, "events").select(col("user_id"), expr("TIMESTAMP_MILLIS(ts DIV 1000)").as("ts_t"))
+      events(dir).select(col("user_id"), expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
         .write.parquet(in)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -1544,8 +1569,8 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       // sliding event-time windows (2h width, 1h slide): every event lands
       // in exactly two epoch-aligned windows — Spark's native window()
-      t(dir, "events")
-        .selectExpr("timestamp_micros(ts DIV 1000) AS tts", "event_type", "value")
+      events(dir)
+        .selectExpr("timestamp_micros(ts_us) AS tts", "event_type", "value")
         .groupBy(window(col("tts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
         .select(unix_micros(col("window.start")).as("wstart"),
@@ -1922,7 +1947,7 @@ object SparkEntry {
     "q_quality_filter" -> qualityFilterOracleSql,
 
     "q_window_agg" ->
-      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |       count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Testdata drift guard. The driver regenerates `/root/testdata` between
+  * rounds and has already changed a physical encoding once (`events.ts`:
+  * parquet timestamp[ns] → timestamp[us]), which broke nine queries as nine
+  * scattered analysis errors. This spec pins the Spark-BOUND dtype of every
+  * column the 101 `SparkEntry.queries` assume, so a future regeneration
+  * surfaces as ONE loud, specific failure naming the drifted column.
+  *
+  * `events.ts` is intentionally looser: it asserts membership in the set of
+  * encodings `SparkEntry.events` adapts (BIGINT nanos / TIMESTAMP_NTZ /
+  * TIMESTAMP) — drift WITHIN that set is handled, drift OUTSIDE it fails
+  * both here and in the accessor's own IllegalStateException.
+  */
+class SchemaContractSpec extends SparkSpec {
+
+  private def bound(table: String): Map[String, DataType] =
+    spark.read.parquet(s"$sf/$table.parquet").schema
+      .fields.map(f => f.name -> f.dataType).toMap
+
+  private def assertTable(table: String, expect: (String, DataType)*): Unit = {
+    val got = bound(table)
+    val missing = expect.collect { case (c, _) if !got.contains(c) => c }
+    assert(missing.isEmpty,
+      s"testdata drift: $table lost column(s) ${missing.mkString(", ")} — " +
+        s"present: ${got.keys.toSeq.sorted.mkString(", ")}")
+    val drifted = expect.collect {
+      case (c, t) if got(c) != t => s"$c: expected $t, bound ${got(c)}"
+    }
+    assert(drifted.isEmpty,
+      s"testdata drift: $table column dtype changed — ${drifted.mkString("; ")}. " +
+        "Audit every query reading this column before re-pinning.")
+  }
+
+  test("TPC-H-ish tables keep their bound dtypes") {
+    assertTable("region", "r_regionkey" -> IntegerType, "r_name" -> StringType)
+    assertTable("nation", "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType)
+    assertTable("customer", "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType)
+    assertTable("supplier", "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+    assertTable("part", "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType)
+    assertTable("orders", "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderpriority" -> StringType)
+    assertTable("lineitem", "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType)
+  }
+
+  test("date/timestamp columns bind to a temporal type") {
+    // o_orderdate / l_shipdate are only compared via date_trunc-style exprs;
+    // any temporal binding works, a non-temporal one would break analysis
+    for ((t, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+      val dt = bound(t)(c)
+      assert(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+        s"testdata drift: $t.$c bound as $dt, queries assume a temporal type")
+    }
+  }
+
+  test("events keeps the contract of SparkEntry.events and the changelog fixture") {
+    assertTable("events", "event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+    val ts = bound("events")("ts")
+    assert(ts == LongType || ts == TimestampType || ts == TimestampNTZType,
+      s"testdata drift: events.ts bound as $ts — outside the encodings " +
+        "SparkEntry.events adapts (BIGINT nanos / TIMESTAMP / TIMESTAMP_NTZ); " +
+        "teach the accessor the new encoding and re-pin here")
+  }
+
+  test("documents and embeddings keep the text/ANN pipeline contract") {
+    assertTable("documents", "doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
+    assertTable("embeddings", "vec_id" -> LongType, "label" -> IntegerType)
+    // containsNull is a parquet nullability detail no query depends on
+    bound("embeddings")("embedding") match {
+      case ArrayType(FloatType, _) => ()
+      case other => fail(s"testdata drift: embeddings.embedding bound as $other, " +
+        "ANN queries assume array<float>")
+    }
+  }
+
+  test("SparkEntry.events yields canonical BIGINT ts_us on the current data") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = SparkEntry.queries("q_window_agg")(spark, sf)
+    assert(df.schema("hour_bucket").dataType == LongType)
+    assert(df.limit(1).count() == 1)
+  }
+}
