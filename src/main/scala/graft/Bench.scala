@@ -12,6 +12,61 @@ import org.apache.spark.sql.SparkSession
   * batch-timeout operating point).
   */
 object Bench {
+
+  /** Pick which timed triple (sorted [min, median, max]) to report.
+    *
+    * A fresh triple is SUSPICIOUS when (a) its own band is wide
+    * (max/min > 3×) — the round-7 signature — or (b) its median exceeds 3×
+    * the same query's PREVIOUS-round median by ≥0.2 s absolute: round-9's
+    * driver record shipped seven load-poisoned medians (6–9× on trivial
+    * queries) whose in-run bands were individually tight, so only the
+    * cross-round comparison can see them. Suspicious triples are remeasured
+    * once; pick the smaller-median triple for cross-round suspicion (a
+    * GENUINE regression reproduces, so the min of two medians still shows
+    * it; transient machine load does not) and the tighter band for in-run
+    * suspicion. Returns (triple, wasRemeasured); a flaked remeasure keeps
+    * the four-successful-runs first triple.
+    */
+  def adjudicate(t1: Seq[Double], prevMedian: Option[Double],
+                 remeasure: () => Option[Seq[Double]]): (Seq[Double], Boolean) = {
+    def spread(t: Seq[Double]): Double = t.last / math.max(t.head, 1e-9)
+    val inRunSuspicious = spread(t1) > 3.0
+    val vsPrevSuspicious =
+      prevMedian.exists(p => t1(1) > 3.0 * p && t1(1) - p > 0.2)
+    if (!inRunSuspicious && !vsPrevSuspicious) (t1, false)
+    else remeasure() match {
+      case Some(t2) =>
+        val pick =
+          if (vsPrevSuspicious) { if (t2(1) < t1(1)) t2 else t1 }
+          else { if (spread(t2) < spread(t1)) t2 else t1 }
+        (pick, true)
+      case None => (t1, true)
+    }
+  }
+
+  /** Previous-round per-query medians from a persisted bench record line
+    * (the `"queries":{...}` object — flat string→number, so the first `}`
+    * closes it). Missing/corrupt file → empty map, never a failed bench.
+    */
+  def loadPrevMedians(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      val s = java.nio.file.Files.readString(path)
+      val tag = "\"queries\":{"
+      val i = s.indexOf(tag)
+      if (i < 0) Map.empty
+      else {
+        val body = s.substring(i + tag.length, s.indexOf('}', i + tag.length))
+        body.split(',').iterator.flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,7 +74,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,9 +104,12 @@ object Bench {
     // median of three timed runs: round-4 showed 5x same-code swings under
     // single-shot timing (q_embed_ivf_topk 0.82s vs 4.01s), which makes a 2x
     // perf gate unadjudicable — the median absorbs GC/JIT outliers both ways.
-    // A band whose max/min exceeds 3x is remeasured once (round-7's
-    // q_startup_timestamp shipped a poisoned median with exactly that
-    // signature) and the tighter of the two triples is reported.
+    // Suspicious triples (wide in-run band, or >3x this query's
+    // previous-round median from bench-prev.json) are remeasured once —
+    // see [[adjudicate]].
+    val prevPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench-prev.json"))
+    val prevMedians = loadPrevMedians(prevPath)
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
@@ -65,21 +122,17 @@ object Bench {
             val rs = (1 to 3).map(_ => once())
             if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sorted)
           }
-        def spread(t: Seq[Double]): Double = t.last / math.max(t.head, 1e-9)
-        triple().flatMap { t1 =>
-          if (spread(t1) > 3.0) {
-            reran += name
-            triple() match {
-              case Some(t2) => Some(if (spread(t2) < spread(t1)) t2 else t1)
-              case None =>
-                // the REMEASURE flaked, but four successful timed runs exist —
-                // keep the valid first triple instead of degrading a wide band
-                // into a hard error
-                errors.remove(name)
-                Some(t1)
-            }
-          } else Some(t1)
-        }.map(bands => (name, bands))
+        triple().map { t1 =>
+          val (picked, didRerun) = adjudicate(t1, prevMedians.get(name), () => {
+            val t2 = triple()
+            // a flaked remeasure must not degrade four successful timed runs
+            // into a hard error — adjudicate keeps the first triple
+            if (t2.isEmpty) errors.remove(name)
+            t2
+          })
+          if (didRerun) reran += name
+          (name, picked)
+        }
       }
 
     // composed e2e control-path rows: launch-overhead-bound (sf-invariant),
@@ -162,6 +215,10 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench-latest.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, line + "\n")
+      // and roll the cross-round baseline: next round's run compares each
+      // query against THIS run's medians (bench-prev.json is committed, so
+      // it survives `clean` and re-clones)
+      java.nio.file.Files.writeString(prevPath, line + "\n")
       ()
     } catch { case _: Exception => () } // stdout line already carries the record
     spark.stop()
