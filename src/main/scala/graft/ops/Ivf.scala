@@ -37,10 +37,14 @@ object Ivf {
             iters: Int = 3, sampleMod: Int = 1): Model = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the bounded sample feeds the seed scan plus every Lloyd iteration:
+    // persist it once instead of re-reading + re-deserializing per pass
+    // (noise at sf0.1, a full extra corpus scan per iteration at 10⁹ vectors)
     val vecs: Dataset[(Long, Seq[Float])] = df
       .where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
       .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
       .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seeding: the k lowest id-hashes
     var centroids = vecs
@@ -73,6 +77,7 @@ object Ivf {
       centroids = next
       bc.destroy()
     }
+    vecs.unpersist()
     Model(centroids)
   }
 

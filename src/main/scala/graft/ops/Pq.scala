@@ -92,10 +92,13 @@ object Pq {
             iters: Int = 2, sampleMod: Int = 1): Model = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted for the same reason as Ivf.train: seed scan + every Lloyd
+    // iteration re-reads this bounded sample otherwise
     val vecs: Dataset[(Long, Seq[Float])] = df
       .where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
       .select(col(idCol).cast("long").as("_1"), col(vecCol).as("_2"))
       .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val seedRows = vecs
       .withColumn("__h", xxhash64(col("_1")))
@@ -136,6 +139,7 @@ object Pq {
       books = next
       bc.destroy()
     }
+    vecs.unpersist()
     Model(books)
   }
 
