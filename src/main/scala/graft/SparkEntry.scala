@@ -1052,6 +1052,25 @@ object SparkEntry {
         TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
     },
 
+    "q_repetition_stats" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // within-document repetition profile (Gopher §A1.1 rule family): five
+      // doc-local metrics from ONE codegen'd text pass — no explode, no
+      // shuffle (see ops/Repetition.scala)
+      graft.ops.Repetition.profile(t(dir, "documents"), "doc_id", "text")
+    },
+
+    "q_repetition_filter" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the curation filter: fused single-expression keep/drop over the
+      // scan. The synthetic corpus has no line/paragraph boilerplate (those
+      // caps ride at Gopher defaults and are proven on crafted inputs in
+      // RepetitionSpec); the bigram cap is tightened to 0.05 so the gate
+      // actually splits this corpus
+      graft.ops.Repetition.filter(t(dir, "documents"), "text",
+        maxTopBigram = 0.05).select("doc_id")
+    },
+
     "q_lang_id" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       t(dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -1879,6 +1898,14 @@ object SparkEntry {
         |               / len(string_split_regex(trim(text), '\s+')) END, 4) AS rep_ratio
         |FROM documents""".stripMargin,
 
+    "q_repetition_stats" -> repetitionStatsOracleSql,
+
+    "q_repetition_filter" ->
+      (s"""SELECT doc_id FROM ($repetitionStatsOracleSql)
+         |WHERE dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+         |  AND dup_para_frac <= 0.3 AND dup_para_char_frac <= 0.2
+         |  AND top_bigram_frac <= 0.05""".stripMargin),
+
     "q_lang_id" -> langIdOracleSql,
 
     "q_token_count" ->
@@ -2338,6 +2365,50 @@ object SparkEntry {
 
   private def langIdOracleSql: String =
     s"SELECT doc_id, $langIdCaseSql AS lang_pred FROM ($stopwordSumsSql)"
+
+  /** The five within-document repetition metrics, replayed independently:
+    * DuckDB `string_split` keeps empty tokens (matched by
+    * `Repetition.segments`), `trim` strips spaces only, `length` counts
+    * code points, and the bigram tokenization is the corpus-wide `[a-z]+`
+    * regex on lowercased text. Every ratio is an integer/integer division
+    * on both engines, so the doubles are bit-identical.
+    */
+  private def repetitionStatsOracleSql: String =
+    """WITH nl AS (
+      |  SELECT doc_id, line, length(line) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+      |  WHERE trim(line) <> ''
+      |),
+      |lc AS (SELECT doc_id, line, count(*) AS c, max(len) AS len FROM nl GROUP BY doc_id, line),
+      |la AS (SELECT doc_id,
+      |         (sum(c) - count(*))::DOUBLE / sum(c) AS dup_line_frac,
+      |         CASE WHEN sum(c*len) = 0 THEN 0.0
+      |              ELSE sum((c-1)*len)::DOUBLE / sum(c*len) END AS dup_line_char_frac
+      |       FROM lc GROUP BY doc_id),
+      |np AS (
+      |  SELECT doc_id, para, length(para) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10)||chr(10))) AS para FROM documents)
+      |  WHERE trim(para) <> ''
+      |),
+      |pc AS (SELECT doc_id, para, count(*) AS c, max(len) AS len FROM np GROUP BY doc_id, para),
+      |pa AS (SELECT doc_id,
+      |         (sum(c) - count(*))::DOUBLE / sum(c) AS dup_para_frac,
+      |         CASE WHEN sum(c*len) = 0 THEN 0.0
+      |              ELSE sum((c-1)*len)::DOUBLE / sum(c*len) END AS dup_para_char_frac
+      |       FROM pc GROUP BY doc_id),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |bgl AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+      |        FROM w WHERE len(ws) - 1 >= 10),
+      |bc AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, count(*) AS c FROM bgl GROUP BY doc_id, b),
+      |ba AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
+      |  coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+      |  coalesce(pa.dup_para_frac, 0.0) AS dup_para_frac,
+      |  coalesce(pa.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+      |  coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM documents d LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+      |  LEFT JOIN ba USING (doc_id)""".stripMargin
 
   private def corpusPipelineOracleSql: String =
     s"""WITH survivors AS (

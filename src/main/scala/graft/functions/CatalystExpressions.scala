@@ -275,6 +275,21 @@ object CdcExprHelpers {
     }
     Double.box(if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
   }
+
+  /** Static entry: text → the five within-document repetition metrics
+    * ([[graft.ops.Repetition.statsOf]]) as a primitive double array.
+    */
+  def repetitionStats(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(graft.ops.Repetition.statsOf(s.toString))
+
+  /** Static entry: the fused keep/drop decision — same one-pass metric
+    * computation, but nothing materialized.
+    */
+  def repetitionKeep(s: UTF8String, maxDupLine: Double, maxDupLineChar: Double,
+                     maxDupPara: Double, maxDupParaChar: Double,
+                     maxTopBigram: Double): Boolean =
+    graft.ops.Repetition.keepOf(s.toString, maxDupLine, maxDupLineChar,
+      maxDupPara, maxDupParaChar, maxTopBigram)
 }
 
 /** `MINHASH_SIGNATURE(text)` — 128×64-bit MinHash signature of the text's
@@ -722,6 +737,50 @@ case class RenderZoned(left: Expression, right: Expression)
   override def prettyName: String = "render_zoned"
 }
 
+/** `REPETITION_STATS(text)` — the five within-document repetition metrics
+  * of the Gopher rule family ([[graft.ops.Repetition]]) in one codegen'd
+  * text pass: [dup_line_frac, dup_line_char_frac, dup_para_frac,
+  * dup_para_char_frac, top_bigram_frac].
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
+/** `REPETITION_KEEP(text)` — the fused repetition-filter decision: one
+  * metric pass, one boolean, nothing materialized (the filter analogue of
+  * [[BucketLogit]]'s single-evaluation stance).
+  */
+case class RepetitionKeep(child: Expression, maxDupLine: Double,
+                          maxDupLineChar: Double, maxDupPara: Double,
+                          maxDupParaChar: Double, maxTopBigram: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.repetitionKeep(input.asInstanceOf[UTF8String],
+      maxDupLine, maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.repetitionKeep($c, $maxDupLine, " +
+        s"$maxDupLineChar, $maxDupPara, $maxDupParaChar, $maxTopBigram)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionKeep =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_keep"
+}
+
 object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
@@ -762,6 +821,13 @@ object CdcExpressions {
     GraftBridge.column(EstJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
   def renderZoned(instant: Column, zone: Column): Column =
     GraftBridge.column(RenderZoned(GraftBridge.expression(instant), GraftBridge.expression(zone)))
+  def repetitionStats(text: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
+  def repetitionKeep(text: Column, maxDupLine: Double, maxDupLineChar: Double,
+                     maxDupPara: Double, maxDupParaChar: Double,
+                     maxTopBigram: Double): Column =
+    GraftBridge.column(RepetitionKeep(GraftBridge.expression(text), maxDupLine,
+      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram))
 
   /** Spark's own codegen'd Bloom membership test over a serialized filter
     * (the expression its runtime row-group filtering injects) bound to a
