@@ -338,7 +338,16 @@ emb AS (
   /** Embedding-cosine near-dup pairs: stub embeddings, 16-plane hyperplane
     * LSH buckets (cap 256), cosine >= 0.95 within-bucket.
     */
-  val dedupEmbedding: String = prelude + "WITH " + fakeEmbed + ",\n" +
+  val dedupEmbedding: String = prelude + embeddingPairsSelect
+
+  /** SemDeDup survivor set on the same pair semantics: a doc survives iff
+    * it is nobody's larger-id near-duplicate.
+    */
+  val semdedupSurvivors: String = prelude +
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM (" +
+    embeddingPairsSelect + "))"
+
+  private lazy val embeddingPairsSelect: String = "WITH " + fakeEmbed + ",\n" +
     planesCte(16, 64) + """,
 sigs AS (
   SELECT e.doc_id, e.v,

@@ -912,6 +912,17 @@ object SparkEntry {
         .select("a", "b")
     },
 
+    "q_semdedup" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // SemDeDup survivor selection: the curation-pipeline output shape —
+      // one representative (min id) per semantic-duplicate chain, wide
+      // vectors confined to the bounded per-bucket stage, id-only anti-join
+      graft.functions.AiFunctions.register(spark)
+      val embedded = t(dir, "documents")
+        .selectExpr("doc_id", "GET_EMBEDDING(text) AS embedding")
+      Dedup.semanticSurvivors(embedded, "doc_id", "embedding").select("doc_id")
+    },
+
     // ---------- similarity search ----------
 
     "q_embed_topk" -> { (spark, dir) =>
@@ -2292,6 +2303,8 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleHashSql.dedupSimhash,
     "q_dedup_ngram" -> OracleHashSql.dedupNgram,
     "q_dedup_embedding" -> OracleHashSql.dedupEmbedding,
+
+    "q_semdedup" -> OracleHashSql.semdedupSurvivors,
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,

@@ -649,4 +649,25 @@ object Dedup {
       .select(col("a"), col("n.id").as("b"), col("cosine"))
       .distinct()
   }
+
+  /** SemDeDup-shaped survivor selection (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into bounded buckets, drop every
+    * document that has a smaller-id cosine-near-duplicate in its bucket —
+    * the minimum id of each duplicate chain survives as the
+    * representative. The curation pipeline consumes THIS set; the pair
+    * list ([[embeddingCandidates]]) is the audit trail.
+    *
+    * Scale shape: the wide vectors stay inside the bounded per-bucket
+    * pair stage; the anti-join back to the corpus carries bare ids (the
+    * dropped set is a small fraction of the corpus, so AQE typically
+    * broadcasts it).
+    */
+  def semanticSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int = 16, threshold: Double = 0.95,
+                        maxBucketSize: Int = 256, seed: Long = 42L): DataFrame =
+    df.join(
+      embeddingCandidates(df, idCol, vecCol, numPlanes, threshold, maxBucketSize, seed)
+        .select(col("b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

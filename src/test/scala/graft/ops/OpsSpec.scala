@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(10L, 30L))
   }
 
+  test("semanticSurvivors keeps one representative per embedding near-dup chain") {
+    // 1≈2≈3 (tiny perturbations of one direction), 4 orthogonal-ish
+    val df = Seq(
+      (1L, Array(1f, 0.00f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),
+      (3L, Array(1f, 0.02f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))).toDF("id", "v")
+    val out = Dedup.semanticSurvivors(df, "id", "v", numPlanes = 4, threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L))
+  }
+
   test("simhash hamming distance is small for near-identical token sets") {
     val a = Dedup.simhash64("alpha beta gamma delta epsilon zeta eta theta")
     val b = Dedup.simhash64("alpha beta gamma delta epsilon zeta eta thetax")
