@@ -51,20 +51,34 @@ final class DeltaMergeSink(
       ()
   }
 
+  /** Delta refuses DROP/RENAME COLUMN unless the table runs column-mapping
+    * mode `name` (physical column ids decouple from display names; without
+    * it a rename would orphan every data file). Tables WE create get the
+    * property at birth; before a drop/rename we also issue the idempotent
+    * protocol upgrade so tables created by someone else (no mapping,
+    * reader/writer protocol too old) are brought up rather than erroring.
+    */
+  private def columnMappingUpgradeSql(id: TableId): String =
+    s"ALTER TABLE ${tableName(id)} SET TBLPROPERTIES (" +
+      "'delta.columnMapping.mode' = 'name', " +
+      "'delta.minReaderVersion' = '2', 'delta.minWriterVersion' = '5')"
+
   /** DDL → catalog ALTER TABLE. Delta's column-position grammar has FIRST
     * and AFTER only; BEFORE(x) would need the preceding column's name, which
     * a metadata applier does not know — it lands at the end (column order in
     * a lakehouse table is cosmetic; the reference's own sink ignores
     * position for the same reason, DsqlSchemaMapper has no position DDL).
     * TRUNCATE is `DELETE FROM` (transactional, time-travel-able; Delta has
-    * no TRUNCATE TABLE).
+    * no TRUNCATE TABLE). DROP/RENAME COLUMN require column mapping — see
+    * [[columnMappingUpgradeSql]].
     */
   override def applySchemaChange(e: SchemaChangeEvent): Unit = {
     val spark = session
     e match {
       case CreateTableEvent(id, s) =>
         val cols = s.struct.fields.map(f => s"${q(f.name)} ${f.dataType.sql}").mkString(", ")
-        exec(spark, s"CREATE TABLE IF NOT EXISTS ${tableName(id)} ($cols) USING delta")
+        exec(spark, s"CREATE TABLE IF NOT EXISTS ${tableName(id)} ($cols) USING delta " +
+          "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
       case AddColumnEvent(id, n, dt, pos) =>
         val posSql = pos match {
           case ColumnPosition.First => " FIRST"
@@ -73,8 +87,10 @@ final class DeltaMergeSink(
         }
         exec(spark, s"ALTER TABLE ${tableName(id)} ADD COLUMNS (${q(n)} ${dt.sql}$posSql)")
       case DropColumnEvent(id, n) =>
+        exec(spark, columnMappingUpgradeSql(id))
         exec(spark, s"ALTER TABLE ${tableName(id)} DROP COLUMN ${q(n)}")
       case RenameColumnEvent(id, f, t) =>
+        exec(spark, columnMappingUpgradeSql(id))
         exec(spark, s"ALTER TABLE ${tableName(id)} RENAME COLUMN ${q(f)} TO ${q(t)}")
       case AlterColumnTypeEvent(id, n, dt) =>
         exec(spark, s"ALTER TABLE ${tableName(id)} ALTER COLUMN ${q(n)} TYPE ${dt.sql}")

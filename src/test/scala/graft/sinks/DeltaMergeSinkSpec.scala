@@ -52,12 +52,18 @@ class DeltaMergeSinkSpec extends SparkSpec {
     sink.applySchemaChange(DropColumnEvent(id, "mail"))
     sink.applySchemaChange(TruncateTableEvent(id))
     sink.applySchemaChange(DropTableEvent(id))
+    val upgrade = "ALTER TABLE `lake`.`db_users` SET TBLPROPERTIES (" +
+      "'delta.columnMapping.mode' = 'name', " +
+      "'delta.minReaderVersion' = '2', 'delta.minWriterVersion' = '5')"
     assert(stub.statements.toSeq === Seq(
-      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING, `age` INT) USING delta",
+      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING, `age` INT) " +
+        "USING delta TBLPROPERTIES ('delta.columnMapping.mode' = 'name')",
       "ALTER TABLE `lake`.`db_users` ADD COLUMNS (`email` STRING)",
       "ALTER TABLE `lake`.`db_users` ADD COLUMNS (`flag` BOOLEAN AFTER `name`)",
+      upgrade, // rename/drop refuse without column mapping; upgrade is idempotent
       "ALTER TABLE `lake`.`db_users` RENAME COLUMN `email` TO `mail`",
       "ALTER TABLE `lake`.`db_users` ALTER COLUMN `age` TYPE BIGINT",
+      upgrade,
       "ALTER TABLE `lake`.`db_users` DROP COLUMN `mail`",
       "DELETE FROM `lake`.`db_users`",
       "DROP TABLE IF EXISTS `lake`.`db_users`"))
@@ -136,7 +142,8 @@ class DeltaMergeSinkSpec extends SparkSpec {
       sqlRunner = Some(runner))
     q.awaitTermination(60000)
     assert(statements.head ===
-      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING) USING delta")
+      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING) USING delta " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
     assert(statements.exists(_.startsWith("MERGE INTO `lake`.`db_users`")))
     assert(store.toMap === Map(1L -> "ann2")) // 2 deleted, 1 upserted to last image
   }
@@ -188,7 +195,8 @@ class DeltaMergeSinkSpec extends SparkSpec {
       kafkaReader = Some(reader), sqlRunner = Some(runner))
     q.awaitTermination(60000)
     assert(statements.head ===
-      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING) USING delta")
+      "CREATE TABLE IF NOT EXISTS `lake`.`db_users` (`id` BIGINT, `name` STRING) USING delta " +
+      "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
     assert(store.toMap === Map(1L -> "ann2")) // last image upserted, delete applied
   }
 }
