@@ -1065,7 +1065,7 @@ object SparkEntry {
 
     "q_repetition_stats" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
-      // within-document repetition profile (Gopher §A1.1 rule family): five
+      // within-document repetition profile (Gopher §A1.1 rule family): six
       // doc-local metrics from ONE codegen'd text pass — no explode, no
       // shuffle (see ops/Repetition.scala)
       graft.ops.Repetition.profile(t(dir, "documents"), "doc_id", "text")
@@ -1915,7 +1915,7 @@ object SparkEntry {
       (s"""SELECT doc_id FROM ($repetitionStatsOracleSql)
          |WHERE dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
          |  AND dup_para_frac <= 0.3 AND dup_para_char_frac <= 0.2
-         |  AND top_bigram_frac <= 0.05""".stripMargin),
+         |  AND top_bigram_frac <= 0.05 AND dup_5gram_frac <= 0.15""".stripMargin),
 
     "q_lang_id" -> langIdOracleSql,
 
@@ -2413,15 +2413,23 @@ object SparkEntry {
       |bgl AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
       |        FROM w WHERE len(ws) - 1 >= 10),
       |bc AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, count(*) AS c FROM bgl GROUP BY doc_id, b),
-      |ba AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY doc_id)
+      |ba AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i
+      |             FROM w WHERE len(ws) - 4 >= 10)),
+      |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+      |g5a AS (SELECT doc_id,
+      |          coalesce(sum(c) FILTER (c >= 2), 0)::DOUBLE / sum(c) AS dup_5gram_frac
+      |        FROM g5c GROUP BY doc_id)
       |SELECT d.doc_id,
       |  coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
       |  coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
       |  coalesce(pa.dup_para_frac, 0.0) AS dup_para_frac,
       |  coalesce(pa.dup_para_char_frac, 0.0) AS dup_para_char_frac,
-      |  coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac
+      |  coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac,
+      |  coalesce(g5a.dup_5gram_frac, 0.0) AS dup_5gram_frac
       |FROM documents d LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
-      |  LEFT JOIN ba USING (doc_id)""".stripMargin
+      |  LEFT JOIN ba USING (doc_id) LEFT JOIN g5a USING (doc_id)""".stripMargin
 
   private def corpusPipelineOracleSql: String =
     s"""WITH survivors AS (

@@ -287,9 +287,9 @@ object CdcExprHelpers {
     */
   def repetitionKeep(s: UTF8String, maxDupLine: Double, maxDupLineChar: Double,
                      maxDupPara: Double, maxDupParaChar: Double,
-                     maxTopBigram: Double): Boolean =
+                     maxTopBigram: Double, maxDupNgram: Double): Boolean =
     graft.ops.Repetition.keepOf(s.toString, maxDupLine, maxDupLineChar,
-      maxDupPara, maxDupParaChar, maxTopBigram)
+      maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram)
 }
 
 /** `MINHASH_SIGNATURE(text)` — 128×64-bit MinHash signature of the text's
@@ -763,19 +763,20 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   */
 case class RepetitionKeep(child: Expression, maxDupLine: Double,
                           maxDupLineChar: Double, maxDupPara: Double,
-                          maxDupParaChar: Double, maxTopBigram: Double)
+                          maxDupParaChar: Double, maxTopBigram: Double,
+                          maxDupNgram: Double)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullSafeEval(input: Any): Any =
-    CdcExprHelpers.repetitionKeep(input.asInstanceOf[UTF8String],
-      maxDupLine, maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram)
+    CdcExprHelpers.repetitionKeep(input.asInstanceOf[UTF8String], maxDupLine,
+      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.CdcExprHelpers.repetitionKeep($c, $maxDupLine, " +
-        s"$maxDupLineChar, $maxDupPara, $maxDupParaChar, $maxTopBigram)")
+        s"$maxDupLineChar, $maxDupPara, $maxDupParaChar, $maxTopBigram, $maxDupNgram)")
   override protected def withNewChildInternal(newChild: Expression): RepetitionKeep =
     copy(child = newChild)
   override def prettyName: String = "repetition_keep"
@@ -825,9 +826,9 @@ object CdcExpressions {
     GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
   def repetitionKeep(text: Column, maxDupLine: Double, maxDupLineChar: Double,
                      maxDupPara: Double, maxDupParaChar: Double,
-                     maxTopBigram: Double): Column =
+                     maxTopBigram: Double, maxDupNgram: Double): Column =
     GraftBridge.column(RepetitionKeep(GraftBridge.expression(text), maxDupLine,
-      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram))
+      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram))
 
   /** Spark's own codegen'd Bloom membership test over a serialized filter
     * (the expression its runtime row-group filtering injects) bound to a

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * spam-shaped and is dropped before pre-training regardless of its
   * corpus-level dedup status.
   *
-  * All five metrics are DOC-LOCAL, so the whole stage is one codegen'd
+  * All six metrics are DOC-LOCAL, so the whole stage is one codegen'd
   * expression over the scan — no explode, no shuffle, no join. That is the
   * 100 TB shape: corpus-level dedup ([[Dedup]]) needs its shuffle;
   * repetition filtering never does.
   *
   * Metrics (all in [0,1], 0 for empty/degenerate docs):
+  *  - `dup_5gram_frac`    — fraction of word-5-gram occurrences belonging
+  *    to grams appearing twice or more (the duplicate-n-gram rule)
   *  - `dup_line_frac`     — fraction of non-blank lines that repeat an
   *    earlier identical line
   *  - `dup_line_char_frac` — fraction of characters sitting in those
@@ -32,13 +34,14 @@ import org.apache.spark.sql.functions._
 object Repetition {
 
   /** Index layout of the stats array (single expression evaluation returns
-    * all five — the fused hot path; see [[graft.ops.QualityModel]]).
+    * all six — the fused hot path; see [[graft.ops.QualityModel]]).
     */
   val DupLineFrac = 0
   val DupLineCharFrac = 1
   val DupParaFrac = 2
   val DupParaCharFrac = 3
   val TopBigramFrac = 4
+  val DupNgramFrac = 5
 
   /** Gopher §A1.1-shaped default thresholds (keep a doc iff every metric is
     * at or under its cap). The bigram cap is word-occurrence-based here
@@ -49,6 +52,13 @@ object Repetition {
   val MaxDupParaFrac = 0.30
   val MaxDupParaCharFrac = 0.20
   val MaxTopBigramFrac = 0.20
+  val MaxDupNgramFrac = 0.15
+
+  /** The n of the duplicate-n-gram rule (Gopher covers n = 5..10 with
+    * per-n thresholds; 5 is the strictest and subsumes most of the
+    * signal — a repeated 10-gram contains repeated 5-grams).
+    */
+  val DupNgramN = 5
 
   /** Split on EVERY occurrence of `sep`, keeping empty tokens — DuckDB
     * `string_split` semantics, unlike `String.split`'s trailing-empty
@@ -100,13 +110,9 @@ object Repetition {
   val MinBigramEvidence = 10
 
   /** max-bigram occurrences / total bigram occurrences; 0 under the
-    * evidence floor.
+    * evidence floor. One tokenization shared with [[dupNgramFrac]].
     */
-  private def topBigramFrac(s: String): Double = {
-    val m = WordRe.matcher(s.toLowerCase)
-    val words = Seq.newBuilder[String]
-    while (m.find()) words += m.group()
-    val ws = words.result()
+  private def topBigramFrac(ws: IndexedSeq[String]): Double = {
     if (ws.size - 1 < MinBigramEvidence) return 0.0
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
@@ -119,26 +125,54 @@ object Repetition {
     max.toDouble / (ws.size - 1)
   }
 
-  /** All five metrics in one text pass — the static entry the codegen'd
-    * REPETITION_STATS / REPETITION_KEEP expressions call.
+  /** Fraction of n-gram occurrences belonging to grams that occur twice or
+    * more; 0 under the evidence floor. Occurrence-based (the paper's is
+    * char-coverage with interval union — occurrence fraction is the
+    * SQL-replayable monotone equivalent at fixed n).
+    */
+  private def dupNgramFrac(ws: IndexedSeq[String], n: Int): Double = {
+    val total = ws.size - n + 1
+    if (total < MinBigramEvidence) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < total) {
+      counts.merge(ws.slice(i, i + n).mkString(" "), 1, Integer.sum); ()
+      i += 1
+    }
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c >= 2) dup += c }
+    dup.toDouble / total
+  }
+
+  private def tokens(s: String): IndexedSeq[String] = {
+    val m = WordRe.matcher(s.toLowerCase)
+    val words = IndexedSeq.newBuilder[String]
+    while (m.find()) words += m.group()
+    words.result()
+  }
+
+  /** All six metrics in one text pass (one tokenization) — the static entry
+    * the codegen'd REPETITION_STATS / REPETITION_KEEP expressions call.
     */
   def statsOf(s: String): Array[Double] = {
     val (dl, dlc) = dupStats(segments(s, "\n"))
     val (dp, dpc) = dupStats(segments(s, "\n\n"))
-    Array(dl, dlc, dp, dpc, topBigramFrac(s))
+    val ws = tokens(s)
+    Array(dl, dlc, dp, dpc, topBigramFrac(ws), dupNgramFrac(ws, DupNgramN))
   }
 
   def keepOf(s: String, maxDupLine: Double, maxDupLineChar: Double,
              maxDupPara: Double, maxDupParaChar: Double,
-             maxTopBigram: Double): Boolean = {
+             maxTopBigram: Double, maxDupNgram: Double): Boolean = {
     val st = statsOf(s)
     st(DupLineFrac) <= maxDupLine && st(DupLineCharFrac) <= maxDupLineChar &&
       st(DupParaFrac) <= maxDupPara && st(DupParaCharFrac) <= maxDupParaChar &&
-      st(TopBigramFrac) <= maxTopBigram
+      st(TopBigramFrac) <= maxTopBigram && st(DupNgramFrac) <= maxDupNgram
   }
 
   /** Per-document metric columns. One expression evaluation per row: the
-    * five projections read the SAME `REPETITION_STATS` call (whole-stage
+    * six projections read the SAME `REPETITION_STATS` call (whole-stage
     * codegen subexpression elimination collapses the shared subtree inside
     * a single Project).
     */
@@ -149,7 +183,8 @@ object Repetition {
       element_at(st, DupLineCharFrac + 1).as("dup_line_char_frac"),
       element_at(st, DupParaFrac + 1).as("dup_para_frac"),
       element_at(st, DupParaCharFrac + 1).as("dup_para_char_frac"),
-      element_at(st, TopBigramFrac + 1).as("top_bigram_frac"))
+      element_at(st, TopBigramFrac + 1).as("top_bigram_frac"),
+      element_at(st, DupNgramFrac + 1).as("dup_5gram_frac"))
   }
 
   /** Keep documents under every repetition cap — the curation filter.
@@ -161,14 +196,15 @@ object Repetition {
              maxDupLineChar: Double = MaxDupLineCharFrac,
              maxDupPara: Double = MaxDupParaFrac,
              maxDupParaChar: Double = MaxDupParaCharFrac,
-             maxTopBigram: Double = MaxTopBigramFrac): DataFrame =
+             maxTopBigram: Double = MaxTopBigramFrac,
+             maxDupNgram: Double = MaxDupNgramFrac): DataFrame =
     df.where(CdcExpressions.repetitionKeep(col(textCol), maxDupLine,
-      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram))
+      maxDupLineChar, maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram))
 
   /** Filter as a reusable Column predicate (for composing with other
     * quality gates in one scan).
     */
   def keepColumn(text: Column): Column =
     CdcExpressions.repetitionKeep(text, MaxDupLineFrac, MaxDupLineCharFrac,
-      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac)
+      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac, MaxDupNgramFrac)
 }

@@ -43,6 +43,15 @@ class RepetitionSpec extends SparkSpec {
     assert(statsOf("")(TopBigramFrac) == 0.0)
   }
 
+  test("duplicate 5-gram fraction counts occurrences of repeated grams") {
+    // period-5 word sequence of length 15 → 11 5-gram windows, every gram
+    // recurs at i+5 (phase 0 occurs 3×, phases 1-4 twice each) → frac 1.0
+    val st = statsOf(Seq.fill(3)("one two three four five").mkString(" "))
+    assert(st(DupNgramFrac) == 1.0)
+    // below the evidence floor (9 words → 5 windows) → 0
+    assert(statsOf("one two three four five one two three four")(DupNgramFrac) == 0.0)
+  }
+
   test("empty and degenerate documents yield all-zero metrics") {
     assert(statsOf("").forall(_ == 0.0))
     assert(statsOf("   \n  \n\n ").forall(_ == 0.0))
@@ -51,10 +60,10 @@ class RepetitionSpec extends SparkSpec {
   test("keepOf applies every cap") {
     val spammy = "buy now\nbuy now\nbuy now\nbuy now"
     assert(!keepOf(spammy, MaxDupLineFrac, MaxDupLineCharFrac,
-      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac))
+      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac, MaxDupNgramFrac))
     val clean = "a quiet morning\n\nbirds over the harbor"
     assert(keepOf(clean, MaxDupLineFrac, MaxDupLineCharFrac,
-      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac))
+      MaxDupParaFrac, MaxDupParaCharFrac, MaxTopBigramFrac, MaxDupNgramFrac))
   }
 
   test("expression path matches statsOf and the filter plan has no shuffle") {
@@ -74,6 +83,7 @@ class RepetitionSpec extends SparkSpec {
       assert(row.getDouble(3) == st(DupParaFrac))
       assert(row.getDouble(4) == st(DupParaCharFrac))
       assert(row.getDouble(5) == st(TopBigramFrac))
+      assert(row.getDouble(6) == st(DupNgramFrac))
     }
     val filtered = Repetition.filter(docs, "text")
     assert(filtered.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
