@@ -36,5 +36,9 @@ object CorpusFunctions {
     one("REP_RATIO")(TextAnalysis.repetitionRatio)
     one("PII_REDACT")(Pii.redact)
     one("PII_COUNT")(Pii.piiCount)
+    // the Gopher repetition rules (ops/Repetition): stats array for
+    // projections, fused default-threshold keep for filters
+    one("REP_STATS")(CdcExpressions.repetitionStats)
+    one("REP_KEEP")(graft.ops.Repetition.keepColumn)
   }
 }

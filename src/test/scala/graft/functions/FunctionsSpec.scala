@@ -160,6 +160,19 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(out.getInt(1) === 2)
   }
 
+  test("CorpusFunctions YAML surface: REP_KEEP/REP_STATS drive a repetition gate from SQL") {
+    CorpusFunctions.register(spark)
+    val docs = Seq(
+      (1L, "buy now\nbuy now\nbuy now\nbuy now"),
+      (2L, "a quiet morning over the harbor")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val kept = spark.sql("SELECT doc_id FROM rep_docs WHERE REP_KEEP(text)")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(2L))
+    val st = spark.sql("SELECT REP_STATS(text)[0] AS dlf FROM rep_docs WHERE doc_id = 1").head()
+    assert(st.getDouble(0) === 0.75) // 4 lines, 1 distinct → 3 dups
+  }
+
   test("cosine_sim propagates null for null vector elements") {
     val df = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
       .toDF("id", "a", "b")
