@@ -1410,6 +1410,15 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_sample_fixed_k" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // exactly-k-per-language holdout: rank-based (exact size per stratum
+      // however skewed), WindowGroupLimit per-partition heaps before the
+      // stratum exchange
+      graft.ops.Sampling.fixedPerStratum(t(dir, "documents"),
+        col("doc_id"), col("lang"), k = 25).select("doc_id", "lang")
+    },
+
     "q_chunk_text" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // RAG/embedding prep: overlapping 40-token windows, stride 32 —
@@ -2128,6 +2137,12 @@ object SparkEntry {
         |SELECT t.doc_id, COUNT(*) AS n_tokens,
         |       CAST(SUM(d.df) AS BIGINT) AS df_sum, MIN(d.df) AS df_min
         |FROM toks t JOIN dfreq d USING (tok) GROUP BY t.doc_id""".stripMargin,
+
+    "q_sample_fixed_k" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 25""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH s AS (

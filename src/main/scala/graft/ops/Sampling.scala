@@ -173,4 +173,24 @@ object Sampling {
         .withColumn("__k", key), "__h", lit(1L), tieBreak = Seq("__k"))
       .withColumnRenamed("__start", "shuffle_pos")
       .drop("__h", "__k", "__tok")
+
+  /** Exactly-k-per-stratum deterministic sample — eval/holdout-set
+    * construction: within each stratum, rank rows by `md5(key)` (total
+    * order, key itself as the collision tie-break) and keep rank ≤ k.
+    * Rank-based where [[stratified]] is rate-based: the output size per
+    * stratum is exactly `min(k, |stratum|)` however skewed the strata, and
+    * membership is stable under re-partitioning and re-runs.
+    *
+    * Scale shape: Spark rewrites the `row_number ≤ k` filter into
+    * `WindowGroupLimit` per-partition top-k heaps BEFORE the stratum
+    * exchange, so the shuffle carries at most k rows per (partition,
+    * stratum) — never a full per-stratum sort.
+    */
+  def fixedPerStratum(df: DataFrame, key: Column, stratum: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
 }

@@ -152,4 +152,21 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.temperatureRebalance(df, col("id"), col("s"), alpha = 0.5)
     assert(out.where(col("s").isNull).count() === 0L)
   }
+
+  test("fixedPerStratum: exactly min(k, |stratum|) rows, stable under repartitioning") {
+    // skewed strata: a=5000, b=100, c=3 — rate-based sampling cannot give
+    // exact per-stratum sizes here; rank-based must
+    val df = ids.withColumn("s", when(col("id") < 5000, "a")
+      .when(col("id") < 5100, "b").otherwise(when(col("id") < 5103, "c")))
+      .where(col("s").isNotNull)
+    val out = Sampling.fixedPerStratum(df, col("id"), col("s"), k = 50)
+    val sizes = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("a" -> 50L, "b" -> 50L, "c" -> 3L))
+    val again = Sampling.fixedPerStratum(df.repartition(17), col("id"), col("s"), k = 50)
+    assert(out.select("id").as[Long].collect().toSet ===
+      again.select("id").as[Long].collect().toSet)
+    // the rank<=k filter must plan as WindowGroupLimit (per-partition
+    // heaps before the exchange), not a full per-stratum sort + filter
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
