@@ -1419,6 +1419,20 @@ object SparkEntry {
         col("doc_id"), col("lang"), k = 25).select("doc_id", "lang")
     },
 
+    "q_corpus_holdout" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the composed holdout-assembly chain: exact-dedup survivors →
+      // repetition gate → exactly-k-per-language sample. Three stages,
+      // two narrow (fingerprint window reuses one shuffle; the repetition
+      // gate is a scan-bound filter), one bounded top-k exchange
+      val docs = t(dir, "documents")
+      val survivors = graft.ops.Dedup.exactSurvivors(docs, "doc_id",
+        TextAnalysis.fingerprint(col("text")))
+      val clean = graft.ops.Repetition.filter(survivors, "text", maxTopBigram = 0.05)
+      graft.ops.Sampling.fixedPerStratum(clean, col("doc_id"), col("lang"), k = 10)
+        .select("doc_id", "lang")
+    },
+
     "q_chunk_text" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // RAG/embedding prep: overlapping 40-token windows, stride 32 —
@@ -2144,6 +2158,24 @@ object SparkEntry {
         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 25""".stripMargin,
 
+    "q_corpus_holdout" ->
+      (s"""WITH surv AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |reps AS (${repetitionStatsOracleSqlFrom("surv")}),
+         |kept AS (
+         |  SELECT s.doc_id, s.lang FROM surv s JOIN reps r USING (doc_id)
+         |  WHERE r.dup_line_frac <= 0.3 AND r.dup_line_char_frac <= 0.2
+         |    AND r.dup_para_frac <= 0.3 AND r.dup_para_char_frac <= 0.2
+         |    AND r.top_bigram_frac <= 0.05 AND r.dup_5gram_frac <= 0.15)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM kept) t WHERE rn <= 10""".stripMargin),
+
     "q_sample_weighted" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
@@ -2401,10 +2433,12 @@ object SparkEntry {
     * regex on lowercased text. Every ratio is an integer/integer division
     * on both engines, so the doubles are bit-identical.
     */
-  private def repetitionStatsOracleSql: String =
-    """WITH nl AS (
+  private def repetitionStatsOracleSql: String = repetitionStatsOracleSqlFrom("documents")
+
+  private def repetitionStatsOracleSqlFrom(src: String): String =
+    s"""WITH nl AS (
       |  SELECT doc_id, line, length(line) AS len
-      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM $src)
       |  WHERE trim(line) <> ''
       |),
       |lc AS (SELECT doc_id, line, count(*) AS c, max(len) AS len FROM nl GROUP BY doc_id, line),
@@ -2415,7 +2449,7 @@ object SparkEntry {
       |       FROM lc GROUP BY doc_id),
       |np AS (
       |  SELECT doc_id, para, length(para) AS len
-      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10)||chr(10))) AS para FROM documents)
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10)||chr(10))) AS para FROM $src)
       |  WHERE trim(para) <> ''
       |),
       |pc AS (SELECT doc_id, para, count(*) AS c, max(len) AS len FROM np GROUP BY doc_id, para),
@@ -2424,7 +2458,7 @@ object SparkEntry {
       |         CASE WHEN sum(c*len) = 0 THEN 0.0
       |              ELSE sum((c-1)*len)::DOUBLE / sum(c*len) END AS dup_para_char_frac
       |       FROM pc GROUP BY doc_id),
-      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM $src),
       |bgl AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
       |        FROM w WHERE len(ws) - 1 >= 10),
       |bc AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, count(*) AS c FROM bgl GROUP BY doc_id, b),
@@ -2443,7 +2477,7 @@ object SparkEntry {
       |  coalesce(pa.dup_para_char_frac, 0.0) AS dup_para_char_frac,
       |  coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac,
       |  coalesce(g5a.dup_5gram_frac, 0.0) AS dup_5gram_frac
-      |FROM documents d LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+      |FROM $src d LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
       |  LEFT JOIN ba USING (doc_id) LEFT JOIN g5a USING (doc_id)""".stripMargin
 
   private def corpusPipelineOracleSql: String =
