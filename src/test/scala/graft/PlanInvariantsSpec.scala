@@ -59,6 +59,22 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("repetition gate is one scan-bound filter; semdedup anti-joins broadcast ids") {
+    val rep = plan("q_repetition_filter")
+    assert(!rep.contains("Exchange"), rep.take(2000))
+    assert(rep.contains("repetition_keep"), rep.take(2000))
+    val sem = plan("q_semdedup")
+    assert(sem.contains("BroadcastHashJoin") && sem.contains("LeftAnti"), sem.take(2000))
+  }
+
+  test("fixed-k sampling plans per-partition WindowGroupLimit heaps before the exchange") {
+    for (q <- Seq("q_sample_fixed_k", "q_corpus_holdout")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("rarity profile: partial df aggregation, no nested-loop joins") {
     val p = plan("q_doc_rarity")
     assert(p.contains("partial_count"), p.take(2000)) // df agg combines map-side
