@@ -156,7 +156,7 @@ object SparkEntry {
     * UTC instant because every entrypoint builder pins
     * `spark.sql.session.timeZone=UTC`.
     */
-  private def events(dir: String)(implicit spark: SparkSession): DataFrame = {
+  private[graft] def events(dir: String)(implicit spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(dir, "events")
     val tsUs = raw.schema("ts").dataType match {

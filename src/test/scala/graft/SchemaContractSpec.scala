@@ -94,4 +94,30 @@ class SchemaContractSpec extends SparkSpec {
     assert(df.schema("hour_bucket").dataType == LongType)
     assert(df.limit(1).count() == 1)
   }
+
+  test("SparkEntry.events adapts every encoding to the same ts_us values") {
+    // write the same instants three ways — BIGINT nanos (the pre-round-10
+    // testdata encoding), TIMESTAMP_NTZ (the current one), TIMESTAMP — and
+    // the accessor must yield identical µs under the UTC session zone
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val micros = Seq(0L, 1500000L, 86400000000L, 1700000000123456L)
+    val base = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+    def dirFor(make: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-evts").toString
+      make(base).write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val asNanos = dirFor(_.select(col("event_id"), (col("us") * 1000).as("ts")))
+    val asNtz = dirFor(_.select(col("event_id"),
+      timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    val asLtz = dirFor(_.select(col("event_id"), timestamp_micros(col("us")).as("ts")))
+    for (d <- Seq(asNanos, asNtz, asLtz)) {
+      val got = SparkEntry.events(d).orderBy("event_id")
+        .select("ts_us").as[Long].collect().toSeq
+      assert(got === micros, s"encoding at $d")
+    }
+  }
 }
