@@ -17,6 +17,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
       .foreach { case (name, fn) =>
@@ -24,6 +25,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = (e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage)).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // durable per-query failure record: a query that dies in analysis is
+    // otherwise ABSENT from the dump, and a downstream correctness report
+    // built from present dirs alone silently shrinks its denominator
+    // (exactly the round-9 artifact defect). Empty object when clean.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
