@@ -374,6 +374,14 @@ object SparkEntry {
       Changelog.materialize(back, Seq("user_id"))
     },
 
+    "q_scd2_history" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // temporal-table materialization: the changelog as validity
+      // intervals (state WITH history) — deletes close intervals without
+      // opening one; NULL valid_to marks current rows
+      Changelog.history(eventsChangelog(spark, dir), Seq("user_id"))
+    },
+
     "q_functions_time" -> { (spark, dir) =>
       // TIME(p) → INT millis-of-day and TIMESTAMP_TZ → instant conventions
       // (model/CdcTypes.scala:11-14) proven end-to-end: build a changelog
@@ -1731,6 +1739,19 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
     "q_yaml_corpus" -> yamlCorpusOracleSql,
+
+    "q_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, value, op, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, value, valid_from, valid_to
+        |FROM iv WHERE op <> 'DELETE'""".stripMargin,
 
     "q_functions_time" ->
       """SELECT user_id,

@@ -77,4 +77,30 @@ object Changelog {
     */
   def partitionByKey(changelog: DataFrame, pkCols: Seq[String]): DataFrame =
     changelog.repartition(pkCols.map(col): _*)
+
+  /** SCD2-style history materialization: every non-DELETE change event
+    * becomes a validity interval — `valid_from` is its own `__seq`,
+    * `valid_to` the next event's `__seq` for the same key (NULL = still
+    * current). A DELETE closes the preceding interval (its seq becomes
+    * that row's `valid_to`) without opening one. The temporal-table
+    * counterpart of [[materialize]]: state WITH its history, the audit/
+    * as-of-query shape a CDC consumer materializes next to the live table.
+    *
+    * Scale note: one window per key ordered by `__seq` — the same single
+    * hash-shuffle as [[materialize]], plus a per-key sort (inherent: the
+    * interval chain is an order statistic, unlike last-image's max_by).
+    */
+  def history(changelog: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*).orderBy(col(SeqCol))
+    // lead() runs over ALL events (deletes included) so a delete closes its
+    // predecessor; the delete row itself carries no image and is dropped
+    // AFTER the window (op is not a window partition key, so Catalyst
+    // cannot push the filter below it)
+    changelog
+      .withColumn("valid_to", lead(col(SeqCol), 1).over(w))
+      .where(col(OpCol) =!= "DELETE")
+      .withColumnRenamed(SeqCol, "valid_from")
+      .drop(OpCol)
+  }
 }

@@ -184,6 +184,32 @@ class ChangelogSpec extends SparkSpec {
     assert(out === Seq(Seq("1", "1"), Seq("2", "x"))) // 3 deleted, 2 updated
   }
 
+  test("history: validity intervals chain per key; deletes close without opening") {
+    import spark.implicits._
+    val ch = Seq(
+      ("a", "v1", "REPLACE", 1L),
+      ("a", "v2", "REPLACE", 3L),  // closes v1 at 3
+      ("a", "v2", "DELETE", 5L),   // closes v2 at 5, no new interval
+      ("a", "v3", "REPLACE", 7L),  // re-created after delete, still open
+      ("b", "w1", "REPLACE", 2L))  // single open interval
+      .toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+    val out = Changelog.history(ch, Seq("k"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("a", "v1", 1L, 3L),
+      ("a", "v2", 3L, 5L),
+      ("a", "v3", 7L, -1L),
+      ("b", "w1", 2L, -1L)))
+    // intervals must reconstruct materialize: the open rows ARE the state
+    val current = Changelog.history(ch, Seq("k")).where(col("valid_to").isNull)
+      .select("k", "v").as[(String, String)].collect().toSet
+    val mat = Changelog.materialize(ch, Seq("k"))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(current === mat)
+  }
+
   test("materialize with a COMPOSITE primary key dedups on the full key") {
     import spark.implicits._
     val ch = Seq(
