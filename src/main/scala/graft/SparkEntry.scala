@@ -382,6 +382,14 @@ object SparkEntry {
       Changelog.history(eventsChangelog(spark, dir), Seq("user_id"))
     },
 
+    "q_scd2_asof" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // time travel: state as of the changelog's midpoint offset
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      Changelog.asOf(
+        Changelog.history(eventsChangelog(spark, dir), Seq("user_id")), split)
+    },
+
     "q_functions_time" -> { (spark, dir) =>
       // TIME(p) → INT millis-of-day and TIMESTAMP_TZ → instant conventions
       // (model/CdcTypes.scala:11-14) proven end-to-end: build a changelog
@@ -1752,6 +1760,21 @@ object SparkEntry {
         |  FROM ch)
         |SELECT user_id, event_type, value, valid_from, valid_to
         |FROM iv WHERE op <> 'DELETE'""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, value, op, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |sp AS (SELECT max(event_id) // 2 AS s FROM events)
+        |SELECT user_id, event_type, value FROM iv, sp
+        |WHERE op <> 'DELETE' AND valid_from <= s
+        |  AND (valid_to IS NULL OR valid_to > s)""".stripMargin,
 
     "q_functions_time" ->
       """SELECT user_id,

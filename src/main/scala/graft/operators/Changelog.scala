@@ -103,4 +103,15 @@ object Changelog {
       .withColumnRenamed(SeqCol, "valid_from")
       .drop(OpCol)
   }
+
+  /** Time travel over a [[history]] table: the state as of offset `seq` —
+    * rows whose interval covers it. `asOf(history(ch), maxSeq)` equals
+    * `materialize(ch)`; at a PERSISTED history table this is a pruned scan
+    * (partition/z-order the table by `valid_from`), not a changelog replay.
+    */
+  def asOf(history: DataFrame, seq: Long): DataFrame =
+    history
+      .where(col("valid_from") <= seq &&
+        (col("valid_to").isNull || col("valid_to") > seq))
+      .drop("valid_from", "valid_to")
 }

@@ -208,6 +208,14 @@ class ChangelogSpec extends SparkSpec {
     val mat = Changelog.materialize(ch, Seq("k"))
       .select("k", "v").as[(String, String)].collect().toSet
     assert(current === mat)
+    // time travel: at seq 4 the delete at 5 has not happened yet
+    val at4 = Changelog.asOf(Changelog.history(ch, Seq("k")), 4L)
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(at4 === Set(("a", "v2"), ("b", "w1")))
+    // asOf at the max seq equals materialize
+    val atEnd = Changelog.asOf(Changelog.history(ch, Seq("k")), 7L)
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(atEnd === mat)
   }
 
   test("materialize with a COMPOSITE primary key dedups on the full key") {
