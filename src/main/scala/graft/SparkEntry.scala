@@ -390,6 +390,20 @@ object SparkEntry {
         Changelog.history(eventsChangelog(spark, dir), Seq("user_id")), split)
     },
 
+    "q_snapshot_diff" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // snapshot-comparison CDC (no binlog available): the state at the
+      // changelog midpoint vs the final state, diffed back into the MINIMAL
+      // changelog — inserts for new keys, tombstones (old image) for
+      // vanished keys, updates only where the payload really changed
+      val ch = eventsChangelog(spark, dir)
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      val oldState = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= split), Seq("user_id"))
+      val newState = Changelog.materialize(ch, Seq("user_id"))
+      Changelog.diff(oldState, newState, Seq("user_id"))
+    },
+
     "q_functions_time" -> { (spark, dir) =>
       // TIME(p) → INT millis-of-day and TIMESTAMP_TZ → instant conventions
       // (model/CdcTypes.scala:11-14) proven end-to-end: build a changelog
@@ -1775,6 +1789,34 @@ object SparkEntry {
         |SELECT user_id, event_type, value FROM iv, sp
         |WHERE op <> 'DELETE' AND valid_from <= s
         |  AND (valid_to IS NULL OR valid_to > s)""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |sp AS (SELECT max(event_id) // 2 AS s FROM events),
+        |old_state AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch, sp WHERE seq <= s) WHERE rn = 1 AND op <> 'DELETE'),
+        |new_state AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |       CASE WHEN n.user_id IS NULL THEN o.event_type ELSE n.event_type END AS event_type,
+        |       CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END AS value,
+        |       CASE WHEN o.user_id IS NULL THEN 'INSERT'
+        |            WHEN n.user_id IS NULL THEN 'DELETE'
+        |            ELSE 'UPDATE' END AS __op
+        |FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+        |WHERE o.user_id IS NULL OR n.user_id IS NULL
+        |   OR o.event_type IS DISTINCT FROM n.event_type
+        |   OR o.value IS DISTINCT FROM n.value""".stripMargin,
 
     "q_functions_time" ->
       """SELECT user_id,

@@ -114,4 +114,36 @@ object Changelog {
       .where(col("valid_from") <= seq &&
         (col("valid_to").isNull || col("valid_to") > seq))
       .drop("valid_from", "valid_to")
+
+  /** Snapshot diff — the INVERSE of [[materialize]]: derive the changelog
+    * BETWEEN two table states. The CDC fallback when no binlog/WAL feed
+    * exists (full-refresh sources, the reference's snapshot-only startup
+    * mode): keys only in `newSnap` become INSERTs, keys only in `oldSnap`
+    * DELETEs (payload = the last known OLD image, the tombstone a downstream
+    * sink's DELETE branch needs), keys in both with any payload change
+    * UPDATEs (payload = new image). Unchanged rows are dropped, so the
+    * output is the MINIMAL changelog: `materialize(oldSnap-as-changelog ∪
+    * diff)` reconstructs `newSnap`.
+    *
+    * Scale note: one co-partitioned full-outer sort-merge join on the PK —
+    * the inherent shape (a diff must align both sides per key) and the ONLY
+    * shuffle: payload comparison is a single null-safe struct equality
+    * evaluated inside the join's post-condition, codegen'd, no second pass.
+    * Snapshots bucketed on the PK join with no exchange at all; AQE
+    * skew-splits a hot key. No row ever amplifies: |out| ≤ |old| + |new|.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val payload = newSnap.columns.filterNot(pkCols.contains).toSeq
+    require(payload.nonEmpty, "diff needs at least one non-key column")
+    val o = oldSnap.select((pkCols.map(col) :+ struct(payload.map(col): _*).as("__o")): _*)
+    val n = newSnap.select((pkCols.map(col) :+ struct(payload.map(col): _*).as("__n")): _*)
+    o.join(n, pkCols, "full_outer")
+      .where(!(col("__o") <=> col("__n")))
+      .select((pkCols.map(col)
+        ++ payload.map(c =>
+          when(col("__n").isNull, col(s"__o.$c")).otherwise(col(s"__n.$c")).as(c))
+        :+ when(col("__o").isNull, lit("INSERT"))
+            .when(col("__n").isNull, lit("DELETE"))
+            .otherwise(lit("UPDATE")).as(OpCol)): _*)
+  }
 }

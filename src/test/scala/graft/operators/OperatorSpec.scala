@@ -233,6 +233,43 @@ class ChangelogSpec extends SparkSpec {
     assert(out === Seq(("a", 1L, "v3"), ("a", 2L, "v2")))
   }
 
+  test("diff classifies insert/update/delete and drops unchanged rows") {
+    import spark.implicits._
+    val oldS = Seq(
+      ("a", "v1", 1.0),                    // unchanged → absent from the diff
+      ("b", "v2", 2.0),                    // payload change → UPDATE (new image)
+      ("c", "v3", 3.0),                    // only in old → DELETE (old image)
+      ("d", null.asInstanceOf[String], 4.0)) // null → value change → UPDATE
+      .toDF("k", "v", "x")
+    val newS = Seq(
+      ("a", "v1", 1.0),
+      ("b", "v2b", 2.0),
+      ("d", "v4", 4.0),
+      ("e", "v5", 5.0))                    // only in new → INSERT
+      .toDF("k", "v", "x")
+    val out = Changelog.diff(oldS, newS, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq
+    assert(out === Seq(
+      ("b", "v2b", 2.0, "UPDATE"),
+      ("c", "v3", 3.0, "DELETE"),
+      ("d", "v4", 4.0, "UPDATE"),
+      ("e", "v5", 5.0, "INSERT")))
+  }
+
+  test("diff round-trips: old state + diff-as-changelog rebuilds the new state") {
+    import spark.implicits._
+    val oldS = Seq(("a", "v1"), ("b", "v2"), ("c", "v3")).toDF("k", "v")
+    val newS = Seq(("a", "v1x"), ("c", "v3"), ("d", "v4")).toDF("k", "v")
+    val asChangelog = Changelog.fromSnapshot(oldS, lit(0L)).unionByName(
+      Changelog.diff(oldS, newS, Seq("k"))
+        .withColumn(Changelog.SeqCol, lit(1L))
+        .withColumn(Changelog.OpCol,
+          when(col(Changelog.OpCol) === "DELETE", "DELETE").otherwise("REPLACE")))
+    val rebuilt = Changelog.materialize(asChangelog, Seq("k"))
+      .as[(String, String)].collect().toSet
+    assert(rebuilt === newS.as[(String, String)].collect().toSet)
+  }
+
   test("softDelete flags deletes instead of removing state") {
     val events = ValuesSource.singleSplitSingleTable
     val tid = TableId.of("default_namespace", "default_schema", "table1")
