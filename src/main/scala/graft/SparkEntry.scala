@@ -1257,6 +1257,25 @@ object SparkEntry {
           .cast("double").as("revenue"))
     },
 
+    "q4_order_priority" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q4 shape — a correlated EXISTS subquery planned as a LEFT SEMI
+      // join: both sides shuffle once on orderkey (no fact-side row ever
+      // duplicates — semi joins emit each order at most once, so a
+      // many-line order costs nothing extra), the late-shipment range
+      // predicate rides inside the join condition, and the final priority
+      // agg is 5 groups after map-side partials. lineitem lacks
+      // l_commitdate/l_receiptdate in this fixture, so "late" =
+      // shipped > 60 days after the order date
+      val o = t(dir, "orders").where(
+        col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-07-01"))
+      val l = t(dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
     "q5_local_supplier" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // TPC-H Q5 shape: star join, dims broadcast, co-located nation check
@@ -2075,6 +2094,15 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
