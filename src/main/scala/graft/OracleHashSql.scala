@@ -232,6 +232,22 @@ est AS (
   GROUP BY p.a, p.b)
 """
 
+  /** Text similarity search ([[graft.ops.Dedup.textTopK]]): top-10 docs by
+    * 128-slot MinHash agreement with doc 0's text — the query signature is
+    * re-derived in SQL from the same slot CTEs, est = agreeing-slot
+    * fraction (n/128, exact in both engines), ties broken by doc_id.
+    */
+  val textTopk: String = prelude + "WITH " + minhashSigCtes("documents") + """
+q AS (SELECT i, slot FROM slots WHERE doc_id = 0),
+est AS (
+  SELECT s.doc_id, (count(*) FILTER (s.slot = q.slot)) / 128.0 AS est_jaccard
+  FROM slots s JOIN q ON q.i = s.i
+  WHERE s.doc_id <> 0
+  GROUP BY s.doc_id)
+SELECT doc_id, est_jaccard FROM est
+ORDER BY est_jaccard DESC, doc_id LIMIT 10
+"""
+
   /** Survivors of MinHash-LSH dedup (keep-first greedy: drop every larger id
     * of a verified pair).
     */

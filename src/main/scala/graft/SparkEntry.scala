@@ -873,6 +873,17 @@ object SparkEntry {
       Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
     },
 
+    "q_text_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // text similarity SEARCH (retrieval twin of dedup): top-10 docs most
+      // similar to doc 0's text by MinHash-estimated Jaccard — one narrow
+      // codegen scan into TakeOrderedAndProject; deterministic doc_id
+      // tie-break makes the k-boundary engine-independent
+      val docs = t(dir, "documents")
+      val queryText = docs.where(col("doc_id") === 0).select("text").head().getString(0)
+      Dedup.textTopK(docs.where(col("doc_id") =!= 0), "doc_id", "text", queryText, k = 10)
+    },
+
     "q_dedup_incremental_probe" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the STEADY-STATE half of the ingest loop: the persisted index
@@ -2458,6 +2469,7 @@ object SparkEntry {
     "q_decontaminate_bloom" -> OracleHashSql.decontaminateBloom,
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
+    "q_text_topk" -> OracleHashSql.textTopk,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
     "q_dedup_incremental_probe" -> OracleHashSql.dedupIncremental,
     "q_dedup_clusters" -> OracleHashSql.dedupClusters,

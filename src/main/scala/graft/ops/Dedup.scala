@@ -185,6 +185,30 @@ object Dedup {
       graft.functions.CdcExpressions.minhashSignature(
         coalesce(col(textCol), lit("")), shingleSize, numHashes).as("sig"))
 
+  /** Text similarity SEARCH (the retrieval twin of near-dup detection):
+    * top-`k` documents most similar to `queryText` by estimated Jaccard —
+    * 128-slot MinHash agreement against the query's signature, computed
+    * driver-side once and shipped as a literal.
+    *
+    * Scale note: one narrow codegen scan — per row a signature plus a
+    * 128-slot agreement count against the broadcast literal — feeding
+    * `TakeOrderedAndProject` (per-partition top-k heaps, k-row gather; no
+    * full sort, no shuffle of anything but k rows per partition). At a
+    * persisted-index deployment, probe the LSH index first
+    * ([[indexProbe]]) and re-rank only bucket-mates; this full-scan path
+    * is the exact fallback and the small-corpus shape.
+    */
+  def textTopK(df: DataFrame, idCol: String, textCol: String, queryText: String,
+               k: Int, shingleSize: Int = 3, numHashes: Int = 128): DataFrame = {
+    val qsig = minhashSignature(shingleHashes(queryText, shingleSize), numHashes)
+    signatures(df, idCol, textCol, shingleSize, numHashes)
+      .withColumn("est_jaccard",
+        graft.functions.CdcExpressions.estJaccard(col("sig"), typedLit(qsig.toSeq)))
+      .select(col(idCol), col("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH banding: candidate pairs (a < b) whose signatures collide in ≥1 band.
     * Returns (a, b, est_jaccard) with est ≥ `threshold`.
     */

@@ -31,6 +31,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("textTopK ranks the planted near-dup first and matches driver-side estimates") {
+    val query = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again every night"),
+      (2L, "completely different content about spark catalyst optimizer internals here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again every day"), // exact match
+      (4L, "another unrelated document mentioning nothing shared with the query at all"))
+    val out = Dedup.textTopK(corpus.toDF("id", "text"), "id", "text", query, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact match first with est 1.0, near-dup second
+    assert(out.head === (3L, 1.0))
+    assert(out(1)._1 === 1L && out(1)._2 > 0.5)
+    // distributed estimates equal the driver-side signature math per id
+    val qsig = Dedup.minhashSignature(Dedup.shingleHashes(query, 3), 128)
+    val expected = corpus.map { case (id, txt) =>
+      id -> Dedup.estimatedJaccard(
+        Dedup.minhashSignature(Dedup.shingleHashes(txt, 3), 128), qsig)
+    }.toMap
+    out.foreach { case (id, est) => assert(est === expected(id)) }
+  }
+
   test("minhashDedup keeps the smaller id of each dup cluster") {
     val df = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
