@@ -2,7 +2,7 @@ package graft
 
 import graft.model.TableId
 import graft.operators.{AsOfJoin, Changelog, RangeJoin, RouteRule, SchemaDerivator, Sessionize, TableIdRouter, Transform, TransformRule}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Reputation, Similarity, TextAnalysis}
 import graft.pipeline.{Composer, PipelineDef}
 import graft.sources.ChunkSplitter
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1322,6 +1322,17 @@ object SparkEntry {
         .where(col("n_words").between(20, 500) && col("lang_pred") =!= "und")
     },
 
+    "q_source_filter" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // domain-reputation gate (C4/Gopher/RefinedWeb curation rule): a
+      // source whose short-doc fraction exceeds 35% is dropped WHOLE —
+      // its individually-good docs go with it (boilerplate farms), and
+      // good sources keep their odd short page
+      Reputation.groupFilter(t(dir, "documents"), col("source"),
+        TextAnalysis.tokenCount(col("text")) < 40, maxBadFraction = 0.35)
+        .select("doc_id", "source")
+    },
+
     "q_window_agg" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // tumbling 1h event-time window over canonical µs; integer division
@@ -2131,6 +2142,16 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_quality_filter" -> qualityFilterOracleSql,
+
+    "q_source_filter" ->
+      """WITH stats AS (
+        |  SELECT source, count(*) AS total,
+        |         count(*) FILTER (
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+')) END < 40) AS bad
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, source FROM documents
+        |WHERE source IN (SELECT source FROM stats WHERE bad / total <= 0.35)""".stripMargin,
 
     "q_window_agg" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,

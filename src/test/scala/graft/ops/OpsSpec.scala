@@ -691,6 +691,35 @@ class IvfSpec extends SparkSpec {
 
 }
 
+class ReputationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupFilter drops whole bad groups, keeps whole good ones") {
+    // farm: 2 of 3 docs bad (0.67 > 0.5); clean: 1 of 4 bad (0.25 <= 0.5)
+    val df = Seq(
+      ("farm", 1L, true), ("farm", 2L, true), ("farm", 3L, false),
+      ("clean", 4L, false), ("clean", 5L, true), ("clean", 6L, false), ("clean", 7L, false))
+      .toDF("src", "id", "bad")
+    val kept = Reputation.groupFilter(df, col("src"), col("bad"), maxBadFraction = 0.5)
+      .select("id").as[Long].collect().toSet
+    // the farm's good doc 3 is gone; the clean source's bad doc 5 survives
+    assert(kept === Set(4L, 5L, 6L, 7L))
+  }
+
+  test("groupStats: integer-ratio fraction, boundary groups kept at exactly the cap") {
+    val df = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+                 ("b", true), ("b", true)).toDF("src", "bad")
+    val stats = Reputation.groupStats(df, col("src"), col("bad"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+    assert(stats === Seq(("a", 4L, 1L, 0.25), ("b", 2L, 2L, 1.0)))
+    // a group sitting exactly on the cap is KEPT (<=, not <)
+    val kept = Reputation.groupFilter(df, col("src"), col("bad"), maxBadFraction = 0.25)
+      .select("src").distinct().as[String].collect().toSet
+    assert(kept === Set("a"))
+  }
+}
+
 class SplitDecontamSpec extends SparkSpec {
   import spark.implicits._
 
