@@ -1202,6 +1202,16 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), windowTokens = 512)
     },
 
+    "q_pack_stats" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // packing-efficiency report: per length bucket, padded windows vs
+      // actual tokens — the numbers that justify concat-packing and pick
+      // the context length (exact BIGINT sums, bounded agg). Window/bucket
+      // sized to the fixture's 10-99-token docs so the report has spread
+      graft.ops.Pack.paddingStats(t(dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), windowTokens = 128, bucketSize = 16)
+    },
+
     // ---------- multimodal plumbing ----------
 
     "q_multimodal_decode" -> { (spark, dir) =>
@@ -2075,6 +2085,18 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS subword_tokens
         |FROM documents""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH tok AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT (n // 16) * 16 AS len_bucket,
+        |       count(*) AS docs,
+        |       CAST(sum(n) AS BIGINT) AS tokens,
+        |       CAST(sum((n + 127) // 128) AS BIGINT) AS padded_windows,
+        |       CAST(sum((n + 127) // 128) * 128 - sum(n) AS BIGINT) AS waste_tokens
+        |FROM tok WHERE n > 0 GROUP BY len_bucket""".stripMargin,
 
     "q_frame_sample" ->
       """SELECT CAST(p_partkey AS BIGINT) AS asset_id,

@@ -112,4 +112,27 @@ object Pack {
         expr(s"__start DIV $windowTokens").as("first_window"),
         expr(s"(__start + __tok - 1) DIV $windowTokens").as("last_window"),
         pmod(col("__start"), lit(windowTokens.toLong)).as("offset_in_window"))
+
+  /** Packing-efficiency report: per token-length bucket, how many context
+    * windows ONE-DOC-PER-WINDOW padding would burn vs the document's actual
+    * tokens — the numbers that justify concat-packing ([[packWindows]]) and
+    * pick the context length. One narrow codegen projection (bucket and
+    * window counts are integer arithmetic on the token count) into one
+    * bounded hash aggregation — all-BIGINT sums, so the report is exact and
+    * partitioning-invariant at any corpus size; docs longer than the
+    * context window still count ceil(n/W) windows (their tail window pads).
+    */
+  def paddingStats(df: DataFrame, tokensCol: Column, windowTokens: Int,
+                   bucketSize: Int = 128): DataFrame =
+    df.select(tokensCol.cast("long").as("__tok"))
+      .where(col("__tok") > 0)
+      .select(col("__tok"),
+        expr(s"__tok DIV $bucketSize * $bucketSize").as("len_bucket"),
+        expr(s"(__tok + ${windowTokens - 1}) DIV $windowTokens").as("__win"))
+      .groupBy("len_bucket")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("__tok").as("tokens"),
+        sum("__win").as("padded_windows"),
+        (sum("__win") * windowTokens - sum("__tok")).as("waste_tokens"))
 }

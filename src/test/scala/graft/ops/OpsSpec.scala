@@ -1015,6 +1015,18 @@ class PackSpec extends SparkSpec {
     assert(out(4) === ((6L, 1112L, 2L, 6L, 88L))) // long doc spans 5 windows
   }
 
+  test("paddingStats: exact bucketed window/waste accounting; zero-token docs excluded") {
+    val df = Seq((1L, 100), (2L, 100), (3L, 600), (4L, 0), (5L, 513)).toDF("id", "n")
+    val out = graft.ops.Pack.paddingStats(df, col("n"), windowTokens = 512, bucketSize = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      // bucket 0: docs 1,2 (100 tok each) → 1 window each, 412 waste each
+      (0L, 2L, 200L, 2L, 824L),
+      // bucket 512: docs 3 (600→2 windows, 424 waste) and 5 (513→2, 511)
+      (512L, 2L, 1113L, 4L, 935L)))
+  }
+
   test("deterministicShuffle: a permutation, stable across partitionings") {
     val df = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "v")
     val a = graft.ops.Sampling.deterministicShuffle(df, col("id"))
