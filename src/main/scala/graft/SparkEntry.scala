@@ -1202,6 +1202,31 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), windowTokens = 512)
     },
 
+    "q_bpe_pairs" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // tokenizer induction, the per-iteration statistic: frequency-weighted
+      // adjacent-pair counts over the word-frequency table (corpus scanned
+      // once; the pair agg is vocab-bounded). Top-30, lexicographic
+      // tie-break so the cut is engine-independent
+      graft.ops.Bpe.pairCounts(graft.ops.Bpe.seedVocab(
+          graft.ops.Bpe.wordCounts(t(dir, "documents"), col("text"))))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(30)
+    },
+
+    "q_bpe_merges" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      // the full BPE training loop (10 merges over the bounded vocab table;
+      // each iteration: codegen pair explode + bounded agg + 1-row argmax).
+      // Not SQL-expressible (sequential argmax chain) → rows-only gate;
+      // BpeSpec proves the loop equals a naive reference implementation
+      val (merges, _) = graft.ops.Bpe.trainMerges(
+        t(dir, "documents"), col("text"), numMerges = 10)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+        .toDF("rank", "a", "b", "merged")
+    },
+
     "q_pack_stats" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // packing-efficiency report: per length bucket, padded windows vs
@@ -2085,6 +2110,20 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS subword_tokens
         |FROM documents""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                              x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT word[i:i] AS a, word[i+1:i+1] AS b, freq FROM (
+        |    SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+        |    FROM words WHERE length(word) >= 2))
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin,
 
     "q_pack_stats" ->
       """WITH tok AS (

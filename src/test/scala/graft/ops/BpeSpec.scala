@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE induction vs a naive single-node reimplementation (the
+  * RepetitionPropertySpec pattern: the distributed operator must equal the
+  * obviously-correct sequential algorithm on every input).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE: word counts in a Map, pair counts by loop, argmax with
+    * (count desc, a, b) tie-break, left-to-right greedy merge.
+    */
+  private def naiveBpe(texts: Seq[String], numMerges: Int):
+      (Seq[(String, String)], Map[String, Seq[String]]) = {
+    val words = texts.flatMap(_.toLowerCase.split("\\W+")).filter(_.nonEmpty)
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[String, Seq[String]] =
+      freq.keys.map(w => w -> w.split("").filter(_.nonEmpty).toSeq).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + freq(w)
+      val best = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          merges += ((a, b))
+          vocab = vocab.map { case (w, syms) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == a && s == b)
+                out(out.length - 1) = a + b
+              else out += s
+            }
+            w -> out.toSeq
+          }
+        case _ => done = true
+      }
+      it += 1
+    }
+    (merges.toSeq, vocab)
+  }
+
+  test("trainMerges equals the naive reference on a crafted corpus") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "newer newest new low",
+      "wider wide wider widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val (gotMerges, gotVocab) = Bpe.trainMerges(df, col("text"), numMerges = 8)
+    val (expMerges, expVocab) = naiveBpe(texts, numMerges = 8)
+    assert(gotMerges === expMerges)
+    val vocabMap = gotVocab.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(vocabMap === expVocab)
+  }
+
+  test("trainMerges is invariant under repartitioning") {
+    val texts = Seq("aa ab aa ab ba", "ab aa ba ba bb", "aa bb ab ab aa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val (m1, _) = Bpe.trainMerges(df, col("text"), 5)
+    val (m2, _) = Bpe.trainMerges(df.repartition(7), col("text"), 5)
+    assert(m1 === m2)
+    assert(m1.nonEmpty)
+  }
+
+  test("mergeExpr merges overlapping runs greedily left-to-right") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a", "a"))
+      .toDF("syms")
+    val out = df.select(Bpe.mergeExpr("a", "a").as("m")).as[Seq[String]].collect().toSeq
+    assert(out === Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa")))
+    // a merged symbol participates in the NEXT round, not this one
+    val out2 = df.select(Bpe.mergeExpr("a", "a").as("syms"))
+      .select(Bpe.mergeExpr("aa", "a").as("m")).as[Seq[String]].collect().toSeq
+    assert(out2.head === Seq("aaa"))
+  }
+
+  test("trainMerges stops early when no pair repeats; encode falls back on OOV") {
+    val df = Seq((1L, "xy zq")).toDF("id", "text") // every pair count = 1
+    val (merges, vocab) = Bpe.trainMerges(df, col("text"), 10)
+    assert(merges.isEmpty)
+    // encode: in-vocab word uses the trained split, OOV word falls back to chars
+    val enc = Bpe.encode(Seq((9L, "xy unseen")).toDF("id", "text"), "id", col("text"), vocab)
+      .orderBy("word_ix").select("word", "tokens").as[(String, Seq[String])].collect().toSeq
+    assert(enc === Seq(("xy", Seq("x", "y")), ("unseen", Seq("u", "n", "s", "e", "e", "n"))))
+  }
+}
