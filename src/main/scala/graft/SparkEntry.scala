@@ -390,6 +390,19 @@ object SparkEntry {
         Changelog.history(eventsChangelog(spark, dir), Seq("user_id")), split)
     },
 
+    "q_scd2_merge" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // incremental SCD2 maintenance: bootstrap the history table from the
+      // first half of the changelog, then fold the second half in as a
+      // micro-batch — the oracle is the FULL-recompute SQL, so the compare
+      // proves incremental == batch recompute
+      val ch = eventsChangelog(spark, dir)
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      Changelog.mergeHistory(
+        Changelog.history(ch.where(col(Changelog.SeqCol) <= split), Seq("user_id")),
+        ch.where(col(Changelog.SeqCol) > split), Seq("user_id"))
+    },
+
     "q_snapshot_diff" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // snapshot-comparison CDC (no binlog available): the state at the
@@ -1865,6 +1878,19 @@ object SparkEntry {
         |SELECT user_id, event_type, value FROM iv, sp
         |WHERE op <> 'DELETE' AND valid_from <= s
         |  AND (valid_to IS NULL OR valid_to > s)""".stripMargin,
+
+    "q_scd2_merge" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, value, op, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, value, valid_from, valid_to
+        |FROM iv WHERE op <> 'DELETE'""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH ch AS (

@@ -115,6 +115,38 @@ object Changelog {
         (col("valid_to").isNull || col("valid_to") > seq))
       .drop("valid_from", "valid_to")
 
+  /** Incremental SCD2 maintenance: fold a NEW changelog batch into an
+    * existing [[history]] table without replaying old changelogs — the
+    * steady-state a CDC deployment actually runs (the full [[history]]
+    * recompute is the bootstrap). Every open interval of a key the batch
+    * touches closes at the batch's FIRST event for that key (any event —
+    * update or delete — supersedes it, exactly like the full recompute's
+    * `lead()` across the boundary), and the batch's own intervals append.
+    * By construction `mergeHistory(history(old), new) == history(old ∪
+    * new)` whenever the batch's seqs are strictly after the existing
+    * table's (the CDC ingest contract); the oracle query checks precisely
+    * that equality.
+    *
+    * Scale shape: the close pass is a LEFT join of the history table
+    * against the batch's per-key min-seq — batch keys are micro-batch
+    * bounded, so it broadcasts and the history table is never shuffled;
+    * the append is [[history]] on the batch alone (one micro-batch-sized
+    * window). On a PERSISTED history table partitioned by a
+    * `valid_to IS NULL` current-flag, only current-partition files are
+    * ever rewritten — closed history is immutable.
+    */
+  def mergeHistory(existing: DataFrame, batch: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val firstSeq = batch.groupBy(pkCols.map(col): _*)
+      .agg(min(col(SeqCol)).as("__first_seq"))
+    val closed = existing
+      .join(org.apache.spark.sql.functions.broadcast(firstSeq), pkCols, "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("__first_seq").isNotNull, col("__first_seq"))
+          .otherwise(col("valid_to")))
+      .drop("__first_seq")
+    closed.unionByName(history(batch, pkCols))
+  }
+
   /** Snapshot diff — the INVERSE of [[materialize]]: derive the changelog
     * BETWEEN two table states. The CDC fallback when no binlog/WAL feed
     * exists (full-refresh sources, the reference's snapshot-only startup

@@ -233,6 +233,30 @@ class ChangelogSpec extends SparkSpec {
     assert(out === Seq(("a", 1L, "v3"), ("a", 2L, "v2")))
   }
 
+  test("mergeHistory equals the full recompute at every split point") {
+    import spark.implicits._
+    val ch = Seq(
+      ("a", "v1", "REPLACE", 1L),
+      ("b", "w1", "REPLACE", 2L),
+      ("a", "v2", "REPLACE", 3L),
+      ("a", "v2", "DELETE", 5L),   // delete-first-in-batch case at split 4
+      ("b", "w2", "REPLACE", 6L),
+      ("a", "v3", "REPLACE", 7L),  // re-insert after delete
+      ("c", "x1", "REPLACE", 8L))  // brand-new key in the batch
+      .toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+    val full = Changelog.history(ch, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    for (split <- 1L to 7L) {
+      val merged = Changelog.mergeHistory(
+        Changelog.history(ch.where(col(Changelog.SeqCol) <= split), Seq("k")),
+        ch.where(col(Changelog.SeqCol) > split), Seq("k"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(merged === full, s"split=$split")
+    }
+  }
+
   test("diff classifies insert/update/delete and drops unchanged rows") {
     import spark.implicits._
     val oldS = Seq(
