@@ -75,6 +75,44 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff is one key-aligned join: no nested loop, no row explosion") {
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("FullOuter"), p.take(2000))
+  }
+
+  test("text similarity search plans as TakeOrderedAndProject over one narrow scan") {
+    val p = plan("q_text_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000)) // signature + agreement: no shuffle at all
+  }
+
+  test("source-reputation filter: corpus side joins LEFT SEMI under a broadcast") {
+    val p = plan("q_source_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("EXISTS subquery plans as a semi join, never a nested loop") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("BPE pair counts: map-side partial agg; padding stats: single bounded exchange") {
+    val bpe = plan("q_bpe_pairs")
+    assert(bpe.contains("partial_sum"), bpe.take(2000))
+    val pk = plan("q_pack_stats")
+    assert(pk.contains("partial_count"), pk.take(2000))
+    assert("Exchange".r.findAllIn(pk).size === 1, pk.take(3000))
+  }
+
+  test("incremental SCD2 merge broadcasts the batch key set; history side not shuffled for the close") {
+    val p = plan("q_scd2_merge")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("rarity profile: partial df aggregation, no nested-loop joins") {
     val p = plan("q_doc_rarity")
     assert(p.contains("partial_count"), p.take(2000)) // df agg combines map-side
