@@ -232,6 +232,36 @@ est AS (
   GROUP BY p.a, p.b)
 """
 
+  /** Count-min sketch ([[graft.ops.Sketch]]) replayed bit-for-bit: same
+    * word counts, same h1/h2 hash chain (FNV+mix, the 2-hash trick), same
+    * power-of-two bucket bits, same min-over-rows estimate — on the exact
+    * top-20 vocabulary. A hash match proves the whole sketch (build AND
+    * probe) is deterministic and engine-independent.
+    */
+  val vocabSketch: String = prelude + """WITH words AS (
+  SELECT w AS word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+h AS (
+  SELECT word, freq, """ + h64Chain("word") + """,
+         g_mixa(h1) AS g1, g_mixb(g1) AS g2, g_mixc(g2) AS g3,
+         xor(g3, g3 >> 31) | 1 AS h2
+  FROM words),
+pairs AS (
+  SELECT word, freq, i.i,
+         CAST(g_addmod(h1, g_mulmod(CAST(i.i AS UBIGINT), h2)) & 8191 AS BIGINT) AS bucket
+  FROM h CROSS JOIN generate_series(0, 3) i(i)),
+sketch AS (
+  SELECT i, bucket, sum(freq) AS cnt FROM pairs GROUP BY i, bucket),
+top AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT 20)
+SELECT t.word, CAST(t.freq AS BIGINT) AS exact_cnt,
+       CAST(min(s.cnt) AS BIGINT) AS est_cnt
+FROM top t
+JOIN pairs p ON p.word = t.word
+JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+GROUP BY t.word, t.freq
+"""
+
   /** Text similarity search ([[graft.ops.Dedup.textTopK]]): top-10 docs by
     * 128-slot MinHash agreement with doc 0's text — the query signature is
     * re-derived in SQL from the same slot CTEs, est = agreeing-slot

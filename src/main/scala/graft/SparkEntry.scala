@@ -1215,6 +1215,20 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), windowTokens = 512)
     },
 
+    "q_vocab_sketch" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // frequency estimation at bounded memory: a 4×8192 count-min sketch
+      // is the whole artifact at ANY corpus size (the exact vocab agg is
+      // itself corpus-scale state at 100 TB); estimates only overcount —
+      // checked here against the exact top-20 (oracle replays the sketch
+      // bit-for-bit in SQL: same hash family, same bucket bits)
+      val words = graft.ops.Bpe.wordCounts(t(dir, "documents"), col("text"))
+      val sketch = graft.ops.Sketch.countMin(words, "word", col("freq"))
+      val top = words.orderBy(col("freq").desc, col("word")).limit(20)
+        .withColumnRenamed("freq", "exact_cnt")
+      graft.ops.Sketch.estimate(sketch, top, "word")
+    },
+
     "q_bpe_pairs" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // tokenizer induction, the per-iteration statistic: frequency-weighted
@@ -2578,6 +2592,7 @@ object SparkEntry {
     "q_shuffle_deterministic" -> OracleHashSql.shuffleDeterministic,
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_text_topk" -> OracleHashSql.textTopk,
+    "q_vocab_sketch" -> OracleHashSql.vocabSketch,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
     "q_dedup_incremental_probe" -> OracleHashSql.dedupIncremental,
     "q_dedup_clusters" -> OracleHashSql.dedupClusters,

@@ -27,6 +27,8 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
+  def hash64(s: UTF8String): Long = Dedup.hash64(s.toString)
+
   /** Static entry the generated code calls: text → distinct shingle hashes. */
   def shingleData(s: UTF8String, shingleSize: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Dedup.shingleHashes(s.toString, shingleSize))
@@ -391,6 +393,44 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** `HASH64(text)` — the engine's canonical 64-bit string hash
+  * (FNV-1a + splitmix finalizer, [[graft.ops.Dedup.hash64]]) as a scalar
+  * codegen expression: the building block sketches and partitioners share
+  * with the minhash/shingle machinery (one hash family everywhere, one
+  * SQL oracle replay).
+  */
+case class Hash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.hash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.hash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Hash64 =
+    copy(child = newChild)
+  override def prettyName: String = "hash64"
+}
+
+/** `MIX64(h)` — splitmix64 finalizer ([[graft.ops.Dedup.mix64]]): derives
+  * independent hash rows from one base hash (the 2-hash trick minhash
+  * already uses), codegen'd.
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BIGINT, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Dedup.mix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Dedup.mix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
 }
 
 /** `COSINE_SIM(vec, vec)` over `ARRAY<FLOAT>` — the ANN scoring hot loop as
@@ -788,6 +828,10 @@ object CdcExpressions {
     GraftBridge.column(MinHashSignature(GraftBridge.expression(text), shingleSize, numHashes))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+  def hash64(text: Column): Column =
+    GraftBridge.column(Hash64(GraftBridge.expression(text)))
+  def mix64(h: Column): Column =
+    GraftBridge.column(Mix64(GraftBridge.expression(h)))
   def shingleHashes(text: Column, shingleSize: Int = 3): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), shingleSize))
   def ngramBuckets(text: Column, maxN: Int = 2, buckets: Int = 4096): Column =
@@ -850,6 +894,10 @@ object CdcExpressions {
       (args: Seq[Expression]) => MinHashSignature(args.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("hash64",
+      (args: Seq[Expression]) => Hash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("mix64",
+      (args: Seq[Expression]) => Mix64(args.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       (args: Seq[Expression]) => CosineSim(args(0), args(1)), "built-in")
   }
@@ -867,6 +915,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "hash64"),
+      (args: Seq[Expression]) => Hash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      (args: Seq[Expression]) => Mix64(args.head)))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimates never undercount; exact when the sketch is collision-free") {
+    val words = (1 to 200).map(i => (s"tok$i", (i % 7 + 1).toLong)).toDF("word", "freq")
+    val exact = words.as[(String, Long)].collect().toMap
+    val est = Sketch.estimate(
+        Sketch.countMin(words, "word", col("freq"), depth = 4, width = 8192),
+        words.withColumnRenamed("freq", "exact"), "word", depth = 4, width = 8192)
+      .select("word", "est_cnt").as[(String, Long)].collect().toMap
+    est.foreach { case (w, e) => assert(e >= exact(w), w) }
+    // 200 tokens into 4 rows of 8192 buckets: overwhelmingly collision-free,
+    // and min-over-rows needs only ONE clean row — the estimates are exact
+    assert(est === exact)
+  }
+
+  test("collisions overcount, min-over-rows bounds the damage; unseen tokens estimate >= 0") {
+    // width 2: every bucket collides — estimates must still be >= exact
+    val words = Seq(("a", 10L), ("b", 3L), ("c", 1L)).toDF("word", "freq")
+    val sk = Sketch.countMin(words, "word", col("freq"), depth = 4, width = 2)
+    val est = Sketch.estimate(sk,
+        Seq("a", "b", "c", "never_seen").toDF("word"), "word", depth = 4, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") >= 10L && est("b") >= 3L && est("c") >= 1L)
+    assert(est.values.forall(_ <= 14L)) // no counter exceeds the total mass
+    assert(est("never_seen") >= 0L)
+  }
+
+  test("linearity: sketch of pre-aggregated counts equals sketch of the raw stream") {
+    val raw = Seq("x", "x", "x", "y", "y", "z").toDF("word").withColumn("w", lit(1L))
+    val agg = raw.groupBy("word").agg(count(lit(1)).as("w"))
+    val a = Sketch.countMin(raw, "word", col("w"), depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Sketch.countMin(agg, "word", col("w"), depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a === b)
+    val c = Sketch.countMin(agg.repartition(5), "word", col("w"), depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(c === a)
+  }
+
+  test("HASH64/MIX64 columns match the driver-side Dedup functions") {
+    val df = Seq("alpha", "Beta tok", "").toDF("s")
+    val got = df.select(col("s"),
+        graft.functions.CdcExpressions.hash64(col("s")).as("h"),
+        graft.functions.CdcExpressions.mix64(
+          graft.functions.CdcExpressions.hash64(col("s"))).as("m"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (s, h, m) =>
+      assert(h === Dedup.hash64(s))
+      assert(m === Dedup.mix64(Dedup.hash64(s)))
+    }
+  }
+}
