@@ -1406,6 +1406,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
     },
 
+    "q_window_topn" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // hottest 3 users per hour by summed value: the rank-filter plans as
+      // WindowGroupLimit per-partition heaps BEFORE the hour exchange, so
+      // the shuffle carries ≤3 rows per (partition, hour). Ranking uses the
+      // ROUNDED aggregate (the emitted value) + user_id tie-break — the
+      // rank decision never sees partitioning-order double noise
+      val hourly = events(dir)
+        .selectExpr("ts_us DIV 3600000000 AS hour_bucket", "user_id", "value")
+        .groupBy("hour_bucket", "user_id")
+        .agg(round(sum("value"), 2).as("sum_value"), count(lit(1)).as("cnt"))
+      hourly
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("hour_bucket")
+            .orderBy(col("sum_value").desc, col("user_id"))))
+        .where(col("rn") <= 3).drop("rn")
+    },
+
     "q_asof_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // point-in-time feature attach: each event carries the user's most
@@ -2253,6 +2272,16 @@ object SparkEntry {
         |  FROM documents GROUP BY source)
         |SELECT doc_id, source FROM documents
         |WHERE source IN (SELECT source FROM stats WHERE bad / total <= 0.35)""".stripMargin,
+
+    "q_window_topn" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id,
+        |         ROUND(SUM(value), 2) AS sum_value, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY hour_bucket
+        |        ORDER BY sum_value DESC, user_id) AS rn FROM hourly)
+        |SELECT hour_bucket, user_id, sum_value, cnt FROM r WHERE rn <= 3""".stripMargin,
 
     "q_window_agg" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
