@@ -1136,6 +1136,24 @@ object SparkEntry {
         maxTopBigram = 0.05).select("doc_id")
     },
 
+    "q_gopher_stats" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the Gopher word/line-level rules the repetition family doesn't
+      // cover (Rae '21 §A1.1): all integer-ratio doubles, one codegen scan
+      TextAnalysis.gopherProfile(t(dir, "documents"), "doc_id", "text")
+    },
+
+    "q_gopher_filter" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the composable keep gate; thresholds tuned so the gate splits this
+      // fixture (synthetic docs have no bullets/ellipses — those caps ride
+      // at Gopher defaults and are proven on crafted inputs in the spec)
+      t(dir, "documents")
+        .where(TextAnalysis.gopherKeep(col("text"),
+          minMeanWordLen = 4.2, minStopwords = 1))
+        .select("doc_id")
+    },
+
     "q_lang_id" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       t(dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -2262,6 +2280,59 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_quality_filter" -> qualityFilterOracleSql,
+
+    "q_gopher_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(words, w -> length(w))) / len(words) END
+        |    AS mean_word_len,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE (hashes + ellipses) / len(words) END AS symbol_word_ratio,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+        |                                     OR starts_with(l, '•'))) / len(lines) END
+        |    AS bullet_line_frac,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+        |            / len(lines) END AS ellipsis_line_frac,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |       ELSE len(list_filter(words, w -> regexp_matches(w, '[\p{L}]'))) / len(words) END
+        |    AS alpha_word_frac,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(list_transform(words, w -> lower(w)), sw))) AS stopword_hits
+        |FROM base""".stripMargin,
+
+    "q_gopher_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+        |  FROM documents)
+        |SELECT doc_id FROM base
+        |WHERE len(words) > 0
+        |  AND list_sum(list_transform(words, w -> length(w))) / len(words) >= 4.2
+        |  AND list_sum(list_transform(words, w -> length(w))) / len(words) <= 10.0
+        |  AND (hashes + ellipses) / len(words) <= 0.1
+        |  AND (len(lines) = 0 OR
+        |       len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+        |                                OR starts_with(l, '•'))) / len(lines) <= 0.9)
+        |  AND (len(lines) = 0 OR
+        |       len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+        |       / len(lines) <= 0.3)
+        |  AND len(list_filter(words, w -> regexp_matches(w, '[\p{L}]'))) / len(words) >= 0.8
+        |  AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |          sw -> list_contains(list_transform(words, w -> lower(w)), sw))) >= 1""".stripMargin,
 
     "q_source_filter" ->
       """WITH stats AS (

@@ -57,6 +57,87 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** The Gopher word/line-level quality rules (Rae et al. 2021 §A1.1) that
+    * the repetition family does not cover: mean word length, symbol-to-word
+    * ratio (# and … noise), bullet-start / ellipsis-end line fractions,
+    * alphabetic-word fraction, stopword presence. Every metric is an
+    * integer ratio (or an integer), so the doubles are bit-identical on
+    * every engine and partitioning; everything is native Catalyst over one
+    * scan — no UDF, no shuffle.
+    */
+  def gopherProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val linesNonEmpty = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nw = size(words)
+    val nl = size(linesNonEmpty)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    val stop = array(GopherStopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      when(nw === 0, lit(0.0)).otherwise(
+        aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nw)
+        .as("mean_word_len"),
+      when(nw === 0, lit(0.0)).otherwise((hashes + ellipses).cast("double") / nw)
+        .as("symbol_word_ratio"),
+      when(nl === 0, lit(0.0)).otherwise(
+        size(filter(linesNonEmpty, l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double") / nl)
+        .as("bullet_line_frac"),
+      when(nl === 0, lit(0.0)).otherwise(
+        size(filter(linesNonEmpty, l =>
+          l.endsWith("...") || l.endsWith("…"))).cast("double") / nl)
+        .as("ellipsis_line_frac"),
+      when(nw === 0, lit(0.0)).otherwise(
+        size(filter(words, w => w.rlike("[\\p{L}]"))).cast("double") / nw)
+        .as("alpha_word_frac"),
+      size(filter(stop, sw => array_contains(transform(words, w => lower(w)), sw)))
+        .as("stopword_hits"))
+  }
+
+  /** The classic 8 Gopher stopwords (presence-of-2 rule). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher word-level keep gate, composable with
+    * [[graft.ops.Repetition.filter]] (which owns the repetition rules):
+    * one boolean over the scan, same integer-ratio decisions as
+    * [[gopherProfile]].
+    */
+  def gopherKeep(text: Column,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                 minStopwords: Int = 2): Column = {
+    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val linesNonEmpty = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nw = size(words)
+    val nl = size(linesNonEmpty)
+    // ANSI mode evaluates every conjunct of a filter predicate, so the
+    // divisors are floor-guarded: when nw/nl is 0 the guarded conjuncts are
+    // decided by the `nw > 0` / `nl === 0` terms, never the division
+    val nwSafe = greatest(nw, lit(1))
+    val nlSafe = greatest(nl, lit(1))
+    val meanLen = aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nwSafe
+    val symbols = ((length(text) - length(regexp_replace(text, "#", ""))) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("double") / nwSafe
+    val bullets = size(filter(linesNonEmpty, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("double")
+    val ellipsisEnds = size(filter(linesNonEmpty, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[\\p{L}]"))).cast("double")
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      sw => array_contains(transform(words, w => lower(w)), sw)))
+    nw > 0 &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symbols <= maxSymbolRatio &&
+      (nl === 0 || bullets / nlSafe <= maxBulletFrac) &&
+      (nl === 0 || ellipsisEnds / nlSafe <= maxEllipsisFrac) &&
+      alphaWords / nwSafe >= minAlphaFrac &&
+      stopHits >= minStopwords
+  }
+
   /** Stopword tables for the language-ID heuristic. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "nicht", "ist", "das", "ein", "mit"),

@@ -1050,6 +1050,28 @@ class PackSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherProfile: crafted bullet/ellipsis/symbol/stopword inputs hit each rule") {
+    val df = Seq(
+      (1L, "the cat sat with the hat and that mat"),        // clean English
+      (2L, "- one\n- two\n- three\nplain line"),            // 3/4 bullet lines
+      (3L, "wait...\nmore...\nfine"),                       // 2/3 ellipsis ends
+      (4L, "## ### tag # soup # here"),                     // symbol noise
+      (5L, ""))                                             // empty
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.gopherProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("stopword_hits") >= 4)
+    assert(m(1L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(m(2L).getAs[Double]("bullet_line_frac") === 0.75)
+    assert(m(3L).getAs[Double]("ellipsis_line_frac") === 2.0 / 3.0)
+    assert(m(4L).getAs[Double]("symbol_word_ratio") === 6.0 / 6.0)
+    assert(m(5L).getAs[Double]("mean_word_len") === 0.0)
+    // the keep gate agrees with the profile's rules at defaults
+    val kept = df.where(TextAnalysis.gopherKeep(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L)) // 2-4 fail their targeted rule, 5 is empty
+  }
+
   test("cleanText: NFC composition, control strip, whitespace collapse, idempotence") {
     val decomposed = "cafe\u0301" // e + combining acute
     val df = Seq(

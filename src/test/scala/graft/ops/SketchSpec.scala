@@ -44,6 +44,21 @@ class SketchSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("sketches merge: batch sketches summed bucket-wise equal the union sketch") {
+    // linearity again, but as the STREAMING property: per-micro-batch
+    // sketches union + re-sum to the full-corpus sketch — state is always
+    // depth×width however many batches arrive
+    val b1 = Seq(("a", 2L), ("b", 1L)).toDF("word", "w")
+    val b2 = Seq(("a", 3L), ("c", 4L)).toDF("word", "w")
+    val merged = Sketch.countMin(b1, "word", col("w"), 4, 64)
+      .unionByName(Sketch.countMin(b2, "word", col("w"), 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val full = Sketch.countMin(b1.unionByName(b2), "word", col("w"), 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
   test("HASH64/MIX64 columns match the driver-side Dedup functions") {
     val df = Seq("alpha", "Beta tok", "").toDF("s")
     val got = df.select(col("s"),
