@@ -886,6 +886,15 @@ object SparkEntry {
       Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
     },
 
+    "q_span_dedup" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // span-granular exact-substring dedup (Lee '21): per-doc fraction of
+      // tokens covered by a 10-token window occurring verbatim in ANOTHER
+      // doc — catches embedded boilerplate that doc-level near-dup and
+      // within-doc repetition both miss
+      Dedup.spanProfile(t(dir, "documents"), "doc_id", "text", k = 10)
+    },
+
     "q_text_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // text similarity SEARCH (retrieval twin of dedup): top-10 docs most
@@ -2280,6 +2289,29 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_quality_filter" -> qualityFilterOracleSql,
+
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+9], ' ') AS win
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 9)) AS i
+        |        FROM base WHERE n_tokens >= 10)),
+        |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (SELECT w.doc_id, w.start FROM w JOIN d USING (win)),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS dup_tokens FROM (
+        |    SELECT DISTINCT doc_id, j FROM (
+        |      SELECT doc_id, unnest(generate_series(start, start + 9)) AS j FROM dup))
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+        |       CASE WHEN b.n_tokens = 0 THEN 0.0
+        |            ELSE coalesce(c.dup_tokens, 0) / b.n_tokens END AS dup_frac
+        |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     "q_gopher_stats" ->
       """WITH base AS (

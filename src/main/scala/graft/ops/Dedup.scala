@@ -102,6 +102,65 @@ object Dedup {
           x => x("__para")), delim).as(textCol))
   }
 
+  /** Cross-document duplicate-SPAN profile — the span-granular exact
+    * substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better"): for every document, the fraction of
+    * its tokens covered by a k-token window that also occurs verbatim in
+    * ANOTHER document. Catches templated/boilerplate spans embedded in
+    * otherwise-unique pages — invisible to doc-level near-dup (signature
+    * dominated by the unique part) and to [[Repetition]] (within-doc only).
+    *
+    * The reference algorithm builds one suffix array over the corpus; the
+    * Spark-native shape is rolling k-token window HASHES (64-bit, so the
+    * shuffle rows are slim constants, never text): like the suffix array
+    * it is O(corpus tokens), but embarrassingly distributed. `stride > 1`
+    * trades recall for a stride-fold row cut.
+    *
+    * Scale shape: window expansion is a narrow codegen transform (hashes
+    * computed inside the row); the global stage shuffles (hash, doc,
+    * start) 24-byte rows — once for the distinct-doc count (two-phase
+    * partial aggregation collapses a degenerate boilerplate hash per map
+    * task; the count itself caps the skew surface), once for the 1:1
+    * stats join-back (AQE skew-splits hot hashes; each row matches
+    * exactly one stats row, so no amplification). Coverage union is a
+    * per-doc sorted-starts sweep (one fold over a doc-bounded array —
+    * same stance as the LM per-doc fold).
+    */
+  def spanProfile(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 50, stride: Int = 1): DataFrame = {
+    require(k >= 2 && stride >= 1)
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"), x => x =!= "")
+    val base = df.select(col(idCol).cast("long").as(idCol), toks.as("__tk"))
+      .select(col(idCol), col("__tk"), size(col("__tk")).as("n_tokens"))
+    val wins = transform(
+      sequence(lit(0), size(col("__tk")) - k, lit(stride)),
+      i => struct(i.as("start"),
+        graft.functions.CdcExpressions.hash64(
+          array_join(slice(col("__tk"), i + lit(1), lit(k)), " ")).as("h")))
+    val spans = base.where(col("n_tokens") >= k)
+      .select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol), col("w.start").as("start"), col("w.h").as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .where(col("__docs") > 1)
+    val covered = spans.join(dupHashes, "h")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list("start")).as("__starts"))
+      .select(col(idCol),
+        aggregate(col("__starts"),
+          struct(lit(0L).as("cnt"), lit(-1L).as("end")),
+          (acc, s) => struct(
+            (acc("cnt") + (s + lit(k.toLong) - greatest(acc("end"), s.cast("long")))).as("cnt"),
+            (s.cast("long") + k).as("end")),
+          acc => acc("cnt")).as("dup_tokens"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1))).as("dup_frac"))
+  }
+
   // ---------- shingles / hashing primitives ----------
 
   /** splitmix64 finalizer — cheap avalanche for deriving k hash functions. */

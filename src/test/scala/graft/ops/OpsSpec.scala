@@ -31,6 +31,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("spanProfile: embedded cross-doc boilerplate covered exactly; within-doc repeats don't count") {
+    val boiler = "b1 b2 b3 b4 b5" // 5-token span shared by docs 1 and 2
+    val df = Seq(
+      (1L, s"u1 u2 u3 $boiler u4 u5"),       // 10 tokens, positions 3-7 shared
+      (2L, s"v1 $boiler v2 v3 v4 v5 v6"),    // 11 tokens, positions 1-5 shared
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),       // unique
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4"))       // repeats WITHIN itself only
+      .toDF("doc_id", "text")
+    val out = Dedup.spanProfile(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    // k=4 windows over the 5-token boilerplate: starts 3,4 in doc 1 →
+    // union covers tokens 3..7 = 5 tokens
+    assert(out(1L) === ((10, 5L, 0.5)))
+    assert(out(2L) === ((11, 5L, 5.0 / 11.0)))
+    assert(out(3L) === ((8, 0L, 0.0)))
+    // distinct-doc rule: a span repeated only within one doc is Repetition's
+    // job, not span dedup's
+    assert(out(4L) === ((8, 0L, 0.0)))
+  }
+
+  test("spanProfile coverage union is partitioning-invariant and bounded by n_tokens") {
+    val docs = (1L to 60L).map { i =>
+      (i, (1 to 30).map(j => s"t${(i * 7 + j) % 40}").mkString(" ")) // overlapping vocab → shared spans
+    }
+    val a = Dedup.spanProfile(docs.toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val b = Dedup.spanProfile(docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(a === b)
+    val n = Dedup.spanProfile(docs.toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    n.foreach { case (nt, dt) => assert(dt >= 0L && dt <= nt) }
+  }
+
   test("textTopK ranks the planted near-dup first and matches driver-side estimates") {
     val query = "the quick brown fox jumps over the lazy dog again and again every day"
     val corpus = Seq(
