@@ -1589,6 +1589,25 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    "q_corpus_curation" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the round-10 gates composed as ONE curation chain: source
+      // reputation (domain-level) → Gopher word rules (doc-level) →
+      // cross-doc span-dup gate (corpus-level, over the survivors) →
+      // exactly-10-per-language holdout. Three narrow gates and two
+      // bounded exchanges (span stats + the top-k stratum exchange)
+      val docs = t(dir, "documents")
+      val srcOk = Reputation.groupFilter(docs, col("source"),
+        TextAnalysis.tokenCount(col("text")) < 40, maxBadFraction = 0.35)
+      val gOk = srcOk.where(TextAnalysis.gopherKeep(col("text"),
+        minMeanWordLen = 4.2, minStopwords = 1))
+      val spanOk = gOk.join(
+        Dedup.spanProfile(gOk, "doc_id", "text", k = 10)
+          .where(col("dup_frac") <= 0.3).select("doc_id"), "doc_id")
+      graft.ops.Sampling.fixedPerStratum(spanOk, col("doc_id"), col("lang"), k = 10)
+        .select("doc_id", "lang", "source")
+    },
+
     "q_sample_fixed_k" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exactly-k-per-language holdout: rank-based (exact size per stratum
@@ -2530,6 +2549,65 @@ object SparkEntry {
         |SELECT t.doc_id, COUNT(*) AS n_tokens,
         |       CAST(SUM(d.df) AS BIGINT) AS df_sum, MIN(d.df) AS df_min
         |FROM toks t JOIN dfreq d USING (tok) GROUP BY t.doc_id""".stripMargin,
+
+    "q_corpus_curation" ->
+      """WITH stats AS (
+        |  SELECT source, count(*) AS total,
+        |         count(*) FILTER (
+        |           CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+')) END < 40) AS bad
+        |  FROM documents GROUP BY source),
+        |src_ok AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE source IN (SELECT source FROM stats WHERE bad / total <= 0.35)),
+        |g_base AS (
+        |  SELECT doc_id, lang, source, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+        |  FROM src_ok),
+        |g_ok AS (
+        |  SELECT doc_id, lang, source, text FROM g_base
+        |  WHERE len(words) > 0
+        |    AND list_sum(list_transform(words, w -> length(w))) / len(words) >= 4.2
+        |    AND list_sum(list_transform(words, w -> length(w))) / len(words) <= 10.0
+        |    AND (hashes + ellipses) / len(words) <= 0.1
+        |    AND (len(lines) = 0 OR
+        |         len(list_filter(lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+        |                                  OR starts_with(l, '•'))) / len(lines) <= 0.9)
+        |    AND (len(lines) = 0 OR
+        |         len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))
+        |         / len(lines) <= 0.3)
+        |    AND len(list_filter(words, w -> regexp_matches(w, '[\p{L}]'))) / len(words) >= 0.8
+        |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |            sw -> list_contains(list_transform(words, w -> lower(w)), sw))) >= 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS tk
+        |  FROM g_ok),
+        |sbase AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(tk[i:i+9], ' ') AS win
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 9)) AS i
+        |        FROM sbase WHERE n_tokens >= 10)),
+        |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (SELECT w.doc_id, w.start FROM w JOIN d USING (win)),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS dup_tokens FROM (
+        |    SELECT DISTINCT doc_id, j FROM (
+        |      SELECT doc_id, unnest(generate_series(start, start + 9)) AS j FROM dup))
+        |  GROUP BY doc_id),
+        |span_ok AS (
+        |  SELECT g.doc_id, g.lang, g.source FROM g_ok g
+        |  JOIN sbase b USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        |  WHERE (CASE WHEN b.n_tokens = 0 THEN 0.0
+        |              ELSE coalesce(c.dup_tokens, 0) / b.n_tokens END) <= 0.3)
+        |SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM span_ok) t WHERE rn <= 10""".stripMargin,
 
     "q_sample_fixed_k" ->
       """SELECT doc_id, lang FROM (
