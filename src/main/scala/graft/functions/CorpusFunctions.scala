@@ -40,5 +40,9 @@ object CorpusFunctions {
     // projections, fused default-threshold keep for filters
     one("REP_STATS")(CdcExpressions.repetitionStats)
     one("REP_KEEP")(graft.ops.Repetition.keepColumn)
+    // the Gopher word/line rules at default thresholds; HASH64 for
+    // deterministic bucketing/sampling expressions in YAML
+    one("GOPHER_KEEP")(TextAnalysis.gopherKeep(_))
+    one("HASH64")(CdcExpressions.hash64)
   }
 }

@@ -173,6 +173,20 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(st.getDouble(0) === 0.75) // 4 lines, 1 distinct → 3 dups
   }
 
+  test("CorpusFunctions YAML surface: GOPHER_KEEP gate and HASH64 bucketing from SQL") {
+    CorpusFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the cat sat with the hat and that mat"), // passes defaults
+      (2L, "## ### tag # soup # here"))              // symbol noise fails
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gopher_docs")
+    val kept = spark.sql("SELECT doc_id FROM gopher_docs WHERE GOPHER_KEEP(text)")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+    val h = spark.sql("SELECT HASH64(text) AS h FROM gopher_docs WHERE doc_id = 1").head()
+    assert(h.getLong(0) === graft.ops.Dedup.hash64("the cat sat with the hat and that mat"))
+  }
+
   test("cosine_sim propagates null for null vector elements") {
     val df = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
       .toDF("id", "a", "b")
