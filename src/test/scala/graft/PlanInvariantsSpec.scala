@@ -113,6 +113,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("span dedup and curation chain: no nested loops; curation keeps the top-k heaps") {
+    val sp = plan("q_span_dedup")
+    assert(!sp.contains("BroadcastNestedLoopJoin") && !sp.contains("CartesianProduct"), sp.take(2000))
+    val cu = plan("q_corpus_curation")
+    assert(cu.contains("WindowGroupLimit"), cu.take(2000))
+    assert(!cu.contains("CartesianProduct"), cu.take(2000))
+  }
+
   test("rarity profile: partial df aggregation, no nested-loop joins") {
     val p = plan("q_doc_rarity")
     assert(p.contains("partial_count"), p.take(2000)) // df agg combines map-side
