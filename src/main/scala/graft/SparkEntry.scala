@@ -1242,6 +1242,17 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), windowTokens = 512)
     },
 
+    "q_heavy_hitters" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // sketch-prefilter + exact-verify two-phase: CMS never undercounts,
+      // so the candidate set is a superset and the output is IDENTICAL to
+      // the exact aggregation (the oracle) — but the exact pass only ever
+      // aggregates candidates, so its state is bounded at 100 TB
+      val tokens = t(dir, "documents").select(
+        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= "")).as("word"))
+      graft.ops.Sketch.heavyHitters(tokens, "word", threshold = 300)
+    },
+
     "q_vocab_sketch" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // frequency estimation at bounded memory: a 4×8192 count-min sketch
@@ -1595,12 +1606,18 @@ object SparkEntry {
       // reputation (domain-level) → Gopher word rules (doc-level) →
       // cross-doc span-dup gate (corpus-level, over the survivors) →
       // exactly-10-per-language holdout. Three narrow gates and two
-      // bounded exchanges (span stats + the top-k stratum exchange)
+      // bounded exchanges (span stats + the top-k stratum exchange).
+      // The gated survivor set feeds FIVE plan subtrees (span base, span
+      // stats, the stats join-back, the id join, the holdout), so it is
+      // materialized once — the single-JVM analog of writing each
+      // curation stage to a table, which is what a 100 TB deployment does
+      // between stages (recomputing the regex-heavy gate per subtree was
+      // a measured 5× on this query's wall time)
       val docs = t(dir, "documents")
       val srcOk = Reputation.groupFilter(docs, col("source"),
         TextAnalysis.tokenCount(col("text")) < 40, maxBadFraction = 0.35)
       val gOk = srcOk.where(TextAnalysis.gopherKeep(col("text"),
-        minMeanWordLen = 4.2, minStopwords = 1))
+        minMeanWordLen = 4.2, minStopwords = 1)).localCheckpoint()
       val spanOk = gOk.join(
         Dedup.spanProfile(gOk, "doc_id", "text", k = 10)
           .where(col("dup_frac") <= 0.3).select("doc_id"), "doc_id")
@@ -2803,6 +2820,13 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleHashSql.dedupMinhash,
     "q_text_topk" -> OracleHashSql.textTopk,
     "q_vocab_sketch" -> OracleHashSql.vocabSketch,
+
+    "q_heavy_hitters" ->
+      """SELECT w AS word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY w HAVING count(*) >= 300""".stripMargin,
     "q_dedup_incremental" -> OracleHashSql.dedupIncremental,
     "q_dedup_incremental_probe" -> OracleHashSql.dedupIncremental,
     "q_dedup_clusters" -> OracleHashSql.dedupClusters,

@@ -56,6 +56,34 @@ object Sketch {
       .agg(sum("__w").as("cnt"))
   }
 
+  /** EXACT heavy hitters via the sketch-prefilter two-phase: pass 1 folds
+    * the stream into the bounded sketch; pass 2 re-scans, keeping only
+    * tokens whose sketch estimate clears `threshold` — a NARROW scan-side
+    * filter (the collected sketch rides into one codegen'd array-lookup
+    * expression, ≤ depth·width longs ≈ 256 KB broadcast) — and exact-counts
+    * only the survivors. Because count-min never undercounts, no true
+    * heavy hitter can be filtered out: the candidate set is a superset,
+    * the exact verify trims it, and the output is IDENTICAL to the exact
+    * full aggregation — which is exactly what the oracle checks. The
+    * exact pass aggregates only candidates (few, by definition of
+    * `threshold`), so its state is bounded where the naive vocab agg is
+    * corpus-scale.
+    */
+  def heavyHitters(df: DataFrame, tokenCol: String, threshold: Long,
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    val sk = countMin(df.select(col(tokenCol)), tokenCol, lit(1L), depth, width)
+      .collect() // bounded driver collect: ≤ depth × width rows
+    val arr = Array.ofDim[Long](depth * width)
+    sk.foreach(r => arr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val est = array_min(transform(hashPairs(col(tokenCol), depth, width),
+      p => element_at(lit(arr),
+        (p("row").cast("int") * width + p("bucket").cast("int") + 1))))
+    df.select(col(tokenCol))
+      .where(est >= threshold)
+      .groupBy(tokenCol).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+
   /** Point estimates for `queries(tokenCol)`: min over the depth rows of
     * the matching counters (absent counter = 0 — the token was never
     * seen). The sketch side broadcasts (bounded); per query this is

@@ -44,6 +44,24 @@ class SketchSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("heavyHitters equals the exact aggregation; collision-inflated candidates die at verify") {
+    val tokens = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold$i")).toDF("word")
+    val exact = tokens.groupBy("word").count()
+      .where(col("count") >= 20).as[(String, Long)].collect().toSet
+    // width 2 forces collisions: every candidate estimate is inflated, so
+    // the prefilter passes false candidates — the exact verify must kill
+    // them and reproduce the exact answer anyway
+    val got = Sketch.heavyHitters(tokens, "word", threshold = 20, depth = 4, width = 2)
+      .as[(String, Long)].collect().toSet
+    assert(got === exact)
+    assert(got === Set(("hot", 50L), ("warm", 20L)))
+    // and at a comfortable width the prefilter itself is already tight
+    val wide = Sketch.heavyHitters(tokens, "word", threshold = 20, depth = 4, width = 8192)
+      .as[(String, Long)].collect().toSet
+    assert(wide === exact)
+  }
+
   test("sketches merge: batch sketches summed bucket-wise equal the union sketch") {
     // linearity again, but as the STREAMING property: per-micro-batch
     // sketches union + re-sum to the full-corpus sketch — state is always
