@@ -1387,6 +1387,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     },
 
+    "q13_custdist" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q13 shape — customer order-count distribution INCLUDING
+      // zero-order customers: left outer join with the filter inside the
+      // join condition (pushing it below the join would turn absent
+      // matches into lost customers), count(col) counting matches only,
+      // then the tiny second distribution agg
+      t(dir, "customer")
+        .join(t(dir, "orders"),
+          col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    "q22_idle_balance" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q22 shape — high-balance customers with no URGENT orders
+      // (every customer in this fixture has SOME order, so the classic
+      // no-order form is empty — the urgent restriction keeps the
+      // anti-join non-degenerate): scalar
+      // aggregate subquery (bounded 1-row collect) + LEFT ANTI join. The
+      // above-average test is the EXACT cross-multiplied form
+      // bal·N > Σbal in DECIMAL — an avg() of doubles differs by
+      // summation order across engines at the boundary ULP, the product
+      // form cannot
+      val cust = t(dir, "customer")
+      val stats = cust.where(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).as("tot")).head()
+      val (n, tot) = (stats.getLong(0), stats.getDecimal(1))
+      cust
+        .where(col("c_acctbal").cast("decimal(18,4)") * n > lit(tot))
+        .join(t(dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double").as("totacctbal"))
+    },
+
     "q5_local_supplier" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // TPC-H Q5 shape: star join, dims broadcast, co-located nation check
@@ -2308,6 +2351,27 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS tot
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer c, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * s.n > s.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
