@@ -1292,6 +1292,21 @@ object SparkEntry {
         .toDF("rank", "a", "b", "merged")
     },
 
+    "q_bpe_encode" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the trained tokenizer APPLIED: corpus re-tokenized through the
+      // broadcast word→subwords table (never re-segmented symbol by
+      // symbol); emits per-doc BPE token counts. Rows-only gate (the
+      // merge chain is not SQL-expressible); BpeSpec proves encode
+      // against the naive reference
+      val docs = t(dir, "documents")
+      val (_, vocab) = graft.ops.Bpe.trainMerges(docs, col("text"), numMerges = 10)
+      graft.ops.Bpe.encode(docs, "doc_id", col("text"), vocab)
+        .groupBy("doc_id")
+        .agg(sum(size(col("tokens"))).as("bpe_tokens"),
+          count(lit(1)).as("words"))
+    },
+
     "q_pack_stats" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // packing-efficiency report: per length bucket, padded windows vs

@@ -100,6 +100,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("outer-join distribution and anti-join subquery stay hash joins") {
+    val p13 = plan("q13_custdist")
+    assert(p13.contains("LeftOuter"), p13.take(2000))
+    assert(!p13.contains("BroadcastNestedLoopJoin") && !p13.contains("CartesianProduct"), p13.take(2000))
+    val p22 = plan("q22_idle_balance")
+    assert(p22.contains("LeftAnti"), p22.take(2000))
+    assert(!p22.contains("BroadcastNestedLoopJoin") && !p22.contains("CartesianProduct"), p22.take(2000))
+  }
+
   test("BPE pair counts: map-side partial agg; padding stats: single bounded exchange") {
     val bpe = plan("q_bpe_pairs")
     assert(bpe.contains("partial_sum"), bpe.take(2000))
