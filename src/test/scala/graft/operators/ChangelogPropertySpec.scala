@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The changelog algebra on random changelogs: [[Changelog.mergeHistory]]
+  * must equal the full recompute at EVERY split point, [[Changelog.diff]]
+  * must be minimal and round-trip. These are the invariants the oracle
+  * queries check on one fixture shape; random keys/ops/payloads cover the
+  * branch space (delete-first batches, re-inserts, key churn, null
+  * payloads).
+  */
+class ChangelogPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(23)
+
+  private def randomChangelog(nEvents: Int, nKeys: Int): Seq[(String, String, String, Long)] =
+    (1 to nEvents).map { seq =>
+      val k = s"k${rnd.nextInt(nKeys)}"
+      val op = if (rnd.nextInt(5) == 0) "DELETE" else "REPLACE"
+      val v = if (rnd.nextInt(10) == 0) null else s"v${rnd.nextInt(6)}"
+      (k, v, op, seq.toLong)
+    }
+
+  test("mergeHistory == full recompute on random changelogs at random splits") {
+    for (trial <- 1 to 4) {
+      val events = randomChangelog(nEvents = 60, nKeys = 7)
+      val ch = events.toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), Option(r.getString(1)),
+          r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val full = canon(Changelog.history(ch, Seq("k")))
+      for (_ <- 1 to 3) {
+        val split = 1L + rnd.nextInt(59)
+        val merged = canon(Changelog.mergeHistory(
+          Changelog.history(ch.where(col(Changelog.SeqCol) <= split), Seq("k")),
+          ch.where(col(Changelog.SeqCol) > split), Seq("k")))
+        assert(merged === full, s"trial=$trial split=$split")
+      }
+    }
+  }
+
+  test("diff is minimal and round-trips on random snapshot pairs") {
+    for (trial <- 1 to 4) {
+      val ch = randomChangelog(nEvents = 80, nKeys = 12)
+        .toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+      val split = 20L + rnd.nextInt(40)
+      val oldS = Changelog.materialize(ch.where(col(Changelog.SeqCol) <= split), Seq("k"))
+      val newS = Changelog.materialize(ch, Seq("k"))
+      val d = Changelog.diff(oldS, newS, Seq("k"))
+
+      // minimality: no emitted row may be an unchanged (old == new) pair
+      val oldM = oldS.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      val newM = newS.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      d.collect().foreach { r =>
+        val (k, op) = (r.getString(0), r.getString(2))
+        op match {
+          case "INSERT" => assert(!oldM.contains(k) && newM.contains(k), s"trial=$trial $k")
+          case "DELETE" => assert(oldM.contains(k) && !newM.contains(k), s"trial=$trial $k")
+          case "UPDATE" => assert(oldM.contains(k) && newM.contains(k) &&
+            oldM(k) != newM(k), s"trial=$trial $k")
+        }
+      }
+      // completeness via round-trip: old + diff rebuilds new exactly
+      val rebuilt = Changelog.materialize(
+        Changelog.fromSnapshot(oldS, lit(0L)).unionByName(
+          d.withColumn(Changelog.SeqCol, lit(1L))
+            .withColumn(Changelog.OpCol,
+              when(col(Changelog.OpCol) === "DELETE", "DELETE").otherwise("REPLACE"))),
+        Seq("k"))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      val target = newS.collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rebuilt === target, s"trial=$trial")
+    }
+  }
+}
