@@ -319,6 +319,29 @@ walk(id, comp) AS (
 SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
 """
 
+  /** Leakage-free split ([[graft.ops.Sampling.splitColumn]] keyed by the
+    * near-dup cluster id): the cluster walk of [[dedupClusters]] plus the
+    * same md5 band bounds as the `q_split` oracle — a whole cluster lands
+    * in ONE split, so no eval doc has a train near-dup.
+    */
+  val splitLeakfree: String = prelude + "WITH RECURSIVE " + minhashCands + """,
+edges AS (
+  SELECT a, b FROM est WHERE est_jaccard >= 0.8
+  UNION ALL SELECT b, a FROM est WHERE est_jaccard >= 0.8),
+walk(id, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.comp FROM walk w JOIN edges e ON e.b = w.id),
+clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id,
+  CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+         THEN 'train'
+       WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < 'e666'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
   /** Incremental dedup against the persisted MinHash index
     * ([[graft.ops.Dedup.incrementalCandidates]]): the index is the documents
     * corpus; the new batch is every 25th doc re-appearing (negated id) with

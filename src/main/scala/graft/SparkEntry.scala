@@ -1210,6 +1210,29 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     },
 
+    "q_split_grouped" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // group-coherent split: keyed by SOURCE, so a domain lands whole in
+      // one split — the cheap leakage guard (templated pages from one
+      // site never straddle train/val)
+      t(dir, "documents").select(col("doc_id"), col("source"),
+        graft.ops.Sampling.splitColumn(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
+
+    "q_split_leakfree" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // leakage-FREE split: keyed by the near-dup CLUSTER id, so a cluster
+      // lands whole in one split and no eval doc has a train near-dup —
+      // the in-corpus counterpart of benchmark decontamination
+      val docs = t(dir, "documents")
+      val clusters = Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.8)
+      docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          graft.ops.Sampling.splitColumn(coalesce(col("cluster_id"), col("doc_id")),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
+
     "q_decontaminate" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // eval-set contamination check: benchmark = 12-token snippets of every
@@ -2904,6 +2927,15 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q_split_grouped" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 4) < 'cccd' THEN 'train'
+        |       WHEN substring(md5(source), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_split_leakfree" -> OracleHashSql.splitLeakfree,
 
     // hash-math oracles (full SQL re-implementations of the 64-bit hash
     // pipelines — FNV-1a/splitmix64/xxhash64 in UBIGINT+HUGEINT arithmetic)

@@ -757,6 +757,24 @@ class ReputationSpec extends SparkSpec {
 class SplitDecontamSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cluster-keyed split: every near-dup pair lands in the same split") {
+    // planted near-dup pairs across the id space: doc i and its -i-1 twin
+    val base = (1L to 200L).map(i => (i, s"document number $i with some shared words " +
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa t$i"))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, t) => (-i - 1, t + " xx") }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val clusters = graft.ops.Dedup.minhashClusters(docs, "doc_id", "text", threshold = 0.8)
+    val split = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.ops.Sampling.splitColumn(coalesce(col("cluster_id"), col("doc_id")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .as[(Long, String)].collect().toMap
+    val pairs = graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(split(a) === split(b), s"pair ($a,$b) straddles") }
+  }
+
   test("splitColumn: every row gets exactly one split, ratios near weights") {
     val df = (1L to 5000L).toDF("id")
     val counts = df.select(graft.ops.Sampling.splitColumn(col("id"),
