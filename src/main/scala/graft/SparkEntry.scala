@@ -64,6 +64,18 @@ object SparkEntry {
 
   private val ivfSq8IncrCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // jsonl mirror of the documents table, written once per (JVM, dir): the
+  // read path under test is `spark.read.schema(...).json` — the query
+  // measures reading, not re-exporting
+  private val jsonlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlDocsFor(spark: SparkSession, dir: String): String =
+    jsonlCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").json(out)
+      out
+    })
+
   // trained-tokenizer cache: a deployment trains the tokenizer ONCE and
   // applies it per batch — q_bpe_encode measures the apply (broadcast
   // word→subwords join), not the training loop (q_bpe_merges measures that)
@@ -1208,6 +1220,22 @@ object SparkEntry {
       t(dir, "documents").select(col("doc_id"),
         graft.ops.Sampling.splitColumn(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
+
+    "q_jsonl_read" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // JSONL corpus ingestion with an EXPLICIT schema — inference costs a
+      // full extra scan of the data (a non-starter at 100 TB) and types
+      // drift with the sample; the declared schema also lets the json
+      // reader prune fields it never parses. Filter + projection on the
+      // jsonl mirror of documents; oracle reads the parquet table
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).json(jsonlDocsFor(spark, dir))
+        .where(col("n_chars") >= 200)
+        .select("doc_id", "lang", "n_chars")
     },
 
     "q_split_grouped" -> { (spark, dir) =>
@@ -2927,6 +2955,9 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q_jsonl_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200",
 
     "q_split_grouped" ->
       """SELECT doc_id, source,
