@@ -213,6 +213,7 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
+    "q_stream_interval_join",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -1510,6 +1511,102 @@ object SparkEntry {
             .cast("double").as("totacctbal"))
     },
 
+    "q17_small_qty_revenue" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q17 shape — correlated per-part scalar subquery
+      // (qty < 0.2 * avg(qty) over the part) decorrelated into a per-part
+      // aggregate joined back. The brand filter semi-joins lineitem FIRST
+      // (broadcast part-id set), so the per-part stats aggregate runs over
+      // the ~1/25 surviving slice, and its output is bounded by the brand's
+      // part count — broadcast back, lineitem never shuffles. Exactness:
+      // the 0.2·avg test is cross-multiplied (5·qty·cnt < Σqty) in DECIMAL,
+      // so no engine-dependent double division sits on the decision path.
+      val brand = t(dir, "part").where(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val bl = t(dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      val stats = bl.groupBy(col("l_partkey").as("s_partkey"))
+        .agg(count(lit(1)).as("cnt_qty"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+      bl.join(broadcast(stats), col("l_partkey") === col("s_partkey"))
+        .where(col("l_quantity").cast("decimal(18,4)") * 5 * col("cnt_qty") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
+    },
+
+    "q18_large_orders" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q18 shape — HAVING on a per-order rollup: lineitem aggregates
+      // once on its own key (map-side partials), the >250 gate keeps ~1% of
+      // orders, and that slim survivor set joins back to orders/customer.
+      // The fact table pays exactly one shuffle — its own aggregate.
+      val bigOrders = t(dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qty_dec"))
+        .where(col("qty_dec") > 250)
+      t(dir, "orders").join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(18,4)"), 2).cast("double").as("o_total"),
+          col("qty_dec").cast("double").as("sum_qty"))
+    },
+
+    "q19_disjunctive" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q19 shape — OR-of-ANDs join predicate. The partkey equi-key
+      // is common to every branch, so this stays a broadcast HASH join with
+      // the disjunction as a residual filter — never a nested loop — and
+      // the factored-out quantity envelope (1..30) is pushed to the
+      // lineitem scan as a plain conjunct.
+      val p = t(dir, "part").select("p_partkey", "p_brand", "p_size")
+      val l = t(dir, "lineitem")
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+    },
+
+    "q21_waiting_supplier" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q21 shape — EXISTS(another supplier on the order) AND
+      // NOT EXISTS(another LATE supplier) decorrelated into ONE per-order
+      // aggregate: distinct-supplier and distinct-late-supplier counts.
+      // A supplier "kept the order waiting" iff it is late, the order is
+      // multi-supplier, and it is the only late one (n_supp >= 2,
+      // n_late = 1). One orderkey shuffle for the rollup + one join back —
+      // the textbook correlated form re-shuffles lineitem for each of its
+      // three self-references. "Late" = shipped > 60 days after the order
+      // date (this fixture has no l_commitdate/l_receiptdate, same
+      // convention as q4). The oracle runs the classic EXISTS/NOT EXISTS
+      // form, independently validating the decorrelation.
+      val lo = t(dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t(dir, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      lo.where(col("is_late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    },
+
     "q5_local_supplier" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // TPC-H Q5 shape: star join, dims broadcast, co-located nation check
@@ -1942,6 +2039,47 @@ object SparkEntry {
           .toDF()
           .withColumnRenamed("key", "user_id")
       }.where(col("user_id") >= 0)
+    },
+
+    "q_stream_interval_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      // STREAM-STREAM equi-join with an event-time range condition — the
+      // streaming-native twin of q_interval_join's batch range join: each
+      // purchase pairs with the SAME user's errors in the preceding 24
+      // hours. Both sides branch from one watermarked readStream (a
+      // self-join of the stream); the time bound in the join condition is
+      // what lets the engine evict state (left rows die when the watermark
+      // passes p_ts, right rows at e_ts + 24 h) — an unbounded-state join
+      // would be the 100 TB failure mode. Inner joins emit on match, so no
+      // sentinel flush runs are needed; µs ride the ms slot as in the other
+      // twins, making the 86400000000 µs window exact integer math.
+      val base = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+      val in = s"$base/in"
+      events(dir).select(col("event_id"), col("user_id"), col("event_type"),
+          expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq.empty) { stream =>
+        val wm = stream.withWatermark("ts_t", "1 second")
+        val l = wm.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+            col("ts_t").as("p_ts"))
+        val r = wm.where(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"), col("user_id").as("e_user_id"),
+            col("ts_t").as("e_ts"))
+        l.join(r, expr(
+            """p_user_id = e_user_id AND
+              |e_ts > p_ts - INTERVAL 86400000 SECONDS AND e_ts <= p_ts""".stripMargin))
+          .select(col("p_event_id"), col("e_event_id"),
+            unix_millis(col("p_ts")).as("p_ts_us"), unix_millis(col("e_ts")).as("e_ts_us"))
+      }
     },
 
     "q_percentile" -> { (spark, dir) =>
@@ -2453,6 +2591,55 @@ object SparkEntry {
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
 
+    "q17_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN bp ON l_partkey = p_partkey),
+        |st AS (SELECT l_partkey AS s_partkey, count(*) AS cnt_qty,
+        |              SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |       FROM bl GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM bl JOIN st ON l_partkey = s_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt_qty < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS o_total,
+        |       CAST(qty_dec AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity BETWEEN 1 AND 30
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late) l1
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+        |GROUP BY s_name""".stripMargin,
+
     "q5_local_supplier" ->
       """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer
@@ -2838,6 +3025,16 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events",
+
+    "q_stream_interval_join" ->
+      """SELECT l.event_id AS p_event_id, r.event_id AS e_event_id,
+        |       l.ts_us AS p_ts_us, r.ts_us AS e_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts_us > l.ts_us - 86400000000 AND r.ts_us <= l.ts_us""".stripMargin,
 
     "q_stream_sessions_state" ->
       """WITH tagged AS (

@@ -109,6 +109,25 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p22.contains("BroadcastNestedLoopJoin") && !p22.contains("CartesianProduct"), p22.take(2000))
   }
 
+  test("Q19 disjunctive predicate stays a broadcast HASH join with a residual") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // the factored-out quantity envelope reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p.take(3000))
+  }
+
+  test("Q17/Q18/Q21 decorrelated aggregates never plan a nested loop") {
+    for (q <- Seq("q17_small_qty_revenue", "q18_large_orders", "q21_waiting_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // Q17's per-part stats come back as a broadcast, so lineitem never
+    // shuffles for the decision join
+    assert(plan("q17_small_qty_revenue").contains("BroadcastHashJoin"))
+  }
+
   test("BPE pair counts: map-side partial agg; padding stats: single bounded exchange") {
     val bpe = plan("q_bpe_pairs")
     assert(bpe.contains("partial_sum"), bpe.take(2000))
