@@ -2082,6 +2082,21 @@ object SparkEntry {
       }
     },
 
+    "q_source_pagerank" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // web-curation reputation prior: PageRank over the source
+      // mirror-network graph (sources linked by shared content-prefix
+      // fingerprints, boilerplate df-capped). The corpus-scale stage is the
+      // edge derivation; the 5 fixed iterations run on the bounded source
+      // graph with pinned-order contribution folds, so the rank doubles
+      // are bit-identical to the oracle's unrolled-CTE replay.
+      val docs = t(dir, "documents")
+      val nodes = docs.select(col("source").as("node")).distinct()
+      val edges = graft.ops.Graph.coDupEdges(docs, "source", "text")
+      graft.ops.Graph.pageRank(nodes, edges, iters = 5)
+        .select(col("node").as("source"), col("rank"))
+    },
+
     "q_percentile" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exact interpolated percentiles (type-7, same definition as DuckDB
@@ -3026,6 +3041,8 @@ object SparkEntry {
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events",
 
+    "q_source_pagerank" -> sourcePageRankOracleSql,
+
     "q_stream_interval_join" ->
       """SELECT l.event_id AS p_event_id, r.event_id AS e_event_id,
         |       l.ts_us AS p_ts_us, r.ts_us AS e_ts_us
@@ -3342,6 +3359,44 @@ object SparkEntry {
        |                 / len(string_split_regex(trim(text), '\\s+')) END, 4) AS rep_ratio
        |  FROM ($stopwordSumsSql))
        |WHERE n_words >= 10 AND lang_pred <> 'und'""".stripMargin
+
+  /** Unrolled-CTE replay of [[graft.ops.Graph.pageRank]] over the
+    * [[graft.ops.Graph.coDupEdges]] source graph: each iteration folds the
+    * in-neighbor contributions in the SAME pinned src order as the engine
+    * (`list(... ORDER BY e.src)` ↔ `array_sort(collect_list(...))`), and
+    * the damping constants go through the identical IEEE op sequence
+    * ((1.0 - 0.85) / n, 0.85 * Σ), so rank doubles are bit-identical.
+    */
+  private def sourcePageRankOracleSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nodes.node,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |           + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list(p.rank / d.deg ORDER BY e.src)), (a, x) -> a + x) AS s
+         |    FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON c.dst = nodes.node)""".stripMargin
+    val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH fp0 AS (
+       |  SELECT source AS fp_src, md5(substr(trim(text), 1, 64)) AS fp
+       |  FROM documents),
+       |kept AS (
+       |  SELECT fp0.* FROM fp0
+       |  JOIN (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 50) k USING (fp)),
+       |du AS (SELECT DISTINCT fp, fp_src FROM kept),
+       |e AS (SELECT DISTINCT a.fp_src AS src, b.fp_src AS dst
+       |      FROM du a JOIN du b USING (fp) WHERE a.fp_src <> b.fp_src),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+       |$iters
+       |SELECT node AS source, rank FROM r5""".stripMargin
+  }
 
   private def qualityFilterOracleSql: String =
     s"""SELECT doc_id, lang, n_words, lang_pred FROM (
