@@ -213,7 +213,7 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
-    "q_stream_interval_join",
+    "q_stream_interval_join", "q_stream_window_agg",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -2082,6 +2082,16 @@ object SparkEntry {
       }
     },
 
+    "q_bm25_topk" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // BM25 lexical retrieval (the text-search side of RAG, complementing
+      // the ANN family): one tokenization pass, slim per-doc conditional
+      // counts, bounded corpus-stats collect, then a narrow score
+      // projection into the top-k cut with an id tie-break.
+      graft.ops.Bm25.topK(t(dir, "documents"), "doc_id", "text",
+        query = "spark window merge stream", k = 20)
+    },
+
     "q_source_pagerank" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // web-curation reputation prior: PageRank over the source
@@ -2095,6 +2105,39 @@ object SparkEntry {
       val edges = graft.ops.Graph.coDupEdges(docs, "source", "text")
       graft.ops.Graph.pageRank(nodes, edges, iters = 5)
         .select(col("node").as("source"), col("rank"))
+    },
+
+    "q_stream_window_agg" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      // streaming-NATIVE tumbling 1h window aggregation — the watermark
+      // twin of q_window_agg: Append mode only emits a window once the
+      // watermark seals it, which the sentinel runs force for the whole
+      // backlog. µs ride the ms slot, so the hour bucket (3600000 s in
+      // slot units = 3600000000 µs) is exact integer math.
+      val base = java.nio.file.Files.createTempDirectory("graft-swa").toString
+      val in = s"$base/in"
+      events(dir).select(col("event_type"), col("value"),
+          expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      def sentinel(tag: String): () => Unit = () => {
+        Seq((tag, 0.0, new java.sql.Timestamp(8000000000000000L)))
+          .toDF("event_type", "value", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel("zz_sentinel_1"), sentinel("zz_sentinel_2"))) { stream =>
+        stream.withWatermark("ts_t", "1 second")
+          .groupBy(window(col("ts_t"), "3600000 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+          .select(unix_millis(col("window.start")).as("wstart_us"),
+            col("event_type"), col("cnt"), col("sum_value"))
+      }.where(!col("event_type").startsWith("zz_sentinel"))
     },
 
     "q_percentile" -> { (spark, dir) =>
@@ -3041,7 +3084,15 @@ object SparkEntry {
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events",
 
+    "q_bm25_topk" -> graft.ops.Bm25.oracleSql(
+      "documents", "doc_id", "text", "spark window merge stream", k = 20),
+
     "q_source_pagerank" -> sourcePageRankOracleSql,
+
+    "q_stream_window_agg" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS wstart_us,
+        |       event_type, count(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_interval_join" ->
       """SELECT l.event_id AS p_event_id, r.event_id AS e_event_id,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson & Spärck Jones probabilistic model,
+  * the Okapi BM25 form) — the text-search side of a RAG stack, complementing
+  * the ANN operators: score every document for a literal query, return the
+  * top k.
+  *
+  * Scale shape: ONE tokenization pass. Tokens explode and aggregate by
+  * doc id into a slim per-doc row carrying `dl` (doc length) plus one
+  * bounded conditional count per QUERY term — map-side partials collapse
+  * the token stream before the exchange, so the shuffle carries
+  * O(docs × |query|) integers, never the token stream. Corpus statistics
+  * (N, avgdl, per-term df) are ONE bounded aggregate row collected to the
+  * driver (|query|-bounded, the decision-table stance); the score is then a
+  * single narrow projection over the per-doc relation feeding
+  * `TakeOrderedAndProject` — no second scan, no join.
+  *
+  * Determinism: the per-term score addends fold in PINNED ascending term
+  * order as an explicit left-associated sum, every constant enters the
+  * expression the same way on the oracle side, and idf uses
+  * `Math.log` ↔ DuckDB `ln` on bit-identical arguments (integer-and-half
+  * values — exact), so scores are bit-identical across engines and
+  * partitionings. Ties in the top-k cut break by doc id.
+  */
+object Bm25 {
+
+  /** Lower-cased `[a-z]+` query terms, distinct, ascending — the pinned
+    * fold order of [[topK]].
+    */
+  def queryTerms(query: String): Seq[String] =
+    "[a-z]+".r.findAllIn(query.toLowerCase).toSeq.distinct.sorted
+
+  def topK(docs: DataFrame, idCol: String, textCol: String, query: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "BM25 query has no [a-z]+ terms")
+    val toks = docs.select(col(idCol),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
+    val per = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(col("tok") === t, 1)).as(s"tf_$i")
+      }: _*)
+    // bounded corpus statistics: one row, |query|+2 numbers
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))
+    val statsRow = per.agg(count(lit(1)).as("n"), statCols: _*).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+    // idf_i = ln(1 + (N - df + 0.5)/(df + 0.5)) computed on the driver —
+    // exact integer-and-half inputs, one division, one add, one ln: the
+    // same op sequence the oracle's ln((n - df + 0.5)/(df + 0.5) + 1.0) runs
+    val idf = terms.indices.map { i =>
+      val df = statsRow.getLong(2 + i).toDouble
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val k1p1 = lit(k1) + lit(1.0)
+    val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl") / lit(avgdl))
+    val score = terms.indices.foldLeft(lit(0.0): Column) { (acc, i) =>
+      acc + lit(idf(i)) *
+        (col(s"tf_$i").cast("double") * k1p1 /
+          (col(s"tf_$i").cast("double") + lit(k1) * lenNorm))
+    }
+    val anyHit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
+    per.where(anyHit)
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The DuckDB replay of [[topK]] — identical op sequence, term-for-term. */
+  def oracleSql(table: String, idCol: String, textCol: String, query: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val terms = queryTerms(query)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE tok = '$t') AS tf_$i"
+    }.mkString(",\n         ")
+    val dfCols = terms.indices.map(i =>
+      s"count(*) FILTER (WHERE tf_$i > 0) AS df_$i").mkString(",\n         ")
+    val addends = terms.indices.map { i =>
+      s"""ln((CAST(st.n AS DOUBLE) - CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        / (CAST(df_$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      * (CAST(tf_$i AS DOUBLE) * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |        / (CAST(tf_$i AS DOUBLE) + CAST($k1 AS DOUBLE)
+         |          * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+         |            + CAST($b AS DOUBLE) * (CAST(dl AS DOUBLE) / st.avgdl))))""".stripMargin
+    }
+    val score = addends.foldLeft("CAST(0.0 AS DOUBLE)")((acc, a) => s"($acc\n    + $a)")
+    val anyHit = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH toks AS (
+       |  SELECT $idCol, unnest(regexp_extract_all(lower($textCol), '[a-z]+', 0)) AS tok
+       |  FROM $table),
+       |per AS (
+       |  SELECT $idCol, count(*) AS dl,
+       |         $tfCols
+       |  FROM toks GROUP BY 1),
+       |st AS (
+       |  SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |         $dfCols
+       |  FROM per)
+       |SELECT $idCol, $score AS score
+       |FROM per, st WHERE $anyHit
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+}

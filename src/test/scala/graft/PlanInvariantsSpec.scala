@@ -128,6 +128,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan("q17_small_qty_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("BM25 top-k: one tokenization, partial agg before the id exchange, heap cut") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("RegExpExtractAll".r.findAllIn(p).size <= 1 ||
+      "regexp_extract_all".r.findAllIn(p).size <= 1, "token stream must be extracted once")
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(2000))
+  }
+
   test("BPE pair counts: map-side partial agg; padding stats: single bounded exchange") {
     val bpe = plan("q_bpe_pairs")
     assert(bpe.contains("partial_sum"), bpe.take(2000))
