@@ -2082,6 +2082,50 @@ object SparkEntry {
       }
     },
 
+    "q_json_extract" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // semi-structured payload extraction with an EXPLICIT schema:
+      // from_json against a declared struct — never schema inference,
+      // which costs a full extra scan at 100 TB and drifts with the
+      // sample. Integer aggregates only (exact, order-free).
+      t(dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"), expr("k DIV 10").as("k_decade"))
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    },
+
+    "q7_nation_volume" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q7 shape — two dimension paths into one fact join: supplier
+      // nation and customer nation both resolve via BROADCAST dim joins,
+      // the lineitem-orders join is the only fact-scale shuffle, and the
+      // (supp_nation, cust_nation, year) rollup groups after map-side
+      // partials. The nation pair filter keeps both directions.
+      val n1 = broadcast(t(dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      t(dir, "lineitem")
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nkey"))
+        .join(n2, col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+    },
+
     "q_bm25_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // BM25 lexical retrieval (the text-search side of RAG, complementing
@@ -3083,6 +3127,29 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events",
+
+    "q_json_extract" ->
+      """SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+        |       count(*) AS cnt, CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       EXTRACT(year FROM l_shipdate) AS l_year,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_bm25_topk" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),
