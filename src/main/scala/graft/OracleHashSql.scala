@@ -147,6 +147,34 @@ FROM orders
   /** Multimodal stub decode: FNV-1a over the synthetic payload bytes, then
     * the width/height extraction of [[graft.ops.Multimodal.stubDecodeImage]].
     */
+  /** Hybrid retrieval: the BM25 top-`kList` (its full generated SQL as a
+    * subquery) and the stub-embedding cosine top-`kList` are each ranked by
+    * row_number over (score DESC, id) — the engine's tie-break — then fused
+    * by RRF 1/(60 + rank). The fused doubles are exact functions of small
+    * integer ranks, so parity reduces to rank parity of the two lists.
+    * The query vector is rendered as a REAL[] literal first (shortest-repr
+    * float strings round-trip) and widened to DOUBLE[] exactly like the
+    * engine widens float vectors.
+    */
+  def hybridRetrieval(bm25Sql: String, qvec: Array[Float],
+                      kList: Int, k: Int): String = {
+    val vecLit = qvec.mkString("[", ", ", "]")
+    prelude + "WITH " + fakeEmbed + s""",
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM ($bm25Sql)),
+sem AS (
+  SELECT doc_id, rb FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY
+      list_cosine_similarity(v::DOUBLE[], $vecLit::REAL[]::DOUBLE[]) DESC, doc_id) AS rb
+    FROM emb) WHERE rb <= $kList)
+SELECT doc_id,
+  (coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(ra AS DOUBLE)), CAST(0.0 AS DOUBLE))
+   + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rb AS DOUBLE)), CAST(0.0 AS DOUBLE))) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT $k"""
+  }
+
   val multimodalDecode: String = prelude + """
 WITH fnv AS (
   SELECT p_partkey AS asset_id,

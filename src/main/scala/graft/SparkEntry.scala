@@ -2136,6 +2136,26 @@ object SparkEntry {
         query = "spark window merge stream", k = 20)
     },
 
+    "q_hybrid_retrieval" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // RAG hybrid retrieval: BM25 lexical top-20 and stub-embedding cosine
+      // top-20, fused by Reciprocal Rank Fusion — rank-only fusion, so the
+      // two scorers' incomparable scales never meet and the fused doubles
+      // are exact functions of small integer ranks.
+      graft.functions.AiFunctions.register(spark)
+      val docs = t(dir, "documents")
+      val query = "spark window merge stream"
+      val lex = graft.ops.Retrieval.ranked(
+        graft.ops.Bm25.topK(docs, "doc_id", "text", query, 20),
+        "doc_id", "score", "ra")
+      val sem = graft.ops.Retrieval.ranked(
+        graft.ops.Similarity.bruteForceTopK(
+          docs.selectExpr("doc_id", "GET_EMBEDDING(text) AS emb"),
+          "doc_id", "emb", graft.functions.AiFunctions.fakeEmbed(query), 20),
+        "doc_id", "score", "rb")
+      graft.ops.Retrieval.rrfFuse(lex, sem, "doc_id", k = 10)
+    },
+
     "q_source_pagerank" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // web-curation reputation prior: PageRank over the source
@@ -3153,6 +3173,12 @@ object SparkEntry {
 
     "q_bm25_topk" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),
+
+    "q_hybrid_retrieval" -> OracleHashSql.hybridRetrieval(
+      graft.ops.Bm25.oracleSql("documents", "doc_id", "text",
+        "spark window merge stream", k = 20),
+      graft.functions.AiFunctions.fakeEmbed("spark window merge stream"),
+      kList = 20, k = 10),
 
     "q_source_pagerank" -> sourcePageRankOracleSql,
 
