@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lakehouse physical-layout primitives — the two levers that decide
+  * whether a 100 TB query reads 100 TB or 100 GB:
+  *
+  *  - **Hive-style partitioned layout** ([[writePartitioned]]): predicates
+  *    on the partition column prune at FILE LISTING time — the scan never
+  *    opens a non-matching file (`PartitionFilters` in the plan, zero I/O
+  *    for pruned partitions). The right home for low-cardinality routing
+  *    columns (event type, language, date).
+  *  - **Bucketed layout** ([[writeBucketed]]): both join sides pre-hashed
+  *    into the same bucket count on the join key makes the join
+  *    EXCHANGE-FREE — the shuffle that dominates large fact-fact joins is
+  *    paid once at write time and amortized over every subsequent join.
+  *    `sortBy` within buckets additionally feeds sort-merge join without a
+  *    per-query sort. This is Spark's answer to the co-located join the
+  *    reference gets from its hash-by-key `PrePartition` operator
+  *    (reference `PrePartitionOperator`), persisted instead of in-flight.
+  *
+  * Both are thin, deliberate wrappers: the VALUE is the layout contract
+  * (and the plan invariants asserting pruning/exchange-freedom), not the
+  * code volume.
+  */
+object Warehouse {
+
+  /** Write `df` Hive-partitioned by `pCol` under `path`. */
+  def writePartitioned(df: DataFrame, pCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(pCol).parquet(path)
+
+  /** Read back a partitioned layout; partition-column predicates prune at
+    * listing time.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Write `df` as a bucketed+sorted catalog table on `key` — pair with an
+    * equal `buckets` count on the other join side for exchange-free joins.
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+                    table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -128,6 +128,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan("q17_small_qty_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("partitioned layout prunes at listing time; bucketed join is exchange-free") {
+    val pp = plan("q_partition_pruning")
+    assert(pp.contains("PartitionFilters") &&
+      pp.contains("event_type#") && pp.contains("purchase"), pp.take(3000))
+    val bj = plan("q_bucketed_join")
+    // the join consumes both bucketed tables without re-shuffling: the only
+    // Exchange in the whole plan is the tiny final priority rollup
+    assert("Exchange hashpartitioning".r.findAllIn(bj).size == 1, bj.take(3000))
+    assert(bj.contains("SelectedBucketsCount") || bj.contains("Bucketed: true"), bj.take(3000))
+  }
+
   test("BM25 top-k: one tokenization, partial agg before the id exchange, heap cut") {
     val p = plan("q_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
