@@ -175,6 +175,16 @@ object SparkEntry {
   private val partitionedEventsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val bucketedTpchCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  private val bm25IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25IndexFor(spark: SparkSession, dir: String): String =
+    bm25IndexCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+      graft.ops.Bm25.writePostings(t(dir, "documents"), "doc_id", "text", path)
+      path
+    })
+
   private def partitionedEventsFor(spark: SparkSession, dir: String): String =
     partitionedEventsCache.computeIfAbsent(dir, _ => {
       implicit val s: SparkSession = spark
@@ -2190,6 +2200,16 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_bm25_indexed" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // steady-state lexical retrieval: probe the PERSISTED term-bucketed
+      // postings index (reads only the query terms' bucket partitions).
+      // Output is bit-identical to the brute scan by construction, so the
+      // oracle is the unindexed SQL — same stance as q_heavy_hitters.
+      graft.ops.Bm25.topKIndexed(spark, bm25IndexFor(spark, dir),
+        query = "spark window merge stream", k = 20)
+    },
+
     "q_hybrid_retrieval" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // RAG hybrid retrieval: BM25 lexical top-20 and stub-embedding cosine
@@ -3236,6 +3256,9 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_bm25_indexed" -> graft.ops.Bm25.oracleSql(
+      "documents", "doc_id", "text", "spark window merge stream", k = 20),
 
     "q_bm25_topk" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),

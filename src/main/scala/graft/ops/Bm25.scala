@@ -57,17 +57,88 @@ object Bm25 {
       val df = statsRow.getLong(2 + i).toDouble
       math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }
+    val anyHit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
+    per.where(anyHit)
+      .select(col(idCol), scoreExpr(terms.size, idf, avgdl, k1, b).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The pinned-order BM25 score fold over `tf_0..tf_{nTerms-1}` and `dl`
+    * columns — ONE expression shared by the brute path and the postings
+    * index path, so "indexed == brute" holds bit-for-bit by construction.
+    */
+  private def scoreExpr(nTerms: Int, idf: Seq[Double], avgdl: Double,
+                        k1: Double, b: Double): Column = {
     val k1p1 = lit(k1) + lit(1.0)
     val lenNorm = lit(1.0) - lit(b) + lit(b) * (col("dl") / lit(avgdl))
-    val score = terms.indices.foldLeft(lit(0.0): Column) { (acc, i) =>
+    (0 until nTerms).foldLeft(lit(0.0): Column) { (acc, i) =>
       acc + lit(idf(i)) *
         (col(s"tf_$i").cast("double") * k1p1 /
           (col(s"tf_$i").cast("double") + lit(k1) * lenNorm))
     }
-    val anyHit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
-    per.where(anyHit)
-      .select(col(idCol), score.as("score"))
-      .orderBy(col("score").desc, col(idCol))
+  }
+
+  /** Persist the inverted index: postings (tok, doc_id, tf) Hive-partitioned
+    * by `pmod(xxhash64(tok), termBuckets)` — a probe reads ONLY the
+    * partitions its own query terms hash into (file-listing pruning, the
+    * IVF-lists stance) — plus the doc-length table and the one-row corpus
+    * stats. Build cost is the same single tokenization pass the brute path
+    * pays ONCE, amortized over every subsequent query.
+    */
+  def writePostings(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, termBuckets: Int = 64): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
+    val postings = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    postings
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(termBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    val doclens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query the persisted index: read only the query terms' bucket
+    * partitions, pivot the matching postings to per-doc tf columns, join
+    * doc lengths for the survivors, score with the SAME fold as [[topK]].
+    * Output is bit-identical to the brute path by construction — same
+    * stats, same tf values, same expression.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  query: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+                  termBuckets: Int = 64): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "BM25 query has no [a-z]+ terms")
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+    // bucket pruning: the partition-column IN-list prunes at listing time
+    val buckets = terms.map(t =>
+      spark.range(1).select(pmod(xxhash64(lit(t)), lit(termBuckets)))
+        .head().getLong(0)).distinct
+    val hits = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+    val perDoc = hits.groupBy("doc_id").agg(
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$i")
+      }.head,
+      terms.zipWithIndex.drop(1).map { case (t, i) =>
+        coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$i")
+      }: _*)
+    val dfRow = perDoc.agg(
+      count(when(col("tf_0") > 0, 1)).as("df_0"),
+      terms.indices.drop(1).map(i =>
+        count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i")): _*).head()
+    val idf = terms.indices.map { i =>
+      val df = dfRow.getLong(i).toDouble
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    perDoc
+      .join(spark.read.parquet(s"$path/doclens"), Seq("doc_id"))
+      .select(col("doc_id"), scoreExpr(terms.size, idf, avgdl, k1, b).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 
