@@ -2200,6 +2200,26 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_chat_render" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // SFT data prep: turn rows render to one packed ChatML string per
+      // conversation plus the completion-content char spans (the loss
+      // mask), flattened to a string for the engine-agnostic compare.
+      // Conversations derive from the events feed: user = the browsing
+      // roles, assistant = the system-acting ones; content is
+      // integer-formatted only (double→string is engine-divergent).
+      val turns = t(dir, "events").select(col("user_id"), col("event_id"),
+        when(col("event_type").isin("purchase", "error"), "assistant")
+          .otherwise("user").as("role"),
+        concat(col("event_type"), lit("#"), col("event_id").cast("string"))
+          .as("content"))
+      graft.ops.ChatFormat.render(turns, "user_id", "event_id", "role", "content")
+        .select(col("user_id"), col("text"),
+          when(size(col("spans")) > 0, array_join(transform(col("spans"),
+            sp => concat(sp("start").cast("string"), lit("-"),
+              sp("end").cast("string"))), ",")).as("spans_str"))
+    },
+
     "q_bm25_indexed" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // steady-state lexical retrieval: probe the PERSISTED term-bucketed
@@ -3256,6 +3276,30 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_chat_render" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN 'assistant'
+        |         ELSE 'user' END AS role,
+        |    event_type || '#' || CAST(event_id AS VARCHAR) AS content
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, role, content,
+        |    '<|' || role || '|>' || content || '<|end|>' AS piece
+        |  FROM t),
+        |s AS (
+        |  SELECT *,
+        |    SUM(length(piece)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) - length(piece) AS start
+        |  FROM p)
+        |SELECT user_id,
+        |  string_agg(piece, '' ORDER BY event_id) AS text,
+        |  string_agg(CASE WHEN role = 'assistant'
+        |    THEN CAST(start + length(role) + 4 AS VARCHAR) || '-'
+        |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
+        |    END, ',' ORDER BY event_id) AS spans_str
+        |FROM s GROUP BY user_id""".stripMargin,
 
     "q_bm25_indexed" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),
