@@ -2200,6 +2200,19 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_mmr_rerank" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // MMR diversity re-rank of the bounded ANN candidate set (rows-only:
+      // sequential argmax is not SQL-expressible — the BPE-merge stance;
+      // MmrSpec proves the selection against its published definition)
+      val emb = t(dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val cands = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 40)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      graft.ops.Retrieval.mmr(cands, "vec_id", "score", "embedding", k = 10)
+    },
+
     "q_chat_render" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // SFT data prep: turn rows render to one packed ChatML string per

@@ -30,6 +30,51 @@ object Retrieval {
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
         .as(rankName))
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * diversify a BOUNDED candidate list: iteratively pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s), ties by id.
+    *
+    * Sequential argmax is not SQL-expressible (the BPE-merge stance), so
+    * this runs on the driver over the COLLECTED candidates — legitimate
+    * because MMR is always post-top-k (candidates are the previous stage's
+    * bounded rerank set, never the corpus); the corpus-scale work already
+    * happened in the retrieval that produced them. Returns
+    * (id, mmr_rank, rel) rows in selection order.
+    */
+  def mmr(candidates: DataFrame, idCol: String, scoreCol: String,
+          vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates.select(col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy { case (id, s, _) => (-s, id) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val pool = scala.collection.mutable.LinkedHashMap(rows.map(r => r._1 -> r): _*)
+    while (selected.size < k && pool.nonEmpty) {
+      val best = pool.values.map { case (id, rel, v) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _) => cos(v, vecs(sid)) }.max
+        (id, rel, lambda * rel - (1.0 - lambda) * maxSim)
+      }.minBy { case (id, _, m) => (-m, id) }
+      selected += ((best._1, best._2))
+      pool.remove(best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel), ix) => (id, ix + 1, rel) }.toSeq
+      .toDF(idCol, "mmr_rank", "rel")
+  }
+
   /** Fuse two ranked lists (idCol, ra) and (idCol, rb) into the RRF top-k.
     * A document missing from one list contributes 0 from it (the
     * 1/(c+null) → null → 0 coalesce), the published convention.

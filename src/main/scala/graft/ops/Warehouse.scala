@@ -35,6 +35,39 @@ object Warehouse {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a small-file parquet layout (the lakehouse OPTIMIZE): rewrite
+    * `path` into ~`targetBytes`-sized files, then atomically swap via
+    * rename — readers either see the old layout or the new one, never a
+    * mix. Streaming ingest creates one file wave per micro-batch; at 100 TB
+    * the file COUNT (listing, footer reads, task scheduling) becomes the
+    * scan bottleneck long before the bytes do. Returns (filesBefore,
+    * filesAfter). Row identity is untouched — compaction changes layout,
+    * never answers (spec-asserted).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    def parquetFiles(p: String): Int = {
+      val d = Paths.get(p)
+      if (!Files.exists(d)) 0
+      else Files.walk(d).filter(f => f.toString.endsWith(".parquet")).count().toInt
+    }
+    val before = parquetFiles(path)
+    val df = spark.read.parquet(path)
+    val bytes = Files.walk(Paths.get(path)).filter(_.toString.endsWith(".parquet"))
+      .mapToLong(f => Files.size(f)).sum()
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = s"$path.compact-tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = s"$path.compact-old"
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    // best-effort cleanup of the superseded wave
+    Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    (before, parquetFiles(path))
+  }
+
   /** Write `df` as a bucketed+sorted catalog table on `key` — pair with an
     * equal `buckets` count on the other join side for exchange-free joins.
     */
