@@ -70,11 +70,27 @@ object Warehouse {
 
   /** Write `df` as a bucketed+sorted catalog table on `key` — pair with an
     * equal `buckets` count on the other join side for exchange-free joins.
+    *
+    * Idempotent across JVMs: a managed table's LOCATION outlives the
+    * in-memory catalog (the session dies, the warehouse dir doesn't), and
+    * `saveAsTable` refuses to adopt an existing location
+    * (LOCATION_ALREADY_EXISTS) — so drop any catalog entry AND clear any
+    * stale location before writing.
     */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
-                    table: String): Unit =
+                    table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = wh.stripPrefix("file:")
+    val stale = java.nio.file.Paths.get(whPath, table.toLowerCase)
+    if (java.nio.file.Files.exists(stale))
+      java.nio.file.Files.walk(stale)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -30,6 +30,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {name[:-8]} AS SELECT * FROM '{sf_dir}/{name}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
+    # a query that died during the dump has NO result dir — without this,
+    # the compare silently shrinks its denominator (the round-9 trap)
+    err_path = os.path.join(out_dir, "verify_errors.json")
+    if os.path.exists(err_path):
+        for q, err in json.load(open(err_path)).items():
+            print(f"  FAIL {q}: verify-time error: {err[:160]}")
+            failures += 1
     for q in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, q)
         if not os.path.isdir(qdir):
