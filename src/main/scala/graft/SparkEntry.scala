@@ -185,6 +185,20 @@ object SparkEntry {
       path
     })
 
+  private val bm25IncrIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25IncrIndexFor(spark: SparkSession, dir: String): String =
+    bm25IncrIndexCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-incr").toString
+      val docs = t(dir, "documents")
+      graft.ops.Bm25.writePostings(docs.where(col("doc_id") >= 100),
+        "doc_id", "text", path)
+      graft.ops.Bm25.appendToPostings(docs.where(col("doc_id") < 100),
+        "doc_id", "text", path)
+      path
+    })
+
   private def partitionedEventsFor(spark: SparkSession, dir: String): String =
     partitionedEventsCache.computeIfAbsent(dir, _ => {
       implicit val s: SparkSession = spark
@@ -2200,6 +2214,17 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_bm25_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // streaming-ingest growth of the postings index: base build on the
+      // tail of the corpus, the head arrives as an APPEND (delta stats
+      // rows — commuting increments, no read-modify-write). The oracle is
+      // the unindexed SQL over the FULL corpus: incremental == full build
+      // is the compare itself.
+      graft.ops.Bm25.topKIndexed(spark, bm25IncrIndexFor(spark, dir),
+        query = "spark window merge stream", k = 20)
+    },
+
     "q_mmr_rerank" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // MMR diversity re-rank of the bounded ANN candidate set (rows-only:
@@ -3313,6 +3338,9 @@ object SparkEntry {
         |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
         |    END, ',' ORDER BY event_id) AS spans_str
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_bm25_incremental" -> graft.ops.Bm25.oracleSql(
+      "documents", "doc_id", "text", "spark window merge stream", k = 20),
 
     "q_bm25_indexed" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),

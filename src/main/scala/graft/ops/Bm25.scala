@@ -96,8 +96,41 @@ object Bm25 {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     val doclens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     doclens.write.mode("overwrite").parquet(s"$path/doclens")
+    // stats are APPEND-ONLY delta rows (n, sum_dl): increments commute, so
+    // concurrent appends can never lose an update the way a
+    // read-modify-write single row would; probes SUM the deltas
     doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append a DISJOINT batch of new documents to a persisted postings
+    * index — the streaming-ingest growth path, under the shared
+    * epoch-marker append protocol ([[IndexMaintenance]], the MinHash/IVF
+    * stance). Postings and doc lengths are purely additive because doc
+    * sets are disjoint; corpus stats land as one more delta row (sums
+    * commute — no read-modify-write, no lost update under concurrency).
+    * df/avgdl/N at probe time therefore reflect every append, so an
+    * incremental index scores IDENTICALLY to a fresh full build.
+    */
+  def appendToPostings(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, termBuckets: Int = 64,
+                       leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
+    val spark = docs.sparkSession
+    val fs = IndexMaintenance.fsOf(path, spark)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"no postings index at $path — writePostings first")
+    val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
+    try {
+      val toks = docs.select(col(idCol).as("doc_id"),
+        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(termBuckets)))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      val doclens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      doclens.write.mode("append").parquet(s"$path/doclens")
+      doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    } finally IndexMaintenance.endAppend(fs, marker)
   }
 
   /** Query the persisted index: read only the query terms' bucket
@@ -111,7 +144,8 @@ object Bm25 {
                   termBuckets: Int = 64): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "BM25 query has no [a-z]+ terms")
-    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val statsRow = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")), sum(col("sum_dl"))).head()
     val n = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     // bucket pruning: the partition-column IN-list prunes at listing time

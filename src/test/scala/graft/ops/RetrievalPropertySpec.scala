@@ -79,6 +79,26 @@ class RetrievalPropertySpec extends SparkSpec {
     assert(indexed == brute) // bit-exact, not approx
   }
 
+  test("append-grown postings index probes identically to a fresh full build") {
+    val corpus = (1L to 40L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val full = java.nio.file.Files.createTempDirectory("bm25-full").toString
+    Bm25.writePostings(df, "doc_id", "text", full, termBuckets = 8)
+    val incr = java.nio.file.Files.createTempDirectory("bm25-incr").toString
+    Bm25.writePostings(df.where($"doc_id" <= 20L), "doc_id", "text", incr, termBuckets = 8)
+    Bm25.appendToPostings(df.where($"doc_id" > 20L && $"doc_id" <= 30L),
+      "doc_id", "text", incr, termBuckets = 8)
+    Bm25.appendToPostings(df.where($"doc_id" > 30L),
+      "doc_id", "text", incr, termBuckets = 8)
+    val q = "beta gamma iota"
+    val a = Bm25.topKIndexed(spark, full, q, 15, termBuckets = 8)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val b = Bm25.topKIndexed(spark, incr, q, 15, termBuckets = 8)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(a == b) // two appends later: same stats, same scores, bit-exact
+  }
+
   test("Graph.pageRank matches the naive reference on random graphs") {
     for (trial <- 1 to 5) {
       val nodes = (0 until 15).map(i => s"n$i")
