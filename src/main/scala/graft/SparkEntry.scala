@@ -262,7 +262,7 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
-    "q_stream_interval_join", "q_stream_window_agg",
+    "q_stream_interval_join", "q_stream_window_agg", "q_stream_enrich",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -2336,6 +2336,28 @@ object SparkEntry {
       }.where(!col("event_type").startsWith("zz_sentinel"))
     },
 
+    "q_stream_enrich" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import graft.streaming.StreamingNative
+      // STREAM-STATIC join: each micro-batch enriches against a static
+      // dimension (the per-user profile) — stateless, no watermark, the
+      // dim broadcasts per batch. The third member of the streaming join
+      // matrix (stream-stream interval, windowed agg, and this).
+      val base = java.nio.file.Files.createTempDirectory("graft-sse").toString
+      val in = s"$base/in"
+      events(dir).select(col("event_id"), col("user_id")).write.parquet(in)
+      val profile = events(dir).groupBy("user_id")
+        .agg(count(lit(1)).as("user_total"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq.empty) { stream =>
+        stream.join(broadcast(profile), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("user_total"))
+      }
+    },
+
     "q_percentile" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exact interpolated percentiles (type-7, same definition as DuckDB
@@ -3355,6 +3377,12 @@ object SparkEntry {
       kList = 20, k = 10),
 
     "q_source_pagerank" -> sourcePageRankOracleSql,
+
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, p.user_total
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_total
+        |      FROM events GROUP BY 1) p USING (user_id)""".stripMargin,
 
     "q_stream_window_agg" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS wstart_us,
