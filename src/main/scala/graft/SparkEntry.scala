@@ -2214,6 +2214,21 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_drift_langmix" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // distribution drift between two corpus slices (here: the low-id
+      // source group vs the rest — a stand-in for two crawl snapshots):
+      // per-language L1 numerator |a·B − b·A|, exact in DECIMAL — no
+      // doubles on the decision path. Transport as DOUBLE (lossless below
+      // 2^53; a deployment keeps the decimal column).
+      val docs = t(dir, "documents")
+      graft.ops.Drift.categoricalDrift(docs,
+          feature = coalesce(col("lang"), lit("und")),
+          inA = col("source") < "src2")
+        .select(col("feature"), col("cnt_a"), col("cnt_b"),
+          col("drift_num").cast("double").as("drift_num"))
+    },
+
     "q_bm25_incremental" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // streaming-ingest growth of the postings index: base build on the
@@ -3360,6 +3375,17 @@ object SparkEntry {
         |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
         |    END, ',' ORDER BY event_id) AS spans_str
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_drift_langmix" ->
+      """WITH c AS (
+        |  SELECT coalesce(lang, 'und') AS feature,
+        |         count(*) FILTER (WHERE source < 'src2') AS cnt_a,
+        |         count(*) FILTER (WHERE NOT (source < 'src2')) AS cnt_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM c)
+        |SELECT feature, cnt_a, cnt_b,
+        |       CAST(ABS(CAST(cnt_a AS HUGEINT) * tb - CAST(cnt_b AS HUGEINT) * ta) AS DOUBLE) AS drift_num
+        |FROM c, t""".stripMargin,
 
     "q_bm25_incremental" -> graft.ops.Bm25.oracleSql(
       "documents", "doc_id", "text", "spark window merge stream", k = 20),
