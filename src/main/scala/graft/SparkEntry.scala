@@ -1560,6 +1560,48 @@ object SparkEntry {
             .cast("double").as("totacctbal"))
     },
 
+    "q10_returned_items" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q10 shape — returned-item reporting: the returns slice of
+      // lineitem (filter pushed to the scan) joins a date-bounded orders
+      // slice, rolls up revenue per CUSTOMER (a large-cardinality group —
+      // map-side partials before the one customer-key exchange), then the
+      // customer/nation dims attach by broadcast AFTER the rollup, so the
+      // wide name columns never ride the fact shuffle.
+      val rev = t(dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(dir, "orders").where(
+          col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      rev.join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("c_acctbal").cast("decimal(18,4)"), 2).cast("double").as("c_acctbal"),
+          col("revenue"))
+    },
+
+    "q14_promo_share" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q14 shape — conditional aggregation over a broadcast part
+      // join: promo vs total revenue in one pass (two CASE'd decimal sums,
+      // no second scan). The classic form divides them; emitting BOTH
+      // exact decimal sums keeps engine-dependent decimal-division scale
+      // rules off the compare (consumers divide).
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(dir, "lineitem").where(
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .join(broadcast(t(dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)"))), 2)
+            .cast("double").as("promo_revenue"),
+          round(sum(rev), 2).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     "q17_small_qty_revenue" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // TPC-H Q17 shape — correlated per-part scalar subquery
@@ -2881,6 +2923,30 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q10_returned_items" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name,
+        |       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS c_acctbal,
+        |       revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
