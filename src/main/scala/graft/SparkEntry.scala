@@ -2256,6 +2256,18 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_funnel_stages" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ordered-funnel conversion (signup → view → purchase, each step
+      // within 1 h of the previous advance): per-user state-machine fold
+      // over the time-ordered step events — one shuffle, only step-typed
+      // events ride it. The oracle replays the GREEDY-CHAIN form (min-ts
+      // joins per step) — an independent formulation, so the fold's
+      // semantics are validated, not self-certified.
+      graft.operators.Funnel.report(events(dir), "user_id", "ts_us", "event_id",
+        "event_type", Seq("signup", "view", "purchase"), gapUs = 3600000000L)
+    },
+
     "q_drift_langmix" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // distribution drift between two corpus slices (here: the low-id
@@ -3441,6 +3453,26 @@ object SparkEntry {
         |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
         |    END, ',' ORDER BY event_id) AS spans_str
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_funnel_stages" ->
+      """WITH slim AS (
+        |  SELECT user_id, epoch_us(ts) AS f_ts,
+        |    CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+        |         WHEN 'purchase' THEN 2 END AS f_step
+        |  FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+        |t1 AS (SELECT user_id, min(f_ts) AS ts1 FROM slim WHERE f_step = 0 GROUP BY 1),
+        |t2 AS (SELECT s.user_id, min(f_ts) AS ts2 FROM slim s JOIN t1 USING (user_id)
+        |       WHERE f_step = 1 AND f_ts > ts1 AND f_ts <= ts1 + 3600000000 GROUP BY 1),
+        |t3 AS (SELECT s.user_id, min(f_ts) AS ts3 FROM slim s JOIN t2 USING (user_id)
+        |       WHERE f_step = 2 AND f_ts > ts2 AND f_ts <= ts2 + 3600000000 GROUP BY 1),
+        |base AS (SELECT DISTINCT user_id FROM slim)
+        |SELECT CASE WHEN ts3 IS NOT NULL THEN CAST(3 AS BIGINT)
+        |            WHEN ts2 IS NOT NULL THEN 2
+        |            WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |       count(*) AS n_keys
+        |FROM base LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q_drift_langmix" ->
       """WITH c AS (
