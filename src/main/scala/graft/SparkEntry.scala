@@ -2256,6 +2256,23 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_retention_cohorts" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // cohort retention: users cohorted by FIRST-activity day; for each
+      // day offset, how many of the cohort were active again. Two bounded
+      // aggregations — (user, day) distinct activity, a per-user min for
+      // the cohort, then the (cohort, offset) rollup. All integers.
+      val act = events(dir)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .where(col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     "q_funnel_stages" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // ordered-funnel conversion (signup → view → purchase, each step
@@ -3453,6 +3470,16 @@ object SparkEntry {
         |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
         |    END, ',' ORDER BY event_id) AS spans_str
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_funnel_stages" ->
       """WITH slim AS (
