@@ -2256,6 +2256,29 @@ object SparkEntry {
             .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q_gap_fill" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // time-series densification: the sparse hourly series re-grained to
+      // a complete per-type hour spine (sequence + explode, bounded by
+      // types × hours), missing buckets forward-filled with the last
+      // observed value (window last ignoreNulls). Sums are DECIMAL so the
+      // carried values are exact; is_gap marks synthesized rows.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(dir)
+        .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hour"))
+        .agg(round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min("hour").as("mn"), max("hour").as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"),
+          col("sum_value").isNull.as("is_gap"))
+    },
+
     "q_retention_cohorts" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // cohort retention: users cohorted by FIRST-activity day; for each
@@ -3470,6 +3493,22 @@ object SparkEntry {
         |      || CAST(start + length(role) + 4 + length(content) AS VARCHAR)
         |    END, ',' ORDER BY event_id) AS spans_str
         |FROM s GROUP BY user_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+        |           FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hour
+        |          FROM bounds)
+        |SELECT s.event_type, s.hour,
+        |       last_value(h.sum_value IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.hour
+        |         ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |       h.sum_value IS NULL AS is_gap
+        |FROM spine s LEFT JOIN hourly h USING (event_type, hour)""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH act AS (
