@@ -1660,7 +1660,7 @@ object SparkEntry {
             col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
             col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30))))
         .agg(count(lit(1)).as("n_lines"),
           round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -3030,7 +3030,7 @@ object SparkEntry {
         |WHERE l_quantity BETWEEN 1 AND 30
         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+        |    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
     "q21_waiting_supplier" ->
       """WITH lo AS (

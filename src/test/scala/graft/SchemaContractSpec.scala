@@ -120,4 +120,36 @@ class SchemaContractSpec extends SparkSpec {
       assert(got === micros, s"encoding at $d")
     }
   }
+
+  test("fixture VALUE conventions the queries filter on still hold") {
+    import org.apache.spark.sql.functions._
+    // dtype drift fails loudly in analysis; VALUE drift fails silently —
+    // a regenerated fixture with different constants would leave the
+    // brand/nation/source-filtered queries degenerate (empty == empty
+    // still hash-matches). Pin every literal domain a query selects on.
+    def distinctOf(table: String, c: String): Set[String] =
+      spark.read.parquet(s"$sf/$table.parquet")
+        .select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val brands = distinctOf("part", "p_brand")
+    assert(Set("Brand#12", "Brand#23", "Brand#4").subsetOf(brands),
+      s"q17/q19 brand literals drifted — brands now: $brands")
+    assert(distinctOf("part", "p_type").contains("PROMO"), "q14 PROMO type drifted")
+    val nations = distinctOf("nation", "n_name")
+    assert(Set("NATION_1", "NATION_2").subsetOf(nations),
+      s"q7 nation literals drifted — $nations")
+    assert(distinctOf("orders", "o_orderstatus").contains("F"), "q21 status 'F' drifted")
+    assert(distinctOf("orders", "o_orderpriority").contains("1-URGENT"),
+      "q22 priority literal drifted")
+    assert(distinctOf("lineitem", "l_returnflag").contains("R"), "q10 returnflag drifted")
+    assert(distinctOf("events", "event_type") ==
+      Set("signup", "click", "view", "purchase", "error"),
+      "event_type domain drifted — audit funnel/changelog/stream queries")
+    val sources = distinctOf("documents", "source")
+    assert(sources.exists(_ < "src2") && sources.exists(_ >= "src2"),
+      s"q_drift_langmix slice boundary 'src2' no longer splits — sources: $sources")
+    assert(spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("lang").isNotNull).limit(1).count() == 1,
+      "documents.lang all-null — language-keyed queries degenerate")
+  }
 }
