@@ -535,6 +535,33 @@ FROM tsh t CROSS JOIN bsh b
 WHERE len(list_filter(t.sh, x -> list_contains(b.sh, x))) >= 2
 """
 
+  /** Watermark-lateness profile: arrival order = event time + a
+    * deterministic 0–2 h xxhash64 jitter (positive modulo, Spark `pmod`),
+    * event-time frontier = running max over that arrival order (event_id
+    * tie-break — the total order [[graft.operators.Lateness]] requires),
+    * lateness histogram against the candidate watermark delays.
+    */
+  val watermarkLateness: String = prelude + "WITH " +
+    xxhashCte("events", "event_id") + """,
+x AS (
+  SELECT e.event_id, epoch_us(e.ts) AS ts_us,
+         epoch_us(e.ts)
+           + ((g_tosigned(h) % 7200000000) + 7200000000) % 7200000000 AS arr
+  FROM events e JOIN xxh USING (event_id)),
+f AS (
+  SELECT ts_us, max(ts_us) OVER (ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frontier
+  FROM x)
+SELECT CASE WHEN frontier - ts_us <= 0 THEN 0
+            WHEN frontier - ts_us <= 60000000 THEN 60000000
+            WHEN frontier - ts_us <= 600000000 THEN 600000000
+            WHEN frontier - ts_us <= 1800000000 THEN 1800000000
+            WHEN frontier - ts_us <= 3600000000 THEN 3600000000
+            ELSE -1 END AS bucket_le_us,
+       count(*) AS cnt
+FROM f GROUP BY 1
+"""
+
   /** Deterministic epoch shuffle: exact rank in signed-xxhash64 order. */
   val shuffleDeterministic: String = prelude + "WITH " +
     xxhashCte("documents", "doc_id") + """
@@ -973,6 +1000,35 @@ SELECT f.vec_id
 FROM finalasg f, qv
 WHERE f.cid IN (SELECT cid FROM probes)
 ORDER BY """ + c("f.embedding", "qv.q") + """ DESC, f.vec_id LIMIT 10
+"""
+  }
+
+  /** Bulk k-NN self-join — [[graft.ops.Ivf.knnJoin]] replayed: the same
+    * trained centroids (shared CTE chain), per-LEFT-vector nprobe=4
+    * probe lists (cos DESC, cid tie-break — the Spark side's
+    * (−score, cid) struct sort), candidates from probed lists only,
+    * per-left top-5 by the identical cosine shape with ascending
+    * neighbor-id tie-break.
+    */
+  val knnJoin: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + ivfAssignCtes() + """,
+probes AS (
+  SELECT vec_id AS lid, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2 c) WHERE rn <= 4),
+cand AS (
+  SELECT p.lid, f.vec_id AS rid, l.embedding AS le, f.embedding AS re
+  FROM probes p
+  JOIN finalasg f ON f.cid = p.cid
+  JOIN embeddings l ON l.vec_id = p.lid
+  WHERE f.vec_id <> p.lid)
+SELECT lid AS vec_id, rid AS nn_id, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT lid, rid, row_number() OVER (PARTITION BY lid
+           ORDER BY """ + c("le", "re") + """ DESC, rid) AS rn
+  FROM cand) WHERE rn <= 5
 """
   }
 

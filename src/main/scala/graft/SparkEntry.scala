@@ -262,7 +262,8 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
-    "q_stream_interval_join", "q_stream_window_agg", "q_stream_enrich",
+    "q_stream_interval_join", "q_stream_outer_join", "q_stream_window_agg",
+    "q_stream_enrich",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -476,6 +477,72 @@ object SparkEntry {
       Changelog.mergeHistory(
         Changelog.history(ch.where(col(Changelog.SeqCol) <= split), Seq("user_id")),
         ch.where(col(Changelog.SeqCol) > split), Seq("user_id"))
+    },
+
+    "q_temporal_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // temporal table join (Flink FOR SYSTEM_TIME AS OF): every purchase
+      // probe enriched with its user's state JUST BEFORE the purchase
+      // (probe at seq−1) — per-row as-of points, the leakage-free feature
+      // enrichment shape. First-ever events and probes inside deleted
+      // gaps survive null-extended (dropping them would bias a sample).
+      val ch = eventsChangelog(spark, dir)
+      val hist = Changelog.history(ch, Seq("user_id"))
+      val probes = ch.where(col("event_type") === "purchase")
+        .select(col("user_id"), col(Changelog.SeqCol).as("probe_seq"))
+      Changelog.temporalJoin(probes, hist, Seq("user_id"),
+          col("probe_seq") - 1)
+        .select(col("user_id"), col("probe_seq"),
+          col("event_type").as("prev_type"), col("value").as("prev_value"))
+    },
+
+    "q_stream_agg_view" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the steady-state LOOP of incremental view maintenance: the view
+      // folds forward through THREE successive micro-batches (view and
+      // base state both advance between batches — in production the
+      // sink's maintained table plays the state role, here it is
+      // recomputed per step so the query stays self-contained). The
+      // oracle is the one-shot full recompute, so the compare proves the
+      // fold is associative end-to-end, not just for a single merge.
+      val ch = eventsChangelog(spark, dir)
+      val maxSeq = t(dir, "events").agg(max("event_id")).head().getLong(0)
+      val splits = Seq(maxSeq / 4, maxSeq / 2, 3 * maxSeq / 4)
+      val st0 = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= splits.head), Seq("user_id"))
+      var view = Changelog.aggregate(st0, Seq("event_type"), Seq("value"))
+      for ((lo, hi) <- splits.zip(splits.tail :+ Long.MaxValue)) {
+        val state = Changelog.materialize(
+          ch.where(col(Changelog.SeqCol) <= lo), Seq("user_id"))
+        val batch = ch.where(col(Changelog.SeqCol) > lo &&
+          col(Changelog.SeqCol) <= hi)
+        view = Changelog.mergeAggregate(view, state, batch,
+          Seq("user_id"), Seq("event_type"), Seq("value"))
+          .localCheckpoint() // the persisted-view boundary between batches
+      }
+      view.select(col("event_type"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
+    },
+
+    "q_incremental_agg" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // incremental materialized-view maintenance: bootstrap the per-type
+      // (count, decimal-sum) view from the first half of the changelog,
+      // then fold the second half in as a retraction/insertion delta —
+      // the oracle is the FULL-recompute SQL over the final state, so the
+      // compare proves delta-maintained == recomputed. Sums stay DECIMAL
+      // through every fold (retractions must cancel bit-exactly); the
+      // DOUBLE cast is transport-only, after the math is done
+      val ch = eventsChangelog(spark, dir)
+      val split = t(dir, "events").agg(max("event_id")).head().getLong(0) / 2
+      val oldState = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= split), Seq("user_id"))
+      val view = Changelog.aggregate(oldState, Seq("event_type"), Seq("value"))
+      Changelog.mergeAggregate(view, oldState,
+          ch.where(col(Changelog.SeqCol) > split),
+          Seq("user_id"), Seq("event_type"), Seq("value"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
     },
 
     "q_snapshot_diff" -> { (spark, dir) =>
@@ -1080,6 +1147,18 @@ object SparkEntry {
       val assigned = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
       graft.ops.Ivf.topK(assigned, "vec_id", "embedding", model, query, 10, nprobe = 4)
         .select("vec_id")
+    },
+
+    "q_knn_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // bulk k-NN self-join: every vector → its 5 nearest neighbors,
+      // IVF-pruned on BOTH sides (left probes 4 lists inside one codegen
+      // projection — no per-query jobs; right reads its single list).
+      // Candidate volume is nprobe/k_centroids of the cross join; the
+      // per-left top-k is WindowGroupLimit-pruned before its exchange.
+      val emb = t(dir, "embeddings")
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ops.Ivf.knnJoin(emb, emb, "vec_id", "embedding", model, k = 5, nprobe = 4)
     },
 
     "q_embed_ivfsq_topk" -> { (spark, dir) =>
@@ -2173,6 +2252,67 @@ object SparkEntry {
       }
     },
 
+    "q_stream_outer_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      // stream-stream LEFT OUTER interval join — the delayed-null half of
+      // q_stream_interval_join's matrix: a purchase with NO same-user error
+      // in its preceding 24 h must STILL emit (null-extended), which the
+      // engine can only do once the watermark proves no matching error can
+      // arrive. That is why outer joins need the sentinel flush runs the
+      // inner twin doesn't: sentinel 1 advances the watermark past every
+      // real event, sentinel 2's batch evicts left state and emits the
+      // unmatched rows. Same state-eviction bounds as the inner join.
+      // Sentinel rows are typed 'zz_sentinel_*', so neither side filter
+      // admits them — they advance time, never data.
+      val base = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
+      val in = s"$base/in"
+      events(dir).select(col("event_id"), col("user_id"), col("event_type"),
+          expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      // Outer-join sentinels must REACH THE JOIN: null emission rides
+      // state EVICTION, and the join only evicts in a batch where rows
+      // arrive at the operator itself — a sentinel filtered out by the
+      // event_type split advances the watermark but flushes nothing
+      // (verified: with type-'zz' sentinels exactly the latest unmatched
+      // purchase never emits, however many runs follow). So sentinels are
+      // typed 'purchase'/'error' with NEGATIVE ids and two different
+      // impossible user_ids (they can't match each other or any real
+      // row), and the output drops p_event_id < 0. Two runs: run 1
+      // evicts lefts older than max−24h, run 2 (watermark far future)
+      // evicts the tail.
+      def sentinel(tag: Long): () => Unit = () => {
+        Seq((-(100L + tag), -1L, "purchase",
+              new java.sql.Timestamp(8000000000000000L + tag * 2000)),
+            (-(200L + tag), -2L, "error",
+              new java.sql.Timestamp(8000000000000000L + tag * 2000)))
+          .toDF("event_id", "user_id", "event_type", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel(1), sentinel(2))) { stream =>
+        val wm = stream.withWatermark("ts_t", "1 second")
+        val l = wm.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+            col("ts_t").as("p_ts"))
+        val r = wm.where(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"), col("user_id").as("e_user_id"),
+            col("ts_t").as("e_ts"))
+        l.join(r, expr(
+            """p_user_id = e_user_id AND
+              |e_ts > p_ts - INTERVAL 86400000 SECONDS AND e_ts <= p_ts""".stripMargin),
+            "left_outer")
+          .select(col("p_event_id"), col("e_event_id"),
+            unix_millis(col("p_ts")).as("p_ts_us"), unix_millis(col("e_ts")).as("e_ts_us"))
+      }.where(col("p_event_id") >= 0)
+    },
+
     "q_json_extract" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // semi-structured payload extraction with an EXPLICIT schema:
@@ -2467,6 +2607,68 @@ object SparkEntry {
       }
     },
 
+    "q_fuzzy_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // entity-resolution fuzzy self-join on the documents' 32-char text
+      // prefix: q-gram blocking (shared-distinct-gram count ≥ 10, gram
+      // df-cap 100 against boilerplate blowup) + exact Levenshtein ≤ 2
+      // verify on survivors only — never the |D|² cross join
+      graft.ops.FuzzyJoin.editDistanceJoin(
+        t(dir, "documents").select(col("doc_id"),
+          expr("substring(text, 1, 32)").as("k")),
+        "doc_id", "k")
+    },
+
+    "q_hll_distinct" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // mergeable distinct-count sketch table: per-(type, day) HLL
+      // sketches built once (the persisted KB-sized artifact), rolled up
+      // per type by sketch union — COUNT(DISTINCT) semantics at any
+      // grouping without re-shuffling the corpus. Rows-only check: no
+      // SQL oracle can replay DataSketches register state (and the
+      // coupon-mode promotion makes the state shard-sensitive at the
+      // last digit — see DistinctSketch's caveat); the spec pins error
+      // bands vs exact and shard-union-vs-one-shot tolerance instead.
+      val sketches = graft.ops.DistinctSketch.buildSketches(
+        events(dir).withColumn("day", expr("ts_us DIV 86400000000")),
+        Seq("event_type", "day"), "user_id")
+      graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
+    },
+
+    "q_anomaly_mad" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // robust ingest-monitoring alarm: hourly event counts per type,
+      // flagged by the median/MAD (Hampel) rule — the series is already
+      // bucket-aggregated (types × hours, NOT corpus-sized) and both
+      // stats passes reduce to one row per type and join back broadcast.
+      // Every decision value is an exact dyadic rational (integer counts →
+      // interpolated medians are averages of integers), so the flag is
+      // bit-identical in both engines.
+      val series = events(dir)
+        .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Anomaly.madOutliers(series, Seq("event_type"), "cnt", k = 3.0)
+        .select(col("event_type"), col("hour_bucket"), col("cnt"),
+          col("med"), col("mad"), col("is_outlier"))
+    },
+
+    "q_watermark_lateness" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // event-time disorder profile — the decision table that PICKS a
+      // watermark delay instead of guessing one: arrival order modeled as
+      // event time + a deterministic 0–2 h xxhash64 jitter (the testdata
+      // feed arrives perfectly sorted, so the jitter plants a KNOWN
+      // bounded disorder both engines reproduce bit-exactly); the
+      // event-time frontier is a two-phase distributed prefix max — never
+      // a single-partition global window — and the lateness histogram
+      // reads directly as completeness-vs-delay candidates.
+      val arr = events(dir).withColumn("arr",
+        col("ts_us") + pmod(xxhash64(col("event_id")), lit(7200000000L)))
+      graft.operators.Lateness.profile(arr, "arr", col("ts_us"),
+        boundsUs = Seq(0L, 60000000L, 600000000L, 1800000000L, 3600000000L),
+        tieBreak = Seq("event_id"))
+    },
+
     "q_percentile" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exact interpolated percentiles (type-7, same definition as DuckDB
@@ -2633,6 +2835,57 @@ object SparkEntry {
         |  FROM ch)
         |SELECT user_id, event_type, value, valid_from, valid_to
         |FROM iv WHERE op <> 'DELETE'""".stripMargin,
+
+    "q_temporal_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, value, op, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |hist AS (
+        |  SELECT user_id, event_type, value, valid_from, valid_to
+        |  FROM iv WHERE op <> 'DELETE'),
+        |probes AS (
+        |  SELECT user_id, seq AS probe_seq FROM ch WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.probe_seq,
+        |       h.event_type AS prev_type, h.value AS prev_value
+        |FROM probes p LEFT JOIN hist h
+        |  ON p.user_id = h.user_id AND h.valid_from <= p.probe_seq - 1
+        | AND (h.valid_to IS NULL OR h.valid_to > p.probe_seq - 1)""".stripMargin,
+
+    "q_stream_agg_view" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |state AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM state GROUP BY 1""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |state AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM state GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH ch AS (
@@ -3589,6 +3842,57 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts_us > l.ts_us - 86400000000 AND r.ts_us <= l.ts_us""".stripMargin,
 
+    "q_stream_outer_join" ->
+      """SELECT l.event_id AS p_event_id, r.event_id AS e_event_id,
+        |       l.ts_us AS p_ts_us, r.ts_us AS e_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts_us > l.ts_us - 86400000000 AND r.ts_us <= l.ts_us""".stripMargin,
+
+    "q_watermark_lateness" -> graft.OracleHashSql.watermarkLateness,
+
+    "q_fuzzy_join" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS k FROM documents
+        |  WHERE len(substr(text, 1, 32)) >= 3),
+        |g AS (
+        |  SELECT doc_id, k,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
+        |  FROM s),
+        |rare AS (
+        |  SELECT g.* FROM g JOIN (
+        |    SELECT gram, count(*) AS c FROM g GROUP BY 1) d USING (gram)
+        |  WHERE d.c <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS ka, b.k AS kb
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 10)
+        |SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
+        |FROM pairs WHERE levenshtein(ka, kb) <= 2""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH series AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        |  FROM series GROUP BY 1),
+        |dev AS (
+        |  SELECT s.event_type, s.hour_bucket, s.cnt, m.med,
+        |         abs(s.cnt - m.med) AS adev
+        |  FROM series s JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.hour_bucket, d.cnt, d.med, m.mad,
+        |       d.adev > 3.0 * m.mad AS is_outlier
+        |FROM dev d JOIN mad m USING (event_type)""".stripMargin,
+
     "q_stream_sessions_state" ->
       """WITH tagged AS (
         |  SELECT user_id, epoch_us(ts) AS ts,
@@ -3743,6 +4047,7 @@ object SparkEntry {
     "q_semdedup" -> OracleHashSql.semdedupSurvivors,
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
+    "q_knn_join" -> OracleHashSql.knnJoin,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,
     "q_embed_pq_topk" -> OracleHashSql.embedPqTopk,

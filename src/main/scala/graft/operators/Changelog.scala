@@ -147,6 +147,122 @@ object Changelog {
     closed.unionByName(history(batch, pkCols))
   }
 
+  /** Temporal table join (Flink's `FOR SYSTEM_TIME AS OF` /
+    * temporal-table-function join, the CDC ecosystem's point-in-time
+    * enrichment): join each probe row against the version of the
+    * dimension that was CURRENT at the probe's own time — i.e. the
+    * [[history]] interval covering `atCol`. Unlike [[asOf]] (one global
+    * time for the whole query), every row carries its own as-of point:
+    * the shape a training-data pipeline needs to avoid feature leakage
+    * (each example sees the feature value as of ITS event time, never a
+    * later one).
+    *
+    * Scale shape: one equi-key shuffle join with the interval cover as a
+    * codegen'd residual predicate — each probe matches AT MOST ONE
+    * interval (history intervals per key are disjoint by construction),
+    * so there is no row amplification and no post-join dedup. Probes
+    * whose time precedes the key's first version (or falls in a deleted
+    * gap) survive with null dimension columns (left outer): silently
+    * dropping them would bias the downstream sample. At a persisted
+    * history table bucketed by the key, the join is exchange-free on the
+    * history side.
+    *
+    * Reference anchor: Flink's temporal join operator
+    * (flink-cdc's transform pipelines route through Flink SQL, where
+    * `FOR SYSTEM_TIME AS OF` is the lookup-enrichment primitive); here
+    * the history table IS the Spark-materialized SCD2 relation, so the
+    * join is pure Catalyst.
+    */
+  def temporalJoin(probes: DataFrame, history: DataFrame, pkCols: Seq[String],
+                   atCol: Column): DataFrame = {
+    val keyPairs = pkCols.map(k => k -> s"__h_$k")
+    val h = keyPairs.foldLeft(
+      history.withColumnRenamed("valid_from", "__vf")
+        .withColumnRenamed("valid_to", "__vt")) {
+      case (df, (k, rk)) => df.withColumnRenamed(k, rk)
+    }
+    val cond = keyPairs.map { case (k, rk) => col(k) === col(rk) }
+      .reduce(_ && _) && col("__vf") <= atCol &&
+      (col("__vt").isNull || col("__vt") > atCol)
+    probes.join(h, cond, "left_outer")
+      .drop((keyPairs.map(_._2) :+ "__vf" :+ "__vt"): _*)
+  }
+
+  /** Bootstrap an additive aggregate view over a materialized state: per
+    * `dimCols` group, live-row count plus DECIMAL(38,6) sums of `sumCols`.
+    *
+    * DECIMAL is load-bearing, not cosmetic: [[mergeAggregate]] maintains
+    * this view by RETRACTION (+new image / −old image), and a group whose
+    * rows all leave must return to an EXACT zero so the group can be
+    * dropped. Double sums drift by summation order; decimal sums of the
+    * same multiset cancel bit-exactly whatever the partitioning. Count and
+    * sum (and anything derived from them — avg, ratios) are the measures
+    * retraction can maintain; min/max are deliberately excluded: a deleted
+    * extremum forces a re-scan of the group's base rows, which is a
+    * different operator (recompute over the pruned group), not a delta
+    * fold.
+    */
+  def aggregate(state: DataFrame, dimCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val sums = sumCols.map(c =>
+      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 6))).as(s"sum_$c"))
+    state.groupBy(dimCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+  }
+
+  /** Incremental aggregate-view maintenance: fold a changelog micro-batch
+    * into an existing [[aggregate]] view without touching untouched base
+    * rows — the materialized-view counterpart of [[mergeHistory]]. For each
+    * key the batch touches, the key's OLD image (looked up in `state`, the
+    * maintained base table) is retracted (−1, −value) and its batch-final
+    * image inserted (+1, +value) unless that final op is DELETE. Groups
+    * whose count reaches zero vanish, exactly as a recompute would drop
+    * them. By construction `mergeAggregate(aggregate(materialize(old)),
+    * materialize(old), batch) == aggregate(materialize(old ∪ batch))`
+    * whenever the batch's seqs are strictly after the existing state's
+    * (the CDC ingest contract — same precondition as [[mergeHistory]]).
+    *
+    * Scale shape: the batch reduces to per-key last images
+    * ([[lastImage]], micro-batch bounded); `state` is only LEFT SEMI
+    * joined against that broadcast key set — the 100 TB base table is
+    * never shuffled and only touched keys' rows ride further; the delta
+    * aggregates to at most 2×|batch keys| group rows and applies to the
+    * view via one dim-aligned full-outer join — at a view PERSISTED
+    * bucketed by its dims that join is exchange-free, so the steady-state
+    * cost per micro-batch is O(batch), independent of base-table size.
+    * Dim alignment uses SQL equality (a NULL dim never matches itself);
+    * normalize null dims before aggregating if they must group.
+    *
+    * Reference anchor: the DSQL sink's per-batch upsert reduction
+    * (flink-cdc-connect/.../DsqlBatchSinkFunction) maintains BASE state
+    * incrementally; this extends the same delta discipline one level up,
+    * to derived aggregates.
+    */
+  def mergeAggregate(aggView: DataFrame, state: DataFrame, batch: DataFrame,
+                     pkCols: Seq[String], dimCols: Seq[String],
+                     sumCols: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val last = lastImage(batch, pkCols)
+    val touchedKeys = last.select(pkCols.map(col): _*).distinct()
+    val olds = state.join(
+      org.apache.spark.sql.functions.broadcast(touchedKeys), pkCols, "left_semi")
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.select((dimCols.map(col)
+        :+ lit(sign.toLong).as("d_cnt"))
+        ++ sumCols.map(c => (col(c).cast(dec) * sign).cast(dec).as(s"d_sum_$c")): _*)
+    val delta = contrib(olds, -1)
+      .unionByName(contrib(last.where(col(OpCol) =!= "DELETE"), 1))
+      .groupBy(dimCols.map(col): _*)
+      .agg(sum(col("d_cnt")).as("d_cnt"),
+        sumCols.map(c => sum(col(s"d_sum_$c")).cast(dec).as(s"d_sum_$c")): _*)
+    aggView.join(delta, dimCols, "full_outer")
+      .select((dimCols.map(col)
+        :+ (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+        ++ sumCols.map(c =>
+          (coalesce(col(s"sum_$c"), lit(0).cast(dec))
+            + coalesce(col(s"d_sum_$c"), lit(0).cast(dec))).cast(dec).as(s"sum_$c")): _*)
+      .where(col("cnt") > 0)
+  }
+
   /** Snapshot diff — the INVERSE of [[materialize]]: derive the changelog
     * BETWEEN two table states. The CDC fallback when no binlog/WAL feed
     * exists (full-refresh sources, the reference's snapshot-only startup

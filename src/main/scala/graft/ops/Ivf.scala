@@ -116,6 +116,54 @@ object Ivf {
       assigned.where(col("centroid_id").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
+  /** Bulk k-NN JOIN: for EVERY vector in `left`, its `k` nearest
+    * neighbors among `right` (cosine; self-pairs excluded when ids
+    * collide) — the all-pairs workhorse behind SemDeDup-style semantic
+    * dedup, retrieval-graph construction, and label propagation, where
+    * [[topK]]'s one-query-at-a-time shape would mean |L| separate jobs.
+    *
+    * Scale design: both sides IVF-prune. The right side is assigned to
+    * its single nearest centroid ([[assign]] — or read back from a
+    * persisted [[writeIndex]]); each left row computes its `nprobe`
+    * nearest centroids ENTIRELY inside one codegen projection (scores
+    * against the broadcast centroid array → `sort_array` → `slice` →
+    * `explode`: no exchange, no per-query driver work), so the only
+    * shuffles are the inherent ones — candidates co-locating by
+    * centroid id, then winners by left id for the per-left top-k, which
+    * `WindowGroupLimit` pre-prunes with per-partition heaps before the
+    * exchange. Candidate volume is |L|·|R|·nprobe/k_centroids pairs —
+    * the IVF pruning factor — instead of the |L|·|R| cross join.
+    *
+    * Ordering ties break by ascending neighbor id; `rank` (1-based) is
+    * emitted instead of the raw score so the output is integer-exact
+    * (the score still DECIDES the ranking, bit-identically to the
+    * oracle's replay — same dot/sqrt/divide shape).
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+              model: Model, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assignedRight = assign(right, idCol, vecCol, model)
+      .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"), col("centroid_id"))
+    // (-score, cid) structs sort lexicographically to (score DESC, cid ASC)
+    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
+        lit(i).as("cid"))
+    }: _*)
+    val probes = left
+      .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
+        explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
+      .select(col("__lid"), col("__lvec"), col("__p.cid").as("centroid_id"))
+    val w = Window.partitionBy("__lid").orderBy(
+      graft.functions.CdcExpressions.cosineSim(col("__lvec"), col("__rvec")).desc,
+      col("__rid"))
+    probes.join(assignedRight, "centroid_id")
+      .where(col("__rid") =!= col("__lid"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
+        col("__rn").as("rank"))
+  }
+
   /** Persist the index `partitionBy(centroid_id)` plus the centroids as a
     * tiny side table. At 100 TB this is what makes IVF an INDEX rather than
     * a plan: a query's `centroid_id IN (probes)` filter prunes at the FILE

@@ -257,6 +257,69 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("temporalJoin: per-row as-of cover, null in gaps, never amplifies") {
+    import spark.implicits._
+    val ch = Seq(
+      ("a", "v1", "REPLACE", 1L),
+      ("a", "v2", "REPLACE", 3L),
+      ("a", "v2", "DELETE", 5L),   // gap [5,7)
+      ("a", "v3", "REPLACE", 7L),
+      ("b", "w1", "REPLACE", 2L))
+      .toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+    val hist = Changelog.history(ch, Seq("k"))
+    val probes = Seq(("a", 0L), ("a", 1L), ("a", 4L), ("a", 5L),
+      ("a", 8L), ("b", 2L), ("c", 9L)).toDF("k", "at")
+    val out = Changelog.temporalJoin(probes, hist, Seq("k"), col("at"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(out === Set(
+      ("a", 0L, null), // before the first version
+      ("a", 1L, "v1"), // valid_from boundary is inclusive
+      ("a", 4L, "v2"),
+      ("a", 5L, null), // deleted gap — valid_to is exclusive
+      ("a", 8L, "v3"),
+      ("b", 2L, "w1"),
+      ("c", 9L, null))) // unknown key survives null-extended
+    // disjoint intervals per key ⇒ exactly one output row per probe
+    assert(Changelog.temporalJoin(probes, hist, Seq("k"), col("at")).count() === 7L)
+  }
+
+  test("mergeAggregate equals the full recompute at every split point") {
+    import spark.implicits._
+    // exercises every delta case: a key MOVING between groups (retraction
+    // in one group + insertion in another), an in-place update, a delete
+    // that empties a group (the group must vanish — decimal cancellation
+    // to exact zero), and a brand-new group appearing mid-stream
+    val ch = Seq(
+      (1L, "a", 0.1, "REPLACE", 1L),
+      (2L, "a", 0.2, "REPLACE", 2L),
+      (3L, "b", 1.5, "REPLACE", 3L),
+      (1L, "b", 0.7, "REPLACE", 4L),  // key 1 moves group a→b
+      (2L, "a", 0.2, "DELETE", 5L),   // group a now empty
+      (4L, "c", 2.25, "REPLACE", 6L), // new group
+      (3L, "b", 1.25, "REPLACE", 7L)) // in-place update within b
+      .toDF("k", "g", "v", Changelog.OpCol, Changelog.SeqCol)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    val full = canon(Changelog.aggregate(
+      Changelog.materialize(ch, Seq("k")), Seq("g"), Seq("v")))
+    assert(full.map(_._1) === Set("b", "c")) // group a really vanished
+    for (split <- 1L to 6L) {
+      val oldState = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= split), Seq("k"))
+      val merged = Changelog.mergeAggregate(
+        Changelog.aggregate(oldState, Seq("g"), Seq("v")), oldState,
+        ch.where(col(Changelog.SeqCol) > split), Seq("k"), Seq("g"), Seq("v"))
+      assert(canon(merged) === full, s"split=$split")
+      // the base-state lookup must be a broadcast semi join — the 100 TB
+      // state table is never shuffled for a micro-batch delta
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"state lookup not a broadcast semi join at split=$split")
+    }
+  }
+
   test("diff classifies insert/update/delete and drops unchanged rows") {
     import spark.implicits._
     val oldS = Seq(

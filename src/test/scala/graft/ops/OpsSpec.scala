@@ -697,6 +697,30 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin equals the single-node IVF reference exactly, and self-pairs are excluded") {
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
+    val got = Ivf.knnJoin(df, df, "id", "v", model, k = 3, nprobe = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // naive reference with the same pruning + tie-breaks
+    def nearestCid(v: Array[Float]): Int =
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (-Similarity.cosine(v, c), i) }.min._2
+    val byCid = vecs.groupBy { case (_, v) => nearestCid(v) }
+    val expected = vecs.flatMap { case (lid, lv) =>
+      val probes = model.centroids.zipWithIndex
+        .map { case (c, i) => (-Similarity.cosine(lv, c), i) }
+        .sorted.take(3).map(_._2).toSet
+      probes.toSeq.flatMap(byCid.getOrElse(_, Nil))
+        .filter(_._1 != lid)
+        .map { case (rid, rv) => (-Similarity.cosine(lv, rv), rid) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((_, rid), ix) => (lid, rid, ix + 1) }
+    }.toSet
+    assert(got === expected)
+    assert(got.forall { case (l, r, _) => l != r })
+  }
+
   test("persisted-assignment rebalance selects the identical rows as the recomputed one") {
     // the 100 TB shape documented on Ivf.assign: both rebalance passes
     // (decision-table count + filter) read the slim persisted
