@@ -124,6 +124,28 @@ object SparkEntry {
       (pipe, sink, batch, srcId)
     })
 
+  // steady-state incremental-view inputs, bootstrapped once per (JVM, dir):
+  // q_agg_view_steady times ONLY the per-micro-batch mergeAggregate — the
+  // cost a deployment pays per batch — with the state/view bring-up
+  // outside the timed body (the q_stream_steady / q_dedup_incremental_probe
+  // split). Real 90/10 seq split, NOT a replay: mergeAggregate's contract
+  // requires batch seqs strictly after the state's.
+  private val aggViewCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, DataFrame)]()
+  private def aggViewFor(spark: SparkSession, dir: String) =
+    aggViewCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val ch = eventsChangelog(spark, dir)
+      val maxSeq = t(dir, "events").agg(max("event_id")).head().getLong(0)
+      val split = maxSeq * 9 / 10
+      val state = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= split), Seq("user_id")).localCheckpoint()
+      val view = Changelog.aggregate(state, Seq("event_type"), Seq("value"))
+        .localCheckpoint()
+      val batch = ch.where(col(Changelog.SeqCol) > split).localCheckpoint()
+      (view, state, batch)
+    })
+
   /** Once-per-JVM RAG store: documents chunked (40-token windows, stride
     * 32), each chunk stub-embedded, the embeddings PERSISTED (at 100 TB
     * the chunk-embedding table is a materialized asset, not a recompute —
@@ -522,6 +544,18 @@ object SparkEntry {
       }
       view.select(col("event_type"), col("cnt"),
         col("sum_value").cast("double").as("sum_value"))
+    },
+
+    "q_agg_view_steady" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the steady-state cost of keeping an aggregate view fresh: ONE
+      // mergeAggregate over the pre-bootstrapped (view, state, batch) —
+      // state only broadcast-semi-joined, delta batch-bounded
+      val (view, state, batch) = aggViewFor(spark, dir)
+      Changelog.mergeAggregate(view, state, batch,
+          Seq("user_id"), Seq("event_type"), Seq("value"))
+        .select(col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
     },
 
     "q_incremental_agg" -> { (spark, dir) =>
@@ -2357,6 +2391,144 @@ object SparkEntry {
           .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     },
 
+    "q8_market_share" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q8 shape — market share: one fact-scale join chain
+      // (lineitem→orders→customer), every dimension path a BROADCAST
+      // (supplier-nation for the numerator tag, customer-nation→region
+      // for the scope filter); both volume sums are DECIMAL per year and
+      // the share is one double division of two exact decimals — no
+      // partial-sum order can move it
+      val supNation = broadcast(t(dir, "supplier")
+        .join(t(dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val amerCust = broadcast(t(dir, "customer")
+        .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "AMERICA")
+        .select(col("c_custkey")))
+      t(dir, "lineitem")
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_5",
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double")).as("mkt_share"))
+    },
+
+    "q9_profit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q9 shape — product-type profit by (nation, year): the
+      // lineitem→orders join is the only fact-scale shuffle; part (name
+      // filter pushed to ITS scan) and supplier→nation broadcast. Profit
+      // adapts Q9's ps_supplycost (no partsupp table in this corpus) to
+      // retailprice·quantity — same multi-path join + decimal rollup.
+      val greenParts = broadcast(t(dir, "part")
+        .where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_retailprice")))
+      val supNation = broadcast(t(dir, "supplier")
+        .join(t(dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+      t(dir, "lineitem")
+        .join(greenParts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")), 2)
+          .cast("double").as("profit"))
+    },
+
+    "q11_important_parts" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q11 shape — HAVING against a GLOBAL scalar subquery: parts
+      // whose inventory value exceeds a fixed fraction of the corpus
+      // total. The per-part rollup is the one fact shuffle; the global
+      // total is a 1-row broadcast joined into the HAVING predicate as a
+      // cross-multiplied DECIMAL comparison (value · 10000 > total) — no
+      // double division on the decision path (the Q17/Q22 stance).
+      val value = (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)")
+      val perPart = t(dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(value).as("part_value"))
+      val total = perPart.agg(sum(col("part_value")).as("total_value"))
+      perPart.join(broadcast(total))
+        .where(col("part_value") * 10000 > col("total_value"))
+        .select(col("l_partkey"),
+          round(col("part_value"), 2).cast("double").as("part_value"))
+    },
+
+    "q15_top_supplier" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q15 shape — argmax via a scalar subquery over a derived
+      // view: quarterly revenue per supplier, keep the supplier(s) whose
+      // revenue EQUALS the max. The revenue view computes once and AQE
+      // reuses its exchange for the max branch; equality compares exact
+      // DECIMALs, never doubles.
+      val revenue = t(dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      revenue.join(broadcast(maxRev))
+        .where(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+    },
+
+    "q16_supplier_cnt" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q16 shape — DISTINCT-count rollup behind an anti-join
+      // exclusion: suppliers per (brand, type, size) bucket, excluding a
+      // brand and a NOT-IN supplier set (Q16's complaints subquery adapts
+      // to negative-balance suppliers — no comment column in this
+      // corpus). The anti-join broadcasts the exclusion ids; lineitem
+      // stands in for partsupp as the part↔supplier relation, distinct
+      // BEFORE the rollup so each pair counts once.
+      val excluded = t(dir, "supplier")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val parts = broadcast(t(dir, "part")
+        .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      t(dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+
+    "q2_min_cost_supplier" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q2 shape — correlated MIN subquery decorrelated: for each
+      // SMALL part, the supplier row(s) achieving that part's minimum
+      // observed price. The per-part min is a rollup of the SAME
+      // (part, supplier) price relation the probe side reads — computed
+      // once, joined back on the part key; price equality compares exact
+      // DECIMALs. Supplier attributes attach via a broadcast at the end,
+      // to min-price winners only.
+      val priced = t(dir, "lineitem")
+        .join(broadcast(t(dir, "part").where(col("p_type") === "SMALL")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,4)")).as("supply_cost"))
+      val minCost = priced.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      priced
+        .join(minCost, col("p_partkey") === col("m_partkey") &&
+          col("supply_cost") === col("min_cost"))
+        .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          round(col("supply_cost"), 2).cast("double").as("supply_cost"))
+    },
+
     "q_bm25_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // BM25 lexical retrieval (the text-search side of RAG, complementing
@@ -2858,6 +3030,21 @@ object SparkEntry {
         | AND (h.valid_to IS NULL OR h.valid_to > p.probe_seq - 1)""".stripMargin,
 
     "q_stream_agg_view" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |state AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM state GROUP BY 1""".stripMargin,
+
+    "q_agg_view_steady" ->
       """WITH ch AS (
         |  SELECT user_id, event_type, value,
         |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
@@ -3708,6 +3895,82 @@ object SparkEntry {
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS part_value
+        |  FROM lineitem GROUP BY 1),
+        |total AS (SELECT SUM(part_value) AS total_value FROM per_part)
+        |SELECT l_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+        |FROM per_part, total
+        |WHERE part_value * 10000 > total_value""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |       CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH priced AS (
+        |  SELECT p_partkey, l_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS supply_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'SMALL'
+        |  GROUP BY 1, 2),
+        |min_cost AS (
+        |  SELECT p_partkey AS m_partkey, MIN(supply_cost) AS min_cost
+        |  FROM priced GROUP BY 1)
+        |SELECT p.p_partkey, s_suppkey, s_name,
+        |       CAST(ROUND(p.supply_cost, 2) AS DOUBLE) AS supply_cost
+        |FROM priced p
+        |JOIN min_cost m ON p.p_partkey = m.m_partkey AND p.supply_cost = m.min_cost
+        |JOIN supplier ON p.l_suppkey = s_suppkey""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

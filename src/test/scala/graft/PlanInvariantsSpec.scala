@@ -47,6 +47,45 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("knn join: probe selection in-row, WindowGroupLimit heaps, no nested loop") {
+    val p = plan("q_knn_join")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("temporal join: one equi-key join with interval residual, no nested loop") {
+    val p = plan("q_temporal_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // interval cover must ride the equi-join as a residual condition, not
+    // a post-join filter over an amplified product
+    assert(p.contains("__vf") && p.contains("__vt"), p.take(2000))
+  }
+
+  test("fuzzy join: gram relation computed once; verify never in the join condition") {
+    // AQE finalizes (and reuses) stages only on execution — same stance
+    // as the tfidf single-tokenization test below
+    val df = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("anomaly stats: duplicate series subtrees collapse via exchange reuse") {
+    val df = SparkEntry.queries("q_anomaly_mad")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin")) // all stats join-backs broadcast
+  }
+
+  test("lateness frontier and incremental view apply never single-partition") {
+    assert(!plan("q_watermark_lateness").contains("SinglePartition"))
+    val p = plan("q_incremental_agg")
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      (p.contains("LeftSemi") && p.contains("BroadcastHashJoin")), p.take(2000))
+  }
+
   test("decontamination joins broadcast the benchmark side") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
