@@ -347,6 +347,26 @@ walk(id, comp) AS (
 SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
 """
 
+  /** Quality-policy cluster representatives: the same transitive-closure
+    * clusters, but per cluster the KEPT doc is the longest (n_chars, then
+    * lowest id) — the policy-pluggable half of dedup: clustering decides
+    * WHO is duplicated, the representative rule decides WHAT survives.
+    */
+  val dedupBestRep: String = prelude + "WITH RECURSIVE " + minhashCands + """,
+edges AS (
+  SELECT a, b FROM est WHERE est_jaccard >= 0.8
+  UNION ALL SELECT b, a FROM est WHERE est_jaccard >= 0.8),
+walk(id, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.comp FROM walk w JOIN edges e ON e.b = w.id),
+cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       first(c.doc_id ORDER BY d.n_chars DESC, c.doc_id) AS rep_doc_id
+FROM cl c JOIN documents d USING (doc_id)
+GROUP BY cluster_id
+"""
+
   /** Leakage-free split ([[graft.ops.Sampling.splitColumn]] keyed by the
     * near-dup cluster id): the cluster walk of [[dedupClusters]] plus the
     * same md5 band bounds as the `q_split` oracle — a whole cluster lands

@@ -2529,6 +2529,84 @@ object SparkEntry {
           round(col("supply_cost"), 2).cast("double").as("supply_cost"))
     },
 
+    "q12_priority_counts" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q12 shape — one fact join + per-category conditional counts
+      // (shipmode adapts to returnflag — no l_shipmode in this corpus):
+      // the CASE counting folds into the partial aggregation, so the
+      // shuffle carries two BIGINTs per category, and the date filter
+      // pushes to the lineitem scan
+      t(dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    },
+
+    "q20_excess_suppliers" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // TPC-H Q20 shape — a semi-join CHAIN: suppliers qualify through a
+      // nested condition (shipped > 50 units of some SMALL part in 1997),
+      // then filter by nation. The inner rollup reduces lineitem once;
+      // the qualifying supplier set rides a LEFT SEMI into the supplier
+      // table; nation attaches broadcast. No correlated re-execution.
+      val qualifying = t(dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(t(dir, "part").where(col("p_type") === "SMALL")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("p_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 50)
+        .select(col("l_suppkey")).distinct()
+      t(dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    },
+
+    "q_window_analytics" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the analytic-window family over event time per user: lag delta
+      // (integer µs), running DECIMAL sum, and percent_rank — one
+      // user_id shuffle serves every window (same partitioning), and all
+      // emitted values are integer/decimal-exact or integer-ratio
+      // doubles (percent_rank = (rank−1)/(n−1)), so the hash compare is
+      // bit-identical
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("running_value",
+          round(sum(col("value").cast("decimal(18,4)")).over(w), 2).cast("double"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .select("user_id", "event_id", "gap_us", "running_value", "pct_rank")
+    },
+
+    "q_dedup_best_rep" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // policy-pluggable dedup: clustering decides WHO is duplicated
+      // (transitive closure), the representative rule decides WHAT
+      // survives — here quality = longest text (n_chars, id tie-break)
+      // instead of keep-first. One max_by per cluster over the
+      // cluster-bounded relation.
+      val clusters = Dedup.minhashClusters(
+        t(dir, "documents"), "doc_id", "text", threshold = 0.8)
+      clusters
+        .join(t(dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("rep_doc_id"))
+    },
+
     "q_bm25_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // BM25 lexical retrieval (the text-search side of RAG, complementing
@@ -3895,6 +3973,39 @@ object SparkEntry {
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "q12_priority_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    WHERE p_type = 'SMALL'
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey, p_partkey
+        |    HAVING SUM(l_quantity) > 50)""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS running_value,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    "q_dedup_best_rep" -> OracleHashSql.dedupBestRep,
 
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -41,6 +41,35 @@ class ChangelogPropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeAggregate == full recompute on random numeric changelogs at random splits") {
+    // random key churn, group moves, deletes emptying groups, null dims
+    // excluded by the fixture (documented SQL-equality alignment)
+    for (trial <- 1 to 4) {
+      val events = (1 to 70).map { seq =>
+        val k = rnd.nextInt(9).toLong
+        val g = s"g${rnd.nextInt(4)}"
+        val v = rnd.nextInt(2000) / 100.0
+        val op = if (rnd.nextInt(6) == 0) "DELETE" else "REPLACE"
+        (k, g, v, op, seq.toLong)
+      }
+      val ch = events.toDF("k", "g", "v", Changelog.OpCol, Changelog.SeqCol)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).toSet
+      val full = canon(Changelog.aggregate(
+        Changelog.materialize(ch, Seq("k")), Seq("g"), Seq("v")))
+      for (_ <- 1 to 3) {
+        val split = 1L + rnd.nextInt(69)
+        val state = Changelog.materialize(
+          ch.where(col(Changelog.SeqCol) <= split), Seq("k"))
+        val merged = canon(Changelog.mergeAggregate(
+          Changelog.aggregate(state, Seq("g"), Seq("v")), state,
+          ch.where(col(Changelog.SeqCol) > split), Seq("k"), Seq("g"), Seq("v")))
+        assert(merged === full, s"trial=$trial split=$split")
+      }
+    }
+  }
+
   test("diff is minimal and round-trips on random snapshot pairs") {
     for (trial <- 1 to 4) {
       val ch = randomChangelog(nEvents = 80, nKeys = 12)
