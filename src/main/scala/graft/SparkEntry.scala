@@ -546,6 +546,66 @@ object SparkEntry {
         col("sum_value").cast("double").as("sum_value"))
     },
 
+    "q_secondary_index" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // secondary-index maintenance: the (event_type → user_id) lookup
+      // table bootstrapped from the 90% state and folded forward under
+      // the last-10% batch — old entries of touched keys drop via a
+      // broadcast anti join (the index never shuffles), new entries
+      // append batch-bounded. Oracle = the index projected from the
+      // fully-recomputed state.
+      val ch = eventsChangelog(spark, dir)
+      val maxSeq = t(dir, "events").agg(max("event_id")).head().getLong(0)
+      val split = maxSeq * 9 / 10
+      val state = Changelog.materialize(
+        ch.where(col(Changelog.SeqCol) <= split), Seq("user_id"))
+      Changelog.mergeIndex(
+        Changelog.index(state, Seq("user_id"), Seq("event_type")),
+        ch.where(col(Changelog.SeqCol) > split),
+        Seq("user_id"), Seq("event_type"))
+    },
+
+    "q_pmi_collocations" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // corpus collocation mining: pointwise mutual information over
+      // adjacent token pairs (Church & Hanks 1990) — counts are exact
+      // BIGINTs off ONE tokenization (unigram counts roll up from the
+      // bigram relation's left token plus the per-doc tail, but the
+      // simple two-agg shape here shares the exploded relation via
+      // ReuseExchange), the PMI argument is a PINNED left-to-right
+      // double op sequence on exact integers, and ln() on an identical
+      // double is bit-identical in both engines (the bigram-LM stance).
+      // Evidence floor c_ab >= 20 kills noise; top-50 via heap cut.
+      val toks = t(dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\W+'), x -> x <> '')").as("tk"))
+      // CASE guard: Spark sequence(1, 0) yields a DESCENDING [1,0], not
+      // an empty array — short docs must produce zero bigrams explicitly
+      val bigrams = toks
+        .select(explode(expr(
+          """CASE WHEN size(tk) >= 2
+            |  THEN transform(sequence(1, size(tk) - 1),
+            |                 i -> struct(tk[i-1] AS a, tk[i] AS b))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END""".stripMargin)).as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      val uni = toks.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum("c").as("n_uni"))
+      val bi = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 20)
+      val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
+      bi
+        .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")), "a")
+        .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")), "b")
+        .join(broadcast(nUni)).join(broadcast(nBi))
+        .withColumn("pmi", log(
+          col("c_ab").cast("double") * col("n_uni") * col("n_uni")
+            / col("n_bi") / col("c_a") / col("c_b")))
+        .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(50)
+    },
+
     "q_agg_view_steady" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the steady-state cost of keeping an aggregate view fresh: ONE
@@ -3121,6 +3181,44 @@ object SparkEntry {
         |SELECT event_type, count(*) AS cnt,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM state GROUP BY 1""".stripMargin,
+
+    "q_secondary_index" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |state AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type, op,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op <> 'DELETE')
+        |SELECT event_type, user_id FROM state""".stripMargin,
+
+    "q_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(tk) AS tok FROM toks),
+        |ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |n_uni AS (SELECT count(*) AS n FROM uni),
+        |bigrams AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> struct_pack(a := tk[i], b := tk[i+1]))) AS bg
+        |  FROM toks WHERE len(tk) >= 2),
+        |bcnt AS (
+        |  SELECT bg.a AS a, bg.b AS b, count(*) AS c_ab
+        |  FROM bigrams GROUP BY 1, 2 HAVING count(*) >= 20),
+        |n_bi AS (SELECT count(*) AS n FROM bigrams)
+        |SELECT x.a, x.b, CAST(x.c_ab AS BIGINT) AS c_ab,
+        |       ln(CAST(x.c_ab AS DOUBLE) * u.n * u.n / v.n / ca.c / cb.c) AS pmi
+        |FROM bcnt x
+        |JOIN ucnt ca ON ca.tok = x.a
+        |JOIN ucnt cb ON cb.tok = x.b
+        |CROSS JOIN n_uni u CROSS JOIN n_bi v
+        |ORDER BY pmi DESC, x.a, x.b LIMIT 50""".stripMargin,
 
     "q_agg_view_steady" ->
       """WITH ch AS (

@@ -263,6 +263,39 @@ object Changelog {
       .where(col("cnt") > 0)
   }
 
+  /** Secondary-index maintenance: a persisted (indexed-value → PK) lookup
+    * table over a NON-key column, kept fresh under a changelog
+    * micro-batch without a rebuild — the lakehouse analog of a database
+    * secondary index, and the third member of the incremental-maintenance
+    * family ([[mergeHistory]] for history, [[mergeAggregate]] for
+    * aggregates, this for lookups). Touched keys' old entries drop via a
+    * LEFT ANTI join against the batch's key set; their batch-final
+    * entries append unless the final op is DELETE.
+    *
+    * Scale shape: the batch key set is micro-batch bounded and
+    * BROADCASTS into the anti join — the index table is never shuffled;
+    * the appended rows are batch-bounded. At an index PERSISTED
+    * partitioned/bucketed by the indexed value, point lookups prune at
+    * the file listing while maintenance cost stays O(batch).
+    */
+  def mergeIndex(index: DataFrame, batch: DataFrame, pkCols: Seq[String],
+                 valueCols: Seq[String]): DataFrame = {
+    val last = lastImage(batch, pkCols)
+    val kept = index.join(
+      org.apache.spark.sql.functions.broadcast(
+        last.select(pkCols.map(col): _*).distinct()),
+      pkCols, "left_anti")
+    kept.unionByName(
+        last.where(col(OpCol) =!= "DELETE")
+          .select((valueCols ++ pkCols).map(col): _*))
+      // using-column joins reorder keys first; pin the index schema order
+      .select((valueCols ++ pkCols).map(col): _*)
+  }
+
+  /** Bootstrap the [[mergeIndex]] table from a materialized state. */
+  def index(state: DataFrame, pkCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    state.select((valueCols ++ pkCols).map(col): _*)
+
   /** Snapshot diff — the INVERSE of [[materialize]]: derive the changelog
     * BETWEEN two table states. The CDC fallback when no binlog/WAL feed
     * exists (full-refresh sources, the reference's snapshot-only startup

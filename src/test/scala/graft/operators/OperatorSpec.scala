@@ -320,6 +320,30 @@ class ChangelogSpec extends SparkSpec {
     }
   }
 
+  test("mergeIndex equals the recomputed index; index table never shuffles") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, "x", "REPLACE", 1L),
+      (2L, "x", "REPLACE", 2L),
+      (3L, "y", "REPLACE", 3L),
+      (1L, "y", "REPLACE", 4L),  // key 1 moves x→y
+      (2L, "x", "DELETE", 5L),   // key 2 leaves the index
+      (4L, "z", "REPLACE", 6L))  // new key
+      .toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+    def recompute(upTo: Long) = Changelog.index(
+      Changelog.materialize(ch.where(col(Changelog.SeqCol) <= upTo), Seq("k")),
+      Seq("k"), Seq("v"))
+    for (split <- 1L to 5L) {
+      val merged = Changelog.mergeIndex(recompute(split),
+        ch.where(col(Changelog.SeqCol) > split), Seq("k"), Seq("v"))
+      assert(merged.as[(String, Long)].collect().toSet ===
+        recompute(6L).as[(String, Long)].collect().toSet, s"split=$split")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"index maintenance must anti-join broadcast at split=$split")
+    }
+  }
+
   test("diff classifies insert/update/delete and drops unchanged rows") {
     import spark.implicits._
     val oldS = Seq(
