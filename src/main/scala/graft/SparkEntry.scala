@@ -285,7 +285,7 @@ object SparkEntry {
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
     "q_stream_interval_join", "q_stream_outer_join", "q_stream_window_agg",
-    "q_stream_enrich",
+    "q_stream_enrich", "q_stream_temporal_join",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -2979,6 +2979,33 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
     },
 
+    "q_stream_temporal_join" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import graft.streaming.StreamingNative
+      // the STREAMING face of the temporal table join: each micro-batch
+      // of purchase probes enriches against the (static, versioned) SCD2
+      // history at the probe's OWN seq−1 — stateless per batch like
+      // q_stream_enrich, but against interval-versioned state instead of
+      // a flat dimension. Completes the streaming join matrix: interval,
+      // outer, windowed-agg, static-enrich, temporal.
+      val ch = eventsChangelog(spark, dir)
+      val hist = Changelog.history(ch, Seq("user_id")).localCheckpoint()
+      val base = java.nio.file.Files.createTempDirectory("graft-stj").toString
+      val in = s"$base/in"
+      ch.where(col("event_type") === "purchase")
+        .select(col("user_id"), col(Changelog.SeqCol).as("probe_seq"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("probe_seq", org.apache.spark.sql.types.LongType)))
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq.empty) { stream =>
+        Changelog.temporalJoin(stream, hist, Seq("user_id"), col("probe_seq") - 1)
+          .select(col("user_id"), col("probe_seq"),
+            col("event_type").as("prev_type"), col("value").as("prev_value"))
+      }
+    },
+
     "q_percentile" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // exact interpolated percentiles (type-7, same definition as DuckDB
@@ -3145,6 +3172,27 @@ object SparkEntry {
         |  FROM ch)
         |SELECT user_id, event_type, value, valid_from, valid_to
         |FROM iv WHERE op <> 'DELETE'""".stripMargin,
+
+    "q_stream_temporal_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'REPLACE' END AS op,
+        |    event_id AS seq
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, event_type, value, op, seq AS valid_from,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |hist AS (
+        |  SELECT user_id, event_type, value, valid_from, valid_to
+        |  FROM iv WHERE op <> 'DELETE'),
+        |probes AS (
+        |  SELECT user_id, seq AS probe_seq FROM ch WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.probe_seq,
+        |       h.event_type AS prev_type, h.value AS prev_value
+        |FROM probes p LEFT JOIN hist h
+        |  ON p.user_id = h.user_id AND h.valid_from <= p.probe_seq - 1
+        | AND (h.valid_to IS NULL OR h.valid_to > p.probe_seq - 1)""".stripMargin,
 
     "q_temporal_join" ->
       """WITH ch AS (

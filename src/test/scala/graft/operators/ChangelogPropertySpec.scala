@@ -70,6 +70,31 @@ class ChangelogPropertySpec extends SparkSpec {
     }
   }
 
+  test("temporalJoin == naive per-probe interval scan on random histories") {
+    for (trial <- 1 to 4) {
+      val events = randomChangelog(nEvents = 50, nKeys = 6)
+      val ch = events.toDF("k", "v", Changelog.OpCol, Changelog.SeqCol)
+      val hist = Changelog.history(ch, Seq("k"))
+      val probes = (1 to 30).map(i => (s"k${rnd.nextInt(8)}", rnd.nextInt(55).toLong))
+        .distinct.toDF("k", "at")
+      val got = Changelog.temporalJoin(probes, hist, Seq("k"), col("at"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+      // naive single-node reference: scan the interval list per probe
+      val intervals = hist.collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      val expected = probes.collect().map { p =>
+        val (k, at) = (p.getString(0), p.getLong(1))
+        val cover = intervals.filter(iv => iv._1 == k && iv._3 <= at && iv._4 > at)
+        assert(cover.length <= 1, s"trial=$trial overlapping intervals for $k@$at")
+        // None conflates no-match with null-payload-match, matching the
+        // DataFrame view of both as a null column
+        (k, at, cover.headOption.flatMap(_._2))
+      }.toSet
+      assert(got === expected, s"trial=$trial")
+    }
+  }
+
   test("diff is minimal and round-trips on random snapshot pairs") {
     for (trial <- 1 to 4) {
       val ch = randomChangelog(nEvents = 80, nKeys = 12)

@@ -56,6 +56,41 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(uncapped.count() === 60L * 59 / 2)
   }
 
+  test("matches the single-node reference pipeline on random mutated strings") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdefgh"
+    def randStr(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    // 12 base strings, each with 0-2 mutated copies → known near-pairs
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until 12) {
+      val base = randStr(16)
+      rows += ((id, base)); id += 1
+      for (_ <- 0 until rnd.nextInt(3)) {
+        val pos = rnd.nextInt(base.length)
+        val mut = base.updated(pos, alphabet(rnd.nextInt(alphabet.length)))
+        rows += ((id, mut)); id += 1
+      }
+    }
+    val (n, maxDist, minShared, dfCap) = (3, 2, 4, 1000)
+    val got = FuzzyJoin.editDistanceJoin(rows.toSeq.toDF("id", "s"), "id", "s",
+        n, maxDist, minShared, dfCap)
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: same gram/threshold blocking + DP verify, single node
+    def grams(s: String) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+    val df = rows.flatMap { case (_, s) => grams(s) }
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = rows.map { case (i, s) =>
+      (i, s, grams(s).filter(g => df(g) <= dfCap)) }
+    val expected = (for {
+      (ia, sa, ga) <- kept; (ib, sb, gb) <- kept if ia < ib
+      if ga.intersect(gb).size >= minShared
+      d = lev(sa, sb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // the fixture must actually exercise matches
+  }
+
   test("short strings never pair; identical strings pair at distance 0") {
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "same same same"),
       (4L, "same same same")).toDF("id", "s")
