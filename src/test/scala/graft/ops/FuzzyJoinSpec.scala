@@ -18,18 +18,14 @@ class FuzzyJoinSpec extends SparkSpec {
 
   test("finds exactly the brute-force pairs within the distance bound") {
     val base = "the quick brown fox jumps over it"
-    val rows = Seq(
+    val strs = Map(
       1L -> base,
       2L -> base.replace("quick", "quack"),          // dist 1
       3L -> base.replace("brown fox", "brawn fix"),  // dist 2
       4L -> base.toUpperCase,                        // far
       5L -> "completely unrelated text here!!")      // far
-      .toDF("id", "s")
-    val got = FuzzyJoin.editDistanceJoin(rows, "id", "s", minShared = 5)
+    val got = FuzzyJoin.editDistanceJoin(strs.toSeq.toDF("id", "s"), "id", "s")
       .as[(Long, Long, Int)].collect().toSet
-    val strs = Map(1L -> base, 2L -> base.replace("quick", "quack"),
-      3L -> base.replace("brown fox", "brawn fix"), 4L -> base.toUpperCase,
-      5L -> "completely unrelated text here!!")
     val expected = (for {
       a <- strs.keys; b <- strs.keys if a < b
       d = lev(strs(a), strs(b)) if d <= 2
@@ -39,28 +35,33 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L)))
   }
 
-  test("df-cap suppresses boilerplate-only blocking") {
-    // 60 records sharing ONLY a boilerplate prefix (df 60 > cap 20) with
-    // unique 2-char tails (too short to form their own grams): with the
-    // cap, no pair reaches minShared uncapped grams → zero candidates;
-    // without the cap, every pair blocks on the header and verifies at
-    // distance ≤ 2 — the quadratic blowup the cap exists to kill
+  test("prefix filter finds boilerplate-heavy pairs uncapped; df-cap narrows to distinctive grams") {
+    // 60 records: shared 14-char header + unique 2-char tail → every pair
+    // is a TRUE distance-≤2 pair. Uncapped, the n·d+1 rarest grams per
+    // record are its unique boundary grams plus the SAME lowest-(df,
+    // gram) common grams for everyone (the global-order pigeonhole that
+    // makes the prefix filter complete) → all 1770 pairs found. With the
+    // header grams capped out (df 60 > 20), blocking can only happen on
+    // the remaining sub-cap DISTINCTIVE grams — the boundary gram
+    // "R-<tail1>" (df 2-3) — so exactly the pairs sharing tail1 survive:
+    // 8 letters × C(3,2) + 18 letters × C(2,2)·1 = 24 + 18 = 42. The
+    // documented recall trade: boilerplate-ONLY similarity is invisible,
+    // distinctive-gram similarity is kept.
     val rows = (0 until 60).map { i =>
       (i.toLong, s"SHARED-HEADER-${('a' + i % 26).toChar}${('A' + i / 26).toChar}")
     }.toDF("id", "s")
-    val capped = FuzzyJoin.editDistanceJoin(rows, "id", "s",
-      minShared = 3, dfCap = 20, maxDist = 2)
-    assert(capped.count() === 0L)
-    val uncapped = FuzzyJoin.editDistanceJoin(rows, "id", "s",
-      minShared = 3, dfCap = 1000, maxDist = 2)
+    val uncapped = FuzzyJoin.editDistanceJoin(rows, "id", "s", maxDist = 2)
     assert(uncapped.count() === 60L * 59 / 2)
+    val capped = FuzzyJoin.editDistanceJoin(rows, "id", "s", maxDist = 2, dfCap = 20)
+      .as[(Long, Long, Int)].collect()
+    assert(capped.length === 42)
+    assert(capped.forall { case (a, b, _) => a % 26 == b % 26 })
   }
 
-  test("matches the single-node reference pipeline on random mutated strings") {
+  test("matches brute force on random mutated strings (prefix recall)") {
     val rnd = new scala.util.Random(41)
     val alphabet = "abcdefgh"
     def randStr(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
-    // 12 base strings, each with 0-2 mutated copies → known near-pairs
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     var id = 0L
     for (_ <- 0 until 12) {
@@ -72,20 +73,11 @@ class FuzzyJoinSpec extends SparkSpec {
         rows += ((id, mut)); id += 1
       }
     }
-    val (n, maxDist, minShared, dfCap) = (3, 2, 4, 1000)
-    val got = FuzzyJoin.editDistanceJoin(rows.toSeq.toDF("id", "s"), "id", "s",
-        n, maxDist, minShared, dfCap)
+    val got = FuzzyJoin.editDistanceJoin(rows.toSeq.toDF("id", "s"), "id", "s")
       .as[(Long, Long, Int)].collect().toSet
-    // reference: same gram/threshold blocking + DP verify, single node
-    def grams(s: String) = (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
-    val df = rows.flatMap { case (_, s) => grams(s) }
-      .groupBy(identity).map { case (g, o) => g -> o.size }
-    val kept = rows.map { case (i, s) =>
-      (i, s, grams(s).filter(g => df(g) <= dfCap)) }
     val expected = (for {
-      (ia, sa, ga) <- kept; (ib, sb, gb) <- kept if ia < ib
-      if ga.intersect(gb).size >= minShared
-      d = lev(sa, sb) if d <= maxDist
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = lev(sa, sb) if d <= 2
     } yield (ia, ib, d)).toSet
     assert(got === expected)
     assert(got.nonEmpty) // the fixture must actually exercise matches
@@ -94,7 +86,7 @@ class FuzzyJoinSpec extends SparkSpec {
   test("short strings never pair; identical strings pair at distance 0") {
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "same same same"),
       (4L, "same same same")).toDF("id", "s")
-    val got = FuzzyJoin.editDistanceJoin(rows, "id", "s", minShared = 2)
+    val got = FuzzyJoin.editDistanceJoin(rows, "id", "s")
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((3L, 4L, 0)))
   }
