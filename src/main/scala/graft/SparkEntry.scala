@@ -284,8 +284,8 @@ object SparkEntry {
     */
   val launchBoundE2e: Set[String] = Set(
     "q_stream_session_window", "q_stream_dedup", "q_stream_sessions_state",
-    "q_stream_interval_join", "q_stream_outer_join", "q_stream_window_agg",
-    "q_stream_enrich", "q_stream_temporal_join",
+    "q_stream_interval_join", "q_stream_outer_join", "q_stream_full_outer",
+    "q_stream_window_agg", "q_stream_enrich", "q_stream_temporal_join",
     "q_schema_evolution", "q_schema_evolution_multi", "q_schema_evolution_lenient",
     "q_kafka_pipeline", "q_multi_table_pipeline")
 
@@ -2346,6 +2346,54 @@ object SparkEntry {
       }
     },
 
+    "q_stream_full_outer" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      import graft.streaming.StreamingNative
+      // FULL OUTER watermarked stream-stream join — both directions'
+      // unmatched rows emit null-extended at state eviction: purchases
+      // with no error in their preceding 24 h AND errors that never
+      // preceded any purchase. Same join-reaching sentinel discipline as
+      // the left-outer twin (eviction only fires in batches whose rows
+      // reach the join operator); the time bound still evicts both
+      // sides' state.
+      val base = java.nio.file.Files.createTempDirectory("graft-ssfo").toString
+      val in = s"$base/in"
+      events(dir).select(col("event_id"), col("user_id"), col("event_type"),
+          expr("TIMESTAMP_MILLIS(ts_us)").as("ts_t"))
+        .write.parquet(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_t", org.apache.spark.sql.types.TimestampType)))
+      def sentinel(tag: Long): () => Unit = () => {
+        Seq((-(100L + tag), -1L, "purchase",
+              new java.sql.Timestamp(8000000000000000L + tag * 2000)),
+            (-(200L + tag), -2L, "error",
+              new java.sql.Timestamp(8000000000000000L + tag * 2000)))
+          .toDF("event_id", "user_id", "event_type", "ts_t")
+          .write.mode("append").parquet(in); ()
+      }
+      StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
+        Seq(sentinel(1), sentinel(2))) { stream =>
+        val wm = stream.withWatermark("ts_t", "1 second")
+        val l = wm.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+            col("ts_t").as("p_ts"))
+        val r = wm.where(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"), col("user_id").as("e_user_id"),
+            col("ts_t").as("e_ts"))
+        l.join(r, expr(
+            """p_user_id = e_user_id AND
+              |e_ts > p_ts - INTERVAL 86400000 SECONDS AND e_ts <= p_ts""".stripMargin),
+            "full_outer")
+          .select(col("p_event_id"), col("e_event_id"),
+            unix_millis(col("p_ts")).as("p_ts_us"), unix_millis(col("e_ts")).as("e_ts_us"))
+      }.where(coalesce(col("p_event_id"), lit(0L)) >= 0 &&
+        coalesce(col("e_event_id"), lit(0L)) >= 0)
+    },
+
     "q_stream_outer_join" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       import s.implicits._
@@ -2951,6 +2999,51 @@ object SparkEntry {
         events(dir).withColumn("day", expr("ts_us DIV 86400000000")),
         Seq("event_type", "day"), "user_id")
       graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
+    },
+
+    "q_winsorize" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // robust feature clamping (winsorization) for quality/score columns:
+      // per-type exact p05/p95 (one bounded agg, broadcast back — the
+      // Anomaly stats shape), values clamped into the band as a narrow
+      // codegen projection. Interpolated percentiles of the raw doubles
+      // are the same type-7 definition in both engines, and clamp output
+      // is either the original double or the percentile — both bit-exact.
+      val ev = events(dir)
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          greatest(col("p05"), least(col("p95"), col("value"))).as("value_w"))
+    },
+
+    "q_corr_features" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // Pearson correlation between value and hour-of-day per event type,
+      // the exact-sums-then-formula discipline: the five sufficient
+      // statistics are DECIMAL/BIGINT sums (order-free, exact), and the
+      // final r is ONE pinned double expression over them — never a
+      // running double aggregation (Spark's corr() and DuckDB's disagree
+      // at the ULP because their update orders differ; sufficient
+      // statistics cannot).
+      events(dir)
+        .select(col("event_type"),
+          col("value").as("x"),
+          expr("CAST((ts_us % 86400000000) DIV 3600000000 AS BIGINT)").as("y"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(24,6)")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(24,6)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(24,6)")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .selectExpr("event_type", "n",
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            | / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            | AS r""".stripMargin)
     },
 
     "q_anomaly_mad" -> { (spark, dir) =>
@@ -4406,6 +4499,46 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
         |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,
+
+    "q_stream_full_outer" ->
+      """SELECT l.event_id AS p_event_id, r.event_id AS e_event_id,
+        |       l.ts_us AS p_ts_us, r.ts_us AS e_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase') l
+        |FULL JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts_us > l.ts_us - 86400000000 AND r.ts_us <= l.ts_us""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |       greatest(p05, least(p95, value)) AS value_w
+        |FROM events e JOIN bounds b ON e.event_type = b.event_type""".stripMargin,
+
+    "q_corr_features" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    count(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(24,6))) AS sx,
+        |    SUM(y) AS sy,
+        |    SUM(CAST(value * y AS DECIMAL(24,6))) AS sxy,
+        |    SUM(CAST(value * value AS DECIMAL(24,6))) AS sx2,
+        |    SUM(y * y) AS sy2
+        |  FROM (SELECT event_type, value,
+        |          CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS y
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS r
+        |FROM stats""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH series AS (
