@@ -3001,6 +3001,52 @@ object SparkEntry {
       graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
     },
 
+    "q_grouping_sets" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // explicit GROUPING SETS (the general form behind q_cube/q_rollup)
+      // with grouping_id disambiguating the null-as-total rows — one
+      // shuffle, each set an integer-exact rollup
+      events(dir).createOrReplaceTempView("ev_gs")
+      spark.sql(
+        """SELECT event_type, ts_us DIV 86400000000 AS day, count(*) AS cnt,
+          |  CAST(grouping(event_type) * 2
+          |       + grouping(ts_us DIV 86400000000) AS BIGINT) AS gid
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((event_type, ts_us DIV 86400000000), (event_type), ())""".stripMargin)
+    },
+
+    "q_histogram" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // equi-width histogram: global [min, max] from one scalar agg
+      // (2 doubles to the driver-free 1-row broadcast), bucket index as a
+      // pinned double expression — floor((v−min)/width) is bit-identical
+      // in both engines given identical parenthesization; the top edge
+      // clamps into the last bucket
+      val ev = events(dir)
+      val mm = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+      ev.join(broadcast(mm))
+        .selectExpr("event_type",
+          "least(19L, CAST(floor((value - vmin) / ((vmax - vmin) / 20.0)) AS BIGINT)) AS bucket")
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    "q_first_touch" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // first-touch attribution: each user's purchases attributed to the
+      // user's FIRST-ever event type — one min_by per user (map-side
+      // combined, no sort), broadcast back onto the purchase rollup
+      val ev = events(dir)
+      val firstTouch = ev.groupBy("user_id")
+        .agg(min_by(col("event_type"),
+          struct(col("ts_us"), col("event_id"))).as("first_type"))
+      ev.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("purchases"))
+        .join(broadcast(firstTouch), "user_id")
+        .select(col("user_id"), col("first_type"), col("purchases"))
+    },
+
     "q_winsorize" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // robust feature clamping (winsorization) for quality/score columns:
@@ -4509,6 +4555,34 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id
         | AND r.ts_us > l.ts_us - 86400000000 AND r.ts_us <= l.ts_us""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt,
+        |  CAST(grouping(event_type) * 2
+        |       + grouping(epoch_us(ts) // 86400000000) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, epoch_us(ts) // 86400000000), (event_type), ())""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+        |SELECT event_type,
+        |       least(19, CAST(floor((value - vmin) / ((vmax - vmin) / 20.0)) AS BIGINT)) AS bucket,
+        |       count(*) AS cnt
+        |FROM events, mm
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_first_touch" ->
+      """WITH ft AS (
+        |  SELECT user_id, event_type AS first_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT p.user_id, ft.first_type, p.purchases
+        |FROM p JOIN ft USING (user_id)""".stripMargin,
 
     "q_winsorize" ->
       """WITH bounds AS (
