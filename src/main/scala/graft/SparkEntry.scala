@@ -2947,9 +2947,15 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       import graft.streaming.StreamingNative
       // STREAM-STATIC join: each micro-batch enriches against a static
-      // dimension (the per-user profile) — stateless, no watermark, the
-      // dim broadcasts per batch. The third member of the streaming join
-      // matrix (stream-stream interval, windowed agg, and this).
+      // dimension (the per-user profile) — stateless, no watermark. The
+      // third member of the streaming join matrix (stream-stream
+      // interval, windowed agg, and this). The profile side is keyed by
+      // user_id, whose cardinality grows with the corpus — a forced
+      // broadcast() would be a multi-GB driver OOM at 1e9 users, so the
+      // join strategy is left cardinality-driven: the planner broadcasts
+      // while the dim fits `autoBroadcastJoinThreshold` and falls back to
+      // a key-shuffle beyond it (in production this side is a persisted
+      // key-bucketed dim table, making the shuffle one-sided).
       val base = java.nio.file.Files.createTempDirectory("graft-sse").toString
       val in = s"$base/in"
       events(dir).select(col("event_id"), col("user_id")).write.parquet(in)
@@ -2960,7 +2966,7 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
       StreamingNative.fileStreamRuns(spark, in, schema, s"$base/out", s"$base/cp",
         Seq.empty) { stream =>
-        stream.join(broadcast(profile), Seq("user_id"))
+        stream.join(profile, Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("user_total"))
       }
     },
@@ -3035,7 +3041,12 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       // first-touch attribution: each user's purchases attributed to the
       // user's FIRST-ever event type — one min_by per user (map-side
-      // combined, no sort), broadcast back onto the purchase rollup
+      // combined, no sort), joined back onto the purchase rollup. Both
+      // join inputs are per-user aggregates whose cardinality grows with
+      // the corpus, so NO broadcast hint: both sides already carry
+      // hashpartitioning(user_id) from their aggregations, making the
+      // join a zero-exchange sort-merge at scale, and AQE still converts
+      // to broadcast when the stats say one side is small.
       val ev = events(dir)
       val firstTouch = ev.groupBy("user_id")
         .agg(min_by(col("event_type"),
@@ -3043,7 +3054,7 @@ object SparkEntry {
       ev.where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(count(lit(1)).as("purchases"))
-        .join(broadcast(firstTouch), "user_id")
+        .join(firstTouch, "user_id")
         .select(col("user_id"), col("first_type"), col("purchases"))
     },
 

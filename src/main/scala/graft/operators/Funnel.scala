@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Ordered-funnel analysis (MATCH_RECOGNIZE's most-used special case):
   * how far does each key progress through an ordered sequence of steps,
@@ -9,16 +10,28 @@ import org.apache.spark.sql.functions._
   * step i? The classic conversion query (signup → view → purchase) that
   * Spark has no native operator for.
   *
-  * Implementation: ONE shuffle by key, then a per-key state-machine fold
-  * over the time-ordered event array — `aggregate` over
-  * `array_sort(collect_list(struct(ts, seq, step)))`, stage advancing when
-  * the next event matches the next step. Integer stages, pinned
-  * (ts, seq) order: deterministic under any partitioning, and the DuckDB
-  * oracle replays the identical `list_reduce`. The per-key array is
-  * key-bounded (the DSIR/LM array stance); a key with 10⁸ events wants a
-  * windowed pre-filter to the step types first — which the `steps`
-  * projection already is: only events whose type IS a step ride the
-  * shuffle.
+  * Implementation: the sorted-array fold this used to be collapses to an
+  * EXACT closed form with O(1) aggregation buffers. Because the funnel
+  * state machine never regresses, stage s can only advance at the FIRST
+  * step-s event strictly after the event that made advance s−1 — any
+  * later step-s event has a strictly larger timestamp, so it can never
+  * satisfy a conversion window the first one failed. The whole fold is
+  * therefore the chain
+  *
+  *   a₀ = min(ts,seq) over step-0 events            (no window)
+  *   aₛ = min(ts,seq) over step-s events with (ts,seq) > aₛ₋₁
+  *        and ts ≤ aₛ₋₁.ts + gapUs                  (else the chain stops)
+  *
+  * computed as `steps.length` sequential min-aggregations, each with a
+  * CONSTANT-size buffer per key. No `collect_list`: a bot key with 10⁷
+  * step events costs 10⁷ shuffled rows (unavoidable — they must reach the
+  * key's reducer) but O(1) aggregation memory, where the array fold built
+  * a 10⁷-struct buffer. Every pass filters to one step type before its
+  * shuffle, so total shuffle volume across passes equals the single
+  * shuffle of the old design; each advance frame is persisted so the
+  * chain's lineage is evaluated once. Integer stages, pinned (ts, seq)
+  * order: deterministic under any partitioning, and the DuckDB oracle
+  * replays the identical `list_reduce` fold.
   */
 object Funnel {
 
@@ -26,30 +39,56 @@ object Funnel {
     * `steps` completed in order (0..steps.length), each advance within
     * `gapUs` of the event that made the PREVIOUS advance (the conversion
     * window; the first step has no window). `seqCol` breaks ties on equal
-    * timestamps — REQUIRED for determinism. State is an (stage, last_ts)
-    * LONG pair folded left over the (ts, seq)-sorted step events.
+    * timestamps — REQUIRED for determinism.
     */
   def stages(events: DataFrame, keyCol: String, tsCol: String, seqCol: String,
              typeCol: String, steps: Seq[String], gapUs: Long): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "steps must be non-empty and distinct")
+    require(steps.length <= 16,
+      s"funnel of ${steps.length} steps: each step is one Spark job pass; " +
+        "16 is far beyond any real conversion funnel and bounds misuse")
     val stepIx = steps.zipWithIndex.toMap
     val stepOf = steps.foldLeft(lit(-1L): Column)((acc, s) =>
       when(col(typeCol) === s, lit(stepIx(s).toLong)).otherwise(acc))
-    // only step-typed events ride the shuffle
+    // only step-typed events ride any shuffle
     val slim = events
       .select(col(keyCol), col(tsCol).as("f_ts"), col(seqCol).as("f_seq"),
         stepOf.as("f_step"))
       .where(col("f_step") >= 0)
-    slim.groupBy(col(keyCol))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("f_ts"), col("f_seq"), col("f_step")))),
-        array(lit(0L), lit(0L)),
-        (acc, e) => when(e("f_step") === element_at(acc, 1) &&
-            (element_at(acc, 1) === 0L || e("f_ts") <= element_at(acc, 2) + lit(gapUs)),
-          array(element_at(acc, 1) + lit(1L), e("f_ts"))).otherwise(acc),
-        acc => element_at(acc, 1))
-        .as("stage"))
+
+    def chainMin(df: DataFrame): DataFrame = df
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("f_ts"), col("f_seq"))).as("a"))
+      .select(col(keyCol), col("a.f_ts").as("a_ts"), col("a.f_seq").as("a_seq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // advance 0: the earliest step-0 event per key, unconditionally
+    var adv = chainMin(slim.where(col("f_step") === 0))
+    val advances = Seq.newBuilder[DataFrame]
+    advances += adv
+    for (s <- 1 until steps.length) {
+      // the only candidate for advance s is the earliest step-s event
+      // strictly after a_{s-1} — filter the window BEFORE the min: the
+      // window is an upper bound on ts, so the overall-first candidate
+      // is in-window iff any candidate is
+      adv = chainMin(slim.where(col("f_step") === s)
+        .join(adv, Seq(keyCol))
+        .where(struct(col("f_ts"), col("f_seq")) >
+            struct(col("a_ts"), col("a_seq")) &&
+          col("f_ts") <= col("a_ts") + lit(gapUs)))
+      advances += adv
+    }
+    // stage = number of advances made; advance sets are prefix-nested
+    // (adv_s keys ⊆ adv_{s-1} keys) so max(s+1) == the count. Keys with
+    // step-typed events but no advance report stage 0.
+    val reached = advances.result().zipWithIndex
+      .map { case (a, i) => a.select(col(keyCol), lit(i + 1L).as("stage")) }
+      .reduce(_ unionAll _)
+      .groupBy(col(keyCol)).agg(max("stage").as("stage"))
+    slim.select(col(keyCol)).distinct()
+      .join(reached, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("stage"), lit(0L)).as("stage"))
   }
 
   /** Funnel report: keys per stage reached (keys absent from `events`

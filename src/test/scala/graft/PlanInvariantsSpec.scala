@@ -291,4 +291,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).size === 2, p.take(3000))
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000)) // no data shuffle at all
   }
+
+  test("first-touch join is cardinality-driven, never hint-forced") {
+    // both join inputs are per-user aggregates — unbounded cardinality. A
+    // forced broadcast() of either is a driver OOM at 1e9 users; the plan
+    // must carry NO join hint, leaving the strategy to stats/AQE (which
+    // broadcasts at bench SF and key-shuffles beyond the threshold).
+    val df = SparkEntry.queries("q_first_touch")(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q_first_touch must not force a join strategy on an unbounded side")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
 }

@@ -51,6 +51,36 @@ class FunnelSpec extends SparkSpec {
     assert(stagesOf(rows2) == Map(1L -> 1L))
   }
 
+  test("hot key: 10⁶ step events fold in constant memory (no collect_list)") {
+    import org.apache.spark.sql.functions._
+    // one bot key emitting a million view events around a single real
+    // conversion: the old array fold built a 10⁶-struct aggregation
+    // buffer here; the chain-of-mins design keeps every buffer O(1)
+    val bot = spark.range(1000000L).select(
+      lit(9L).as("user_id"), (col("id") * 3 + 1000).as("ts"), col("id").as("seq"),
+      lit("view").as("etype"))
+    val real = Seq(
+      (9L, 500L, 2000000L, "signup"),      // first signup at ts 500
+      (9L, 7L, 2000001L, "purchase"),      // before everything: never counts
+      (7L, 1L, 2000002L, "signup"))        // control key: stage 1
+      .toDF("user_id", "ts", "seq", "etype")
+    val df = Funnel.stages(bot.unionAll(real),
+      "user_id", "ts", "seq", "etype", steps, gapUs = 600L)
+    assert(!df.queryExecution.executedPlan.toString.contains("collect_list"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // signup@500 → first view strictly after is ts 1000 ≤ 500+600 → stage 2;
+    // no purchase after the view → stays 2
+    assert(got == Map(9L -> 2L, 7L -> 1L))
+  }
+
+  test("funnel length is capped against job-storm misuse") {
+    val err = intercept[IllegalArgumentException] {
+      Funnel.stages(Seq((1L, 1L, 1L, "a")).toDF("user_id", "ts", "seq", "etype"),
+        "user_id", "ts", "seq", "etype", (1 to 17).map("s" + _), 10L)
+    }
+    assert(err.getMessage.contains("16"))
+  }
+
   test("stages are partitioning-invariant") {
     val rows = (1L to 300L).map(i =>
       (i % 7, i * 10, i, steps((i % 5).toInt.min(2))))
