@@ -77,6 +77,17 @@ object Bpe {
     */
   def trainMerges(df: DataFrame, textCol: Column, numMerges: Int):
       (Seq[(String, String)], DataFrame) = {
+    // Deliberate driver loop: ONE bounded Spark job per merge. A caller
+    // (or a YAML pipeline) passing a production vocab size (50k–100k)
+    // would schedule that many sequential jobs — hours of scheduler
+    // overhead, not computation. Beyond this cap the right tool is the
+    // classic in-memory trainer over the COLLECTED word-frequency table
+    // (bounded by distinct words, ~10^7 rows — driver-sized), with this
+    // distributed loop reserved for the corpus-scan + early-merge regime
+    // it is designed for.
+    require(numMerges <= 4096,
+      s"numMerges=$numMerges exceeds the 4096-job cap: collect wordCounts() " +
+        "and train large vocabs in memory instead")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var vocab = seedVocab(wordCounts(df, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -43,14 +43,25 @@ object Retrieval {
     */
   def mmr(candidates: DataFrame, idCol: String, scoreCol: String,
           vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    // Deliberate driver computation — guarded so "post-top-k" stays true
+    // by construction, not convention: the O(k·n) pairwise argmax and the
+    // collect() below are only legitimate on a rerank-sized list. A
+    // caller wiring the raw corpus (or a 10^6-wide candidate set) through
+    // a YAML pipeline must be refused, not silently OOM the driver.
+    require(k <= 1024, s"mmr k=$k: MMR is a final-rerank, never a corpus cut")
     val spark = candidates.sparkSession
     import spark.implicits._
+    val maxCandidates = 65536
     val rows = candidates.select(col(idCol).cast("long"),
         col(scoreCol).cast("double"), col(vecCol))
+      .limit(maxCandidates + 1)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Float](2).map(_.toDouble).toArray))
       .sortBy { case (id, s, _) => (-s, id) }
+    require(rows.length <= maxCandidates,
+      s"mmr candidate list exceeds $maxCandidates rows — not a rerank set; " +
+        "cut with a distributed top-k (ranked/rrfFuse) first")
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0

@@ -88,4 +88,11 @@ class BpeSpec extends SparkSpec {
       .orderBy("word_ix").select("word", "tokens").as[(String, Seq[String])].collect().toSeq
     assert(enc === Seq(("xy", Seq("x", "y")), ("unseen", Seq("u", "n", "s", "e", "e", "n"))))
   }
+
+  test("trainMerges refuses a production-vocab merge count (job-storm guard)") {
+    val err = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(Seq((1L, "a b")).toDF("id", "text"), col("text"), 50000)
+    }
+    assert(err.getMessage.contains("4096-job cap"))
+  }
 }

@@ -32,4 +32,21 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
     assert(r == Map(1L -> 1, 2L -> 2, 3L -> 3))
   }
+
+  test("mmr refuses corpus-scale misuse: k and candidate-set caps") {
+    val tiny = Seq((1L, 0.9, Seq(1.0f, 0.0f))).toDF("doc_id", "score", "vec")
+    val errK = intercept[IllegalArgumentException] {
+      Retrieval.mmr(tiny, "doc_id", "score", "vec", k = 100000)
+    }
+    assert(errK.getMessage.contains("final-rerank"))
+    // a candidate frame wider than the rerank cap is refused BEFORE the
+    // driver materializes it (the limit bounds the collect itself)
+    val wide = spark.range(70000L).selectExpr(
+      "id AS doc_id", "CAST(id AS DOUBLE) AS score",
+      "array(CAST(1.0 AS FLOAT)) AS vec")
+    val errN = intercept[IllegalArgumentException] {
+      Retrieval.mmr(wide, "doc_id", "score", "vec", k = 5)
+    }
+    assert(errN.getMessage.contains("not a rerank set"))
+  }
 }
