@@ -41,6 +41,28 @@ object SparkEntry {
   // one-time build must not be inside its timed body
   private val mhIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfSq8Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val fuzzyIdxCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** Once-per-JVM persisted fuzzy-join blocking-key index over the
+    * non-probe documents (doc_id % 4 != 0): `q_fuzzy_join_probe` measures
+    * the steady-state per-batch probe, with the one-time build outside its
+    * timed body (the [[minhashIndexFor]] split). Returns (path, dfCap) —
+    * the cap is part of the index's frozen-order contract and must be
+    * identical on the probe side.
+    */
+  private def fuzzyIndexFor(spark: SparkSession, dir: String): (String, Int) =
+    fuzzyIdxCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-fzidx-shared").toString
+      val keys = t(dir, "documents")
+        .select(col("doc_id"), expr("substring(text, 1, 32)").as("k"))
+        .where(length(col("k")) >= 3)
+      val idxSide = keys.where(col("doc_id") % 4 =!= 0)
+      // same corpus-scaling discipline as q_fuzzy_join, over the INDEXED side
+      val dfCap = math.max(100L, idxSide.count() / 25).toInt
+      graft.ops.FuzzyJoin.writeIndex(idxSide, "doc_id", "k", idxDir, dfCap = dfCap)
+      (idxDir, dfCap)
+    })
 
   /** Once-per-JVM shared IVF-SQ8 index over the embeddings table (the
     * steady-state deployment shape: the index exists, queries pay only the
@@ -2991,6 +3013,24 @@ object SparkEntry {
         dfCap = math.max(100L, n / 25).toInt)
     },
 
+    "q_fuzzy_join_probe" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // steady-state incremental fuzzy join: a new batch (doc_id % 4 == 0)
+      // probed against the PERSISTED blocking-key index over the rest of
+      // the corpus — the per-micro-batch cost of a deployment's entity-
+      // resolution ingest, build amortized outside the timed body (the
+      // q_dedup_incremental_probe split). The batch's prefix grams prune
+      // the index read at the file listing; candidate ids push into the
+      // id-sorted string store; prefixes on BOTH sides are selected under
+      // the index's frozen (df, gram) order, the PPJoin guarantee's
+      // shared-total-order requirement.
+      val (idxDir, dfCap) = fuzzyIndexFor(spark, dir)
+      val batch = t(dir, "documents")
+        .select(col("doc_id"), expr("substring(text, 1, 32)").as("k"))
+        .where(length(col("k")) >= 3 && col("doc_id") % 4 === 0)
+      graft.ops.FuzzyJoin.indexProbe(batch, "doc_id", "k", idxDir, dfCap = dfCap)
+    },
+
     "q_hll_distinct" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // mergeable distinct-count sketch table: per-(type, day) HLL
@@ -4555,6 +4595,45 @@ object SparkEntry {
         |  FROM pfx a JOIN pfx b ON a.gram = b.gram AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+        |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,
+
+    "q_fuzzy_join_probe" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS k FROM documents
+        |  WHERE len(substr(text, 1, 32)) >= 3),
+        |si AS (SELECT * FROM s WHERE doc_id % 4 <> 0),
+        |sn AS (SELECT * FROM s WHERE doc_id % 4 = 0),
+        |gi AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
+        |  FROM si),
+        |gn AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
+        |  FROM sn),
+        |gdf AS (SELECT gram, count(*) AS c FROM gi GROUP BY 1),
+        |cap AS (SELECT greatest(100, (SELECT count(*) FROM si) // 25) AS cap),
+        |pfx_i AS (
+        |  SELECT gram, doc_id FROM (
+        |    SELECT g.gram, g.doc_id,
+        |           row_number() OVER (PARTITION BY g.doc_id
+        |             ORDER BY d.c, g.gram) AS rk
+        |    FROM gi g JOIN gdf d USING (gram)
+        |    WHERE d.c <= (SELECT cap FROM cap)) WHERE rk <= 7),
+        |pfx_n AS (
+        |  SELECT gram, doc_id FROM (
+        |    SELECT g.gram, g.doc_id,
+        |           row_number() OVER (PARTITION BY g.doc_id
+        |             ORDER BY coalesce(d.c, 0), g.gram) AS rk
+        |    FROM gn g LEFT JOIN gdf d USING (gram)
+        |    WHERE coalesce(d.c, 0) <= (SELECT cap FROM cap)) WHERE rk <= 7),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS id, i.doc_id AS match_id
+        |  FROM pfx_n n JOIN pfx_i i USING (gram))
+        |SELECT id, match_id, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
+        |FROM cand JOIN sn sa ON id = sa.doc_id JOIN si sb ON match_id = sb.doc_id
         |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,
 
     "q_stream_full_outer" ->

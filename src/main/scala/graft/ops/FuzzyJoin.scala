@@ -79,4 +79,206 @@ object FuzzyJoin {
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  // ---------- persisted blocking-key index (incremental fuzzy join) ----------
+  //
+  // The fourth member of the persisted-index family (MinHash-LSH buckets,
+  // IVF/IVF-SQ8 lists, BM25 postings — all under the [[IndexMaintenance]]
+  // lease/marker/swap protocol): the prefix relation above, promoted from a
+  // per-query localCheckpoint to an on-disk blocking-key table a streaming
+  // ingest probes per batch.
+  //
+  // Layout at `path`:
+  //   strings/          (id, s) range-partitioned and per-file sorted by id,
+  //                     so the verify join's candidate-id filter prunes at
+  //                     parquet row-group stats (the Dedup sigs discipline);
+  //   block/gramdf/     (gram, df) — the FULL gram document-frequency table
+  //                     FROZEN at build/compaction time. The PPJoin prefix
+  //                     theorem holds for ANY total order shared by both
+  //                     sides, so the order is frozen rather than recomputed
+  //                     per batch (a drifting order would silently break the
+  //                     guarantee between a record indexed yesterday and a
+  //                     probe today). Uncapped dfs are stored so a probe can
+  //                     distinguish "boilerplate, excluded from the order"
+  //                     (df > dfCap: must be dropped from the probe's gram
+  //                     list too, or its effective prefix shrinks below
+  //                     n·d+1 and recall silently decays) from "never seen"
+  //                     (df 0: the RAREST possible — two appended batches
+  //                     sharing a novel gram still collide);
+  //   block/prefix/     (gram, id) prefix rows, hash-partitioned on disk by
+  //                     pbucket = pmod(xxhash64(gram), P) so a batch's
+  //                     lookup prunes at the FILE LISTING.
+  //
+  // `block` (gramdf + prefix together — they must stay mutually consistent)
+  // is the compaction swap unit; `strings` is the append-only rebuild
+  // source. `n`/`maxDist`/`dfCap`/`numPartitions` MUST match across
+  // build/append/probe — a mismatched order or partition count silently
+  // loses recall, never errors (the Dedup `numPartitions` contract).
+
+  private def gramsOf(strs: DataFrame, n: Int): DataFrame =
+    strs.withColumn("gram", explode(expr(
+        s"array_distinct(transform(sequence(1, length(__s) - ${n - 1}), " +
+          s"i -> substring(__s, i, $n)))")))
+      .select(col("gram"), col("__id"))
+
+  private def slimStrs(df: DataFrame, idCol: String, strCol: String, n: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .where(length(col("__s")) >= n)
+
+  /** Prefix rows of `strs` under the (df, gram) order given by `gramdf`
+    * (uncapped dfs; absent grams rank as df 0, dfs above `dfCap` are
+    * excluded from the gram list entirely — see the layout note).
+    */
+  private def prefixUnderOrder(strs: DataFrame, gramdf: DataFrame,
+                               n: Int, maxDist: Int, dfCap: Int,
+                               numPartitions: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df"), col("gram"))
+    gramsOf(strs, n)
+      .join(gramdf, Seq("gram"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .where(col("__df") <= dfCap)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n * maxDist + 1)
+      .select(col("gram"), col("__id").as("id"),
+        pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
+  }
+
+  /** Build the persisted index over `df`: freeze the gram order, write the
+    * blocking prefix and the string store.
+    */
+  def writeIndex(df: DataFrame, idCol: String, strCol: String, path: String,
+                 n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
+                 numPartitions: Int = 64): Unit = {
+    val strs = slimStrs(df, idCol, strCol, n)
+    strs.select(col("__id").as("id"), col("__s").as("s"))
+      .repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/strings")
+    val gramdf = gramsOf(strs, n).groupBy("gram").agg(count(lit(1)).as("__df"))
+      .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
+    gramdf.repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/gramdf")
+    val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
+      .select("gram", "__df")
+    prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+      .repartition(col("pbucket")) // one writer wave per disk partition
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/prefix")
+  }
+
+  /** Append an (already admitted) batch: its prefix is selected under the
+    * FROZEN order (novel grams rank rarest at df 0), so recall against both
+    * indexed and co-appended records holds without touching `gramdf`.
+    * Same epoch-marker discipline as the other persisted indexes: refuses
+    * under a live maintainer lease; the marker makes a racing compaction
+    * rebuild again rather than silently dropping these rows at its swap.
+    */
+  def appendToIndex(df: DataFrame, idCol: String, strCol: String, path: String,
+                    n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
+                    numPartitions: Int = 64,
+                    leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
+    val fs = IndexMaintenance.fsOf(path, df.sparkSession)
+    val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
+    try {
+      val strs = slimStrs(df, idCol, strCol, n)
+      strs.select(col("__id").as("id"), col("__s").as("s"))
+        .repartitionByRange(col("id")).sortWithinPartitions("id")
+        .write.mode("append").parquet(s"$path/strings")
+      val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
+        .select("gram", "__df")
+      prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+        .repartition(col("pbucket"))
+        .write.mode("append").partitionBy("pbucket").parquet(s"$path/block/prefix")
+    } finally IndexMaintenance.endAppend(fs, marker)
+  }
+
+  /** Compact: refresh the frozen gram order from the string store and
+    * rebuild the prefix relation under it, as one displace-then-swap of the
+    * whole `block` dir (gramdf and prefix must never be from different
+    * epochs). Appends that landed under the old order are re-prefixed under
+    * the new one — compaction is also how order drift is repaid.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
+                   numPartitions: Int = 64,
+                   leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
+                   maxRebuilds: Int = 5): Unit = {
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val live = new org.apache.hadoop.fs.Path(s"$path/block")
+    val old = new org.apache.hadoop.fs.Path(s"$path/block.old")
+    val next = new org.apache.hadoop.fs.Path(s"$path/block.compact")
+    val stringsDir = new org.apache.hadoop.fs.Path(s"$path/strings")
+    IndexMaintenance.runCompaction(fs, path, live, old, next, stringsDir,
+        leaseMs, maxRebuilds) { () =>
+      val strs = spark.read.parquet(stringsDir.toString)
+        .select(col("id").as("__id"), col("s").as("__s"))
+      val gramdf = gramsOf(strs, n).groupBy("gram").agg(count(lit(1)).as("__df"))
+        .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
+      gramdf.repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/gramdf")
+      val frozen = spark.read.parquet(s"$next/gramdf").select("gram", "__df")
+      prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/prefix")
+    }
+  }
+
+  /** Probe a new batch against the index: (id, match_id, dist) pairs where
+    * `id` is a batch record and `match_id` an indexed one within `maxDist`.
+    *
+    * Scale shape: the batch's prefix grams determine which `pbucket` disk
+    * partitions can hold a collision — that set (≤ numPartitions ints, a
+    * bounded collect) is pushed as the file-listing partition filter, so a
+    * micro-batch reads a fraction of a 100 TB index's prefix listing.
+    * Candidate ids up to `maxIdPushdown` are pushed as a literal IN filter
+    * against the id-sorted string store (row-group pruning); beyond that
+    * the verify degrades to a shuffle join of slim rows.
+    */
+  /** The lazy candidate-pair stage of [[indexProbe]] — exposed so plan
+    * specs can assert the pruned prefix scan BEFORE the checkpoint that
+    * [[indexProbe]] pins it behind (the touched-bucket partition filter
+    * lives in this subplan, not the returned verify plan).
+    */
+  private[graft] def probePairs(df: DataFrame, idCol: String, strCol: String,
+                                path: String, n: Int, maxDist: Int, dfCap: Int,
+                                numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val strs = slimStrs(df, idCol, strCol, n)
+    val frozen = spark.read.parquet(s"$path/block/gramdf").select("gram", "__df")
+    // batch-bounded and consumed twice (touched-bucket collect + the join)
+    val probePrefix = prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+      .localCheckpoint()
+    val touched = probePrefix.select("pbucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"$path/block/prefix")
+      .where(col("pbucket").isin(touched: _*))
+    probePrefix.join(idx.select(col("gram"), col("id").as("match_id")), "gram")
+      .where(col("id") =!= col("match_id")) // re-probed batch: skip self
+      .select("id", "match_id").distinct()
+  }
+
+  def indexProbe(df: DataFrame, idCol: String, strCol: String, path: String,
+                 n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
+                 numPartitions: Int = 64, maxIdPushdown: Int = 100000,
+                 leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
+    val spark = df.sparkSession
+    val fs = IndexMaintenance.fsOf(path, spark)
+    IndexMaintenance.ensureLiveDir(fs, path,
+      new org.apache.hadoop.fs.Path(s"$path/block"),
+      new org.apache.hadoop.fs.Path(s"$path/block.old"), leaseMs)
+    val strs = slimStrs(df, idCol, strCol, n)
+    val pairs = probePairs(df, idCol, strCol, path, n, maxDist, dfCap, numPartitions)
+      .localCheckpoint()
+    val strStore = spark.read.parquet(s"$path/strings")
+    val candIds = pairs.select("match_id").distinct().limit(maxIdPushdown + 1)
+      .collect().map(_.getLong(0))
+    val idxStrs =
+      if (candIds.length <= maxIdPushdown) strStore.where(col("id").isin(candIds: _*))
+      else strStore
+    pairs
+      .join(strs.select(col("__id").as("id"), col("__s").as("__sa")), "id")
+      .join(idxStrs.select(col("id").as("match_id"), col("s").as("__sb")), "match_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .where(col("dist") <= maxDist)
+      .select(col("id"), col("match_id"), col("dist"))
+  }
 }

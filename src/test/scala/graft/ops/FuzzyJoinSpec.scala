@@ -90,4 +90,91 @@ class FuzzyJoinSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((3L, 4L, 0)))
   }
+
+  // ---------- persisted blocking-key index ----------
+
+  private def randCorpus(seed: Int, groups: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "abcdefgh"
+    def randStr(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until groups) {
+      val base = randStr(16)
+      rows += ((id, base)); id += 1
+      for (_ <- 0 until rnd.nextInt(3)) {
+        val pos = rnd.nextInt(base.length)
+        rows += ((id, base.updated(pos, alphabet(rnd.nextInt(alphabet.length))))); id += 1
+      }
+    }
+    rows.toSeq
+  }
+
+  test("index probe matches brute force exactly; frozen order covers appends") {
+    val all = randCorpus(17, 14)
+    // index two thirds; probe the rest in two waves, appending in between
+    val (idxRows, rest) = all.partition(_._1 % 3 != 0)
+    val (wave1, wave2) = rest.partition(_._1 % 6 == 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx").toString
+    FuzzyJoin.writeIndex(idxRows.toDF("id", "s"), "id", "s", path, numPartitions = 8)
+
+    def expectedVs(batch: Seq[(Long, String)], indexed: Seq[(Long, String)]) =
+      (for {
+        (ia, sa) <- batch; (ib, sb) <- indexed
+        d = lev(sa, sb) if d <= 2
+      } yield (ia, ib, d)).toSet
+
+    val got1 = FuzzyJoin.indexProbe(wave1.toDF("id", "s"), "id", "s", path,
+        numPartitions = 8).as[(Long, Long, Int)].collect().toSet
+    assert(got1 === expectedVs(wave1, idxRows))
+    assert(got1.nonEmpty)
+
+    // append wave1 (its novel grams rank rarest under the frozen order),
+    // then wave2's probe must see BOTH the original index and wave1
+    FuzzyJoin.appendToIndex(wave1.toDF("id", "s"), "id", "s", path, numPartitions = 8)
+    val got2 = FuzzyJoin.indexProbe(wave2.toDF("id", "s"), "id", "s", path,
+        numPartitions = 8).as[(Long, Long, Int)].collect().toSet
+    assert(got2 === expectedVs(wave2, idxRows ++ wave1))
+
+    // compaction refreshes the order and re-prefixes appended rows; probe
+    // parity must be unchanged
+    FuzzyJoin.compactIndex(spark, path, numPartitions = 8)
+    val got3 = FuzzyJoin.indexProbe(wave2.toDF("id", "s"), "id", "s", path,
+        numPartitions = 8).as[(Long, Long, Int)].collect().toSet
+    assert(got3 === got2)
+  }
+
+  test("probe prunes the prefix listing to the batch's buckets; verify pushes candidate ids") {
+    val all = randCorpus(23, 10)
+    val (idxRows, batch) = all.partition(_._1 % 4 != 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx2").toString
+    FuzzyJoin.writeIndex(idxRows.toDF("id", "s"), "id", "s", path, numPartitions = 16)
+    // the candidate stage must push the batch's touched buckets as a
+    // file-listing partition filter on the prefix scan
+    val pairsPlan = FuzzyJoin.probePairs(batch.toDF("id", "s"), "id", "s", path,
+      n = 3, maxDist = 2, dfCap = Int.MaxValue, numPartitions = 16)
+      .queryExecution.executedPlan.toString
+    assert(pairsPlan.contains("PartitionFilters: [pbucket"), pairsPlan.take(4000))
+    // and the verify join pushes candidate ids into the id-sorted string
+    // store (row-group stats pruning)
+    val p = FuzzyJoin.indexProbe(batch.toDF("id", "s"), "id", "s", path,
+      numPartitions = 16).queryExecution.executedPlan.toString
+    assert(p.contains("In(id, "), p.take(4000))
+  }
+
+  test("append refuses under a live maintainer lease") {
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx3").toString
+    FuzzyJoin.writeIndex(Seq((1L, "same same same")).toDF("id", "s"), "id", "s", path)
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val lock = IndexMaintenance.acquireMaintenanceLock(fs, path, 60000L)
+    try {
+      val err = intercept[IllegalStateException] {
+        FuzzyJoin.appendToIndex(Seq((2L, "same same samm")).toDF("id", "s"),
+          "id", "s", path)
+      }
+      assert(err.getMessage.contains("append refused"))
+    } finally fs.delete(lock, false)
+    // and the marker did not leak: a compaction can proceed immediately
+    FuzzyJoin.compactIndex(spark, path)
+  }
 }
