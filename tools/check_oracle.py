@@ -11,6 +11,8 @@ import json, os, sys
 import duckdb
 import pandas as pd
 
+record = {}  # per-query {"status": ok|fail|rows_only, "rows": n, "detail": str}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -36,6 +38,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     if os.path.exists(err_path):
         for q, err in json.load(open(err_path)).items():
             print(f"  FAIL {q}: verify-time error: {err[:160]}")
+            record[q] = {"status": "fail", "rows": 0, "detail": "verify-time error: " + err[:300]}
             failures += 1
     for q in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, q)
@@ -46,18 +49,23 @@ def main(sf_dir: str, out_dir: str) -> int:
              if f.endswith(".parquet")], ignore_index=True)
         if q not in oracle:
             print(f"  [rows-only] {q}: {len(spark_df)} rows")
+            record[q] = {"status": "rows_only", "rows": len(spark_df), "detail": ""}
             if len(spark_df) == 0:
                 print(f"  FAIL {q}: zero rows")
+                record[q] = {"status": "fail", "rows": 0, "detail": "zero rows"}
                 failures += 1
             continue
         duck_df = con.execute(oracle[q]).fetchdf()
         a, b = normalize(spark_df), normalize(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"  FAIL {q}: columns {list(a.columns)} vs {list(b.columns)}")
+            record[q] = {"status": "fail", "rows": len(a),
+                         "detail": f"columns {list(a.columns)} vs {list(b.columns)}"}
             failures += 1
             continue
         if len(a) != len(b):
             print(f"  FAIL {q}: rows {len(a)} vs {len(b)}")
+            record[q] = {"status": "fail", "rows": len(a), "detail": f"rows {len(a)} vs {len(b)}"}
             failures += 1
             continue
         mismatch = None
@@ -97,9 +105,20 @@ def main(sf_dir: str, out_dir: str) -> int:
                 break
         if mismatch:
             print(f"  FAIL {q}: {mismatch}")
+            record[q] = {"status": "fail", "rows": len(a), "detail": mismatch}
             failures += 1
         else:
             print(f"  OK   {q}: {len(a)} rows")
+            record[q] = {"status": "ok", "rows": len(a), "detail": ""}
+    # builder-side durable record: the driver's artifact collection has
+    # failed three rounds running, so every full compare also writes its
+    # per-query result map for committing into the round tree
+    n_ok = sum(1 for r in record.values() if r["status"] == "ok")
+    n_ro = sum(1 for r in record.values() if r["status"] == "rows_only")
+    summary = {"sf_dir": sf_dir, "n_queries": len(record), "n_oracle_ok": n_ok,
+               "n_rows_only": n_ro, "n_fail": failures, "queries": record}
+    with open(os.path.join(out_dir, "correctness-local.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
