@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * gate structurally cannot see (a candidate explosion, an accidental
   * cross join, a per-key buffer that grows with corpus size).
   *
-  * Usage: SPARK_GRAFT_SF_DIR=<scaledDir> runMain graft.ScaleProbe [factor=10]
+  * Usage: SPARK_GRAFT_SF_DIR=<scaledDir> runMain graft.ScaleProbe [factor=10] [query...]
+  * (trailing query names restrict the run — the per-fix re-measure loop)
   *
   * One untimed warmup run per query (codegen/JIT, and the once-per-JVM
   * shared index builds land there, exactly as in Bench), then ONE timed
@@ -39,8 +40,10 @@ object ScaleProbe {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JVM warmup
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val only = args.drop(1).toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
+      .filter(q => only.isEmpty || only(q._1))
       .flatMap { case (name, fn) =>
         try {
           fn(spark, sfDir).count() // untimed warmup (JIT + shared caches)

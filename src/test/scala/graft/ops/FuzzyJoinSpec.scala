@@ -35,6 +35,28 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L)))
   }
 
+  test("insertions and deletions (position-shifting edits) keep brute-force parity") {
+    // the Ed-Join positional band (|pos_a - pos_b| <= d) must tolerate the
+    // edits that actually SHIFT gram positions — front/mid insertions and
+    // deletions move every downstream occurrence by up to d
+    val base = "abcdefghijklmnopqrstuvwxyz012345"
+    val strs = Map(
+      1L -> base,
+      2L -> base.drop(2),                          // front deletion x2: all positions shift -2
+      3L -> ("XY" + base),                         // front insertion x2: all positions shift +2
+      4L -> (base.take(10) + "Q" + base.drop(10)), // mid insertion: dist 1
+      5L -> base.patch(20, "", 2),                 // mid deletion x2: dist 2
+      6L -> "a completely different string!!")
+    val got = FuzzyJoin.editDistanceJoin(strs.toSeq.toDF("id", "s"), "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (for {
+      a <- strs.keys; b <- strs.keys if a < b
+      d = lev(strs(a), strs(b)) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 == 2)) // the fixture exercises the band edge
+  }
+
   test("prefix filter finds boilerplate-heavy pairs uncapped; df-cap narrows to distinctive grams") {
     // 60 records: shared 14-char header + unique 2-char tail → every pair
     // is a TRUE distance-≤2 pair. Uncapped, the n·d+1 rarest grams per
