@@ -3064,6 +3064,27 @@ object SparkEntry {
         Seq(0.5, 0.9, 0.99))
     },
 
+    "q_quantile_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // incremental sketch-table maintenance: the distribution monitor is
+      // a persisted asset; a micro-batch folds its own per-cell digests in
+      // by cell-wise union (digests are a commutative monoid — incremental
+      // == one-shot within the rank-error band, spec-pinned). The batch
+      // touches only its cells; the corpus is never re-scanned. Rows-only
+      // for the q_quantile_sketch reason.
+      val ev = events(dir).withColumn("day", expr("ts_us DIV 86400000000"))
+      val maxSeq = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxSeq * 9 / 10
+      val state = graft.ops.QuantileSketch.buildSketches(
+        ev.where(col("event_id") <= split), Seq("event_type", "day"), "value")
+      val batch = graft.ops.QuantileSketch.buildSketches(
+        ev.where(col("event_id") > split), Seq("event_type", "day"), "value")
+      graft.ops.QuantileSketch.estimate(
+        graft.ops.QuantileSketch.mergeSketchTables(state, batch,
+          Seq("event_type", "day")),
+        Seq("event_type"), Seq(0.5, 0.99))
+    },
+
     "q_grouping_sets" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // explicit GROUPING SETS (the general form behind q_cube/q_rollup)

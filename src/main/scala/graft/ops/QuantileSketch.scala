@@ -41,6 +41,21 @@ object QuantileSketch {
     df.groupBy(dims.map(col): _*)
       .agg(sketch(col(valueCol), compression).as("sketch"))
 
+  /** Incrementally maintain a persisted sketch table: fold a new batch's
+    * per-cell digests into the existing table by cell-wise union. Digests
+    * under union form a commutative monoid, so incremental maintenance
+    * equals the one-shot build within the rank-error bound — the same
+    * commuting-delta discipline as [[Bm25]]'s incremental stats growth,
+    * and the whole point of the asset: a micro-batch updates the
+    * distribution monitor by touching ONLY its own cells, never the
+    * corpus. Cells new to the batch appear; untouched state cells pass
+    * through (their digest unions with nothing).
+    */
+  def mergeSketchTables(state: DataFrame, batch: DataFrame, dims: Seq[String],
+                        compression: Int = 100): DataFrame =
+    state.unionByName(batch).groupBy(dims.map(col): _*)
+      .agg(union(col("sketch"), compression).as("sketch"))
+
   /** Roll sketches up to any SUBSET of the build dims and answer the given
     * quantiles: one output row per (cell, q). Runs over the sketch table —
     * cell-bounded, never the corpus.

@@ -72,6 +72,25 @@ class QuantileSketchSpec extends SparkSpec {
     assert(plan.contains("partial_tdigest_sketch_agg"), plan.take(2000))
   }
 
+  test("incremental table maintenance equals one-shot within the error band") {
+    val df = values.zipWithIndex.map { case (v, i) => (i % 4, v, i) }
+      .toDF("cell", "v", "seq")
+    val state = QuantileSketch.buildSketches(df.where(col("seq") < n * 9 / 10),
+      Seq("cell"), "v")
+    val batch = QuantileSketch.buildSketches(df.where(col("seq") >= n * 9 / 10),
+      Seq("cell"), "v")
+    val merged = QuantileSketch.mergeSketchTables(state, batch, Seq("cell"))
+    assert(merged.count() === 4) // cell-wise fold, no row growth
+    val inc = QuantileSketch.estimate(merged, Seq.empty, Seq(0.5, 0.99))
+      .orderBy("q").collect().map(_.getDouble(1))
+    assert(rankError(inc(0), 0.5) <= 0.03, s"p50 incremental ${inc(0)}")
+    assert(rankError(inc(1), 0.99) <= 0.01, s"p99 incremental ${inc(1)}")
+    // a batch carrying a NEW cell appears in the merged table
+    val novel = QuantileSketch.buildSketches(
+      Seq((9, 1.0)).toDF("cell", "v"), Seq("cell"), "v")
+    assert(QuantileSketch.mergeSketchTables(state, novel, Seq("cell")).count() === 5)
+  }
+
   test("order-insensitivity within bands: reversed input, same estimates band") {
     val fwd = values.toDF("v").agg(QuantileSketch.sketch(col("v")).as("s"))
       .select(QuantileSketch.quantileOf(col("s"), 0.9)).head.getDouble(0)
