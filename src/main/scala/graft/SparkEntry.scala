@@ -98,6 +98,25 @@ object SparkEntry {
       out
     })
 
+  private val orcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcDocsFor(spark: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").orc(out)
+      out
+    })
+
+  private val csvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvEventsFor(spark: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent(dir, _ => {
+      implicit val s: SparkSession = spark
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      events(dir).select("event_id", "user_id", "event_type", "value", "ts_us")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      out
+    })
+
   // trained-tokenizer cache: a deployment trains the tokenizer ONCE and
   // applies it per batch — q_bpe_encode measures the apply (broadcast
   // word→subwords join), not the training loop (q_bpe_merges measures that)
@@ -1481,6 +1500,36 @@ object SparkEntry {
       spark.read.schema(schema).json(jsonlDocsFor(spark, dir))
         .where(col("n_chars") >= 200)
         .select("doc_id", "lang", "n_chars")
+    },
+
+    "q_orc_read" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORC corpus ingestion — the other columnar warehouse format; the
+      // same filter must reach the ORC reader as a pushed predicate
+      // (min/max stripe stats pruning, asserted in PlanInvariantsSpec),
+      // and the projection must prune the read schema to 3 columns
+      spark.read.orc(orcDocsFor(spark, dir))
+        .where(col("n_chars") >= 200)
+        .select("doc_id", "lang", "n_chars")
+    },
+
+    "q_csv_read" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // CSV bulk-load with an EXPLICIT schema + header (inference = an
+      // extra full scan at 100 TB, and types drift with the sample); CSV
+      // cannot prune columns at the byte level, which is exactly why the
+      // engine's first move on CSV input is a one-time parquet conversion
+      // — this query is the ingest-side read that feeds it
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).option("header", "true")
+        .csv(csvEventsFor(spark, dir))
+        .where(col("event_type") === "purchase" && col("value") > 100.0)
+        .select("event_id", "user_id", "value")
     },
 
     "q_split_grouped" -> { (spark, dir) =>
@@ -4886,6 +4935,13 @@ object SparkEntry {
 
     "q_jsonl_read" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200",
+
+    "q_orc_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200",
+
+    "q_csv_read" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100.0""".stripMargin,
 
     "q_split_grouped" ->
       """SELECT doc_id, source,

@@ -79,8 +79,11 @@ object FuzzyJoin {
       // the exact DP verify runs as a narrow projection over them
       .join(strs.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(strs.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .where(col("dist") <= maxDist)
+      // thresholded levenshtein: Ukkonen-banded DP, O(d·len) per pair with
+      // early exit instead of the full O(len²) table — the verify stage is
+      // what dominates once blocking is tight (returns −1 past the bound)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -297,8 +300,8 @@ object FuzzyJoin {
     pairs
       .join(strs.select(col("__id").as("id"), col("__s").as("__sa")), "id")
       .join(idxStrs.select(col("id").as("match_id"), col("s").as("__sb")), "match_id")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist)) // banded DP
+      .where(col("dist") >= 0)
       .select(col("id"), col("match_id"), col("dist"))
   }
 }

@@ -292,6 +292,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000)) // no data shuffle at all
   }
 
+  test("ORC read pushes the filter and prunes the read schema") {
+    val p = plan("q_orc_read")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)"),
+      p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      p.take(2000))
+  }
+
   test("first-touch join is cardinality-driven, never hint-forced") {
     // both join inputs are per-user aggregates — unbounded cardinality. A
     // forced broadcast() of either is a driver OOM at 1e9 users; the plan
