@@ -310,5 +310,17 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_first_touch must not force a join strategy on an unbounded side")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    // the at-scale shape (broadcast disabled = what happens at 1e9 users):
+    // both inputs already carry hashpartitioning(user_id) from their own
+    // aggregations, so the sort-merge join adds ZERO exchanges — exactly
+    // the two aggregation shuffles and nothing else
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pp = SparkEntry.queries("q_first_touch")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(pp.contains("SortMergeJoin"), pp.take(3000))
+      assert("Exchange hashpartitioning".r.findAllIn(pp).size === 2, pp.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 }

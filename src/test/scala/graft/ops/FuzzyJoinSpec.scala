@@ -184,6 +184,22 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(p.contains("In(id, "), p.take(4000))
   }
 
+  test("probe repairs a compaction that died between its two swap renames") {
+    val rows = Seq((1L, "same same same"), (2L, "same same samm"))
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx4").toString
+    FuzzyJoin.writeIndex(rows.toDF("id", "s"), "id", "s", path)
+    // simulate the displace-then-swap dying after rename #1: block is
+    // gone, block.old holds the displaced live dir
+    val fs = IndexMaintenance.fsOf(path, spark)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/block"),
+      new org.apache.hadoop.fs.Path(s"$path/block.old")))
+    val got = FuzzyJoin.indexProbe(Seq((9L, "same same samX")).toDF("id", "s"),
+        "id", "s", path)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((9L, 1L, 1), (9L, 2L, 1))) // samX: 1 sub from each
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/block"))) // repaired in-line
+  }
+
   test("append refuses under a live maintainer lease") {
     val path = java.nio.file.Files.createTempDirectory("graft-fzidx3").toString
     FuzzyJoin.writeIndex(Seq((1L, "same same same")).toDF("id", "s"), "id", "s", path)
