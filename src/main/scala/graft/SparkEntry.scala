@@ -3113,6 +3113,19 @@ object SparkEntry {
         Seq(0.5, 0.9, 0.99))
     },
 
+    "q_pca_variance" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // distributed PCA spectrum of the embedding corpus: one corpus scan
+      // for the d + d² sufficient statistics (map-side partials collapse
+      // each partition to ≤ d² rows pre-shuffle), O(d³) Jacobi eigen on
+      // the driver — legitimate because d is the embedding WIDTH, never a
+      // data dimension. Rows-only: no SQL engine replays an eigensolve;
+      // PcaSpec pins orthonormality, Cv=λv residuals vs a naive
+      // covariance, spectrum ordering, and projection equivalence.
+      graft.ops.Pca.varianceReport(
+        t(dir, "embeddings"), "embedding", k = 8)
+    },
+
     "q_quantile_incremental" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // incremental sketch-table maintenance: the distribution monitor is
