@@ -485,6 +485,19 @@ object SparkEntry {
         .agg(round(sum("value"), 2))
     },
 
+    "q_unpivot" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // UNPIVOT (wide → long): stack() is a generator, not a join — one
+      // narrow pass, row count = rows × measures, no shuffle before the
+      // rollup. The inverse of q_pivot, closing the reshape pair.
+      t(dir, "customer")
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) " +
+            "AS (measure, value)"))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    },
+
     "q_route_replace" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // replace-symbol routing over real data: two logical source tables
@@ -4918,6 +4931,14 @@ object SparkEntry {
         |  ROUND(SUM(value) FILTER (event_type = 'signup'), 2) AS signup,
         |  ROUND(SUM(value) FILTER (event_type = 'error'), 2) AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+        |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+        |FROM u GROUP BY measure""".stripMargin,
 
     "q_route_replace" ->
       """SELECT event_id,
