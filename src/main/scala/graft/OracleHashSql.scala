@@ -1052,6 +1052,34 @@ SELECT lid AS vec_id, rid AS nn_id, CAST(rn AS INTEGER) AS rank FROM (
 """
   }
 
+  /** Hard-negative mining — [[graft.ops.Ivf.hardNegatives]] replayed: the
+    * knnJoin pipeline with the same-label exclusion applied BEFORE the
+    * per-left top-k window (a same-label neighbor must not eat a rank
+    * slot), labels joined from the embeddings table on both sides.
+    */
+  val hardNegatives: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + ivfAssignCtes() + """,
+probes AS (
+  SELECT vec_id AS lid, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY """ + c("e.embedding", "c.c") + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2 c) WHERE rn <= 4),
+cand AS (
+  SELECT p.lid, f.vec_id AS rid, l.embedding AS le, f.embedding AS re
+  FROM probes p
+  JOIN finalasg f ON f.cid = p.cid
+  JOIN embeddings l ON l.vec_id = p.lid
+  JOIN embeddings r ON r.vec_id = f.vec_id
+  WHERE r.label <> l.label)
+SELECT lid AS vec_id, rid AS neg_id, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT lid, rid, row_number() OVER (PARTITION BY lid
+           ORDER BY """ + c("le", "re") + """ DESC, rid) AS rn
+  FROM cand) WHERE rn <= 5
+"""
+  }
+
   /** Cluster-balanced curation — [[graft.ops.Ivf.assign]] composed with
     * [[graft.ops.Sampling.rebalance]] to a uniform 1/16 cluster mix: the
     * same budget/rate/threshold math as `q_mix_rebalance`, stratified on

@@ -1309,6 +1309,19 @@ object SparkEntry {
       graft.ops.Ivf.knnJoin(emb, emb, "vec_id", "embedding", model, k = 5, nprobe = 4)
     },
 
+    "q_hard_negatives" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // hard-negative mining for embedding-model training: each vector's
+      // top-5 nearest DIFFERENT-label neighbors — the knnJoin plan with
+      // the exclusion applied BEFORE the per-left heap (a same-label
+      // neighbor must not eat a rank slot); the label rides the slim
+      // probe/list rows, so the plan shape is unchanged
+      val emb = t(dir, "embeddings")
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.ops.Ivf.hardNegatives(emb, "vec_id", "embedding", "label", model,
+        k = 5, nprobe = 4)
+    },
+
     "q_embed_ivfsq_topk" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the Faiss IVF,SQ8 layout: nprobe file-listing pruning × 4x less
@@ -5012,6 +5025,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_knn_join" -> OracleHashSql.knnJoin,
+    "q_hard_negatives" -> OracleHashSql.hardNegatives,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,
     "q_embed_pq_topk" -> OracleHashSql.embedPqTopk,

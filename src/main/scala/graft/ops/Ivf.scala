@@ -164,6 +164,44 @@ object Ivf {
         col("__rn").as("rank"))
   }
 
+  /** Hard-negative mining: each vector's k nearest neighbors among rows
+    * with a DIFFERENT `tagCol` (label / source / document id — whatever
+    * defines "positive"). The exclusion happens BEFORE the per-left top-k
+    * heap, not after — a same-tag neighbor must not eat a rank slot (the
+    * post-filter formulation silently returns < k negatives near dense
+    * positives). Same plan shape as [[knnJoin]]: IVF-pruned candidates,
+    * the tag rides the slim probe/list rows, WindowGroupLimit heaps.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String, tagCol: String,
+                    model: Model, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // assign() projects to (id, vec, centroid_id), so re-attach the tag
+    // inline rather than joining it back by id later
+    val assignedRight = df.select(col(idCol).cast("long").as("__rid"),
+      col(vecCol).as("__rvec"), col(tagCol).as("__rtag"),
+      graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
+        .as("centroid_id"))
+    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
+        lit(i).as("cid"))
+    }: _*)
+    val probes = df
+      .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
+        col(tagCol).as("__ltag"),
+        explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
+      .select(col("__lid"), col("__lvec"), col("__ltag"),
+        col("__p.cid").as("centroid_id"))
+    val w = Window.partitionBy("__lid").orderBy(
+      graft.functions.CdcExpressions.cosineSim(col("__lvec"), col("__rvec")).desc,
+      col("__rid"))
+    probes.join(assignedRight, "centroid_id")
+      .where(col("__rtag") =!= col("__ltag")) // excludes self too
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__lid").as(idCol), col("__rid").as("neg_id"),
+        col("__rn").as("rank"))
+  }
+
   /** Persist the index `partitionBy(centroid_id)` plus the centroids as a
     * tiny side table. At 100 TB this is what makes IVF an INDEX rather than
     * a plan: a query's `centroid_id IN (probes)` filter prunes at the FILE

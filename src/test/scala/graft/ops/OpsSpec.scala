@@ -721,6 +721,34 @@ class IvfSpec extends SparkSpec {
     assert(got.forall { case (l, r, _) => l != r })
   }
 
+  test("hardNegatives: same-tag neighbors are excluded BEFORE the top-k heap") {
+    val tagged = vecs.map { case (id, v) => (id, v, (id % 3).toString) }
+    val df = tagged.toDF("id", "v", "tag")
+    val model = Ivf.train(df.select("id", "v"), "id", "v", k = 8, iters = 2)
+    val got = Ivf.hardNegatives(df, "id", "v", "tag", model, k = 3, nprobe = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    def nearestCid(v: Array[Float]): Int =
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (-Similarity.cosine(v, c), i) }.min._2
+    val byCid = vecs.groupBy { case (_, v) => nearestCid(v) }
+    val expected = vecs.flatMap { case (lid, lv) =>
+      val probes = model.centroids.zipWithIndex
+        .map { case (c, i) => (-Similarity.cosine(lv, c), i) }
+        .sorted.take(3).map(_._2).toSet
+      probes.toSeq.flatMap(byCid.getOrElse(_, Nil))
+        .filter { case (rid, _) => rid % 3 != lid % 3 } // different tag ONLY
+        .map { case (rid, rv) => (-Similarity.cosine(lv, rv), rid) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((_, rid), ix) => (lid, rid, ix + 1) }
+    }.toSet
+    assert(got === expected)
+    assert(got.forall { case (l, r, _) => l % 3 != r % 3 })
+    // the exclusion happened pre-heap: every left still gets a FULL k
+    // negatives even where its absolute nearest neighbors share its tag
+    val perLeft = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perLeft.values.forall(_ == 3))
+  }
+
   test("persisted-assignment rebalance selects the identical rows as the recomputed one") {
     // the 100 TB shape documented on Ivf.assign: both rebalance passes
     // (decision-table count + filter) read the slim persisted
