@@ -53,6 +53,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("hard negatives keep the knn-join plan shape; the tag filter is pre-window") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the exclusion must sit below the rank window (a filter ABOVE the
+    // window would let same-tag rows eat rank slots)
+    val windowIx = p.indexOf("WindowGroupLimit")
+    val filterIx = p.indexOf("NOT (__rtag")
+    assert(filterIx > windowIx, p.take(3000)) // deeper in tree = printed later
+  }
+
   test("temporal join: one equi-key join with interval residual, no nested loop") {
     val p = plan("q_temporal_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
