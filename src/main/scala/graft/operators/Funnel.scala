@@ -57,6 +57,10 @@ object Funnel {
         stepOf.as("f_step"))
       .where(col("f_step") >= 0)
 
+    // advance frames persist so the chain's lineage is evaluated once per
+    // pass; they are slim (3 longs per key) and MEMORY_AND_DISK, so a
+    // session running many funnels relies on ordinary LRU eviction — no
+    // explicit unpersist is possible without forcing eager evaluation
     def chainMin(df: DataFrame): DataFrame = df
       .groupBy(col(keyCol))
       .agg(min(struct(col("f_ts"), col("f_seq"))).as("a"))
