@@ -24,7 +24,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
-    val factor = if (args.length > 0) args(0).toInt else 10
+    // the factor really is optional before trailing query names: a
+    // non-numeric first arg starts the query list
+    val (factor, queryArgs) =
+      args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption) match {
+        case Some(f) => (f, args.drop(1))
+        case None => (10, args)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +46,7 @@ object ScaleProbe {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JVM warmup
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val only = args.drop(1).toSet
+    val only = queryArgs.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
       .filter(q => only.isEmpty || only(q._1))

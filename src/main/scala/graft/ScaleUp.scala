@@ -59,12 +59,20 @@ object ScaleUp {
       "documents" -> Map("doc_id" -> "doc"),
       "embeddings" -> Map("vec_id" -> "vec"))
 
-    // length-preserving per-replica text rotation: far enough from the
-    // original (and every other replica) that shingle/gram overlap drops
-    // below near-dup thresholds
+    require(factor <= 100,
+      s"factor=$factor: the replica permutation family (two disjoint 10-letter " +
+        "rotation groups) is injective only up to 100 replicas")
+
+    // length-preserving per-replica text permutation: TWO disjoint letter
+    // groups rotated by (i mod 10, i/10 mod 10) — a family of 100 distinct
+    // permutations, identity ONLY at i == 0 (a single 10-letter rotation is
+    // identity again at i % 10 == 0, which would make replica 10 an exact
+    // text dupe of the base). Far enough from the original and every other
+    // replica that shingle/gram overlap drops below near-dup thresholds.
     val letters = "etaonrishd"
-    def rotated(i: Int): String =
-      letters.drop(i % letters.length) + letters.take(i % letters.length)
+    val letters2 = "lcumwfgypb" // disjoint from `letters`
+    def rot(s: String, k: Int): String =
+      s.drop(k % s.length) + s.take(k % s.length)
 
     def replica(t: String, i: Int): DataFrame = {
       val df = base(t)
@@ -73,11 +81,21 @@ object ScaleUp {
       }
       val txt =
         if (t == "documents" && i > 0)
-          shifted.withColumn("text", translate(col("text"), letters, rotated(i)))
+          shifted.withColumn("text",
+            translate(translate(col("text"), letters, rot(letters, i % 10)),
+              letters2, rot(letters2, (i / 10) % 10)))
         else shifted
+      // anisotropic per-replica rescale: the multiplier 1 + a_i·(1 + pmod(3j+i, 7))
+      // is NEVER the identity for i > 0 (a_i > 0 and the pmod term ≥ 0 with
+      // the +1 floor), never UNIFORM across j (3 is coprime to 7, so the
+      // j-dependence cannot vanish — a uniform rescale would leave cosine
+      // similarity exactly 1 vs the base, an exact dupe in cosine space),
+      // and the replica-specific amplitude a_i = 0.1 + 0.01·i keeps any two
+      // replicas distinct even when their pmod phases collide (i ≡ i' mod 7)
       if (t == "embeddings" && i > 0)
         txt.withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> CAST(x * (1.0D + 0.15D * pmod(j * ${i + 1}, 7)) AS FLOAT))"))
+          s"transform(embedding, (x, j) -> CAST(x * (1.0D + ${0.1 + 0.01 * i}D * " +
+            s"(1 + pmod(j * 3 + $i, 7))) AS FLOAT))"))
       else txt
     }
 

@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -35,6 +36,20 @@ object TDigest {
   val sketchType: StructType = StructType(Seq(
     StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false),
     StructField("weights", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Analysis-time digest-struct shape check shared by the union aggregate
+    * and the quantile query: two array<double> fields, any nullability.
+    */
+  private[functions] def checkSketchType(fn: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case StructType(Array(
+          StructField(_, ArrayType(DoubleType, _), _, _),
+          StructField(_, ArrayType(DoubleType, _), _, _))) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects a digest struct<means:array<double>,weights:array<double>>, " +
+          s"got ${other.catalogString}")
+    }
 
   /** One merging-compression pass: co-sort (means, weights) and greedily
     * cluster under the k-scale bound. Pure function of its input ORDER —
@@ -193,10 +208,20 @@ case class TDigestAgg(
   override def prettyName: String = "tdigest_sketch_agg"
   override def dataType: DataType = TDigest.sketchType
   override def nullable: Boolean = false
+  // analysis-time gate: a string/date/binary child must fail resolution
+  // with a clear message, not ClassCastException at execution
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric value column, got ${other.catalogString}")
+  }
   override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
   override def update(b: TDigestBuf, input: InternalRow): TDigestBuf = {
     val v = child.eval(input)
-    if (v != null) b.add(v.asInstanceOf[Number].doubleValue(), 1.0)
+    if (v != null) b.add(v match {
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+    }, 1.0)
     b
   }
   override def merge(b: TDigestBuf, o: TDigestBuf): TDigestBuf = { b.mergeBuf(o); b }
@@ -225,6 +250,10 @@ case class TDigestUnionAgg(
   override def prettyName: String = "tdigest_union_agg"
   override def dataType: DataType = TDigest.sketchType
   override def nullable: Boolean = false
+  // shape-only struct check (not strict equality with `sketchType`): a
+  // digest read back from parquet may differ in field/element nullability
+  override def checkInputDataTypes(): TypeCheckResult =
+    TDigest.checkSketchType(prettyName, child.dataType)
   override def createAggregationBuffer(): TDigestBuf = new TDigestBuf(compression)
   override def update(b: TDigestBuf, input: InternalRow): TDigestBuf = {
     val v = child.eval(input)
@@ -259,6 +288,13 @@ case class TDigestQuantile(left: Expression, right: Expression)
   override def prettyName: String = "tdigest_quantile"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    TDigest.checkSketchType(prettyName, left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess if right.dataType != DoubleType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a DOUBLE quantile, got ${right.dataType.catalogString}")
+      case r => r
+    }
   override def eval(input: InternalRow): Any = {
     val s = left.eval(input)
     val q = right.eval(input)

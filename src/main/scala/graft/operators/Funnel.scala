@@ -58,9 +58,10 @@ object Funnel {
       .where(col("f_step") >= 0)
 
     // advance frames persist so the chain's lineage is evaluated once per
-    // pass; they are slim (3 longs per key) and MEMORY_AND_DISK, so a
-    // session running many funnels relies on ordinary LRU eviction — no
-    // explicit unpersist is possible without forcing eager evaluation
+    // pass; they are slim (3 longs per key) and MEMORY_AND_DISK, and are
+    // explicitly unpersisted once the (eagerly checkpointed) result is
+    // materialized — a long-lived session running many funnels must not
+    // accumulate cached frames and lean on LRU eviction
     def chainMin(df: DataFrame): DataFrame = df
       .groupBy(col(keyCol))
       .agg(min(struct(col("f_ts"), col("f_seq"))).as("a"))
@@ -86,13 +87,21 @@ object Funnel {
     // stage = number of advances made; advance sets are prefix-nested
     // (adv_s keys ⊆ adv_{s-1} keys) so max(s+1) == the count. Keys with
     // step-typed events but no advance report stage 0.
-    val reached = advances.result().zipWithIndex
+    val frames = advances.result()
+    val reached = frames.zipWithIndex
       .map { case (a, i) => a.select(col(keyCol), lit(i + 1L).as("stage")) }
       .reduce(_ unionAll _)
       .groupBy(col(keyCol)).agg(max("stage").as("stage"))
-    slim.select(col(keyCol)).distinct()
+    // eager localCheckpoint (2 longs per key — strictly smaller than the
+    // frames it replaces) so the chain can be unpersisted immediately; the
+    // checkpointed result is reclaimed by the ContextCleaner when the
+    // caller drops it
+    val out = slim.select(col(keyCol)).distinct()
       .join(reached, Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("stage"), lit(0L)).as("stage"))
+      .localCheckpoint()
+    frames.foreach { f => f.unpersist(); () }
+    out
   }
 
   /** Funnel report: keys per stage reached (keys absent from `events`

@@ -91,6 +91,28 @@ class QuantileSketchSpec extends SparkSpec {
     assert(QuantileSketch.mergeSketchTables(state, novel, Seq("cell")).count() === 5)
   }
 
+  test("non-numeric inputs fail at analysis with a clear message, not at execution") {
+    val df = Seq(("a", 1.0)).toDF("s", "v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(QuantileSketch.sketch(col("s"))).collect()
+    }
+    assert(e1.getMessage.contains("numeric value column"), e1.getMessage)
+    // union over a non-digest struct refuses too
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(struct(col("s"), col("v")).as("fake"))
+        .agg(QuantileSketch.union(col("fake"))).collect()
+    }
+    assert(e2.getMessage.contains("digest struct"), e2.getMessage)
+    // a digest read back from parquet (nullability relaxed) still unions:
+    // the shape check must not demand strict type equality
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdt").toString
+    values.toDF("v").agg(QuantileSketch.sketch(col("v")).as("s"))
+      .write.mode("overwrite").parquet(dir)
+    val rt = spark.read.parquet(dir).agg(QuantileSketch.union(col("s")).as("u"))
+      .select(QuantileSketch.quantileOf(col("u"), 0.5)).head.getDouble(0)
+    assert(rankError(rt, 0.5) <= 0.03)
+  }
+
   test("order-insensitivity within bands: reversed input, same estimates band") {
     val fwd = values.toDF("v").agg(QuantileSketch.sketch(col("v")).as("s"))
       .select(QuantileSketch.quantileOf(col("s"), 0.9)).head.getDouble(0)
