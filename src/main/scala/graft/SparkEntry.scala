@@ -623,16 +623,25 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       // corpus collocation mining: pointwise mutual information over
       // adjacent token pairs (Church & Hanks 1990) — counts are exact
-      // BIGINTs off ONE tokenization (unigram counts roll up from the
-      // bigram relation's left token plus the per-doc tail, but the
-      // simple two-agg shape here shares the exploded relation via
-      // ReuseExchange), the PMI argument is a PINNED left-to-right
-      // double op sequence on exact integers, and ln() on an identical
-      // double is bit-identical in both engines (the bigram-LM stance).
-      // Evidence floor c_ab >= 20 kills noise; top-50 via heap cut.
+      // BIGINTs off ONE tokenization, the PMI argument is a PINNED
+      // left-to-right double op sequence on exact integers, and ln() on
+      // an identical double is bit-identical in both engines (the
+      // bigram-LM stance). Evidence floor c_ab >= 20 kills noise; top-50
+      // via heap cut. The unigram-count join-backs carry NO strategy
+      // hint: a token vocabulary is NOT dim-bounded (Heaps' law — 1e8+
+      // distinct tokens on a 100 TB web corpus with OCR/URL noise), so
+      // the strategy is left to stats/AQE — broadcast at bench SF,
+      // hash-shuffle at vocab scale. The n_uni/n_bi normalizers are two
+      // GLOBAL scalars off one size-only scan (no explode): a bounded
+      // 1-row collect, the stats-table category.
       val toks = t(dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(lower(text), '\\\\W+'), x -> x <> '')").as("tk"))
+      val totals = toks.agg(
+        sum(size(col("tk"))).as("nu"),
+        sum(greatest(size(col("tk")) - lit(1), lit(0))).as("nb")).head()
+      val nUni = totals.getLong(0) // total tokens == sum of unigram counts
+      val nBi = totals.getLong(1)  // total adjacent pairs == bigram count
       // CASE guard: Spark sequence(1, 0) yields a DESCENDING [1,0], not
       // an empty array — short docs must produce zero bigrams explicitly
       val bigrams = toks
@@ -644,17 +653,14 @@ object SparkEntry {
         .select(col("bg.a").as("a"), col("bg.b").as("b"))
       val uni = toks.select(explode(col("tk")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      val nUni = uni.agg(sum("c").as("n_uni"))
       val bi = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
         .where(col("c_ab") >= 20)
-      val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
       bi
-        .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a")), "a")
-        .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b")), "b")
-        .join(broadcast(nUni)).join(broadcast(nBi))
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
         .withColumn("pmi", log(
-          col("c_ab").cast("double") * col("n_uni") * col("n_uni")
-            / col("n_bi") / col("c_a") / col("c_b")))
+          col("c_ab").cast("double") * lit(nUni) * lit(nUni)
+            / lit(nBi) / col("c_a") / col("c_b")))
         .select(col("a"), col("b"), col("c_ab"), col("pmi"))
         .orderBy(col("pmi").desc, col("a"), col("b"))
         .limit(50)

@@ -311,6 +311,36 @@ class PlanInvariantsSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("PCA suffstats: one corpus scan, map-side partial object aggregation") {
+    // mean + upper-triangle Gram come back as ONE aggregate row off ONE
+    // scan — a second mean scan or a d²-row collect would show up here
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.ops.Pca.suffStats(emb, "embedding")
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("partial_vector_suffstats"), p.take(3000))
+  }
+
+  test("pmi vocab join-backs are cardinality-driven, never hint-forced") {
+    // the unigram vocabulary is NOT dim-bounded (Heaps' law: 1e8+ distinct
+    // tokens at 100 TB) — forcing broadcast(uni) is a driver OOM at scale.
+    // The plan must carry NO join hint, leaving the strategy to stats/AQE.
+    val df = SparkEntry.queries("q_pmi_collocations")(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q_pmi_collocations must not force a strategy on the unbounded vocab side")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+    // the at-scale shape (broadcast disabled = vocab beyond any threshold):
+    // both count join-backs become key-shuffled sort-merge joins
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pp = SparkEntry.queries("q_pmi_collocations")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("SortMergeJoin".r.findAllIn(pp).size === 2, pp.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("first-touch join is cardinality-driven, never hint-forced") {
     // both join inputs are per-user aggregates — unbounded cardinality. A
     // forced broadcast() of either is a driver OOM at 1e9 users; the plan
