@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * space).
   *
   * Scale discipline (the sufficient-statistics split this repo uses for
-  * correlation and drift): the CORPUS work is one scan producing the
-  * d + d² sufficient statistics — the mean vector and the Gram matrix
-  * Σ xxᵀ — as a flat per-row outer-product array exploded to (idx, value)
-  * rows; map-side partial aggregation collapses each partition to ≤ d²
-  * rows before the shuffle, so the exchange carries O(d² · partitions)
-  * numbers, never the corpus. The DRIVER work is O(d³) on the d×d
+  * correlation and drift): the CORPUS work is ONE scan producing the
+  * d + d(d+1)/2 sufficient statistics — the mean vector and the UPPER
+  * TRIANGLE of the Gram matrix Σ xxᵀ — via a custom
+  * [[graft.functions.VectorSuffStatsAgg]] `TypedImperativeAggregate`
+  * whose buffer does the rank-1 update in place (no d²-element per-row
+  * array, no (idx, value) explosion); map-side partial aggregation means
+  * the exchange carries one ~d²/2-double buffer per partition and the
+  * driver receives ONE aggregate row. The DRIVER work is O(d³) on the d×d
   * covariance: a cyclic Jacobi eigensolver (deterministic sweep order, no
   * randomness), legitimate because d is the embedding width (64–4096),
   * not a data dimension. Projection back over the corpus is the existing
@@ -36,41 +38,75 @@ object Pca {
   final case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
                             eigenvalues: Array[Double])
 
-  /** One corpus scan → (n, Σx, Σxxᵀ) → driver eigen-decomposition. */
+  /** The one-row suffstats frame: ONE corpus scan, map-side partial object
+    * aggregation, one ~d²/2-double buffer per partition over the exchange.
+    * Exposed so plan specs can pin the single-scan shape.
+    */
+  private[graft] def suffStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(org.apache.spark.sql.GraftBridge.column(
+      graft.functions.VectorSuffStatsAgg(
+        org.apache.spark.sql.GraftBridge.expression(col(vecCol)))
+        .toAggregateExpression()).as("s"))
+
+  /** One corpus scan → (n, Σx, upper-triangle Σxxᵀ) as ONE aggregate row →
+    * driver eigen-decomposition. The width guard fires executor-side in
+    * the aggregation buffer (before any O(d²) allocation) and is rethrown
+    * as the underlying IllegalArgumentException here.
+    */
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
-    val dims = df.select(size(col(vecCol))).head.getInt(0)
-    require(dims <= 4096, s"d=$dims: the d² suffstat row space and the O(d³) driver " +
-      "eigensolve are sized for embedding widths, not feature matrices")
-    require(k >= 1 && k <= dims, s"k=$k out of range for d=$dims")
-    // flat outer product per row; posexplode → (idx, v); partial agg
-    // collapses each partition to ≤ d(d+3)/2-ish rows pre-shuffle
-    val upper = df.select(posexplode(expr(
-        s"flatten(transform($vecCol, (x, i) -> " +
-          s"transform($vecCol, (y, j) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))))"))
-        .as(Seq("idx", "v")))
-      .groupBy("idx").agg(sum("v").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val sums = df.select(posexplode(col(vecCol)).as(Seq("idx", "v")))
-      .groupBy("idx").agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
-    val n = sums.head._3.toDouble
-    val mean = new Array[Double](dims)
-    sums.foreach { case (i, s, _) => mean(i) = s / n }
+    require(k >= 1, s"k=$k out of range")
+    fitWithTrace(df, vecCol, k)._1
+  }
+
+  /** [[fit]] plus the covariance trace (total variance) — free from the
+    * same suffstats, so [[varianceReport]] costs zero extra scans.
+    */
+  private[graft] def fitWithTrace(df: DataFrame, vecCol: String, k: Int)
+      : (PcaModel, Double) = {
+    val row =
+      try suffStats(df, vecCol).head()
+      catch {
+        case e: Throwable =>
+          var c: Throwable = e
+          while (c != null) {
+            c match {
+              case ia: IllegalArgumentException => throw ia
+              case _ =>
+            }
+            c = c.getCause
+          }
+          throw e
+      }
+    val s = row.getStruct(0)
+    require(s.getLong(0) > 0, "PCA fit over an empty corpus")
+    val n = s.getLong(0).toDouble
+    val sums = s.getSeq[Double](1).toArray
+    val tri = s.getSeq[Double](2).toArray
+    val dims = sums.length
+    require(k <= dims, s"k=$k out of range for d=$dims")
+    val mean = sums.map(_ / n)
     val cov = Array.ofDim[Double](dims, dims)
     var i = 0
+    var idx = 0
     while (i < dims) {
-      var j = 0
+      var j = i
       while (j < dims) {
-        cov(i)(j) = upper(i * dims + j) / n - mean(i) * mean(j)
+        val c = tri(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        idx += 1
         j += 1
       }
       i += 1
     }
+    var trace = 0.0
+    i = 0
+    while (i < dims) { trace += cov(i)(i); i += 1 }
     val (values, vectors) = jacobiEigen(cov)
     val order = values.indices.sortBy(ix => -values(ix)).take(k)
-    PcaModel(mean,
+    (PcaModel(mean,
       order.map(ix => vectors.map(_(ix))).toArray,
-      order.map(values(_)).toArray)
+      order.map(values(_)).toArray), trace)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix: rotate away the
@@ -140,18 +176,13 @@ object Pca {
 
   /** Explained-variance report: (component, eigenvalue, cumulative share
     * of TOTAL variance) — the curve every embedding pipeline reads before
-    * choosing d'. Fits once; total variance is the covariance trace
-    * (Σᵢ E[xᵢ²] − E[xᵢ]², one extra scalar scan).
+    * choosing d'. Total variance is the covariance trace, read off the
+    * same suffstats as the fit: the whole report is ONE corpus scan.
     */
   def varianceReport(df: DataFrame, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val model = fit(df, vecCol, k)
-    val n = df.count().toDouble
-    val ss = df.select(sum(expr(
-        s"aggregate($vecCol, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * x)")))
-      .head.getDouble(0)
-    val totalVar = ss / n - model.mean.map(m => m * m).sum
+    val (model, totalVar) = fitWithTrace(df, vecCol, k)
     model.eigenvalues.zipWithIndex.map { case (ev, ix) =>
       (ix + 1L, ev, model.eigenvalues.take(ix + 1).sum / totalVar)
     }.toSeq.toDF("component", "variance", "cum_share")

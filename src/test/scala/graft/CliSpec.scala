@@ -121,6 +121,97 @@ class CliSpec extends SparkSpec {
     assert(state === Seq((1L, "long enough document with ragged spacing")))
   }
 
+  test("monitor YAML block maintains a per-cell quantile sketch table across batches") {
+    // the t-digest monitor as a pipeline asset: each micro-batch folds its
+    // post-image values into the persisted per-cell sketch table via
+    // mergeSketchTables — batch 2 exercises the incremental merge path,
+    // DELETE rows contribute no observation
+    import graft.pipeline.{PipelineDef, QuantileMonitor}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, expr}
+    val in = java.nio.file.Files.createTempDirectory("graft-mon-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mon-out").toString
+    val mon = s"$out/docs_quality"
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, lang STRING, n_chars BIGINT"
+         |transform:
+         |  - source-table: corpus.docs
+         |    primary-keys: id
+         |monitor:
+         |  - source-table: corpus.docs
+         |    dims: lang
+         |    value: n_chars
+         |    path: $mon
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out/state
+         |  buckets: 2
+         |""".stripMargin)
+    assert(p.monitors.map(m => (m.dims, m.value)) === Seq((Seq("lang"), "n_chars")))
+    def doc(op: String, id: Int, lang: String, n: Int) = {
+      val payload = s"""{"id":$id,"lang":"$lang","n_chars":$n}"""
+      val (b, a) = if (op == "d") (payload, "null") else ("null", payload)
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$id,"source":{"db":"corpus","table":"docs"}}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc("c", 1, "en", 10), doc("c", 2, "en", 20),
+          doc("c", 3, "fr", 100), doc("c", 4, "fr", 200)).mkString("", "\n", "\n"))
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    def weights = QuantileMonitor.read(spark, mon)
+      .select(col("lang"),
+        expr("aggregate(sketch.weights, 0D, (a, x) -> a + x)").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights === Map("en" -> 2.0, "fr" -> 2.0))
+
+    // batch 2: more en, a NEW cell (de), and an fr DELETE (no observation)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc("c", 5, "en", 30), doc("c", 6, "en", 40),
+          doc("c", 7, "de", 7), doc("d", 3, "fr", 100)).mkString("", "\n", "\n"))
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(weights === Map("en" -> 4.0, "fr" -> 2.0, "de" -> 1.0))
+    val est = graft.ops.QuantileSketch.estimate(
+        QuantileMonitor.read(spark, mon), Seq("lang"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(est("de") === 7.0) // single observation: exact
+    assert(est("en") >= 20.0 && est("en") <= 30.0, s"en p50 ${est("en")}")
+    // only the live epoch and the marker remain on disk
+    val ls = new java.io.File(mon).listFiles().map(_.getName).toSet
+    assert(ls === Set("CURRENT", "epoch_1"), ls.toString)
+  }
+
+  test("batch YAML pipeline folds its monitor once per run") {
+    import graft.pipeline.QuantileMonitor
+    import org.apache.spark.sql.functions.expr
+    val out = java.nio.file.Files.createTempDirectory("graft-monb").toString
+    val yaml = java.nio.file.Files.createTempFile("monb", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      s"""source:
+         |  type: parquet
+         |  path: $sf
+         |  schema-name: tpch
+         |  tables: tpch.nation
+         |monitor:
+         |  - source-table: tpch.nation
+         |    value: n_nationkey
+         |    path: $out/mon
+         |sink:
+         |  type: parquet
+         |  path: $out/sink
+         |""".stripMargin)
+    Cli.main(Array(yaml.toString))
+    def w = QuantileMonitor.read(spark, s"$out/mon")
+      .select(expr("aggregate(sketch.weights, 0D, (a, x) -> a + x)"))
+      .head.getDouble(0)
+    assert(w === 25.0)
+    Cli.main(Array(yaml.toString)) // re-run: at-least-once fold, documented
+    assert(w === 50.0)
+  }
+
   test("kafka source YAML: injected reader drives debezium feed into parquet-upsert state") {
     import graft.pipeline.PipelineDef
     import org.apache.spark.sql.streaming.Trigger
