@@ -49,6 +49,12 @@ object Cli {
 
   private def runBatch(spark: SparkSession, p: PipelineDef): Unit = {
     val results = Composer.composeBatch(spark, p)
+    // monitor blocks: fold each routed table's snapshot into its sketch
+    // table (one fold per run — at-least-once across re-runs, the
+    // QuantileMonitor stance)
+    results.foreach { case (id, df) =>
+      graft.pipeline.QuantileMonitor.fold(spark, id, df, p.monitors)
+    }
     p.sink.kind match {
       case "values" =>
         results.foreach { case (id, df) =>
@@ -182,6 +188,11 @@ object Cli {
       case _ => new ParquetUpsertSink(statePath, buckets)
     }
     val sink = sinkDecorator.map(_(sink0)).getOrElse(sink0)
+    // monitor blocks fold per micro-batch AFTER the data write; the tuple
+    // still returns the inner sink (tests read state through it)
+    val sinkForPipe: graft.sinks.CdcSink =
+      if (p.monitors.isEmpty) sink
+      else new graft.pipeline.QuantileMonitor.MonitorSink(sink, spark, p.monitors)
     // `dead-letter-dir`: unroutable records (unparseable JSON, missing
     // source ids) quarantine as text under one dir per batch instead of
     // silently dropping — the YAML face of StreamingPipeline.deadLetter.
@@ -194,7 +205,7 @@ object Cli {
     }
     // concurrent per-table writes within a batch (reference: parallelized
     // pipeline, FlinkParallelizedPipelineITCase)
-    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sink,
+    val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sinkForPipe,
       tableParallelism = p.config.getOrElse("table-parallelism", "4").toInt,
       deadLetter = deadLetter)
 

@@ -75,6 +75,58 @@ object ScaleProbe {
       }
     }
 
+    // ---- streaming state probe (SPARK_GRAFT_STREAM_PROBE=1) ----
+    //
+    // The timed-query probe above cannot see the stateful STREAMING shapes
+    // (they're launch-bound and excluded), yet a state-store shape that
+    // grows super-linearly — an interval join buffering beyond its
+    // eviction bound, a session store keyed wider than its key domain —
+    // would be invisible to every other gate. This section re-runs the
+    // stateful e2es at the base AND scaled SF with micro-batches bounded
+    // to 8 files (so the watermark advances and eviction actually runs
+    // per batch, the deployment shape) and compares the MAX total
+    // state-store rows across batches: flag when
+    // scaledState > 2 × rowsRatio × baseState + 1000.
+    val streamSection: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_STREAM_PROBE").contains("1")) None
+      else {
+        val baseDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_BASE", "/root/testdata/sf0.1")
+        val shapes = Seq("q_stream_dedup", "q_stream_session_window",
+          "q_stream_sessions_state", "q_stream_interval_join", "q_stream_outer_join")
+          .filter(q => only.isEmpty || only(q))
+        def maxState(name: String, dir: String): Long = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          graft.streaming.StreamingNative.probeMaxFilesPerTrigger = Some(8)
+          graft.streaming.StreamingNative.probeStateRows = Some(buf)
+          try { SparkEntry.queries(name)(spark, dir).count(); () }
+          finally {
+            graft.streaming.StreamingNative.probeMaxFilesPerTrigger = None
+            graft.streaming.StreamingNative.probeStateRows = None
+          }
+          if (buf.isEmpty) -1L else buf.max
+        }
+        val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
+        val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
+        val rowsRatio = rowsScaled.toDouble / rowsBase
+        val entries = shapes.map { name =>
+          try {
+            val b = maxState(name, baseDir)
+            val sc = maxState(name, sfDir)
+            val flagged = b >= 0 && sc > 2.0 * rowsRatio * b + 1000.0
+            // scalastyle:off println
+            println(f"  [stream] $name%-28s state $b%9d -> $sc%9d  (rows x$rowsRatio%.1f${if (flagged) "  FLAG" else ""})")
+            // scalastyle:on
+            s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,"flag":$flagged}"""
+          } catch {
+            case e: Throwable =>
+              s""""$name":{"error":${"\"" + (e.getClass.getSimpleName + ": " +
+                String.valueOf(e.getMessage)).take(200).replaceAll("[\"\\\\\\n\\r]", " ") + "\""}}"""
+          }
+        }
+        Some(s"""{"rows_ratio":${f"$rowsRatio%.2f"},"max_files_per_trigger":8,""" +
+          s""""shapes":{${entries.mkString(",")}}}""")
+      }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -91,6 +143,7 @@ object ScaleProbe {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"scale_probe","factor":$factor,"total_sec":${jnum(total)},""" +
       s""""n_queries":${results.size},"queries":$qs,"flags":$fl,"errors":$errJson,""" +
+      streamSection.fold("")(s => s""""streaming":$s,""") +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println
     println(line)

@@ -8,7 +8,9 @@ import scala.jdk.CollectionConverters._
   * (flink-cdc-composer/.../definition/PipelineDef.java) built from the same
   * YAML keys the reference CLI parses
   * (cli/parser/YamlPipelineDefinitionParser.java:59-87:
-  * source / sink / transform / route / pipeline / model / user-defined-function).
+  * source / sink / transform / route / pipeline / model / user-defined-function),
+  * plus this engine's `monitor` block ([[MonitorDef]] — per-cell t-digest
+  * quantile sketch tables folded per batch).
   */
 final case class SourceDef(kind: String, options: Map[String, String])
 final case class SinkDef(kind: String, options: Map[String, String])
@@ -22,6 +24,7 @@ final case class PipelineDef(
     routes: Seq[RouteRule] = Nil,
     udfs: Seq[UdfDef] = Nil,
     models: Seq[ModelDef] = Nil,
+    monitors: Seq[MonitorDef] = Nil,
     config: Map[String, String] = Map.empty
 ) {
   def name: String = config.getOrElse("name", "graft-pipeline")
@@ -74,6 +77,17 @@ object PipelineDef {
       .map(m => UdfDef(m("name"), m("classpath")))
     val models = blockList(root.getOrElse("model", null))
       .map(m => ModelDef(m.getOrElse("model-name", m.getOrElse("name", "model")), m))
+    val monitors = blockList(root.getOrElse("monitor", null)).map { m =>
+      MonitorDef(
+        sourceTable = m.getOrElse("source-table", ".*"),
+        dims = m.get("dims").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil),
+        value = m.getOrElse("value",
+          throw new IllegalArgumentException("monitor block needs `value`")),
+        path = m.getOrElse("path",
+          throw new IllegalArgumentException("monitor block needs `path`")),
+        compression = m.getOrElse("compression", "100").toInt)
+    }
 
     PipelineDef(
       source = SourceDef(sourceOpts.getOrElse("type", "parquet"), sourceOpts),
@@ -82,6 +96,7 @@ object PipelineDef {
       routes = routes,
       udfs = udfs,
       models = models,
+      monitors = monitors,
       config = strMap(root.getOrElse("pipeline", null)))
   }
 }

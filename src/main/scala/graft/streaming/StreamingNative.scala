@@ -24,6 +24,18 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingNative {
 
+  /** Probe knobs, set ONLY by [[graft.ScaleProbe]]'s streaming section and
+    * always reset after: `probeMaxFilesPerTrigger` bounds micro-batches so
+    * the backlog is consumed in several watermark-advancing batches (state
+    * eviction actually exercised, the deployment shape) instead of one;
+    * `probeStateRows` collects each progress event's total state-store
+    * rows so per-batch state growth can be compared across scale factors.
+    * Both default off — production call sites never see them.
+    */
+  @volatile private[graft] var probeMaxFilesPerTrigger: Option[Int] = None
+  @volatile private[graft] var probeStateRows:
+    Option[scala.collection.mutable.Buffer[Long]] = None
+
   /** Run `build(stream)` to quiescence: one AvailableNow run per element of
     * `betweenRuns` (invoked in order between runs) plus the initial backlog
     * run. Returns the committed sink contents as a batch frame.
@@ -33,7 +45,10 @@ object StreamingNative {
                      betweenRuns: Seq[() => Unit])(
                      build: DataFrame => DataFrame): DataFrame = {
     def once(): Unit = {
-      val q = build(spark.readStream.schema(schema).parquet(inDir))
+      val reader = spark.readStream.schema(schema)
+      val bounded = probeMaxFilesPerTrigger
+        .fold(reader)(m => reader.option("maxFilesPerTrigger", m.toString))
+      val q = build(bounded.parquet(inDir))
         .writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", checkpointDir)
@@ -41,6 +56,11 @@ object StreamingNative {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      probeStateRows.foreach { buf =>
+        q.recentProgress.foreach { p =>
+          if (p.stateOperators.nonEmpty) buf += p.stateOperators.map(_.numRowsTotal).sum
+        }
+      }
     }
     once()
     betweenRuns.foreach { cb => cb(); once() }
