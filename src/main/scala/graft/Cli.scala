@@ -49,13 +49,7 @@ object Cli {
 
   private def runBatch(spark: SparkSession, p: PipelineDef): Unit = {
     val results = Composer.composeBatch(spark, p)
-    // monitor blocks: fold each routed table's snapshot into its sketch
-    // table (one fold per run — at-least-once across re-runs, the
-    // QuantileMonitor stance)
-    results.foreach { case (id, df) =>
-      graft.pipeline.QuantileMonitor.fold(spark, id, df, p.monitors)
-    }
-    p.sink.kind match {
+    val parquetOut: Option[String] = p.sink.kind match {
       case "values" =>
         results.foreach { case (id, df) =>
           // scalastyle:off println
@@ -63,13 +57,23 @@ object Cli {
           df.show(20, truncate = false)
           // scalastyle:on
         }
+        None
       case "parquet" =>
         val out = p.sink.options.getOrElse("path",
           throw new IllegalArgumentException("parquet sink needs `path`"))
         results.foreach { case (id, df) =>
           df.write.mode("overwrite").parquet(s"$out/${id.identifier.replace('.', '_')}")
         }
+        Some(out)
       case other => throw new IllegalArgumentException(s"unknown batch sink: $other")
+    }
+    // monitor blocks fold AFTER delivery (the MonitorSink ordering: a
+    // failed sink must not advance monitor state), reading the parquet
+    // sink's materialized output rather than re-executing the lineage
+    if (p.monitors.nonEmpty) results.foreach { case (id, df) =>
+      val frame = parquetOut.fold(df)(out =>
+        spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}"))
+      graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
     }
   }
 

@@ -75,6 +75,15 @@ object ScaleProbe {
       }
     }
 
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def jnum(d: Double): String = f"$d%.3f"
+
     // ---- streaming state probe (SPARK_GRAFT_STREAM_PROBE=1) ----
     //
     // The timed-query probe above cannot see the stateful STREAMING shapes
@@ -89,52 +98,53 @@ object ScaleProbe {
     // scaledState > 2 × rowsRatio × baseState + 1000.
     val streamSection: Option[String] =
       if (!sys.env.get("SPARK_GRAFT_STREAM_PROBE").contains("1")) None
-      else {
+      else try {
         val baseDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_BASE", "/root/testdata/sf0.1")
         val shapes = Seq("q_stream_dedup", "q_stream_session_window",
           "q_stream_sessions_state", "q_stream_interval_join", "q_stream_outer_join")
           .filter(q => only.isEmpty || only(q))
-        def maxState(name: String, dir: String): Long = {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-          graft.streaming.StreamingNative.probeMaxFilesPerTrigger = Some(8)
-          graft.streaming.StreamingNative.probeStateRows = Some(buf)
-          try { SparkEntry.queries(name)(spark, dir).count(); () }
-          finally {
-            graft.streaming.StreamingNative.probeMaxFilesPerTrigger = None
-            graft.streaming.StreamingNative.probeStateRows = None
+        if (shapes.isEmpty) None
+        else {
+          def maxState(name: String, dir: String): Long = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            graft.streaming.StreamingNative.probeMaxFilesPerTrigger = Some(8)
+            graft.streaming.StreamingNative.probeStateRows = Some(buf)
+            try { SparkEntry.queries(name)(spark, dir).count(); () }
+            finally {
+              graft.streaming.StreamingNative.probeMaxFilesPerTrigger = None
+              graft.streaming.StreamingNative.probeStateRows = None
+            }
+            if (buf.isEmpty) -1L else buf.max
           }
-          if (buf.isEmpty) -1L else buf.max
-        }
-        val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
-        val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
-        val rowsRatio = rowsScaled.toDouble / rowsBase
-        val entries = shapes.map { name =>
-          try {
-            val b = maxState(name, baseDir)
-            val sc = maxState(name, sfDir)
-            val flagged = b >= 0 && sc > 2.0 * rowsRatio * b + 1000.0
-            // scalastyle:off println
-            println(f"  [stream] $name%-28s state $b%9d -> $sc%9d  (rows x$rowsRatio%.1f${if (flagged) "  FLAG" else ""})")
-            // scalastyle:on
-            s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,"flag":$flagged}"""
-          } catch {
-            case e: Throwable =>
-              s""""$name":{"error":${"\"" + (e.getClass.getSimpleName + ": " +
-                String.valueOf(e.getMessage)).take(200).replaceAll("[\"\\\\\\n\\r]", " ") + "\""}}"""
+          val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
+          val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
+          val rowsRatio = rowsScaled.toDouble / rowsBase
+          val entries = shapes.map { name =>
+            try {
+              val b = maxState(name, baseDir)
+              val sc = maxState(name, sfDir)
+              val flagged = b >= 0 && sc > 2.0 * rowsRatio * b + 1000.0
+              // scalastyle:off println
+              println(f"  [stream] $name%-28s state $b%9d -> $sc%9d  (rows x$rowsRatio%.1f${if (flagged) "  FLAG" else ""})")
+              // scalastyle:on
+              s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,"flag":$flagged}"""
+            } catch {
+              case e: Throwable =>
+                s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
+                  String.valueOf(e.getMessage)).take(300))}}"""
+            }
           }
+          Some(s"""{"rows_ratio":${f"$rowsRatio%.2f"},"max_files_per_trigger":8,""" +
+            s""""shapes":{${entries.mkString(",")}}}""")
         }
-        Some(s"""{"rows_ratio":${f"$rowsRatio%.2f"},"max_files_per_trigger":8,""" +
-          s""""shapes":{${entries.mkString(",")}}}""")
+      } catch {
+        // a missing base dir must not lose the timed-query record that
+        // already completed above
+        case e: Throwable =>
+          Some(s"""{"error":${jstr((e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(300))}}""")
       }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    def jnum(d: Double): String = f"$d%.3f"
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val fl = flags.map { case (k, (t, lin)) =>
       jstr(k) + ":{\"sec\":" + jnum(t) + ",\"linear\":" + jnum(lin) + "}"

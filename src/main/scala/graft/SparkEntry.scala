@@ -640,8 +640,10 @@ object SparkEntry {
       val totals = toks.agg(
         sum(size(col("tk"))).as("nu"),
         sum(greatest(size(col("tk")) - lit(1), lit(0))).as("nb")).head()
-      val nUni = totals.getLong(0) // total tokens == sum of unigram counts
-      val nBi = totals.getLong(1)  // total adjacent pairs == bigram count
+      // sum() over zero rows is null — an empty corpus must yield an empty
+      // result, not an NPE at query construction
+      val nUni = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+      val nBi = if (totals.isNullAt(1)) 0L else totals.getLong(1)
       // CASE guard: Spark sequence(1, 0) yields a DESCENDING [1,0], not
       // an empty array — short docs must produce zero bigrams explicitly
       val bigrams = toks

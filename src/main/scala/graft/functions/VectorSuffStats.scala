@@ -68,7 +68,7 @@ final class SuffStatsBuf(val maxDim: Int) {
 
   def merge(o: SuffStatsBuf): Unit = if (o.d >= 0) {
     if (d < 0) init(o.d)
-    require(o.d == d, s"suffstat width mismatch: $d vs ${o.d}")
+    require(o.d == d, s"ragged vector column across partitions: $d vs ${o.d}")
     n += o.n
     var i = 0
     while (i < d) { sums(i) += o.sums(i); i += 1 }

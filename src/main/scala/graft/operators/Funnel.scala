@@ -96,12 +96,11 @@ object Funnel {
     // frames it replaces) so the chain can be unpersisted immediately; the
     // checkpointed result is reclaimed by the ContextCleaner when the
     // caller drops it
-    val out = slim.select(col(keyCol)).distinct()
+    try slim.select(col(keyCol)).distinct()
       .join(reached, Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("stage"), lit(0L)).as("stage"))
       .localCheckpoint()
-    frames.foreach { f => f.unpersist(); () }
-    out
+    finally frames.foreach { f => f.unpersist(); () } // even on a failed job
   }
 
   /** Funnel report: keys per stage reached (keys absent from `events`

@@ -53,16 +53,15 @@ object Pca {
     * the aggregation buffer (before any O(d²) allocation) and is rethrown
     * as the underlying IllegalArgumentException here.
     */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
-    require(k >= 1, s"k=$k out of range")
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel =
     fitWithTrace(df, vecCol, k)._1
-  }
 
   /** [[fit]] plus the covariance trace (total variance) — free from the
     * same suffstats, so [[varianceReport]] costs zero extra scans.
     */
   private[graft] def fitWithTrace(df: DataFrame, vecCol: String, k: Int)
       : (PcaModel, Double) = {
+    require(k >= 1, s"k=$k out of range") // before the corpus scan
     val row =
       try suffStats(df, vecCol).head()
       catch {

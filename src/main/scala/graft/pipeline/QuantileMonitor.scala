@@ -21,16 +21,23 @@ import org.apache.spark.sql.functions._
   *     path: /warehouse/mon/docs     # persisted sketch-table location
   * ```
   *
-  * Persistence is an epoch-dir + CURRENT-marker swap, single-writer (the
-  * pipeline is the only maintainer of its own monitors — unlike the shared
-  * [[graft.ops.IndexMaintenance]] indexes, no cross-job lease is needed;
-  * concurrent per-table sink writes within one batch are serialized on a
-  * JVM lock). Delivery is at-least-once BY DESIGN: a crash-replayed batch
-  * folds its values twice. That is the right trade for an observability
-  * asset — digests are rank-error-bounded estimates, never join keys
-  * (the [[graft.functions.TDigest]] determinism stance), and making the
-  * fold transactional with the data path would couple monitor I/O into
-  * every sink's commit protocol.
+  * Persistence: numbered epoch dirs resolved by LISTING through the Hadoop
+  * FileSystem API (hdfs://, s3a://, local all behave the same) — the live
+  * epoch is the highest `epoch_N` carrying the parquet job-commit
+  * `_SUCCESS`, so a crash mid-write leaves an uncommitted dir the next
+  * fold simply overwrites; no marker file, no non-atomic rename window.
+  * Each fold keeps ONE grace epoch (deletes N−2, not N−1) so a reader that
+  * resolved the previous epoch right before a fold still scans it — the
+  * bounded-staleness trade of a single-writer asset (the pipeline is the
+  * only maintainer of its own monitors; unlike the shared
+  * [[graft.ops.IndexMaintenance]] indexes no cross-job lease is needed,
+  * and concurrent per-table sink writes within one batch are serialized
+  * on a JVM lock). Delivery is at-least-once BY DESIGN: a crash-replayed
+  * batch folds its values twice. That is the right trade for an
+  * observability asset — digests are rank-error-bounded estimates, never
+  * join keys (the [[graft.functions.TDigest]] determinism stance), and
+  * making the fold transactional with the data path would couple monitor
+  * I/O into every sink's commit protocol.
   */
 final case class MonitorDef(
     sourceTable: String,
@@ -44,26 +51,43 @@ final case class MonitorDef(
 object QuantileMonitor {
 
   private val foldLock = new Object
+  private val EpochName = "epoch_(\\d+)".r
 
-  /** The live sketch-table epoch dir under `path`, if any. */
-  def currentEpoch(path: String): Option[String] = {
-    val marker = java.nio.file.Paths.get(path, "CURRENT")
-    if (java.nio.file.Files.exists(marker)) {
-      val name = java.nio.file.Files.readString(marker).trim
-      Some(s"$path/$name").filter(p =>
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
-    } else None
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    graft.ops.IndexMaintenance.fsOf(path, spark)
+
+  /** COMMITTED epoch numbers under `path`: `epoch_N` dirs whose parquet job
+    * finished (the `_SUCCESS` commit file) — a crash mid-write is invisible.
+    */
+  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case EpochName(n)
+            if f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some(n.toLong)
+          case _ => None
+        }
+    }.flatten.sorted
   }
 
-  /** Read the live sketch table (empty-schema error if never folded). */
+  /** The live sketch-table epoch dir under `path`, if any. */
+  def currentEpoch(spark: SparkSession, path: String): Option[String] =
+    committedEpochs(spark, path).lastOption.map(n => s"$path/epoch_$n")
+
+  /** Read the live sketch table (loud error if never folded). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentEpoch(path).getOrElse(
+    spark.read.parquet(currentEpoch(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no sketch table at $path")))
 
   /** Fold one batch slice of sink table `id` into every matching monitor:
-    * per-cell digests of the batch, merged into the current epoch, written
-    * as the next epoch, marker swapped, previous epoch deleted. Rows are
-    * the batch's post-images (DELETE rows carry no new value observation).
+    * per-cell digests of the batch, merged with the live epoch, committed
+    * as the next epoch; epoch N−2 is deleted (N−1 stays as the reader
+    * grace epoch). Rows are the batch's post-images (DELETE rows carry no
+    * new value observation).
     */
   def fold(spark: SparkSession, id: TableId, batch: DataFrame,
            monitors: Seq[MonitorDef]): Unit =
@@ -74,24 +98,17 @@ object QuantileMonitor {
         batch.select(m.dims.map(col) :+ col(m.value): _*), m.dims, m.value,
         m.compression)
       foldLock.synchronized {
-        val (epochN, merged) = currentEpoch(m.path) match {
+        val (epochN, merged) = currentEpoch(spark, m.path) match {
           case Some(cur) =>
             val n = cur.substring(cur.lastIndexOf('_') + 1).toLong
             (n + 1, QuantileSketch.mergeSketchTables(
               spark.read.parquet(cur), sk, m.dims, m.compression))
           case None => (0L, sk)
         }
-        val next = s"epoch_$epochN"
-        merged.write.mode("overwrite").parquet(s"${m.path}/$next")
-        val marker = java.nio.file.Paths.get(m.path, "CURRENT")
-        val tmp = java.nio.file.Paths.get(m.path, s"CURRENT.tmp$epochN")
-        java.nio.file.Files.writeString(tmp, next)
-        java.nio.file.Files.move(tmp, marker,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        if (epochN > 0) {
-          val prev = java.nio.file.Paths.get(m.path, s"epoch_${epochN - 1}")
-          org.apache.commons.io.FileUtils.deleteQuietly(prev.toFile)
+        merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
+        if (epochN > 1) {
+          fs(spark, m.path).delete(
+            new org.apache.hadoop.fs.Path(s"${m.path}/epoch_${epochN - 2}"), true)
           ()
         }
       }

@@ -179,9 +179,17 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(est("de") === 7.0) // single observation: exact
     assert(est("en") >= 20.0 && est("en") <= 30.0, s"en p50 ${est("en")}")
-    // only the live epoch and the marker remain on disk
+    // the live epoch plus ONE reader-grace epoch remain on disk
     val ls = new java.io.File(mon).listFiles().map(_.getName).toSet
-    assert(ls === Set("CURRENT", "epoch_1"), ls.toString)
+    assert(ls === Set("epoch_0", "epoch_1"), ls.toString)
+    // a third fold drops epoch_0 (grace window is exactly one epoch)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b3.json"),
+      doc("c", 8, "en", 50) + "\n")
+    val (_, _, q3) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+    assert(weights("en") === 5.0)
+    val ls3 = new java.io.File(mon).listFiles().map(_.getName).toSet
+    assert(ls3 === Set("epoch_1", "epoch_2"), ls3.toString)
   }
 
   test("batch YAML pipeline folds its monitor once per run") {

@@ -85,4 +85,44 @@ class PcaSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] { Pca.fit(wide, "vec", 2) }
     assert(err.getMessage.contains("embedding widths"))
   }
+
+  test("suffstats: null rows skipped, ragged vectors refused, empty corpus refused") {
+    // a null vector row is no observation (the aggregate-input convention)
+    val withNull = rows.take(50).map { case (id, v) => (id, Some(v)) } :+
+      (999L, Option.empty[Seq[Float]])
+    val m1 = Pca.fit(withNull.toDF("id", "vec"), "vec", 1)
+    val m2 = Pca.fit(rows.take(50).toDF("id", "vec"), "vec", 1)
+    assert(m1.mean.zip(m2.mean).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // ragged widths are a data bug — loud refusal, not silent truncation
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(ragged.toDF("id", "vec"), "vec", 1)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+    val empty = intercept[IllegalArgumentException] {
+      Pca.fit(rows.take(0).toDF("id", "vec"), "vec", 1)
+    }
+    assert(empty.getMessage.contains("empty corpus"))
+    // non-array input refused at analysis, not execution
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Pca.suffStats(Seq((1L, "x")).toDF("id", "vec"), "vec").collect()
+    }
+    assert(bad.getMessage.contains("array<float>"), bad.getMessage)
+  }
+
+  test("suffstats merge is partition-shape independent (incl. empty partitions)") {
+    // 13 partitions over 400 rows (some possibly empty after filter) must
+    // give the same suffstats as one partition: merge associativity +
+    // empty-buffer adoption both exercised
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Pca.suffStats(df, "vec").head.getStruct(0)
+    val one = stats(df.coalesce(1))
+    val many = stats(df.repartition(13).where(col("id") >= 0))
+    assert(one.getLong(0) === many.getLong(0))
+    val (s1, s2) = (one.getSeq[Double](1), many.getSeq[Double](1))
+    assert(s1.zip(s2).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    val (g1, g2) = (one.getSeq[Double](2), many.getSeq[Double](2))
+    assert(g1.size === d * (d + 1) / 2)
+    assert(g1.zip(g2).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
 }
