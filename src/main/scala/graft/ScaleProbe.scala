@@ -101,7 +101,8 @@ object ScaleProbe {
       else try {
         val baseDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_BASE", "/root/testdata/sf0.1")
         val shapes = Seq("q_stream_dedup", "q_stream_session_window",
-          "q_stream_sessions_state", "q_stream_interval_join", "q_stream_outer_join")
+          "q_stream_sessions_state", "q_stream_interval_join",
+          "q_stream_outer_join", "q_stream_full_outer")
           .filter(q => only.isEmpty || only(q))
         if (shapes.isEmpty) None
         else {
