@@ -3181,6 +3181,29 @@ object SparkEntry {
         Seq("event_type"), Seq(0.5, 0.99))
     },
 
+    "q_monitor_weights" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the `monitor:` YAML block's core fold, oracle-checked EXACTLY:
+      // quantile ESTIMATES are rows-only by nature, but digest WEIGHTS
+      // are exact — every observation adds 1.0 and both the clustering
+      // pass and the cell-wise union SUM weights (integer-valued doubles,
+      // exact to 2^53) — so the per-cell observation count after an
+      // incremental two-batch fold must equal a plain GROUP BY count.
+      // This pins the monitor's maintenance arithmetic (fold never drops
+      // or double-counts a cell's rows) in the DuckDB gate, leaving only
+      // the estimate interpolation to the property specs.
+      val d = t(dir, "documents")
+      val a = graft.ops.QuantileSketch.buildSketches(
+        d.where(col("doc_id") % 2 === 0), Seq("lang"), "n_chars")
+      val b = graft.ops.QuantileSketch.buildSketches(
+        d.where(col("doc_id") % 2 === 1), Seq("lang"), "n_chars")
+      graft.ops.QuantileSketch.mergeSketchTables(a, b, Seq("lang"))
+        .select(col("lang"),
+          expr("CAST(aggregate(sketch.weights, 0D, (x, y) -> x + y) AS BIGINT)")
+            .as("n_obs"))
+        .orderBy("lang")
+    },
+
     "q_grouping_sets" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // explicit GROUPING SETS (the general form behind q_cube/q_rollup)
@@ -4792,6 +4815,12 @@ object SparkEntry {
         |       + grouping(epoch_us(ts) // 86400000000) AS BIGINT) AS gid
         |FROM events
         |GROUP BY GROUPING SETS ((event_type, epoch_us(ts) // 86400000000), (event_type), ())""".stripMargin,
+
+    "q_monitor_weights" ->
+      // the monitor fold's conservation law: per-cell digest weight ==
+      // the cell's row count, exactly (estimates stay property-spec'd)
+      """SELECT lang, count(n_chars) AS n_obs FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_histogram" ->
       """WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
