@@ -26,10 +26,47 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Cli {
 
-  def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: graft.Cli <pipeline.yaml>")
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case Seq("monitor-show", path, qs @ _*) =>
+      // the monitor asset's read surface: operators inspect what the
+      // pipeline maintains without writing Scala
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER",
+          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+        .appName("graft-monitor-show")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val quantiles = if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs.map(_.toDouble)
+      monitorShow(spark, path, quantiles).show(1000, truncate = false)
+    case Seq(yaml) => runPipeline(yaml)
+    case _ => throw new IllegalArgumentException(
+      "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> [quantile ...]")
+  }
+
+  /** Render the live estimates of a `monitor:` sketch table: one row per
+    * (cell, quantile) plus the cell's EXACT observation count (digest
+    * weights are integer-valued doubles — the `q_monitor_weights` law).
+    * Runs over the cell-bounded sketch table, never a corpus.
+    */
+  def monitorShow(spark: SparkSession, path: String,
+                  quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val sk = graft.pipeline.QuantileMonitor.read(spark, path)
+    val dims = sk.columns.filterNot(_ == "sketch").toSeq
+    val counts = sk.select(dims.map(col) :+
+      expr("CAST(aggregate(sketch.weights, 0D, (a, x) -> a + x) AS BIGINT)")
+        .as("n_obs"): _*)
+    val est = graft.ops.QuantileSketch.estimate(sk, dims, quantiles)
+    val joined = if (dims.isEmpty) est.crossJoin(counts)
+                 else est.join(counts, dims)
+    joined.select(dims.map(col) ++ Seq(col("n_obs"), col("q"), col("est")): _*)
+      .orderBy(dims.map(col) :+ col("q"): _*)
+  }
+
+  private def runPipeline(yamlPath: String): Unit = {
     val p = PipelineDef.fromYaml(
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0)))))
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(yamlPath))))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,10 +107,14 @@ object Cli {
     // monitor blocks fold AFTER delivery (the MonitorSink ordering: a
     // failed sink must not advance monitor state), reading the parquet
     // sink's materialized output rather than re-executing the lineage
-    if (p.monitors.nonEmpty) results.foreach { case (id, df) =>
-      val frame = parquetOut.fold(df)(out =>
-        spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}"))
-      graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
+    results.foreach { case (id, df) =>
+      // only tables some monitor actually selects pay the read-back
+      // (file listing + schema inference) — unmatched tables skip it
+      if (p.monitors.exists(_.selectors.matches(id))) {
+        val frame = parquetOut.fold(df)(out =>
+          spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}"))
+        graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
+      }
     }
   }
 

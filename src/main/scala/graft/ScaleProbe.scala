@@ -120,10 +120,12 @@ object ScaleProbe {
           val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
           val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
           val rowsRatio = rowsScaled.toDouble / rowsBase
+          val scaledState = scala.collection.mutable.Map.empty[String, Long]
           val entries = shapes.map { name =>
             try {
               val b = maxState(name, baseDir)
               val sc = maxState(name, sfDir)
+              scaledState(name) = sc
               val flagged = b >= 0 && sc > 2.0 * rowsRatio * b + 1000.0
               // scalastyle:off println
               println(f"  [stream] $name%-28s state $b%9d -> $sc%9d  (rows x$rowsRatio%.1f${if (flagged) "  FLAG" else ""})")
@@ -135,8 +137,43 @@ object ScaleProbe {
                   String.valueOf(e.getMessage)).take(300))}}"""
             }
           }
+          // hot-key skew probe: remap ~10% of events onto ONE key and re-run
+          // the keyed-state shapes at the scaled SF. Keyed state must be
+          // O(1) PER KEY (one dedup entry / one open session per key), so
+          // collapsing keys can only SHRINK the store — a skewed max state
+          // above the uniform one means per-EVENT state is accumulating
+          // under the hot key (the failure the uniform ratio gate can't
+          // see, because it scales every key equally).
+          val skewShapes = Seq("q_stream_dedup", "q_stream_sessions_state")
+            .filter(shapes.contains)
+          val skewEntries = if (skewShapes.isEmpty) Nil else {
+            val skewDir = java.nio.file.Files
+              .createTempDirectory("graft-skew-events").toString
+            import org.apache.spark.sql.functions.{col, when, lit}
+            val ev = spark.read.parquet(s"$sfDir/events.parquet")
+            ev.withColumn("user_id",
+                when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
+              .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+            skewShapes.map { name =>
+              try {
+                val sk = maxState(name, skewDir)
+                val uni = scaledState.getOrElse(name, -1L)
+                val flagged = uni >= 0 && sk > uni + 1000.0
+                // scalastyle:off println
+                println(f"  [skew]   $name%-28s state $uni%9d -> $sk%9d  (hot key ~10%% of events${if (flagged) "  FLAG" else ""})")
+                // scalastyle:on
+                s""""$name":{"uniform_max_state":$uni,"skew_max_state":$sk,"flag":$flagged}"""
+              } catch {
+                case e: Throwable =>
+                  s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
+                    String.valueOf(e.getMessage)).take(300))}}"""
+              }
+            }
+          }
+          val skewJson = if (skewEntries.isEmpty) ""
+            else s""","skew_shapes":{${skewEntries.mkString(",")}}"""
           Some(s"""{"rows_ratio":${f"$rowsRatio%.2f"},"max_files_per_trigger":8,""" +
-            s""""shapes":{${entries.mkString(",")}}}""")
+            s""""shapes":{${entries.mkString(",")}}$skewJson}""")
         }
       } catch {
         // a missing base dir must not lose the timed-query record that

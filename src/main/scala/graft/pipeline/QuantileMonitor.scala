@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.model.{CdcSchema, SchemaChangeEvent, TableId}
 import graft.operators.Changelog
 import graft.ops.QuantileSketch
-import graft.sinks.CdcSink
+import graft.sinks.{BatchCtx, CdcSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,18 +26,26 @@ import org.apache.spark.sql.functions._
   * epoch is the highest `epoch_N` carrying the parquet job-commit
   * `_SUCCESS`, so a crash mid-write leaves an uncommitted dir the next
   * fold simply overwrites; no marker file, no non-atomic rename window.
-  * Each fold keeps ONE grace epoch (deletes N−2, not N−1) so a reader that
-  * resolved the previous epoch right before a fold still scans it — the
-  * bounded-staleness trade of a single-writer asset (the pipeline is the
-  * only maintainer of its own monitors; unlike the shared
+  * Each fold keeps ONE grace epoch (every epoch dir below N−1 is
+  * reclaimed, committed or crash-leftover — gapped sequences never leak)
+  * so a reader that resolved the previous epoch right before a fold still
+  * scans it — the bounded-staleness trade of a single-writer asset (the
+  * pipeline is the only maintainer of its own monitors; unlike the shared
   * [[graft.ops.IndexMaintenance]] indexes no cross-job lease is needed,
-  * and concurrent per-table sink writes within one batch are serialized
-  * on a JVM lock). Delivery is at-least-once BY DESIGN: a crash-replayed
-  * batch folds its values twice. That is the right trade for an
-  * observability asset — digests are rank-error-bounded estimates, never
-  * join keys (the [[graft.functions.TDigest]] determinism stance), and
-  * making the fold transactional with the data path would couple monitor
-  * I/O into every sink's commit protocol.
+  * and concurrent sink writes within one batch serialize on a PER-PATH
+  * lock, so independent monitors never convoy on each other).
+  *
+  * Delivery on the streaming path is EFFECTIVELY-ONCE: each committed
+  * epoch carries a replay ledger — the micro-batch id it folded plus the
+  * route legs of that batch folded so far — as constant metadata columns
+  * of the sketch table itself, so the ledger commits atomically with the
+  * digests (same parquet job, same `_SUCCESS`). A crash-replayed batch
+  * re-offers the same (batchId, leg) pair; the fold sees it in the live
+  * ledger and skips, so weights never double-count, with ZERO coupling to
+  * the sink's commit protocol. Folds without a batch context (the batch
+  * composer's one-shot run, the hybrid snapshot phase) carry a null
+  * ledger and remain at-least-once by design — re-running a batch
+  * pipeline deliberately folds again.
   */
 final case class MonitorDef(
     sourceTable: String,
@@ -50,8 +58,19 @@ final case class MonitorDef(
 
 object QuantileMonitor {
 
-  private val foldLock = new Object
+  /** Per-path fold locks: single-writer per monitor asset, but distinct
+    * paths fold concurrently within a batch (many routed tables × many
+    * monitors must not convoy behind one JVM-global lock).
+    */
+  private val foldLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    foldLocks.getOrElseUpdate(path, new Object)
+
   private val EpochName = "epoch_(\\d+)".r
+
+  /** Replay-ledger metadata columns, constant across the epoch's rows. */
+  private[graft] val BatchCol = "__mon_batch"
+  private[graft] val LegsCol = "__mon_legs"
 
   private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     graft.ops.IndexMaintenance.fsOf(path, spark)
@@ -78,53 +97,103 @@ object QuantileMonitor {
   def currentEpoch(spark: SparkSession, path: String): Option[String] =
     committedEpochs(spark, path).lastOption.map(n => s"$path/epoch_$n")
 
-  /** Read the live sketch table (loud error if never folded). */
+  /** Read the live sketch table (loud error if never folded). The replay
+    * ledger is internal bookkeeping — readers see only (dims, sketch).
+    */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(currentEpoch(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no sketch table at $path")))
+      .drop(BatchCol, LegsCol)
 
   /** Fold one batch slice of sink table `id` into every matching monitor:
     * per-cell digests of the batch, merged with the live epoch, committed
-    * as the next epoch; epoch N−2 is deleted (N−1 stays as the reader
-    * grace epoch). Rows are the batch's post-images (DELETE rows carry no
-    * new value observation).
+    * as the next epoch; every epoch below the reader-grace epoch N−1 is
+    * deleted. Rows are the batch's post-images (DELETE rows carry no new
+    * value observation). With a [[BatchCtx]], a (batchId, leg) already in
+    * the live ledger is a crash replay and is skipped (effectively-once).
     */
   def fold(spark: SparkSession, id: TableId, batch: DataFrame,
-           monitors: Seq[MonitorDef]): Unit =
+           monitors: Seq[MonitorDef], ctx: Option[BatchCtx] = None): Unit =
     monitors.filter(_.selectors.matches(id)).foreach { m =>
       require((m.dims :+ m.value).forall(batch.columns.contains),
         s"monitor at ${m.path}: table $id lacks ${(m.dims :+ m.value).mkString(",")}")
-      val sk = QuantileSketch.buildSketches(
-        batch.select(m.dims.map(col) :+ col(m.value): _*), m.dims, m.value,
-        m.compression)
-      foldLock.synchronized {
-        val (epochN, merged) = currentEpoch(spark, m.path) match {
-          case Some(cur) =>
-            val n = cur.substring(cur.lastIndexOf('_') + 1).toLong
-            (n + 1, QuantileSketch.mergeSketchTables(
-              spark.read.parquet(cur), sk, m.dims, m.compression))
-          case None => (0L, sk)
+      lockFor(m.path).synchronized {
+        val live = committedEpochs(spark, m.path).lastOption
+          .map(n => (n, spark.read.parquet(s"${m.path}/epoch_$n")))
+        // one tiny job over the cell-bounded live table, paid only by
+        // context-carrying (streaming) folds; pre-ledger epochs (no
+        // columns) and batch-composer epochs (null ledger) parse to None
+        val ledger: Option[(Long, Set[String])] =
+          if (ctx.isEmpty) None
+          else live.flatMap { case (_, df) =>
+            if (!df.columns.contains(BatchCol)) None
+            else df.select(col(BatchCol), col(LegsCol))
+              .where(col(BatchCol).isNotNull).limit(1).collect().headOption
+              .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+          }
+        val replayed = (ctx, ledger) match {
+          // exact (batchId, leg) match ONLY: foreachBatch replays re-offer
+          // the SAME id (never an older one — ids advance only after the
+          // batch function returns), and a looser `batchId < ledger` rule
+          // would freeze folds forever if a user reset the checkpoint
+          // (ids restart at 0) while keeping the monitor path
+          case (Some(c), Some((maxB, legs))) =>
+            c.batchId == maxB && legs.contains(c.origin)
+          case _ => false
         }
-        merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
-        if (epochN > 1) {
-          fs(spark, m.path).delete(
-            new org.apache.hadoop.fs.Path(s"${m.path}/epoch_${epochN - 2}"), true)
-          ()
+        if (!replayed) {
+          val sk = QuantileSketch.buildSketches(
+            batch.select(m.dims.map(col) :+ col(m.value): _*), m.dims, m.value,
+            m.compression)
+          val merged0 = live match {
+            case Some((_, cur)) => QuantileSketch.mergeSketchTables(
+              cur.drop(BatchCol, LegsCol), sk, m.dims, m.compression)
+            case None => sk
+          }
+          val legs = ctx.map { c =>
+            ledger match {
+              case Some((maxB, ls)) if c.batchId == maxB => (ls + c.origin).toSeq.sorted
+              case _ => Seq(c.origin)
+            }
+          }
+          val merged = merged0
+            .withColumn(BatchCol,
+              ctx.map(c => lit(c.batchId)).getOrElse(lit(null).cast("bigint")))
+            .withColumn(LegsCol,
+              legs.map(ls => array(ls.map(lit): _*))
+                .getOrElse(lit(null).cast("array<string>")))
+          val epochN = live.map(_._1 + 1).getOrElse(0L)
+          merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
+          // reclaim EVERY epoch dir below the grace epoch, committed or
+          // crash-leftover — a gapped sequence must not leak dirs forever
+          val f = fs(spark, m.path)
+          f.listStatus(new org.apache.hadoop.fs.Path(m.path)).foreach { st =>
+            st.getPath.getName match {
+              case EpochName(n) if st.isDirectory && n.toLong < epochN - 1 =>
+                f.delete(st.getPath, true); ()
+              case _ => ()
+            }
+          }
         }
       }
     }
 
   /** Sink decorator for the streaming path: data write first (idempotent,
-    * exactly-once via the sink's own protocol), then the at-least-once
-    * monitor fold of the batch's non-DELETE rows.
+    * exactly-once via the sink's own protocol), then the effectively-once
+    * monitor fold of the batch's non-DELETE rows under the write's
+    * provenance.
     */
   final class MonitorSink(inner: CdcSink, spark: SparkSession,
                           monitors: Seq[MonitorDef]) extends CdcSink {
     override def applySchemaChange(e: SchemaChangeEvent): Unit =
       inner.applySchemaChange(e)
-    override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit = {
-      inner.write(id, changelog, schema)
-      fold(spark, id, changelog.where(col(Changelog.OpCol) =!= "DELETE"), monitors)
+    override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit =
+      writeBatch(id, changelog, schema, None)
+    override def writeBatch(id: TableId, changelog: DataFrame, schema: CdcSchema,
+                            ctx: Option[BatchCtx]): Unit = {
+      inner.writeBatch(id, changelog, schema, ctx)
+      fold(spark, id, changelog.where(col(Changelog.OpCol) =!= "DELETE"),
+        monitors, ctx)
     }
   }
 }

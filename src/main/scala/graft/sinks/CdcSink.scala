@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * batch were applied — the ordering the reference enforces with its
   * FlushEvent protocol falls out of the batch boundary for free.
   */
+/** Provenance of one `write` call within a streaming micro-batch: the
+  * `foreachBatch` batch id plus the route leg (`"src→out"`). An N→1 route
+  * writes the same sink table once per SOURCE within a batch, so the pair —
+  * not the batch id alone — uniquely identifies the invocation; decorators
+  * ([[graft.pipeline.QuantileMonitor.MonitorSink]]) key crash-replay
+  * dedup on it.
+  */
+final case class BatchCtx(batchId: Long, origin: String)
+
 trait CdcSink {
   /** Apply DDL to the sink (called on the driver, between batches). */
   def applySchemaChange(e: SchemaChangeEvent): Unit = ()
@@ -21,6 +30,14 @@ trait CdcSink {
     * + payload aligned with `schema`).
     */
   def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit
+
+  /** Batch-aware write: streaming callers pass their micro-batch provenance
+    * so decorators can deduplicate crash-replayed batches; the default
+    * ignores it — plain sinks are already idempotent per key and need no
+    * replay awareness.
+    */
+  def writeBatch(id: TableId, changelog: DataFrame, schema: CdcSchema,
+                 ctx: Option[BatchCtx]): Unit = write(id, changelog, schema)
 }
 
 /** Driver-side in-memory sink over [[ValuesDatabase]] — the test oracle sink

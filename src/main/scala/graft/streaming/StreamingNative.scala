@@ -45,21 +45,42 @@ object StreamingNative {
                      betweenRuns: Seq[() => Unit])(
                      build: DataFrame => DataFrame): DataFrame = {
     def once(): Unit = {
-      val reader = spark.readStream.schema(schema)
-      val bounded = probeMaxFilesPerTrigger
-        .fold(reader)(m => reader.option("maxFilesPerTrigger", m.toString))
-      val q = build(bounded.parquet(inDir))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      probeStateRows.foreach { buf =>
-        q.recentProgress.foreach { p =>
-          if (p.stateOperators.nonEmpty) buf += p.stateOperators.map(_.numRowsTotal).sum
+      // state capture via a listener, not q.recentProgress: the progress
+      // ring buffer keeps only `numRecentProgressUpdates` (default 100)
+      // events, so a bounded-trigger probe over a large backlog would drop
+      // early batches and under-report a mid-run state peak. The listener
+      // sees EVERY progress event; the bus is drained before returning so
+      // a finished query's trailing events are counted.
+      val listener = probeStateRows.map { buf =>
+        val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.stateOperators.nonEmpty)
+              buf.synchronized {
+                buf += e.progress.stateOperators.map(_.numRowsTotal).sum; ()
+              }
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
         }
+        spark.streams.addListener(l); l
+      }
+      try {
+        val reader = spark.readStream.schema(schema)
+        val bounded = probeMaxFilesPerTrigger
+          .fold(reader)(m => reader.option("maxFilesPerTrigger", m.toString))
+        val q = build(bounded.parquet(inDir))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", checkpointDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally listener.foreach { l =>
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        spark.streams.removeListener(l)
       }
     }
     once()

@@ -157,8 +157,12 @@ final class StreamingPipeline(
 
   /** Transform → soft-delete converter → route → coerce → sink, for one
     * source table's changelog slice (shared by snapshot and stream phases).
+    * The stream phase passes its `foreachBatch` id so replay-aware sink
+    * decorators see each write's provenance; the snapshot phase has none
+    * (a restarted snapshot re-writes idempotently per key).
     */
-  private def writeSlice(src: TableId, changelog: DataFrame): Unit = {
+  private def writeSlice(src: TableId, changelog: DataFrame,
+                         batchId: Option[Long] = None): Unit = {
     val transformed0 = Transform.applyRules(changelog, src, transforms,
       opColumn = Some(Changelog.OpCol),
       passthrough = Seq(Changelog.OpCol, Changelog.SeqCol))
@@ -187,7 +191,8 @@ final class StreamingPipeline(
           "its rows upsert under null key components")
         // scalastyle:on
       val coerced = guardPks.foldLeft(coerced0)((d, pk) => d.where(col(pk).isNotNull))
-      sink.write(out, coerced, target)
+      sink.writeBatch(out, coerced, target, batchId.map(b =>
+        graft.sinks.BatchCtx(b, s"${src.identifier}->${out.identifier}")))
     }
   }
 
@@ -245,7 +250,7 @@ final class StreamingPipeline(
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
         writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq,
           primaryKeys = schema.primaryKeys)
-          .drop("__db", "__table"))
+          .drop("__db", "__table"), batchId = Some(batchId))
       }
       if (tableParallelism > 1 && known.size > 1) {
         // concurrent Spark jobs, one per table — scheduler interleaves stages

@@ -20,4 +20,13 @@ object GraftBridge {
     */
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Block until the shared listener bus has delivered every queued event
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`). Streaming
+    * query progress events ride this bus asynchronously; the scale probe's
+    * state-rows listener must see the final batches of a finished query
+    * before its buffer is read.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -220,6 +220,82 @@ class CliSpec extends SparkSpec {
     assert(w === 50.0)
   }
 
+  test("monitor-show renders per-cell counts and quantile estimates from a sketch table") {
+    // the asset's read surface: exact n_obs (the weight-conservation law)
+    // next to the rank-error-bounded estimates, one row per (cell, q)
+    import graft.pipeline.{MonitorDef, QuantileMonitor}
+    import spark.implicits._
+    val mon = java.nio.file.Files.createTempDirectory("graft-mon-show").toString + "/m"
+    val defs = Seq(MonitorDef("corpus.docs", Seq("lang"), "n_chars", mon))
+    val batch = Seq(("en", 10L), ("en", 20L), ("en", 30L), ("fr", 5L))
+      .toDF("lang", "n_chars")
+    QuantileMonitor.fold(spark, TableId.of("corpus", "docs"), batch, defs)
+    val shown = Cli.monitorShow(spark, mon, Seq(0.5, 0.99)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(shown.keySet.map(_._1) === Set("en", "fr"))
+    assert(shown.keySet.collect { case ("en", n, _) => n } === Set(3L))
+    assert(shown(("fr", 1L, 0.5)) === 5.0) // single observation: exact
+    assert(shown(("fr", 1L, 0.99)) === 5.0)
+    val enP50 = shown(("en", 3L, 0.5))
+    assert(enP50 >= 10.0 && enP50 <= 30.0, s"en p50 $enP50")
+    assert(shown(("en", 3L, 0.99)) <= 30.0)
+  }
+
+  test("monitor folds are effectively-once under crash-replayed streaming batches") {
+    // the replay ledger: each committed epoch records (batchId, folded
+    // route legs) atomically with the digests; a foreachBatch retry
+    // re-offers the same pair and is skipped, a DIFFERENT leg of the same
+    // batch (N→1 route: same sink table, second source) still folds
+    import graft.pipeline.{MonitorDef, QuantileMonitor}
+    import graft.sinks.{BatchCtx, CdcSink}
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val mon = java.nio.file.Files.createTempDirectory("graft-mon-replay").toString + "/m"
+    val defs = Seq(MonitorDef("corpus.docs", Seq("lang"), "n_chars", mon))
+    val noop = new CdcSink {
+      override def write(id: TableId, changelog: org.apache.spark.sql.DataFrame,
+                         schema: CdcSchema): Unit = ()
+    }
+    val sink = new QuantileMonitor.MonitorSink(noop, spark, defs)
+    val id = TableId.of("corpus", "docs")
+    val schema = CdcSchema.of("lang" -> "STRING", "n_chars" -> "BIGINT")
+    def slice(rows: (String, Long)*) = rows.toSeq.toDF("lang", "n_chars")
+      .withColumn(operators.Changelog.OpCol, expr("'INSERT'"))
+    def weights = QuantileMonitor.read(spark, mon)
+      .select(col("lang"),
+        expr("aggregate(sketch.weights, 0D, (a, x) -> a + x)").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val leg1 = Some(BatchCtx(0L, "corpus.docs->corpus.docs"))
+    sink.writeBatch(id, slice("en" -> 10L, "en" -> 20L), schema, leg1)
+    assert(weights === Map("en" -> 2.0))
+    // crash replay: same batch, same leg — the fold must NOT double-count
+    sink.writeBatch(id, slice("en" -> 10L, "en" -> 20L), schema, leg1)
+    assert(weights === Map("en" -> 2.0))
+    // second route leg of the SAME batch (N→1 merge) is a new fold
+    val leg2 = Some(BatchCtx(0L, "corpus.more->corpus.docs"))
+    sink.writeBatch(id, slice("fr" -> 5L), schema, leg2)
+    assert(weights === Map("en" -> 2.0, "fr" -> 1.0))
+    // a crash AFTER leg1+leg2 folded replays the whole batch: both skip
+    sink.writeBatch(id, slice("en" -> 10L, "en" -> 20L), schema, leg1)
+    sink.writeBatch(id, slice("fr" -> 5L), schema, leg2)
+    assert(weights === Map("en" -> 2.0, "fr" -> 1.0))
+    // the next batch folds normally
+    sink.writeBatch(id, slice("en" -> 30L), schema,
+      Some(BatchCtx(1L, "corpus.docs->corpus.docs")))
+    assert(weights === Map("en" -> 3.0, "fr" -> 1.0))
+    // gapped-epoch GC: a stray uncommitted leftover below the grace epoch
+    // is reclaimed by the next fold instead of leaking forever
+    val stray = new java.io.File(s"$mon/epoch_0")
+    stray.mkdirs()
+    sink.writeBatch(id, slice("de" -> 7L), schema,
+      Some(BatchCtx(2L, "corpus.docs->corpus.docs")))
+    assert(!stray.exists(), "stray epoch below the grace window must be GC'd")
+    val ls = new java.io.File(mon).listFiles().map(_.getName).toSet
+    assert(ls.forall(_.matches("epoch_\\d+")) && ls.size === 2, ls.toString)
+    assert(weights === Map("en" -> 3.0, "fr" -> 1.0, "de" -> 1.0))
+  }
+
   test("kafka source YAML: injected reader drives debezium feed into parquet-upsert state") {
     import graft.pipeline.PipelineDef
     import org.apache.spark.sql.streaming.Trigger
