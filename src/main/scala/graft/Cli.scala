@@ -38,6 +38,8 @@ object Cli {
       spark.sparkContext.setLogLevel("WARN")
       val quantiles = if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs.map(_.toDouble)
       monitorShow(spark, path, quantiles).show(1000, truncate = false)
+    case Seq("monitor-show") => throw new IllegalArgumentException(
+      "usage: graft.Cli monitor-show <path> [quantile ...]")
     case Seq(yaml) => runPipeline(yaml)
     case _ => throw new IllegalArgumentException(
       "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> [quantile ...]")

@@ -117,6 +117,9 @@ object ScaleProbe {
             }
             if (buf.isEmpty) -1L else buf.max
           }
+          def errEntry(name: String, e: Throwable): String =
+            s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage)).take(300))}}"""
           val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
           val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
           val rowsRatio = rowsScaled.toDouble / rowsBase
@@ -132,9 +135,7 @@ object ScaleProbe {
               // scalastyle:on
               s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,"flag":$flagged}"""
             } catch {
-              case e: Throwable =>
-                s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
-                  String.valueOf(e.getMessage)).take(300))}}"""
+              case e: Throwable => errEntry(name, e)
             }
           }
           // hot-key skew probe: remap ~10% of events onto ONE key and re-run
@@ -146,28 +147,39 @@ object ScaleProbe {
           // see, because it scales every key equally).
           val skewShapes = Seq("q_stream_dedup", "q_stream_sessions_state")
             .filter(shapes.contains)
+          // the skewed copy setup sits inside its own try: a failure there
+          // (disk full, schema drift) must cost only the skew section, never
+          // the uniform entries computed above; the scaled-SF-sized copy is
+          // deleted once the skew shapes finish
           val skewEntries = if (skewShapes.isEmpty) Nil else {
-            val skewDir = java.nio.file.Files
-              .createTempDirectory("graft-skew-events").toString
-            import org.apache.spark.sql.functions.{col, when, lit}
-            val ev = spark.read.parquet(s"$sfDir/events.parquet")
-            ev.withColumn("user_id",
-                when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
-              .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
-            skewShapes.map { name =>
+            try {
+              val skewDir = java.nio.file.Files
+                .createTempDirectory("graft-skew-events").toString
               try {
-                val sk = maxState(name, skewDir)
-                val uni = scaledState.getOrElse(name, -1L)
-                val flagged = uni >= 0 && sk > uni + 1000.0
-                // scalastyle:off println
-                println(f"  [skew]   $name%-28s state $uni%9d -> $sk%9d  (hot key ~10%% of events${if (flagged) "  FLAG" else ""})")
-                // scalastyle:on
-                s""""$name":{"uniform_max_state":$uni,"skew_max_state":$sk,"flag":$flagged}"""
-              } catch {
-                case e: Throwable =>
-                  s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
-                    String.valueOf(e.getMessage)).take(300))}}"""
+                import org.apache.spark.sql.functions.{col, when, lit}
+                val ev = spark.read.parquet(s"$sfDir/events.parquet")
+                ev.withColumn("user_id",
+                    when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
+                  .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+                skewShapes.map { name =>
+                  try {
+                    val sk = maxState(name, skewDir)
+                    val uni = scaledState.getOrElse(name, -1L)
+                    val flagged = uni >= 0 && sk > uni + 1000.0
+                    // scalastyle:off println
+                    println(f"  [skew]   $name%-28s state $uni%9d -> $sk%9d  (hot key ~10%% of events${if (flagged) "  FLAG" else ""})")
+                    // scalastyle:on
+                    s""""$name":{"uniform_max_state":$uni,"skew_max_state":$sk,"flag":$flagged}"""
+                  } catch {
+                    case e: Throwable => errEntry(name, e)
+                  }
+                }
+              } finally {
+                org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(skewDir))
+                ()
               }
+            } catch {
+              case e: Throwable => List(errEntry("skew_setup", e))
             }
           }
           val skewJson = if (skewEntries.isEmpty) ""

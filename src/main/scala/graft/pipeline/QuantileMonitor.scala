@@ -43,9 +43,18 @@ import org.apache.spark.sql.functions._
   * re-offers the same (batchId, leg) pair; the fold sees it in the live
   * ledger and skips, so weights never double-count, with ZERO coupling to
   * the sink's commit protocol. Folds without a batch context (the batch
-  * composer's one-shot run, the hybrid snapshot phase) carry a null
-  * ledger and remain at-least-once by design — re-running a batch
-  * pipeline deliberately folds again.
+  * composer's one-shot run, the hybrid snapshot phase) PRESERVE the live
+  * ledger (so an interleaved ctx-less fold cannot erase the replay
+  * protection of an in-flight streaming batch on the same path) and are
+  * themselves at-least-once by design — re-running a batch pipeline
+  * deliberately folds again. Known residual: after an in-place checkpoint
+  * RESET (batch ids restart at 0) on a KEPT monitor path, a first batch
+  * that re-offers the exact (0, leg) pair still in the stale ledger is
+  * indistinguishable from a replay and is skipped once; rotating the
+  * monitor path together with the checkpoint (the recommended reset
+  * practice — the asset describes the stream it was folded from) avoids
+  * the collision entirely, and no query-lineage id is reliably available
+  * inside `foreachBatch` at batch 0 to disambiguate it mechanically.
   */
 final case class MonitorDef(
     sourceTable: String,
@@ -120,12 +129,12 @@ object QuantileMonitor {
       lockFor(m.path).synchronized {
         val live = committedEpochs(spark, m.path).lastOption
           .map(n => (n, spark.read.parquet(s"${m.path}/epoch_$n")))
-        // one tiny job over the cell-bounded live table, paid only by
-        // context-carrying (streaming) folds; pre-ledger epochs (no
-        // columns) and batch-composer epochs (null ledger) parse to None
+        // one tiny limit(1) job over the cell-bounded live table — read on
+        // EVERY fold (ctx-less folds must carry the ledger forward, not
+        // null it out); pre-ledger epochs (no columns) and never-folded
+        // streaming paths (null ledger) parse to None
         val ledger: Option[(Long, Set[String])] =
-          if (ctx.isEmpty) None
-          else live.flatMap { case (_, df) =>
+          live.flatMap { case (_, df) =>
             if (!df.columns.contains(BatchCol)) None
             else df.select(col(BatchCol), col(LegsCol))
               .where(col(BatchCol).isNotNull).limit(1).collect().headOption
@@ -150,17 +159,22 @@ object QuantileMonitor {
               cur.drop(BatchCol, LegsCol), sk, m.dims, m.compression)
             case None => sk
           }
-          val legs = ctx.map { c =>
-            ledger match {
-              case Some((maxB, ls)) if c.batchId == maxB => (ls + c.origin).toSeq.sorted
-              case _ => Seq(c.origin)
+          // ctx fold: advance the ledger (same batch accumulates legs);
+          // ctx-less fold: PRESERVE it — writing nulls would erase the
+          // replay protection of an in-flight streaming batch on this path
+          val nextLedger: Option[(Long, Seq[String])] = ctx match {
+            case Some(c) => ledger match {
+              case Some((maxB, ls)) if c.batchId == maxB =>
+                Some((c.batchId, (ls + c.origin).toSeq.sorted))
+              case _ => Some((c.batchId, Seq(c.origin)))
             }
+            case None => ledger.map { case (b, ls) => (b, ls.toSeq.sorted) }
           }
           val merged = merged0
             .withColumn(BatchCol,
-              ctx.map(c => lit(c.batchId)).getOrElse(lit(null).cast("bigint")))
+              nextLedger.map(l => lit(l._1)).getOrElse(lit(null).cast("bigint")))
             .withColumn(LegsCol,
-              legs.map(ls => array(ls.map(lit): _*))
+              nextLedger.map(l => array(l._2.map(lit): _*))
                 .getOrElse(lit(null).cast("array<string>")))
           val epochN = live.map(_._1 + 1).getOrElse(0L)
           merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")

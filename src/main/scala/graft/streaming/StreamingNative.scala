@@ -51,13 +51,18 @@ object StreamingNative {
       // early batches and under-report a mid-run state peak. The listener
       // sees EVERY progress event; the bus is drained before returning so
       // a finished query's trailing events are counted.
+      // a unique query name scopes the session-global listener to THIS
+      // query — a concurrent stream on the shared session must not leak
+      // its state rows into the probe buffer
+      val probeName = probeStateRows.map(_ =>
+        "graft_probe_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       val listener = probeStateRows.map { buf =>
         val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
           override def onQueryStarted(
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
           override def onQueryProgress(
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-            if (e.progress.stateOperators.nonEmpty)
+            if (probeName.contains(e.progress.name) && e.progress.stateOperators.nonEmpty)
               buf.synchronized {
                 buf += e.progress.stateOperators.map(_.numRowsTotal).sum; ()
               }
@@ -70,13 +75,13 @@ object StreamingNative {
         val reader = spark.readStream.schema(schema)
         val bounded = probeMaxFilesPerTrigger
           .fold(reader)(m => reader.option("maxFilesPerTrigger", m.toString))
-        val q = build(bounded.parquet(inDir))
+        val writer0 = build(bounded.parquet(inDir))
           .writeStream.format("parquet")
           .option("path", outDir)
           .option("checkpointLocation", checkpointDir)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
-          .start()
+        val q = probeName.fold(writer0)(writer0.queryName).start()
         q.awaitTermination()
       } finally listener.foreach { l =>
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark)

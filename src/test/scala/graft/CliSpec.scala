@@ -284,6 +284,14 @@ class CliSpec extends SparkSpec {
     sink.writeBatch(id, slice("en" -> 30L), schema,
       Some(BatchCtx(1L, "corpus.docs->corpus.docs")))
     assert(weights === Map("en" -> 3.0, "fr" -> 1.0))
+    // a ctx-less fold (batch composer / snapshot phase) PRESERVES the
+    // ledger: an interleaved one-shot fold must not erase the replay
+    // protection of the stream's in-flight batch on the same path
+    QuantileMonitor.fold(spark, id, slice("it" -> 9L).drop(operators.Changelog.OpCol), defs)
+    assert(weights === Map("en" -> 3.0, "fr" -> 1.0, "it" -> 1.0))
+    sink.writeBatch(id, slice("en" -> 30L), schema,
+      Some(BatchCtx(1L, "corpus.docs->corpus.docs"))) // replay of batch 1
+    assert(weights === Map("en" -> 3.0, "fr" -> 1.0, "it" -> 1.0))
     // gapped-epoch GC: a stray uncommitted leftover below the grace epoch
     // is reclaimed by the next fold instead of leaking forever
     val stray = new java.io.File(s"$mon/epoch_0")
@@ -293,7 +301,7 @@ class CliSpec extends SparkSpec {
     assert(!stray.exists(), "stray epoch below the grace window must be GC'd")
     val ls = new java.io.File(mon).listFiles().map(_.getName).toSet
     assert(ls.forall(_.matches("epoch_\\d+")) && ls.size === 2, ls.toString)
-    assert(weights === Map("en" -> 3.0, "fr" -> 1.0, "de" -> 1.0))
+    assert(weights === Map("en" -> 3.0, "fr" -> 1.0, "it" -> 1.0, "de" -> 1.0))
   }
 
   test("kafka source YAML: injected reader drives debezium feed into parquet-upsert state") {
