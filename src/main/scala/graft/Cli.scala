@@ -48,21 +48,27 @@ object Cli {
   /** Render the live estimates of a `monitor:` sketch table: one row per
     * (cell, quantile) plus the cell's EXACT observation count (digest
     * weights are integer-valued doubles — the `q_monitor_weights` law).
-    * Runs over the cell-bounded sketch table, never a corpus.
+    * Runs over the cell-bounded sketch table, never a corpus. The fold
+    * keeps exactly ONE digest per cell, so no union-merge (which would
+    * re-cluster a high-`compression:` monitor's digests down to the
+    * default resolution) and no join-back (which would silently drop
+    * cells whose dim value is NULL under equi-join semantics) is needed:
+    * one select renders every cell at the digest's native resolution.
     */
   def monitorShow(spark: SparkSession, path: String,
                   quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)):
       org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{array, col, expr, explode, lit, struct}
     val sk = graft.pipeline.QuantileMonitor.read(spark, path)
     val dims = sk.columns.filterNot(_ == "sketch").toSeq
-    val counts = sk.select(dims.map(col) :+
-      expr("CAST(aggregate(sketch.weights, 0D, (a, x) -> a + x) AS BIGINT)")
-        .as("n_obs"): _*)
-    val est = graft.ops.QuantileSketch.estimate(sk, dims, quantiles)
-    val joined = if (dims.isEmpty) est.crossJoin(counts)
-                 else est.join(counts, dims)
-    joined.select(dims.map(col) ++ Seq(col("n_obs"), col("q"), col("est")): _*)
+    sk.select(dims.map(col) ++ Seq(
+        expr("CAST(aggregate(sketch.weights, 0D, (a, x) -> a + x) AS BIGINT)")
+          .as("n_obs"),
+        explode(array(quantiles.map(q => struct(lit(q).as("q"),
+          graft.ops.QuantileSketch.quantileOf(col("sketch"), q).as("est"))): _*))
+          .as("e")): _*)
+      .select(dims.map(col) ++ Seq(col("n_obs"), col("e.q").as("q"),
+        col("e.est").as("est")): _*)
       .orderBy(dims.map(col) :+ col("q"): _*)
   }
 

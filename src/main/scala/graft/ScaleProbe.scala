@@ -106,8 +106,11 @@ object ScaleProbe {
           .filter(q => only.isEmpty || only(q))
         if (shapes.isEmpty) None
         else {
-          def maxState(name: String, dir: String): Long = {
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // (max rows, max bytes) across batches — independent maxes; bytes
+          // catch a per-key VALUE accumulating per event (one row per key,
+          // so the row count alone cannot see that failure)
+          def maxState(name: String, dir: String): (Long, Long) = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
             graft.streaming.StreamingNative.probeMaxFilesPerTrigger = Some(8)
             graft.streaming.StreamingNative.probeStateRows = Some(buf)
             try { SparkEntry.queries(name)(spark, dir).count(); () }
@@ -115,7 +118,7 @@ object ScaleProbe {
               graft.streaming.StreamingNative.probeMaxFilesPerTrigger = None
               graft.streaming.StreamingNative.probeStateRows = None
             }
-            if (buf.isEmpty) -1L else buf.max
+            if (buf.isEmpty) (-1L, -1L) else (buf.map(_._1).max, buf.map(_._2).max)
           }
           def errEntry(name: String, e: Throwable): String =
             s""""$name":{"error":${jstr((e.getClass.getSimpleName + ": " +
@@ -123,17 +126,18 @@ object ScaleProbe {
           val rowsBase = spark.read.parquet(s"$baseDir/events.parquet").count()
           val rowsScaled = spark.read.parquet(s"$sfDir/events.parquet").count()
           val rowsRatio = rowsScaled.toDouble / rowsBase
-          val scaledState = scala.collection.mutable.Map.empty[String, Long]
+          val scaledState = scala.collection.mutable.Map.empty[String, (Long, Long)]
           val entries = shapes.map { name =>
             try {
-              val b = maxState(name, baseDir)
-              val sc = maxState(name, sfDir)
-              scaledState(name) = sc
+              val (b, bBytes) = maxState(name, baseDir)
+              val (sc, scBytes) = maxState(name, sfDir)
+              scaledState(name) = (sc, scBytes)
               val flagged = b >= 0 && sc > 2.0 * rowsRatio * b + 1000.0
               // scalastyle:off println
               println(f"  [stream] $name%-28s state $b%9d -> $sc%9d  (rows x$rowsRatio%.1f${if (flagged) "  FLAG" else ""})")
               // scalastyle:on
-              s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,"flag":$flagged}"""
+              s""""$name":{"base_max_state":$b,"scaled_max_state":$sc,""" +
+                s""""base_state_bytes":$bBytes,"scaled_state_bytes":$scBytes,"flag":$flagged}"""
             } catch {
               case e: Throwable => errEntry(name, e)
             }
@@ -163,13 +167,22 @@ object ScaleProbe {
                   .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
                 skewShapes.map { name =>
                   try {
-                    val sk = maxState(name, skewDir)
-                    val uni = scaledState.getOrElse(name, -1L)
-                    val flagged = uni >= 0 && sk > uni + 1000.0
+                    val (sk, skBytes) = maxState(name, skewDir)
+                    val (uni, uniBytes) = scaledState.getOrElse(name, (-1L, -1L))
+                    // rows rule: collapsing keys can only SHRINK the store,
+                    // so more rows under skew is per-event accumulation.
+                    // bytes rule (generous 2x + 1 MiB): a hot key whose
+                    // VALUE grows per event balloons the store while the
+                    // row count, one per key, stays flat — the rows rule
+                    // alone is structurally blind to it
+                    val rowsFlag = uni >= 0 && sk > uni + 1000.0
+                    val bytesFlag = uniBytes > 0 && skBytes > 2L * uniBytes + (1L << 20)
+                    val flagged = rowsFlag || bytesFlag
                     // scalastyle:off println
-                    println(f"  [skew]   $name%-28s state $uni%9d -> $sk%9d  (hot key ~10%% of events${if (flagged) "  FLAG" else ""})")
+                    println(f"  [skew]   $name%-28s state $uni%9d -> $sk%9d  bytes $uniBytes%10d -> $skBytes%10d  (hot key ~10%% of events${if (flagged) "  FLAG" else ""})")
                     // scalastyle:on
-                    s""""$name":{"uniform_max_state":$uni,"skew_max_state":$sk,"flag":$flagged}"""
+                    s""""$name":{"uniform_max_state":$uni,"skew_max_state":$sk,""" +
+                      s""""uniform_state_bytes":$uniBytes,"skew_state_bytes":$skBytes,"flag":$flagged}"""
                   } catch {
                     case e: Throwable => errEntry(name, e)
                   }

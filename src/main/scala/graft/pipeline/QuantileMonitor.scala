@@ -69,11 +69,18 @@ object QuantileMonitor {
 
   /** Per-path fold locks: single-writer per monitor asset, but distinct
     * paths fold concurrently within a batch (many routed tables × many
-    * monitors must not convoy behind one JVM-global lock).
+    * monitors must not convoy behind one JVM-global lock). Keys are the
+    * filesystem-QUALIFIED path — two `monitor:` blocks spelling the same
+    * directory differently (trailing slash, relative vs absolute, scheme
+    * -qualified vs bare) must resolve to the SAME lock, or both could
+    * read live epoch N and race their epoch_N+1 writes.
     */
   private val foldLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def lockFor(path: String): Object =
-    foldLocks.getOrElseUpdate(path, new Object)
+  private def lockFor(spark: SparkSession, path: String): Object = {
+    val key = fs(spark, path)
+      .makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+    foldLocks.getOrElseUpdate(key, new Object)
+  }
 
   private val EpochName = "epoch_(\\d+)".r
 
@@ -84,22 +91,37 @@ object QuantileMonitor {
   private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     graft.ops.IndexMaintenance.fsOf(path, spark)
 
-  /** COMMITTED epoch numbers under `path`: `epoch_N` dirs whose parquet job
-    * finished (the `_SUCCESS` commit file) — a crash mid-write is invisible.
+  /** One listing of `path`: every `epoch_N` dir as (N, status). The fold
+    * shares this listing between live-epoch resolution and the GC sweep —
+    * on an object store LIST is a slow, billed RPC paid per monitor per
+    * micro-batch, so it is issued once, not twice.
     */
-  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark, path)
+  private def epochStatuses(f: org.apache.hadoop.fs.FileSystem, path: String):
+      Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) Nil
     else f.listStatus(root).toSeq.collect {
       case st if st.isDirectory =>
         st.getPath.getName match {
-          case EpochName(n)
-            if f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-            Some(n.toLong)
+          case EpochName(n) => Some((n.toLong, st))
           case _ => None
         }
-    }.flatten.sorted
+    }.flatten.sortBy(_._1)
+  }
+
+  /** COMMITTED epoch numbers among `statuses`: dirs whose parquet job
+    * finished (the `_SUCCESS` commit file) — a crash mid-write is invisible.
+    */
+  private def committedOf(f: org.apache.hadoop.fs.FileSystem,
+                          statuses: Seq[(Long, org.apache.hadoop.fs.FileStatus)]): Seq[Long] =
+    statuses.collect {
+      case (n, st)
+        if f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) => n
+    }
+
+  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    committedOf(f, epochStatuses(f, path))
   }
 
   /** The live sketch-table epoch dir under `path`, if any. */
@@ -126,8 +148,13 @@ object QuantileMonitor {
     monitors.filter(_.selectors.matches(id)).foreach { m =>
       require((m.dims :+ m.value).forall(batch.columns.contains),
         s"monitor at ${m.path}: table $id lacks ${(m.dims :+ m.value).mkString(",")}")
-      lockFor(m.path).synchronized {
-        val live = committedEpochs(spark, m.path).lastOption
+      lockFor(spark, m.path).synchronized {
+        val f = fs(spark, m.path)
+        // ONE listing serves both the live-epoch resolution here and the
+        // GC sweep after the write (the lock makes it race-free; the new
+        // epoch written below is above the grace bar by construction)
+        val epochs = epochStatuses(f, m.path)
+        val live = committedOf(f, epochs).lastOption
           .map(n => (n, spark.read.parquet(s"${m.path}/epoch_$n")))
         // one tiny limit(1) job over the cell-bounded live table — read on
         // EVERY fold (ctx-less folds must carry the ledger forward, not
@@ -180,13 +207,8 @@ object QuantileMonitor {
           merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
           // reclaim EVERY epoch dir below the grace epoch, committed or
           // crash-leftover — a gapped sequence must not leak dirs forever
-          val f = fs(spark, m.path)
-          f.listStatus(new org.apache.hadoop.fs.Path(m.path)).foreach { st =>
-            st.getPath.getName match {
-              case EpochName(n) if st.isDirectory && n.toLong < epochN - 1 =>
-                f.delete(st.getPath, true); ()
-              case _ => ()
-            }
+          epochs.foreach { case (n, st) =>
+            if (n < epochN - 1) { f.delete(st.getPath, true); () }
           }
         }
       }

@@ -29,12 +29,15 @@ object StreamingNative {
     * the backlog is consumed in several watermark-advancing batches (state
     * eviction actually exercised, the deployment shape) instead of one;
     * `probeStateRows` collects each progress event's total state-store
-    * rows so per-batch state growth can be compared across scale factors.
+    * (rows, memory bytes) so per-batch state growth can be compared across
+    * scale factors — bytes matter because a per-key VALUE that accumulates
+    * per event (an open-session list that never closes) balloons the store
+    * while the row count, one row per key, stays flat.
     * Both default off — production call sites never see them.
     */
   @volatile private[graft] var probeMaxFilesPerTrigger: Option[Int] = None
   @volatile private[graft] var probeStateRows:
-    Option[scala.collection.mutable.Buffer[Long]] = None
+    Option[scala.collection.mutable.Buffer[(Long, Long)]] = None
 
   /** Run `build(stream)` to quiescence: one AvailableNow run per element of
     * `betweenRuns` (invoked in order between runs) plus the initial backlog
@@ -64,7 +67,8 @@ object StreamingNative {
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
             if (probeName.contains(e.progress.name) && e.progress.stateOperators.nonEmpty)
               buf.synchronized {
-                buf += e.progress.stateOperators.map(_.numRowsTotal).sum; ()
+                buf += ((e.progress.stateOperators.map(_.numRowsTotal).sum,
+                  e.progress.stateOperators.map(_.memoryUsedBytes).sum)); ()
               }
           override def onQueryTerminated(
               e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -227,12 +227,18 @@ class CliSpec extends SparkSpec {
     import spark.implicits._
     val mon = java.nio.file.Files.createTempDirectory("graft-mon-show").toString + "/m"
     val defs = Seq(MonitorDef("corpus.docs", Seq("lang"), "n_chars", mon))
-    val batch = Seq(("en", 10L), ("en", 20L), ("en", 30L), ("fr", 5L))
+    // the null-lang cell is a real cell (groupBy keeps the null group) —
+    // the render must include it, not drop it the way an equi-join-back
+    // on the dim columns silently would
+    val batch = Seq(("en", 10L), ("en", 20L), ("en", 30L), ("fr", 5L),
+        (null.asInstanceOf[String], 7L))
       .toDF("lang", "n_chars")
     QuantileMonitor.fold(spark, TableId.of("corpus", "docs"), batch, defs)
     val shown = Cli.monitorShow(spark, mon, Seq(0.5, 0.99)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3)).toMap
-    assert(shown.keySet.map(_._1) === Set("en", "fr"))
+    assert(shown.keySet.map(_._1) === Set("en", "fr", null))
+    assert(shown((null, 1L, 0.5)) === 7.0) // null cell rendered, exact
+    assert(shown((null, 1L, 0.99)) === 7.0)
     assert(shown.keySet.collect { case ("en", n, _) => n } === Set(3L))
     assert(shown(("fr", 1L, 0.5)) === 5.0) // single observation: exact
     assert(shown(("fr", 1L, 0.99)) === 5.0)
