@@ -3160,6 +3160,26 @@ object SparkEntry {
         t(dir, "embeddings"), "embedding", k = 8)
     },
 
+    "q_pca_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the persisted suffstats asset: two half-corpus appends fold into
+      // an EpochStore epoch table (suffstats are a commutative monoid —
+      // element-wise sums), then the spectrum is read off the ONE-ROW
+      // asset with zero corpus scans. At 100 TB this is how the
+      // projection tracks a growing corpus: each batch pays one scan of
+      // ITSELF, fit time never re-reads the corpus. Rows-only for the
+      // q_pca_variance reason (no SQL engine replays an eigensolve);
+      // PcaSpec pins batch-folded == one-shot.
+      val emb = t(dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-pca-inc")
+        .toString + "/stats"
+      graft.ops.Pca.appendStats(
+        emb.where(col("vec_id") % 2 === 0), "embedding", path)
+      graft.ops.Pca.appendStats(
+        emb.where(col("vec_id") % 2 === 1), "embedding", path)
+      graft.ops.Pca.varianceReportFromStats(spark, path, k = 8)
+    },
+
     "q_quantile_incremental" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // incremental sketch-table maintenance: the distribution monitor is

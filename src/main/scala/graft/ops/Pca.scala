@@ -62,6 +62,15 @@ object Pca {
   private[graft] def fitWithTrace(df: DataFrame, vecCol: String, k: Int)
       : (PcaModel, Double) = {
     require(k >= 1, s"k=$k out of range") // before the corpus scan
+    val (n, sums, tri) = scanStats(df, vecCol)
+    modelFromStats(n, sums, tri, k)
+  }
+
+  /** One corpus scan → (n, Σx, upper-triangle Σxxᵀ), the executor-side
+    * width guard rethrown as its underlying IllegalArgumentException.
+    */
+  private def scanStats(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Double]) = {
     val row =
       try suffStats(df, vecCol).head()
       catch {
@@ -77,10 +86,17 @@ object Pca {
           throw e
       }
     val s = row.getStruct(0)
-    require(s.getLong(0) > 0, "PCA fit over an empty corpus")
-    val n = s.getLong(0).toDouble
-    val sums = s.getSeq[Double](1).toArray
-    val tri = s.getSeq[Double](2).toArray
+    (s.getLong(0), s.getSeq[Double](1).toArray, s.getSeq[Double](2).toArray)
+  }
+
+  /** The O(d³) driver half, shared by [[fit]] (fresh scan) and
+    * [[fitFromStats]] (persisted asset): suffstats → covariance → Jacobi
+    * eigensolve → (model, trace).
+    */
+  private def modelFromStats(nRows: Long, sums: Array[Double],
+                             tri: Array[Double], k: Int): (PcaModel, Double) = {
+    require(nRows > 0, "PCA fit over an empty corpus")
+    val n = nRows.toDouble
     val dims = sums.length
     require(k <= dims, s"k=$k out of range for d=$dims")
     val mean = sums.map(_ / n)
@@ -180,10 +196,93 @@ object Pca {
     */
   def varianceReport(df: DataFrame, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val (model, totalVar) = fitWithTrace(df, vecCol, k)
+    reportFrame(spark, model, totalVar)
+  }
+
+  private def reportFrame(spark: org.apache.spark.sql.SparkSession,
+                          model: PcaModel, totalVar: Double): DataFrame = {
+    import spark.implicits._
     model.eigenvalues.zipWithIndex.map { case (ev, ix) =>
       (ix + 1L, ev, model.eigenvalues.take(ix + 1).sum / totalVar)
     }.toSeq.toDF("component", "variance", "cum_share")
+  }
+
+  // ------- persisted sufficient-statistics asset (incremental fit) -------
+
+  /** Fold one batch's suffstats into the persisted asset at `path` — the
+    * incremental-maintenance discipline every other stats family here has
+    * (BM25 corpus stats, the quantile/distinct sketch tables, the IVF-SQ8
+    * index), now for the projection: suffstats are a commutative monoid
+    * (element-wise sums), so batch-folded stats equal one-shot stats up to
+    * FP summation order and the model can be re-fit as the corpus grows
+    * WITHOUT re-scanning it — at 100 TB the fit-time cost is an O(d²)
+    * one-row read plus the O(d³) driver eigensolve, never a corpus scan.
+    *
+    * Cost per append: ONE scan of the batch (the same single-scan
+    * aggregate as [[fit]]), a driver-side O(d²) array merge, an O(d²)
+    * one-row parquet write under the [[EpochStore]] single-writer
+    * protocol (per-path lock, `_SUCCESS`-committed epoch listing, one
+    * grace epoch). An empty batch is a no-op. Appends are at-least-once
+    * by design (same stance as the batch-composer monitor folds): a
+    * caller needing effectively-once replays under a streaming sink
+    * should gate on its own batch ids.
+    */
+  def appendStats(df: DataFrame, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (bn, bsums, btri) = scanStats(df, vecCol)
+    if (bn > 0) EpochStore.lockFor(spark, path).synchronized {
+      val f = EpochStore.fs(spark, path)
+      val epochs = EpochStore.epochStatuses(f, path)
+      val live = EpochStore.committedOf(f, epochs).lastOption.map { n =>
+        val r = spark.read.parquet(s"$path/epoch_$n").head()
+        (n, r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+      }
+      val (n, sums, tri) = live match {
+        case Some((_, ln, lsums, ltri)) =>
+          require(lsums.length == bsums.length,
+            s"suffstats width mismatch: asset d=${lsums.length}, batch d=${bsums.length}")
+          var i = 0
+          while (i < lsums.length) { lsums(i) += bsums(i); i += 1 }
+          i = 0
+          while (i < ltri.length) { ltri(i) += btri(i); i += 1 }
+          (ln + bn, lsums, ltri)
+        case None => (bn, bsums, btri)
+      }
+      import spark.implicits._
+      val epochN = live.map(_._1 + 1).getOrElse(0L)
+      Seq((n, sums.toSeq, tri.toSeq)).toDF("n", "sums", "gram")
+        .write.mode("overwrite").parquet(s"$path/epoch_$epochN")
+      EpochStore.gcBelowGrace(f, epochs, epochN)
+    }
+  }
+
+  private def readStats(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Long, Array[Double], Array[Double]) = {
+    val live = EpochStore.currentEpoch(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no PCA suffstats asset at $path"))
+    val r = spark.read.parquet(live).head()
+    (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+  }
+
+  /** Fit from the persisted asset: O(d²) read + O(d³) driver eigensolve,
+    * zero corpus scans.
+    */
+  def fitFromStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                   k: Int): PcaModel = {
+    require(k >= 1, s"k=$k out of range")
+    val (n, sums, tri) = readStats(spark, path)
+    modelFromStats(n, sums, tri, k)._1
+  }
+
+  /** [[varianceReport]] off the persisted asset — the spectrum of the
+    * whole corpus folded so far, without touching the corpus.
+    */
+  def varianceReportFromStats(spark: org.apache.spark.sql.SparkSession,
+                              path: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    val (n, sums, tri) = readStats(spark, path)
+    val (model, totalVar) = modelFromStats(n, sums, tri, k)
+    reportFrame(spark, model, totalVar)
   }
 }

@@ -67,66 +67,17 @@ final case class MonitorDef(
 
 object QuantileMonitor {
 
-  /** Per-path fold locks: single-writer per monitor asset, but distinct
-    * paths fold concurrently within a batch (many routed tables × many
-    * monitors must not convoy behind one JVM-global lock). Keys are the
-    * filesystem-QUALIFIED path — two `monitor:` blocks spelling the same
-    * directory differently (trailing slash, relative vs absolute, scheme
-    * -qualified vs bare) must resolve to the SAME lock, or both could
-    * read live epoch N and race their epoch_N+1 writes.
-    */
-  private val foldLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def lockFor(spark: SparkSession, path: String): Object = {
-    val key = fs(spark, path)
-      .makeQualified(new org.apache.hadoop.fs.Path(path)).toString
-    foldLocks.getOrElseUpdate(key, new Object)
-  }
-
-  private val EpochName = "epoch_(\\d+)".r
-
   /** Replay-ledger metadata columns, constant across the epoch's rows. */
   private[graft] val BatchCol = "__mon_batch"
   private[graft] val LegsCol = "__mon_legs"
 
-  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    graft.ops.IndexMaintenance.fsOf(path, spark)
-
-  /** One listing of `path`: every `epoch_N` dir as (N, status). The fold
-    * shares this listing between live-epoch resolution and the GC sweep —
-    * on an object store LIST is a slow, billed RPC paid per monitor per
-    * micro-batch, so it is issued once, not twice.
+  /** The live sketch-table epoch dir under `path`, if any. Persistence and
+    * locking are the shared single-writer [[graft.ops.EpochStore]]
+    * protocol: `_SUCCESS`-committed `epoch_N` listing, per-qualified-path
+    * fold locks, one-grace-epoch GC.
     */
-  private def epochStatuses(f: org.apache.hadoop.fs.FileSystem, path: String):
-      Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!f.exists(root)) Nil
-    else f.listStatus(root).toSeq.collect {
-      case st if st.isDirectory =>
-        st.getPath.getName match {
-          case EpochName(n) => Some((n.toLong, st))
-          case _ => None
-        }
-    }.flatten.sortBy(_._1)
-  }
-
-  /** COMMITTED epoch numbers among `statuses`: dirs whose parquet job
-    * finished (the `_SUCCESS` commit file) — a crash mid-write is invisible.
-    */
-  private def committedOf(f: org.apache.hadoop.fs.FileSystem,
-                          statuses: Seq[(Long, org.apache.hadoop.fs.FileStatus)]): Seq[Long] =
-    statuses.collect {
-      case (n, st)
-        if f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) => n
-    }
-
-  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark, path)
-    committedOf(f, epochStatuses(f, path))
-  }
-
-  /** The live sketch-table epoch dir under `path`, if any. */
   def currentEpoch(spark: SparkSession, path: String): Option[String] =
-    committedEpochs(spark, path).lastOption.map(n => s"$path/epoch_$n")
+    graft.ops.EpochStore.currentEpoch(spark, path)
 
   /** Read the live sketch table (loud error if never folded). The replay
     * ledger is internal bookkeeping — readers see only (dims, sketch).
@@ -148,13 +99,13 @@ object QuantileMonitor {
     monitors.filter(_.selectors.matches(id)).foreach { m =>
       require((m.dims :+ m.value).forall(batch.columns.contains),
         s"monitor at ${m.path}: table $id lacks ${(m.dims :+ m.value).mkString(",")}")
-      lockFor(spark, m.path).synchronized {
-        val f = fs(spark, m.path)
+      graft.ops.EpochStore.lockFor(spark, m.path).synchronized {
+        val f = graft.ops.EpochStore.fs(spark, m.path)
         // ONE listing serves both the live-epoch resolution here and the
         // GC sweep after the write (the lock makes it race-free; the new
         // epoch written below is above the grace bar by construction)
-        val epochs = epochStatuses(f, m.path)
-        val live = committedOf(f, epochs).lastOption
+        val epochs = graft.ops.EpochStore.epochStatuses(f, m.path)
+        val live = graft.ops.EpochStore.committedOf(f, epochs).lastOption
           .map(n => (n, spark.read.parquet(s"${m.path}/epoch_$n")))
         // one tiny limit(1) job over the cell-bounded live table — read on
         // EVERY fold (ctx-less folds must carry the ledger forward, not
@@ -205,11 +156,7 @@ object QuantileMonitor {
                 .getOrElse(lit(null).cast("array<string>")))
           val epochN = live.map(_._1 + 1).getOrElse(0L)
           merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
-          // reclaim EVERY epoch dir below the grace epoch, committed or
-          // crash-leftover — a gapped sequence must not leak dirs forever
-          epochs.foreach { case (n, st) =>
-            if (n < epochN - 1) { f.delete(st.getPath, true); () }
-          }
+          graft.ops.EpochStore.gcBelowGrace(f, epochs, epochN)
         }
       }
     }

@@ -247,6 +247,20 @@ class CliSpec extends SparkSpec {
     assert(shown(("en", 3L, 0.99)) <= 30.0)
   }
 
+  test("epoch-asset locks: alias spellings of one path share a lock, distinct paths don't") {
+    // the single-writer guarantee is per ASSET, not per spelling: two
+    // monitor: blocks naming the same directory differently must serialize
+    // on one lock (or both could read live epoch N and race epoch_N+1),
+    // while genuinely distinct paths must NOT convoy on a shared lock
+    import graft.ops.EpochStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-mon-lock").toString
+    val a = EpochStore.lockFor(spark, s"$dir/m")
+    assert(EpochStore.lockFor(spark, s"$dir/m/") eq a) // trailing slash
+    assert(EpochStore.lockFor(spark, s"$dir/./m") eq a) // dot segment
+    assert(EpochStore.lockFor(spark, s"file:$dir/m") eq a) // scheme-qualified
+    assert(EpochStore.lockFor(spark, s"$dir/other") ne a)
+  }
+
   test("monitor folds are effectively-once under crash-replayed streaming batches") {
     // the replay ledger: each committed epoch records (batchId, folded
     // route legs) atomically with the digests; a foreachBatch retry

@@ -110,6 +110,74 @@ class PcaSpec extends SparkSpec {
     assert(bad.getMessage.contains("array<float>"), bad.getMessage)
   }
 
+  test("persisted suffstats asset: batch-folded fit equals the one-shot fit") {
+    // suffstats are a commutative monoid (element-wise sums): appending
+    // the corpus in two halves must give the same model as one scan, up
+    // to FP summation order — the incremental-maintenance contract
+    val path = java.nio.file.Files.createTempDirectory("graft-pca-asset")
+      .toString + "/stats"
+    Pca.appendStats(df.where(col("id") % 2 === 0), "vec", path)
+    Pca.appendStats(df.where(col("id") % 2 === 1), "vec", path)
+    val inc = Pca.fitFromStats(spark, path, k = d)
+    val one = Pca.fit(df, "vec", k = d)
+    inc.mean.zip(one.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"mean $a vs $b")
+    }
+    inc.eigenvalues.zip(one.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)), s"ev $a vs $b")
+    }
+    val repInc = Pca.varianceReportFromStats(spark, path, k = d)
+      .orderBy("component").collect().map(_.getDouble(2))
+    val repOne = Pca.varianceReport(df, "vec", k = d)
+      .orderBy("component").collect().map(_.getDouble(2))
+    repInc.zip(repOne).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"cum_share $a vs $b")
+    }
+  }
+
+  test("suffstats asset lifecycle: grace epoch, GC, crash leftovers, empty batch, width") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pca-life").toString
+    val path = s"$root/stats"
+    def epochDirs: Set[String] = {
+      val dir = new java.io.File(path)
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.startsWith("epoch_")).map(_.getName).toSet
+    }
+    val third = rows.size / 3
+    Pca.appendStats(df.where(col("id") < third), "vec", path)
+    assert(EpochStore.currentEpoch(spark, path).exists(_.endsWith("epoch_0")))
+    Pca.appendStats(df.where(col("id") >= third && col("id") < 2 * third), "vec", path)
+    // live epoch_1 plus ONE grace epoch for an in-flight reader of epoch_0
+    assert(epochDirs === Set("epoch_0", "epoch_1"))
+    // a crash mid-write leaves an UNCOMMITTED dir: invisible to readers
+    new java.io.File(s"$path/epoch_7").mkdirs()
+    assert(EpochStore.currentEpoch(spark, path).exists(_.endsWith("epoch_1")))
+    Pca.appendStats(df.where(col("id") >= 2 * third), "vec", path)
+    // epoch_0 reclaimed below the grace bar; the stray leftover above the
+    // new epoch is untouched (overwritten if the sequence ever reaches it)
+    assert(epochDirs === Set("epoch_1", "epoch_2", "epoch_7"))
+    // the three thirds folded == the whole corpus
+    val inc = Pca.fitFromStats(spark, path, k = 2)
+    val one = Pca.fit(df, "vec", k = 2)
+    inc.eigenvalues.zip(one.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)))
+    }
+    // empty batch: a no-op, not an epoch advance
+    Pca.appendStats(df.where(col("id") < 0), "vec", path)
+    assert(EpochStore.currentEpoch(spark, path).exists(_.endsWith("epoch_2")))
+    // width mismatch between the asset and a batch: loud refusal
+    val narrow = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Pca.appendStats(narrow, "vec", path)
+    }
+    assert(e.getMessage.contains("width mismatch"), e.getMessage)
+    // never-folded path: loud error on read
+    val none = intercept[IllegalArgumentException] {
+      Pca.fitFromStats(spark, s"$root/nothing", 1)
+    }
+    assert(none.getMessage.contains("no PCA suffstats asset"))
+  }
+
   test("suffstats merge is partition-shape independent (incl. empty partitions)") {
     // 13 partitions over 400 rows (some possibly empty after filter) must
     // give the same suffstats as one partition: merge associativity +
