@@ -1674,7 +1674,8 @@ object SparkEntry {
       implicit val s: SparkSession = spark
       import s.implicits._
       // the full BPE training loop (10 merges over the bounded vocab table;
-      // each iteration: codegen pair explode + bounded agg + 1-row argmax).
+      // each ROUND: pair explode + bounded agg + top-of-rank collect + one
+      // codegen'd batch rewrite of a provably-independent merge prefix).
       // Not SQL-expressible (sequential argmax chain) → rows-only gate;
       // BpeSpec proves the loop equals a naive reference implementation
       val (merges, _) = graft.ops.Bpe.trainMerges(

@@ -292,6 +292,41 @@ object CdcExprHelpers {
                      maxTopBigram: Double, maxDupNgram: Double): Boolean =
     graft.ops.Repetition.keepOf(s.toString, maxDupLine, maxDupLineChar,
       maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram)
+
+  /** Static entry: apply an ordered BPE merge list to one symbol sequence
+    * ([[graft.ops.Bpe]]). Each merge is one greedy left-to-right pass with a
+    * write pointer — O(len) per merge in place, reproducing the reference
+    * fold exactly: a freshly written merged symbol can match as the LEFT
+    * side of a later comparison (cur(w-1) is re-read), and can never match
+    * `a` itself (b is non-empty, so a+b ≠ a). Null elements pass through
+    * unmerged, the same null-comparison fallthrough the higher-order
+    * `aggregate` fold had.
+    */
+  def bpeMergePass(syms: ArrayData, as: Array[UTF8String], bs: Array[UTF8String],
+                   abs: Array[UTF8String]): ArrayData = {
+    var n = syms.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = if (syms.isNullAt(i)) null else syms.getUTF8String(i); i += 1 }
+    var m = 0
+    while (m < as.length) {
+      val a = as(m); val b = bs(m); val ab = abs(m)
+      var w = 0; var r = 0
+      while (r < n) {
+        val s = cur(r)
+        if (w > 0 && s != null && cur(w - 1) != null && a.equals(cur(w - 1)) && b.equals(s))
+          cur(w - 1) = ab
+        else { cur(w) = s; w += 1 }
+        r += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { out(i) = cur(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `MINHASH_SIGNATURE(text)` — 128×64-bit MinHash signature of the text's
@@ -331,6 +366,42 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `BPE_MERGE_PASS(syms)` with a bound ordered merge list — one training
+  * round's merges applied to each word's symbol sequence in ONE narrow
+  * codegen'd projection ([[graft.ops.Bpe.trainMerges]]). Replaces a chain
+  * of higher-order `aggregate` folds: those are CodegenFallback in Spark
+  * (interpreted per row, per merge) and rebuild the accumulator array per
+  * element (`concat(acc, array(s))` — O(len²) per word); this is an O(len)
+  * write-pointer pass per merge. The merge list rides as plan reference
+  * objects like [[HyperplaneSig]]'s planes (tiny: the round's batch).
+  */
+case class BpeMergePass(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.nonEmpty && merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+    "BpeMergePass needs a non-empty merge list of non-empty symbols")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = child.dataType
+  @transient private lazy val as = merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val bs = merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val abs = merges.map(m => UTF8String.fromString(m._1 + m._2)).toArray
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.bpeMergePass(input.asInstanceOf[ArrayData], as, bs, abs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val ra = ctx.addReferenceObj("bpeAs", as, cls)
+    val rb = ctx.addReferenceObj("bpeBs", bs, cls)
+    val rab = ctx.addReferenceObj("bpeAbs", abs, cls)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.bpeMergePass($c, $ra, $rb, $rab)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePass =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pass"
 }
 
 /** `NGRAM_BUCKETS(text)` — hashed n-gram feature-bucket ids (one per n-gram

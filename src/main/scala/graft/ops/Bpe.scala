@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer induction (Sennrich et al. 2016) — the
@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * the corpus. The corpus is scanned exactly ONCE ([[wordCounts]]: one
   * hash aggregation, map-side partials collapse repeated words before the
   * shuffle — bytes shuffled are bounded by the distinct-word vocabulary,
-  * ~10^7 at web scale, not the 100 TB of text). Every Lloyd-style merge
-  * iteration then runs on that bounded table: a codegen'd adjacent-pair
-  * explode + one (pair)-bounded aggregation, an argmax of ONE row to the
-  * driver, and a narrow fold expression applying the merge. Nothing in the
-  * loop ever re-reads the corpus.
+  * ~10^7 at web scale, not the 100 TB of text). Every training round then
+  * runs on that bounded table: an adjacent-pair explode + one
+  * (pair)-bounded aggregation, a driver-bounded top-of-rank collect, and
+  * ONE narrow codegen'd rewrite ([[graft.functions.BpeMergePass]]) applying
+  * the round's whole merge batch — a provably-independent prefix of the
+  * rank order ([[selectBatch]]), so a round lands several merges for one
+  * iteration's cost while staying bit-identical to sequential BPE. Nothing
+  * in the loop ever re-reads the corpus.
   *
   * Determinism: the argmax tie-break is (count desc, a, b) — lexicographic,
   * so training is reproducible across runs and partitionings (reference
@@ -53,33 +56,106 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("freq").as("cnt"))
 
-  /** Apply ONE merge (a, b) → ab to every symbol sequence: a left-to-right
-    * fold (`aggregate`), so overlapping occurrences merge greedily the way
-    * reference BPE does ("aaa" under (a,a) → [aa, a]); a freshly-merged
-    * symbol immediately participates in the next comparison. Narrow,
-    * codegen'd, no shuffle.
+  /** Apply ONE merge (a, b) → ab to every symbol sequence: a greedy
+    * left-to-right pass, the way reference BPE does ("aaa" under (a,a) →
+    * [aa, a]); a freshly-merged symbol immediately participates in the next
+    * comparison. Narrow, no shuffle — a native codegen'd expression
+    * ([[graft.functions.BpeMergePass]]): the higher-order `aggregate` fold
+    * this replaces is CodegenFallback in Spark and copies the accumulator
+    * array per element (O(len²) interpreted, per word per merge).
     */
-  def mergeExpr(a: String, b: String): Column = {
-    val (qa, qb) = (lit(a), lit(b))
-    aggregate(col("syms"), array().cast("array<string>"),
-      (acc, s) => when(size(acc) > 0 && element_at(acc, -1) === qa && s === qb,
-          concat(slice(acc, lit(1), size(acc) - 1), array(concat(qa, qb))))
-        .otherwise(concat(acc, array(s))))
+  def mergeExpr(a: String, b: String): Column = mergesExpr(Seq((a, b)))
+
+  /** A round's merges applied in rank order as ONE narrow projection. */
+  private def mergesExpr(batch: Seq[(String, String)]): Column =
+    GraftBridge.column(graft.functions.BpeMergePass(
+      GraftBridge.expression(col("syms")), batch))
+
+  /** The longest PREFIX of the pair-rank order that sequential BPE would
+    * provably pick unchanged — the batch one training round applies at once.
+    *
+    * Rank order is (cnt desc, a, b); `sorted` is the collected top of that
+    * order (the COMPLETE table when `exhausted`). The batch extends while
+    * each next candidate is provably still the argmax after all earlier
+    * members are applied:
+    *
+    *  1. **Prefix**: nothing ranked above a member is skipped, so every
+    *     non-member pair started (and stays) below the stop candidate —
+    *     applying a merge (a,b) only changes counts of pairs containing a
+    *     or b, and only DOWNWARD (pairs disjoint from {a,b} keep their
+    *     adjacencies bit-exactly).
+    *  2. **Disjoint components**: members share no symbol, so applying one
+    *     member leaves every other member's count exactly unchanged.
+    *  3. **No self-pairs beyond position 1**: merging (a,a) creates (aa,a)
+    *     runs whose count derives from the member's OWN count, which the
+    *     stop threshold does not bound. A self-pair head merges alone.
+    *  4. **No made-symbol collisions**: if a member's concatenation a+b
+    *     equals a symbol that ever existed (`liveSyms`: seed alphabet +
+    *     every made symbol — a conservative superset) or another member's
+    *     concatenation, counts of existing pairs could INCREASE by
+    *     conflation. Such a candidate stops the batch (a colliding head
+    *     merges alone — a 1-batch is sequential BPE by definition).
+    *  5. **Strict dominance**: members are truncated to cnt strictly above
+    *     the first non-member's cnt (`thr`). New pairs created by a member
+    *     (x,ab)/(ab,y) inherit counts bounded by the overlapping originals
+    *     (x,a)/(b,y) — non-members by rule 2, hence ≤ thr < every member.
+    *
+    * Under 1–5, after applying members 1..k−1 the rank-order argmax is
+    * exactly member k, so the batched trainer's merge sequence (and final
+    * vocab) is bit-identical to the one-merge-per-job sequential loop —
+    * `BpeSpec` pins this against a naive reference on adversarial corpora.
+    */
+  private[ops] def selectBatch(sorted: IndexedSeq[(String, String, Long)], budget: Int,
+      liveSyms: String => Boolean, exhausted: Boolean): Seq[(String, String)] = {
+    if (sorted.isEmpty || sorted.head._3 < 2 || budget <= 0) return Nil
+    val head = sorted.head
+    if (head._1 == head._2 || liveSyms(head._1 + head._2))
+      return Seq((head._1, head._2))
+    val chosen = scala.collection.mutable.ArrayBuffer(head)
+    val used = scala.collection.mutable.Set(head._1, head._2)
+    val made = scala.collection.mutable.Set(head._1 + head._2)
+    var stopIdx = -1
+    var i = 1
+    while (stopIdx < 0 && i < sorted.length && chosen.size < budget) {
+      val t = sorted(i)
+      val m = t._1 + t._2
+      if (t._3 >= 2 && t._1 != t._2 && !used(t._1) && !used(t._2) &&
+          !liveSyms(m) && !made(m)) {
+        chosen += t; used += t._1; used += t._2; made += m; i += 1
+      } else stopIdx = i
+    }
+    if (stopIdx < 0 && i < sorted.length) stopIdx = i // budget stop
+    val thr: Long =
+      if (stopIdx >= 0) sorted(stopIdx)._3
+      else if (exhausted) 0L
+      // collected prefix consumed without exhausting the table: unseen pairs
+      // can tie the last collected cnt, so members must sit strictly above it
+      else sorted.last._3
+    (chosen.head +: chosen.tail.filter(_._3 > thr).toSeq)
+      .map(t => (t._1, t._2))
   }
 
   /** Learn `numMerges` merges; returns (ordered merge list, final vocab —
     * each word's learned subword split, the broadcastable encode table).
     *
-    * Each iteration materializes the merged vocab (persist + count) and
-    * drops the previous one: the loop's lineage stays one merge deep, the
-    * same discipline as Lloyd iterations in [[Ivf.train]]. Stops early
-    * when no pair occurs twice (merging singletons is memorization).
+    * Runs in ROUNDS, not one job per merge: each round collects the top of
+    * the pair-rank order (driver-bounded: ≤ max(64, 4×remaining) rows of
+    * two small strings — the same vocab-bounded table the argmax already
+    * aggregated), picks the provably-independent batch ([[selectBatch]] —
+    * merge-sequence equality with the sequential loop is guaranteed, not
+    * approximated), and applies the whole batch in ONE narrow codegen'd
+    * rewrite. Early merges are dominated by disjoint frequent pairs, so a
+    * round typically lands several merges for the price of one iteration's
+    * two jobs. Each round materializes the merged vocab (persist + count)
+    * and drops the previous one: lineage stays one round deep, the same
+    * discipline as Lloyd iterations in [[Ivf.train]]. Stops early when no
+    * pair occurs twice (merging singletons is memorization).
     */
   def trainMerges(df: DataFrame, textCol: Column, numMerges: Int):
       (Seq[(String, String)], DataFrame) = {
-    // Deliberate driver loop: ONE bounded Spark job per merge. A caller
-    // (or a YAML pipeline) passing a production vocab size (50k–100k)
-    // would schedule that many sequential jobs — hours of scheduler
+    // Deliberate driver loop: bounded Spark jobs per ROUND. A caller (or a
+    // YAML pipeline) passing a production vocab size (50k–100k) would
+    // schedule thousands of sequential rounds — hours of scheduler
     // overhead, not computation. Beyond this cap the right tool is the
     // classic in-memory trainer over the COLLECTED word-frequency table
     // (bounded by distinct words, ~10^7 rows — driver-sized), with this
@@ -91,24 +167,44 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var vocab = seedVocab(wordCounts(df, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
-    var i = 0
+    // Every symbol that has EVER been live: the seed alphabet (bounded by
+    // the corpus's distinct characters — one tiny job, which also
+    // materializes the seed cache) + each made symbol. The batch guard's
+    // collision check uses this superset: conservative (can only shorten a
+    // batch), never admits an unsafe member.
+    val liveEver = scala.collection.mutable.Set.empty[String]
+    liveEver ++= vocab.select(explode(col("syms")).as("s")).distinct()
+      .collect().iterator.map(_.getString(0))
+    // The round's rewrite is NOT eagerly materialized: the next round's
+    // top-of-rank collect materializes it as a side effect, and only then
+    // is the parent cache dropped — one job per round instead of two, with
+    // every unpersist still happening strictly after its child is cached.
+    var prev: Option[DataFrame] = None
     var done = false
-    while (i < numMerges && !done) {
-      val top = pairCounts(vocab)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+    while (merges.size < numMerges && !done) {
+      val budget = numMerges - merges.size
+      val topK = math.max(64, 4 * budget)
+      val rows = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(topK).collect()
+      prev.foreach(_.unpersist())
+      prev = None
+      val sorted = rows.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+      val batch = selectBatch(sorted, budget, liveEver, exhausted = rows.length < topK)
+      if (batch.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val next = vocab.withColumn("syms", mergeExpr(a, b))
+        merges ++= batch
+        liveEver ++= batch.iterator.map { case (a, b) => a + b }
+        val next = vocab.withColumn("syms", mergesExpr(batch))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
+        prev = Some(vocab)
         vocab = next
       }
-      i += 1
     }
+    // budget-exit leaves the last rewrite unmaterialized with its parent
+    // still pending: pin it before dropping the parent, or the caller's
+    // first action would recompute the whole merge chain from the corpus
+    prev.foreach { p => vocab.count(); p.unpersist() }
     (merges.toSeq, vocab)
   }
 

@@ -95,4 +95,64 @@ class BpeSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("4096-job cap"))
   }
+
+  test("batched trainMerges equals the naive reference on adversarial random corpora") {
+    // Small alphabets force the hazards the batch guard exists for: runs
+    // ("aaaa" — self-pairs), shared symbols between top pairs, and merge
+    // paths that CONCATENATE to the same string from different splits
+    // ((a,bc) vs (ab,c) → "abc" conflation). Equality must be bit-exact on
+    // merges AND the final vocab, every corpus, every merge budget.
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 0 until 12) {
+      val alphabet = Seq("a", "b", "c").take(2 + trial % 2)
+      val words = Seq.fill(30) {
+        (0 until (1 + rng.nextInt(6))).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString
+      }
+      val texts = Seq.fill(8)(Seq.fill(12)(words(rng.nextInt(words.size))).mkString(" "))
+      val budget = 3 + rng.nextInt(10)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val (gotMerges, gotVocab) = Bpe.trainMerges(df, col("text"), budget)
+      val (expMerges, expVocab) = naiveBpe(texts, budget)
+      assert(gotMerges === expMerges, s"merge sequence diverged (trial $trial)")
+      val vocabMap = gotVocab.select("word", "syms").as[(String, Seq[String])].collect().toMap
+      assert(vocabMap === expVocab, s"final vocab diverged (trial $trial)")
+      gotVocab.unpersist()
+    }
+  }
+
+  test("selectBatch: prefix, disjointness, self-pair, collision, and dominance rules") {
+    val live: String => Boolean = Set("a", "b", "c", "d", "e", "f")
+    // disjoint prefix extends; overlap stops it and sets the threshold
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 40L), ("b", "e", 30L)),
+      10, live, exhausted = true) === Seq(("a", "b"), ("c", "d")))
+    // member at the stop threshold's cnt is truncated (strict dominance):
+    // (c,d)=30 ties the stopped (b,e)=30 → only the head survives
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 30L), ("b", "e", 30L)),
+      10, live, exhausted = true) === Seq(("a", "b")))
+    // self-pair head merges alone
+    assert(Bpe.selectBatch(IndexedSeq(("a", "a", 50L), ("c", "d", 40L)),
+      10, live, exhausted = true) === Seq(("a", "a")))
+    // a later self-pair stops the batch
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "c", 40L), ("d", "e", 35L)),
+      10, live, exhausted = true) === Seq(("a", "b")))
+    // collision with an ever-live symbol stops the batch ("cd" pre-exists)
+    val liveCd: String => Boolean = Set("a", "b", "c", "d", "cd")
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 40L)),
+      10, liveCd, exhausted = true) === Seq(("a", "b")))
+    // two members concatenating to the same string: second stops the batch
+    assert(Bpe.selectBatch(IndexedSeq(("a", "bc", 50L), ("ab", "c", 40L)),
+      10, (s: String) => Set("a", "b", "c", "ab", "bc")(s), exhausted = true)
+      === Seq(("a", "bc")))
+    // budget stop sets the threshold from the first excluded pair
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 40L), ("e", "f", 40L)),
+      2, live, exhausted = true) === Seq(("a", "b")))
+    // non-exhausted collect: unseen pairs can tie the last collected cnt,
+    // so trailing members at that cnt are dropped
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 40L)),
+      10, live, exhausted = false) === Seq(("a", "b")))
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 50L), ("c", "d", 40L)),
+      10, live, exhausted = true) === Seq(("a", "b"), ("c", "d")))
+    // head below the repeat floor: no batch at all
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 1L)), 10, live, exhausted = true) === Nil)
+  }
 }
