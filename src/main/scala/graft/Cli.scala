@@ -40,10 +40,35 @@ object Cli {
       monitorShow(spark, path, quantiles).show(1000, truncate = false)
     case Seq("monitor-show") => throw new IllegalArgumentException(
       "usage: graft.Cli monitor-show <path> [quantile ...]")
+    case Seq("pca-show", path, ks @ _*) =>
+      // the PCA suffstats asset's read surface: the spectrum of the corpus
+      // folded so far, without touching the corpus or writing Scala
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER",
+          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+        .appName("graft-pca-show")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      pcaShow(spark, path, ks.headOption.map(_.toInt).getOrElse(8))
+        .show(1000, truncate = false)
+    case Seq("pca-show") => throw new IllegalArgumentException(
+      "usage: graft.Cli pca-show <path> [k]")
     case Seq(yaml) => runPipeline(yaml)
     case _ => throw new IllegalArgumentException(
-      "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> [quantile ...]")
+      "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> " +
+        "[quantile ...] | graft.Cli pca-show <path> [k]")
   }
+
+  /** Render the variance spectrum of a persisted PCA suffstats asset
+    * ([[graft.ops.Pca.appendStats]]): component, eigenvalue, cumulative
+    * variance share. `k` clamps to the asset's width — a read surface
+    * refusing "k too large" would make operators look up d first.
+    * O(d²) read + O(d³) driver eigensolve; the corpus is never touched.
+    */
+  def pcaShow(spark: SparkSession, path: String, k: Int = 8):
+      org.apache.spark.sql.DataFrame =
+    graft.ops.Pca.varianceReportFromStats(spark, path,
+      math.max(1, math.min(k, graft.ops.Pca.statsWidth(spark, path))))
 
   /** Render the live estimates of a `monitor:` sketch table: one row per
     * (cell, quantile) plus the cell's EXACT observation count (digest

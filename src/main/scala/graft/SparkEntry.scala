@@ -1711,6 +1711,18 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), windowTokens = 128, bucketSize = 16)
     },
 
+    "q_pack_bins" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // NO-SPLIT packing (SFT mode): best-fit-decreasing into 128-token
+      // bins, hash-banded so each band packs independently in parallel.
+      // Rows-only gate (the per-band best-fit fold is a sequential argmin
+      // chain, not SQL-expressible); PackBinsSpec proves the assignment
+      // equals a naive single-node best-fit-decreasing reference per band,
+      // capacity is never exceeded, and the layout is partitioning-invariant
+      graft.ops.Pack.packBins(t(dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 128, bands = 32)
+    },
+
     // ---------- multimodal plumbing ----------
 
     "q_multimodal_decode" -> { (spark, dir) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,98 @@ object Pack {
         expr(s"__start DIV $windowTokens").as("first_window"),
         expr(s"(__start + __tok - 1) DIV $windowTokens").as("last_window"),
         pmod(col("__start"), lit(windowTokens.toLong)).as("offset_in_window"))
+
+  /** Output schema of [[packBins]]: the id column keeps its input type. */
+  private def binSchema(df: DataFrame, idCol: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
+
+  /** NO-SPLIT packing: each document lands WHOLE in exactly one bin of
+    * `capacity` tokens — the packing mode SFT/instruction tuning needs when
+    * attention must not cross document boundaries and truncation is
+    * unacceptable ([[packWindows]] is the pretraining concat-and-cut mode;
+    * this is its complement). Returns one row per kept document:
+    * (id, n_tokens, band, bin) — a bin is identified by (band, bin).
+    *
+    * Algorithm: best-fit-decreasing per band (docs sorted tokens-desc, each
+    * placed in the bin with the SMALLEST remaining capacity that still fits,
+    * lowest bin id on ties; a new bin opens when none fits) — the classic
+    * 11/9·OPT + 6/9 bin-packing guarantee (Johnson '73 first/best-fit
+    * family; Dósa's tight FFD bound). Deterministic: the doc order
+    * (tokens desc, id) and the tie-breaks are total, so the assignment is a
+    * pure function of the input set.
+    *
+    * Scale design: a GLOBAL best-fit is a sequential fold over the whole
+    * corpus — the one-node bottleneck. Instead docs are hash-banded by id
+    * (`pmod(xxhash64(id), bands)` — a pure function of the row, so the
+    * layout is partitioning-invariant and recompute-stable, the
+    * [[withOffsets]] banding stance) and each band packs INDEPENDENTLY in
+    * parallel: per-band state is one remaining-capacity entry per open bin
+    * (every bin stays open in best-fit — O(band_tokens / capacity) longs, a
+    * TreeMap on remaining capacity making each placement O(log bins)). The
+    * price of bandedness is at most the per-band tail slack vs a global
+    * pack — negligible when bands ≪ docs — and the win is that packing
+    * 100 TB is an embarrassingly parallel shuffle + one sorted pass per
+    * band. The sequential fold itself is genuine per-partition imperative
+    * logic: `mapPartitions`, the documented last-resort tier, like
+    * [[Multimodal]]'s codec batches.
+    *
+    * Rules: zero/null-token docs occupy no span and are dropped (the
+    * [[packWindows]] stance); a doc LARGER than `capacity` cannot land
+    * whole anywhere — loud executor-side refusal naming the id (truncate or
+    * route oversize docs upstream; silently splitting would betray the
+    * operator's contract).
+    */
+  def packBins(df: DataFrame, idCol: String, tokensCol: Column, capacity: Long,
+               bands: Int = 0): DataFrame = {
+    require(capacity >= 1, s"capacity=$capacity out of range")
+    val spark = df.sparkSession
+    val b = if (bands > 0) bands else spark.sessionState.conf.numShufflePartitions
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binSchema(df, idCol))
+    df.select(col(idCol), tokensCol.cast("long").as("__tok"),
+        coalesce(pmod(xxhash64(col(idCol)), lit(b.toLong)), lit(0L)).cast("int").as("__band"))
+      .where(col("__tok") > 0)
+      // range- (not hash-) partition the b distinct band ids (see
+      // withOffsets); the window-free sorted pass needs (band, tok desc, id)
+      // runs, not global order
+      .repartitionByRange(b, col("__band"))
+      .sortWithinPartitions(col("__band"), col("__tok").desc, col(idCol))
+      .mapPartitions { rows =>
+        // remaining capacity -> open bin ids with exactly that remainder;
+        // reset per band run (rows arrive clustered by band)
+        var band = -1
+        var nextBin = 0
+        val byRemaining = new java.util.TreeMap[Long, java.util.TreeSet[Int]]
+        rows.map { r =>
+          val id = r.get(0)
+          val n = r.getLong(1)
+          val bd = r.getInt(2)
+          if (bd != band) { band = bd; nextBin = 0; byRemaining.clear() }
+          if (n > capacity) throw new IllegalArgumentException(
+            s"packBins: doc $id has $n tokens > capacity $capacity — " +
+              "truncate or route oversize docs upstream")
+          val fit = byRemaining.ceilingEntry(n)
+          val (bin, rem) = if (fit == null) {
+            val fresh = nextBin; nextBin += 1
+            (fresh, capacity - n)
+          } else {
+            val chosen = fit.getValue.first()
+            if (fit.getValue.size == 1) byRemaining.remove(fit.getKey)
+            else { fit.getValue.remove(chosen); () }
+            (chosen, fit.getKey - n)
+          }
+          byRemaining.computeIfAbsent(rem, _ => new java.util.TreeSet[Int]).add(bin)
+          Row(id, n, bd, bin)
+        }
+      }(enc)
+  }
 
   /** Packing-efficiency report: per token-length bucket, how many context
     * windows ONE-DOC-PER-WINDOW padding would burn vs the document's actual

@@ -265,6 +265,12 @@ object Pca {
     (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
   }
 
+  /** The persisted asset's embedding width d — lets read surfaces clamp a
+    * requested component count instead of refusing (`graft.Cli pca-show`).
+    */
+  def statsWidth(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    readStats(spark, path)._2.length
+
   /** Fit from the persisted asset: O(d²) read + O(d³) driver eigensolve,
     * zero corpus scans.
     */

@@ -247,6 +247,26 @@ class CliSpec extends SparkSpec {
     assert(shown(("en", 3L, 0.99)) <= 30.0)
   }
 
+  test("pca-show renders the asset's spectrum; k clamps to the width") {
+    // the PCA asset's read surface, symmetric with monitor-show: the
+    // spectrum of everything folded so far, zero corpus scans
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-pca-show").toString + "/p"
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Seq(rnd.nextGaussian() * 9, rnd.nextGaussian() * 2,
+        rnd.nextGaussian() * 0.5, rnd.nextGaussian() * 0.1).map(_.toFloat))
+    }.toDF("id", "vec")
+    graft.ops.Pca.appendStats(df, "vec", path)
+    val rows = Cli.pcaShow(spark, path, k = 99).collect() // 99 clamps to d=4
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq) // desc eigenvalues
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq) // cum share monotone
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9) // full-width report captures everything
+    assert(Cli.pcaShow(spark, path, k = 2).collect().length === 2)
+  }
+
   test("epoch-asset locks: alias spellings of one path share a lock, distinct paths don't") {
     // the single-writer guarantee is per ASSET, not per spelling: two
     // monitor: blocks naming the same directory differently must serialize

@@ -1149,6 +1149,64 @@ class PackSpec extends SparkSpec {
     // Exchange SinglePartition — the scale-killer this operator avoids
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
+
+  /** Naive single-node best-fit-decreasing with packBins' exact tie-breaks:
+    * docs sorted (tokens desc, id), each into the open bin with the smallest
+    * remaining >= n (lowest bin id on ties), else a new bin.
+    */
+  private def naiveBfd(docs: Seq[(Long, Long)], capacity: Long): Map[Long, Int] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long] // remaining per bin
+    val out = scala.collection.mutable.Map.empty[Long, Int]
+    docs.sortBy { case (id, n) => (-n, id) }.foreach { case (id, n) =>
+      val fits = bins.zipWithIndex.filter(_._1 >= n)
+      val bin =
+        if (fits.isEmpty) { bins += capacity; bins.length - 1 }
+        else fits.minBy { case (rem, ix) => (rem, ix) }._2
+      bins(bin) -= n
+      out(id) = bin
+    }
+    out.toMap
+  }
+
+  test("packBins: per-band assignment equals naive best-fit-decreasing; capacity holds") {
+    val docs = (1L to 400L).map(i => (i, (math.abs(Dedup.mix64(i)) % 100 + 1).toInt))
+    val df = docs.toDF("id", "n")
+    val out = graft.ops.Pack.packBins(df, "id", col("n"), capacity = 128, bands = 4)
+      .select("id", "n_tokens", "band", "bin")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(out.map(_._1).sorted === docs.map(_._1)) // every doc exactly once
+    // no (band, bin) exceeds capacity
+    out.groupBy(t => (t._3, t._4)).foreach { case (bb, rows) =>
+      assert(rows.map(_._2).sum <= 128L, s"bin $bb over capacity")
+    }
+    // each band's assignment IS naive BFD over that band's docs
+    out.groupBy(_._3).foreach { case (band, rows) =>
+      val exp = naiveBfd(rows.map(t => (t._1, t._2)), 128L)
+      rows.foreach { case (id, _, _, bin) =>
+        assert(bin === exp(id), s"band $band id $id")
+      }
+    }
+  }
+
+  test("packBins: partitioning-invariant; zero-token docs dropped; oversize refused") {
+    val docs = (1L to 200L).map(i => (i, (math.abs(Dedup.mix64(i)) % 100 + 1).toInt)) :+
+      ((201L, 0))
+    val df = docs.toDF("id", "n")
+    val a = graft.ops.Pack.packBins(df, "id", col("n"), 128, bands = 4)
+      .select("id", "band", "bin").as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val b = graft.ops.Pack.packBins(df.repartition(7), "id", col("n"), 128, bands = 4)
+      .select("id", "band", "bin").as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(a === b) // layout is a pure function of the input set
+    assert(!a.contains(201L)) // zero-token doc occupies no span
+    val err = intercept[org.apache.spark.SparkException] {
+      graft.ops.Pack.packBins(Seq((1L, 500)).toDF("id", "n"), "id", col("n"), 128)
+        .collect()
+    }
+    assert(err.getMessage.contains("packBins") || Option(err.getCause)
+      .exists(_.getMessage.contains("packBins")))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
