@@ -26,30 +26,35 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Cli {
 
+  /** One read-surface session shape, resolved in one place — the
+    * monitor-show and pca-show arms must not drift apart on master/CPU
+    * resolution (runPipeline keeps its own builder: it layers
+    * pipeline-specific parallelism/timezone configs).
+    */
+  private def session(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName(appName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = args.toSeq match {
     case Seq("monitor-show", path, qs @ _*) =>
       // the monitor asset's read surface: operators inspect what the
       // pipeline maintains without writing Scala
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER",
-          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-        .appName("graft-monitor-show")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
       val quantiles = if (qs.isEmpty) Seq(0.5, 0.9, 0.99) else qs.map(_.toDouble)
-      monitorShow(spark, path, quantiles).show(1000, truncate = false)
+      monitorShow(session("graft-monitor-show"), path, quantiles)
+        .show(1000, truncate = false)
     case Seq("monitor-show") => throw new IllegalArgumentException(
       "usage: graft.Cli monitor-show <path> [quantile ...]")
     case Seq("pca-show", path, ks @ _*) =>
       // the PCA suffstats asset's read surface: the spectrum of the corpus
       // folded so far, without touching the corpus or writing Scala
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER",
-          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-        .appName("graft-pca-show")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      pcaShow(spark, path, ks.headOption.map(_.toInt).getOrElse(8))
+      pcaShow(session("graft-pca-show"), path,
+        ks.headOption.map(_.toInt).getOrElse(8))
         .show(1000, truncate = false)
     case Seq("pca-show") => throw new IllegalArgumentException(
       "usage: graft.Cli pca-show <path> [k]")
@@ -62,13 +67,14 @@ object Cli {
   /** Render the variance spectrum of a persisted PCA suffstats asset
     * ([[graft.ops.Pca.appendStats]]): component, eigenvalue, cumulative
     * variance share. `k` clamps to the asset's width — a read surface
-    * refusing "k too large" would make operators look up d first.
+    * refusing "k too large" would make operators look up d first — via
+    * the report's own clamp flag, so the asset is read ONCE.
     * O(d²) read + O(d³) driver eigensolve; the corpus is never touched.
     */
   def pcaShow(spark: SparkSession, path: String, k: Int = 8):
       org.apache.spark.sql.DataFrame =
-    graft.ops.Pca.varianceReportFromStats(spark, path,
-      math.max(1, math.min(k, graft.ops.Pca.statsWidth(spark, path))))
+    graft.ops.Pca.varianceReportFromStats(spark, path, math.max(1, k),
+      clampToWidth = true)
 
   /** Render the live estimates of a `monitor:` sketch table: one row per
     * (cell, quantile) plus the cell's EXACT observation count (digest
@@ -86,6 +92,14 @@ object Cli {
     import org.apache.spark.sql.functions.{array, col, expr, explode, lit, struct}
     val sk = graft.pipeline.QuantileMonitor.read(spark, path)
     val dims = sk.columns.filterNot(_ == "sketch").toSeq
+    // MonitorDef refuses reserved dim names at definition time; a table
+    // written by something else could still carry one — refuse with the
+    // cause, not an ambiguous-column AnalysisException mid-render
+    val clash = dims.filter(Set("n_obs", "q", "est"))
+    require(clash.isEmpty,
+      s"sketch table at $path has dim column(s) ${clash.mkString(", ")} that " +
+        "collide with the render's generated columns (n_obs, q, est) — " +
+        "rebuild the monitor with renamed dims")
     sk.select(dims.map(col) ++ Seq(
         expr("CAST(aggregate(sketch.weights, 0D, (a, x) -> a + x) AS BIGINT)")
           .as("n_obs"),

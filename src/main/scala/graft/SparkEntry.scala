@@ -3184,13 +3184,21 @@ object SparkEntry {
       // q_pca_variance reason (no SQL engine replays an eigensolve);
       // PcaSpec pins batch-folded == one-shot.
       val emb = t(dir, "embeddings")
-      val path = java.nio.file.Files.createTempDirectory("graft-pca-inc")
-        .toString + "/stats"
-      graft.ops.Pca.appendStats(
-        emb.where(col("vec_id") % 2 === 0), "embedding", path)
-      graft.ops.Pca.appendStats(
-        emb.where(col("vec_id") % 2 === 1), "embedding", path)
-      graft.ops.Pca.varianceReportFromStats(spark, path, k = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pca-inc")
+      try {
+        val path = tmp.toString + "/stats"
+        graft.ops.Pca.appendStats(
+          emb.where(col("vec_id") % 2 === 0), "embedding", path)
+        graft.ops.Pca.appendStats(
+          emb.where(col("vec_id") % 2 === 1), "embedding", path)
+        // the report reads the asset eagerly and is rebuilt from driver
+        // arrays, so the epoch dirs can be reclaimed before returning —
+        // repeated gate runs must not accumulate orphaned temp assets
+        graft.ops.Pca.varianceReportFromStats(spark, path, k = 8)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        ()
+      }
     },
 
     "q_quantile_incremental" -> { (spark, dir) =>

@@ -265,12 +265,6 @@ object Pca {
     (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
   }
 
-  /** The persisted asset's embedding width d — lets read surfaces clamp a
-    * requested component count instead of refusing (`graft.Cli pca-show`).
-    */
-  def statsWidth(spark: org.apache.spark.sql.SparkSession, path: String): Int =
-    readStats(spark, path)._2.length
-
   /** Fit from the persisted asset: O(d²) read + O(d³) driver eigensolve,
     * zero corpus scans.
     */
@@ -282,13 +276,20 @@ object Pca {
   }
 
   /** [[varianceReport]] off the persisted asset — the spectrum of the
-    * whole corpus folded so far, without touching the corpus.
+    * whole corpus folded so far, without touching the corpus. With
+    * `clampToWidth` a k past the asset's width d renders the full spectrum
+    * instead of refusing (the `graft.Cli pca-show` read surface — making
+    * operators look up d first would defeat a read surface); the strict
+    * default keeps library misuse loud. Either way the asset is read ONCE
+    * (one epoch listing, one one-row parquet read).
     */
   def varianceReportFromStats(spark: org.apache.spark.sql.SparkSession,
-                              path: String, k: Int): DataFrame = {
+                              path: String, k: Int,
+                              clampToWidth: Boolean = false): DataFrame = {
     require(k >= 1, s"k=$k out of range")
     val (n, sums, tri) = readStats(spark, path)
-    val (model, totalVar) = modelFromStats(n, sums, tri, k)
+    val kk = if (clampToWidth) math.min(k, sums.length) else k
+    val (model, totalVar) = modelFromStats(n, sums, tri, kk)
     reportFrame(spark, model, totalVar)
   }
 }

@@ -62,7 +62,23 @@ final case class MonitorDef(
     value: String,
     path: String,
     compression: Int = 100) {
+  // reserved names collide with the sketch table's own column ("sketch"),
+  // the replay-ledger metadata, or monitor-show's generated render columns
+  // (n_obs/q/est) — refuse at definition time, not with an
+  // ambiguous-column AnalysisException at fold or render time
+  MonitorDef.reserved.intersect(dims.toSet).toSeq.sorted match {
+    case Seq() => ()
+    case bad => throw new IllegalArgumentException(
+      s"monitor dims ${bad.mkString(", ")} are reserved column names " +
+        s"(${MonitorDef.reserved.toSeq.sorted.mkString(", ")}) — rename the dims")
+  }
   lazy val selectors: graft.model.Selectors = graft.model.Selectors.parse(sourceTable)
+}
+
+object MonitorDef {
+  private[pipeline] val reserved: Set[String] =
+    Set("sketch", "n_obs", "q", "est",
+      QuantileMonitor.BatchCol, QuantileMonitor.LegsCol)
 }
 
 object QuantileMonitor {

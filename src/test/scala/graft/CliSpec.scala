@@ -247,6 +247,18 @@ class CliSpec extends SparkSpec {
     assert(shown(("en", 3L, 0.99)) <= 30.0)
   }
 
+  test("monitor dims colliding with reserved render/ledger columns refuse at definition time") {
+    // a dim named q/est/n_obs would make monitor-show's render ambiguous,
+    // one named sketch or a ledger column would corrupt the fold — loud
+    // refusal when the MonitorDef is built, not mid-render
+    for (bad <- Seq("q", "est", "n_obs", "sketch", "__mon_batch")) {
+      val err = intercept[IllegalArgumentException] {
+        graft.pipeline.MonitorDef("corpus.docs", Seq("lang", bad), "n_chars", "/tmp/x")
+      }
+      assert(err.getMessage.contains("reserved"), bad)
+    }
+  }
+
   test("pca-show renders the asset's spectrum; k clamps to the width") {
     // the PCA asset's read surface, symmetric with monitor-show: the
     // spectrum of everything folded so far, zero corpus scans
