@@ -632,18 +632,22 @@ object SparkEntry {
       // distinct tokens on a 100 TB web corpus with OCR/URL noise), so
       // the strategy is left to stats/AQE — broadcast at bench SF,
       // hash-shuffle at vocab scale. The n_uni/n_bi normalizers are two
-      // GLOBAL scalars off one size-only scan (no explode): a bounded
-      // 1-row collect, the stats-table category.
+      // GLOBAL scalars off one size-only scan (no explode), inlined as ONE
+      // struct-valued scalar subquery: construction stays lazy (plan-only
+      // consumers run zero jobs), the engine executes the subquery once
+      // inside the query itself, and no join operator is introduced (a
+      // 1-row cross join would plan as the CartesianProduct the plan spec
+      // bans). coalesce: sum() over zero rows is null — an empty corpus
+      // must yield an empty result, not a null normalizer.
       val toks = t(dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(lower(text), '\\\\W+'), x -> x <> '')").as("tk"))
-      val totals = toks.agg(
-        sum(size(col("tk"))).as("nu"),
-        sum(greatest(size(col("tk")) - lit(1), lit(0))).as("nb")).head()
-      // sum() over zero rows is null — an empty corpus must yield an empty
-      // result, not an NPE at query construction
-      val nUni = if (totals.isNullAt(0)) 0L else totals.getLong(0)
-      val nBi = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+      val totals = toks.agg(struct(
+        coalesce(sum(size(col("tk"))), lit(0L)).as("nu"),
+        coalesce(sum(greatest(size(col("tk")) - lit(1), lit(0))), lit(0L)).as("nb"))
+        .as("t")).scalar()
+      val nUni = totals.getField("nu")
+      val nBi = totals.getField("nb")
       // CASE guard: Spark sequence(1, 0) yields a DESCENDING [1,0], not
       // an empty array — short docs must produce zero bigrams explicitly
       val bigrams = toks
@@ -661,8 +665,8 @@ object SparkEntry {
         .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
         .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
         .withColumn("pmi", log(
-          col("c_ab").cast("double") * lit(nUni) * lit(nUni)
-            / lit(nBi) / col("c_a") / col("c_b")))
+          col("c_ab").cast("double") * nUni * nUni
+            / nBi / col("c_a") / col("c_b")))
         .select(col("a"), col("b"), col("c_ab"), col("pmi"))
         .orderBy(col("pmi").desc, col("a"), col("b"))
         .limit(50)
