@@ -293,6 +293,27 @@ object CdcExprHelpers {
     graft.ops.Repetition.keepOf(s.toString, maxDupLine, maxDupLineChar,
       maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram)
 
+  /** Static entry: count-min point estimate of one token against the
+    * collected sketch table ([[graft.ops.Sketch.heavyHitters]]'s prefilter
+    * hot path). EXACTLY the build-side hash math — h1/h2 masked low bits,
+    * bucket_i = (h1 + i·h2) & mask — so the estimate can only OVERCOUNT
+    * the build-side cells, never miss them.
+    */
+  def cmsEstimate(tok: UTF8String, table: Array[Long], depth: Int, width: Int): Long = {
+    val mask = (width - 1).toLong
+    val h = Dedup.hash64(tok.toString)
+    val h1 = h & mask
+    val h2 = (Dedup.mix64(h) | 1L) & mask
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = table(i * width + ((h1 + i * h2) & mask).toInt)
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+
   /** Static entry: apply an ordered BPE merge list to one symbol sequence
     * ([[graft.ops.Bpe]]). Each merge is one greedy left-to-right pass with a
     * write pointer — O(len) per merge in place, reproducing the reference
@@ -366,6 +387,38 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `CMS_ESTIMATE(token)` with a bound sketch table — the count-min point
+  * estimate as ONE codegen'd call over the scan ([[graft.ops.Sketch
+  * .heavyHitters]]'s second pass runs it on EVERY token occurrence of the
+  * corpus). Replaces a `transform(sequence(...))` + `element_at(lit(arr))`
+  * + `array_min` pipeline: higher-order functions are CodegenFallback in
+  * Spark, so that filter evaluated interpreted per token with a fresh
+  * 4-struct array allocation per row. The table rides as a plan reference
+  * object (depth × width longs, ≈ 256 KB — same object the old array
+  * literal embedded).
+  */
+case class CmsEstimate(child: Expression, table: Array[Long], depth: Int, width: Int)
+    extends UnaryExpression {
+  require(depth >= 1 && width >= 2 && (width & (width - 1)) == 0 &&
+    table.length == depth * width,
+    s"CmsEstimate needs power-of-two width and a depth×width table: " +
+      s"$depth × $width vs ${table.length}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.cmsEstimate(input.asInstanceOf[UTF8String], table, depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsTable", table, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.cmsEstimate($c, $ref, $depth, $width)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "cms_estimate"
 }
 
 /** `BPE_MERGE_PASS(syms)` with a bound ordered merge list — one training

@@ -75,9 +75,12 @@ object Sketch {
       .collect() // bounded driver collect: ≤ depth × width rows
     val arr = Array.ofDim[Long](depth * width)
     sk.foreach(r => arr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
-    val est = array_min(transform(hashPairs(col(tokenCol), depth, width),
-      p => element_at(lit(arr),
-        (p("row").cast("int") * width + p("bucket").cast("int") + 1))))
+    // native codegen'd lookup — a transform/element_at/array_min pipeline
+    // here is CodegenFallback (higher-order fns), i.e. interpreted per
+    // TOKEN OCCURRENCE of the corpus with a per-row struct-array alloc
+    val est = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CmsEstimate(org.apache.spark.sql.GraftBridge
+        .expression(col(tokenCol)), arr, depth, width))
     df.select(col(tokenCol))
       .where(est >= threshold)
       .groupBy(tokenCol).agg(count(lit(1)).as("cnt"))

@@ -44,6 +44,23 @@ class SketchSpec extends SparkSpec {
     assert(c === a)
   }
 
+  test("native cms_estimate equals the join-based estimate on every token") {
+    // the heavyHitters prefilter's codegen'd lookup must reproduce the
+    // build-side hash math exactly — cross-validated against the
+    // independent join-based estimate() over a collision-heavy sketch
+    val words = (1 to 300).map(i => (s"tok$i", (i % 13 + 1).toLong)).toDF("word", "freq")
+    val sk = Sketch.countMin(words, "word", col("freq"), depth = 4, width = 64)
+    val joinEst = Sketch.estimate(sk, words.select("word"), "word", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    val arr = Array.ofDim[Long](4 * 64)
+    sk.collect().foreach(r => arr(r.getInt(0) * 64 + r.getLong(1).toInt) = r.getLong(2))
+    val native = words.select(col("word"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.CmsEstimate(
+          org.apache.spark.sql.GraftBridge.expression(col("word")), arr, 4, 64)).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(native === joinEst)
+  }
+
   test("heavyHitters equals the exact aggregation; collision-inflated candidates die at verify") {
     val tokens = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
       (1 to 30).map(i => s"cold$i")).toDF("word")
