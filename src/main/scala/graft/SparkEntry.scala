@@ -641,7 +641,7 @@ object SparkEntry {
       // must yield an empty result, not a null normalizer.
       val toks = t(dir, "documents")
         .select(col("doc_id"),
-          expr("filter(split(lower(text), '\\\\W+'), x -> x <> '')").as("tk"))
+          graft.functions.CdcExpressions.regexTokens(col("text")).as("tk"))
       val totals = toks.agg(struct(
         coalesce(sum(size(col("tk"))), lit(0L)).as("nu"),
         coalesce(sum(greatest(size(col("tk")) - lit(1), lit(0))), lit(0L)).as("nb"))
@@ -1645,7 +1645,7 @@ object SparkEntry {
       // the exact aggregation (the oracle) — but the exact pass only ever
       // aggregates candidates, so its state is bounded at 100 TB
       val tokens = t(dir, "documents").select(
-        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= "")).as("word"))
+        explode(graft.functions.CdcExpressions.regexTokens(col("text"))).as("word"))
       graft.ops.Sketch.heavyHitters(tokens, "word", threshold = 300)
     },
 

@@ -293,6 +293,34 @@ object CdcExprHelpers {
     graft.ops.Repetition.keepOf(s.toString, maxDupLine, maxDupLineChar,
       maxDupPara, maxDupParaChar, maxTopBigram, maxDupNgram)
 
+  private val tokenPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+
+  /** Static entry: the corpus tokenize idiom — optional lowercase, regex
+    * split, drop empties — in ONE pass. Bit-compatible with the
+    * `filter(split(lower(text), re), x -> x <> '')` Column pipeline it
+    * replaces: lowercasing is `UTF8String.toLowerCase` (exactly what
+    * Spark's `Lower` evaluates) and the split is `Pattern.split(str, -1)`
+    * (exactly what Spark's `StringSplit` with the default limit runs), so
+    * every DuckDB oracle built against the old idiom stays green.
+    */
+  def regexTokens(s: UTF8String, pattern: String, lowercase: Boolean): ArrayData = {
+    val p = tokenPatterns.computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
+    val str = (if (lowercase) s.toLowerCase else s).toString
+    val parts = p.split(str, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[AnyRef](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(j) = UTF8String.fromString(parts(i)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Static entry: count-min point estimate of one token against the
     * collected sketch table ([[graft.ops.Sketch.heavyHitters]]'s prefilter
     * hot path). EXACTLY the build-side hash math — h1/h2 masked low bits,
@@ -387,6 +415,35 @@ case class ShingleHashes(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `REGEX_TOKENS(text)` — the corpus tokenize idiom (optional lowercase →
+  * regex split → drop empties) as ONE codegen'd call. The
+  * `filter(split(lower(text), re), x -> x <> '')` pipeline it replaces
+  * evaluates `ArrayFilter`, a higher-order function and therefore
+  * CodegenFallback in Spark: every tokenizing corpus scan paid an
+  * interpreted projection per document plus a discarded intermediate
+  * array. Same values by construction (see
+  * [[CdcExprHelpers.regexTokens]]), so the DuckDB oracles are untouched.
+  */
+case class RegexTokens(child: Expression, pattern: String = "\\W+",
+                       lowercase: Boolean = true)
+    extends UnaryExpression {
+  java.util.regex.Pattern.compile(pattern) // fail at plan time, not per row
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.regexTokens(input.asInstanceOf[UTF8String], pattern, lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokPattern", pattern, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcExprHelpers.regexTokens($c, $ref, $lowercase)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegexTokens =
+    copy(child = newChild)
+  override def prettyName: String = "regex_tokens"
 }
 
 /** `CMS_ESTIMATE(token)` with a bound sketch table — the count-min point
@@ -950,6 +1007,8 @@ object CdcExpressions {
   /** Column-API handles. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 128): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(text), shingleSize, numHashes))
+  def regexTokens(text: Column, pattern: String = "\\W+", lowercase: Boolean = true): Column =
+    GraftBridge.column(RegexTokens(GraftBridge.expression(text), pattern, lowercase))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
   def hash64(text: Column): Column =

@@ -30,7 +30,7 @@ object Bpe {
     * pre-tokenization stage: lowercase, split on non-word runs.
     */
   def wordCounts(df: DataFrame, textCol: Column): DataFrame =
-    df.select(explode(filter(split(lower(textCol), "\\W+"), x => x =!= "")).as("word"))
+    df.select(explode(graft.functions.CdcExpressions.regexTokens(textCol)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** The vocab table seeded for merging: each word as its character-symbol
@@ -215,7 +215,7 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: Column, vocab: DataFrame): DataFrame =
     df.select(col(idCol),
-        posexplode(filter(split(lower(textCol), "\\W+"), x => x =!= ""))
+        posexplode(graft.functions.CdcExpressions.regexTokens(textCol))
           .as(Seq("word_ix", "word")))
       .join(broadcast(vocab.select(col("word"), col("syms"))), Seq("word"), "left")
       .select(col(idCol), col("word_ix"), col("word"),

@@ -129,7 +129,7 @@ object Dedup {
   def spanProfile(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 50, stride: Int = 1): DataFrame = {
     require(k >= 2 && stride >= 1)
-    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"), x => x =!= "")
+    val toks = graft.functions.CdcExpressions.regexTokens(coalesce(col(textCol), lit("")))
     val base = df.select(col(idCol).cast("long").as(idCol), toks.as("__tk"))
       .select(col(idCol), col("__tk"), size(col("__tk")).as("n_tokens"))
     val wins = transform(

@@ -67,7 +67,7 @@ object TextAnalysis {
     */
   def gopherProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val words = graft.functions.CdcExpressions.regexTokens(trim(t), "\\s+", lowercase = false)
     val linesNonEmpty = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
     val nw = size(words)
     val nl = size(linesNonEmpty)
@@ -110,7 +110,7 @@ object TextAnalysis {
                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
                  minStopwords: Int = 2): Column = {
-    val words = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val words = graft.functions.CdcExpressions.regexTokens(trim(text), "\\s+", lowercase = false)
     val linesNonEmpty = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
     val nw = size(words)
     val nl = size(linesNonEmpty)

@@ -138,6 +138,26 @@ class CatalystExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("regex_tokens equals the filter(split(lower)) idiom it replaces, byte for byte") {
+    // the tokenize idiom is oracle-anchored in ~10 queries — the native
+    // expression must reproduce it exactly, including unicode lowercasing
+    // (final sigma, ß), leading separators (empty-string drops), and nulls
+    val rows: Seq[String] = Seq("Hello, WORLD!", "", "   ", "ÄÖÜ straße ΣΟΦΟΣ",
+      "a_b-c  d", "日本語 テスト 123", "...!!!", null, "MiXeD_case42 tail")
+    val df = rows.toDF("s")
+    val a = df.select(CdcExpressions.regexTokens(col("s")).as("t"))
+      .as[Option[Seq[String]]].collect().toSeq
+    val b = df.select(filter(split(lower(col("s")), "\\W+"), x => x =!= "").as("t"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(a === b)
+    // the whitespace variant (no lowercase) used by the Gopher rules
+    val c = df.select(CdcExpressions.regexTokens(trim(col("s")), "\\s+",
+      lowercase = false).as("t")).as[Option[Seq[String]]].collect().toSeq
+    val d = df.select(filter(split(trim(col("s")), "\\s+"), x => x =!= "").as("t"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(c === d)
+  }
+
   test("SQL registration: functions callable from selectExpr and codegen'd") {
     CdcExpressions.register(spark)
     val out = Seq("hello world again and again").toDF("text")
