@@ -42,10 +42,13 @@ object Bpe {
       filter(split(col("word"), ""), s => s =!= "").as("syms"))
 
   /** Frequency-weighted adjacent-pair counts over the vocab's current
-    * symbol sequences — the per-iteration statistic. Pair explode is a
-    * codegen'd `transform(sequence(...))`; the aggregation is bounded by
-    * the number of DISTINCT adjacent pairs (≤ alphabet² early, shrinking
-    * as merges fuse), with map-side partials.
+    * symbol sequences — the per-round statistic. The pair explode is a
+    * `transform(sequence(...))` higher-order function (CodegenFallback in
+    * Spark — acceptable here because it runs over the BOUNDED vocab
+    * table, never the corpus, unlike the scan-path idioms that got native
+    * expressions); the aggregation is bounded by the number of DISTINCT
+    * adjacent pairs (≤ alphabet² early, shrinking as merges fuse), with
+    * map-side partials.
     */
   def pairCounts(vocab: DataFrame): DataFrame =
     vocab
