@@ -50,11 +50,15 @@ object Cli {
         .show(1000, truncate = false)
     case Seq("monitor-show") => throw new IllegalArgumentException(
       "usage: graft.Cli monitor-show <path> [quantile ...]")
-    case Seq("pca-show", path, ks @ _*) =>
+    case Seq("pca-show", path) =>
       // the PCA suffstats asset's read surface: the spectrum of the corpus
       // folded so far, without touching the corpus or writing Scala
-      pcaShow(session("graft-pca-show"), path,
-        ks.headOption.map(_.toInt).getOrElse(8))
+      pcaShow(session("graft-pca-show"), path).show(1000, truncate = false)
+    case Seq("pca-show", path, k) =>
+      // at most ONE optional k — extra arguments fall through to the usage
+      // error instead of being silently ignored (monitor-show, by contrast,
+      // consumes every trailing quantile)
+      pcaShow(session("graft-pca-show"), path, k.toInt)
         .show(1000, truncate = false)
     case Seq("pca-show") => throw new IllegalArgumentException(
       "usage: graft.Cli pca-show <path> [k]")
@@ -95,11 +99,12 @@ object Cli {
     // MonitorDef refuses reserved dim names at definition time; a table
     // written by something else could still carry one — refuse with the
     // cause, not an ambiguous-column AnalysisException mid-render
-    val clash = dims.filter(Set("n_obs", "q", "est"))
+    val clash = dims.filter(graft.pipeline.MonitorDef.renderCols)
     require(clash.isEmpty,
       s"sketch table at $path has dim column(s) ${clash.mkString(", ")} that " +
-        "collide with the render's generated columns (n_obs, q, est) — " +
-        "rebuild the monitor with renamed dims")
+        "collide with the render's generated columns (" +
+        graft.pipeline.MonitorDef.renderCols.toSeq.sorted.mkString(", ") +
+        ") — rebuild the monitor with renamed dims")
     sk.select(dims.map(col) ++ Seq(
         expr("CAST(aggregate(sketch.weights, 0D, (a, x) -> a + x) AS BIGINT)")
           .as("n_obs"),

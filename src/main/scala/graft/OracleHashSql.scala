@@ -520,6 +520,38 @@ xxh AS (
          xor(a3, a3 >> 32) AS h
   FROM $table)"""
 
+  /** Per-band aggregate invariants of [[graft.ops.Pack.packBins]] that are
+    * pure functions of the INPUT whenever the packing is correct — the
+    * oracle-gated companion to the rows-only `q_pack_bins` (whose per-band
+    * best-fit fold is a sequential argmin chain no SQL can replay). Checked
+    * exactly: per xxhash band, the packed doc count, token sum and
+    * token-sum-of-squares (the multiset of token counts is preserved —
+    * a doc duplicated, dropped, or swapped for a different-length one
+    * breaks at least one of the three), plus the count of bins whose token
+    * sum exceeds capacity, which the oracle pins to literal 0 — a
+    * capacity-arithmetic bug lands in the HARD gate instead of only in
+    * PackBinsSpec's replay.
+    */
+  def packBinsAudit(capacity: Long, bands: Int): String = prelude + s"""
+WITH kept AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents
+  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END > 0),
+${xxhashCte("kept", "doc_id")},
+banded AS (
+  SELECT k.doc_id, CAST(k.tok AS BIGINT) AS tok,
+         CAST(((g_tosigned(x.h) % $bands) + $bands) % $bands AS INTEGER) AS band
+  FROM kept k JOIN xxh x USING (doc_id))
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(tok * tok) AS BIGINT) AS sum_tokens_sq,
+       CAST(0 AS BIGINT) AS n_overfull_bins
+FROM banded GROUP BY band"""
+
   /** Decontamination: distinct-shingle overlap between every training doc
     * and a benchmark built from 12-token snippets of every 20th doc (string
     * shingle sets stand in for the hashed sets — same counts). Mirrors the

@@ -15,12 +15,43 @@ import org.apache.spark.sql.SparkSession
   * shared index builds land there, exactly as in Bench), then ONE timed
   * run — medians-of-three would triple an already-long probe for noise
   * margins the flag rule doesn't need. Flags on ratio AND absolute
-  * excess — `t > 2 × linear + 1 s` where `linear = factor × sf0.1
-  * median` — tighter than the round brief's 10× bar, loose enough that
-  * single-run noise on sub-second queries cannot flag. Writes
-  * `target/scale-probe.json`; flagged queries get a SCALE.md diagnosis.
+  * excess — `t > 2 × loadRatio × linear + 1 s` where `linear = factor ×
+  * sf0.1 median` and `loadRatio` is the run's own median per-query
+  * ratio vs linear (clamped ≥ 1) — tighter than the round brief's 10×
+  * bar, loose enough that single-run noise on sub-second queries cannot
+  * flag, and immune to uniform ambient host load (which moves the ratio,
+  * not the flag count). The >10 s index-building [[heavyTail]] runs last
+  * in an isolated phase (cache-clear + GC before each) so block-manager
+  * residue from ~170 earlier queries stops inflating exactly the queries
+  * big enough to feel it. Writes `target/scale-probe.json`; flagged
+  * queries get a SCALE.md diagnosis.
   */
 object ScaleProbe {
+
+  /** The probe's measured heavy tail (>10 s at sf1): index-building
+    * similarity/fuzzy families whose in-run times have twice run 2-2.7x
+    * their isolated-JVM envelopes (r12 fuzzy_join, r13 fuzzy_join_probe —
+    * both adjudicated clean by manual isolated re-runs). The contention is
+    * JVM debris: ~170 earlier queries leave localCheckpoint blocks and
+    * cached relations in the block manager until a GC lets ContextCleaner
+    * drain them, and these four are the queries big enough to fight that
+    * residue for heap. They run LAST in their own phase, each behind a
+    * cache-clear + GC + settle that reproduces the isolated recipe in-run,
+    * so a flag on them means a plan change, not an adjudication chore.
+    */
+  val heavyTail: Set[String] =
+    Set("q_knn_join", "q_fuzzy_join", "q_fuzzy_join_probe", "q_hard_negatives")
+
+  /** Drop JVM residue before an isolated measurement: evict cached
+    * relations, then GC so ContextCleaner reclaims unreferenced
+    * localCheckpoint/broadcast blocks, then settle briefly while the
+    * cleaner's async drain runs.
+    */
+  def isolate(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(500)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
@@ -47,30 +78,45 @@ object ScaleProbe {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val only = queryArgs.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
       .filter(q => only.isEmpty || only(q._1))
-      .flatMap { case (name, fn) =>
-        try {
-          fn(spark, sfDir).count() // untimed warmup (JIT + shared caches)
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          // scalastyle:off println
-          println(f"  $name%-28s $sec%8.2f s  (linear ${prev.get(name).fold("?")(p => f"${factor * p}%.2f")})")
-          // scalastyle:on
-          Some(name -> sec)
-        } catch {
-          case e: Throwable =>
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage)).take(300)
-            None
-        }
+    // heavy tail runs LAST in its own isolated phase — see [[heavyTail]]
+    val (heavy, light) = selected.partition(q => heavyTail(q._1))
+    val results = (light ++ heavy).flatMap { case (name, fn) =>
+      try {
+        if (heavyTail(name)) isolate(spark)
+        fn(spark, sfDir).count() // untimed warmup (JIT + shared caches)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // scalastyle:off println
+        println(f"  $name%-28s $sec%8.2f s  (linear ${prev.get(name).fold("?")(p => f"${factor * p}%.2f")})")
+        // scalastyle:on
+        Some(name -> sec)
+      } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(300)
+          None
       }
+    }
 
+    // flag rule, load-normalized: ambient host slowdown moves EVERY query
+    // by roughly the same ratio (the r12/r13 signature the builder kept
+    // adjudicating by hand) — so the envelope scales by the run's own
+    // median per-query ratio vs linear, clamped to >= 1 (a FASTER run
+    // never tightens the bar below the committed envelope). A genuine
+    // plan regression moves one query far off the shared ratio and still
+    // flags; a uniformly-loaded host moves the ratio, not the flag count.
+    val ratios = results.flatMap { case (name, sec) =>
+      prev.get(name).collect { case p if factor * p > 0.05 => sec / (factor * p) }
+    }.sorted
+    val loadRatio =
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
     val flags = results.flatMap { case (name, sec) =>
       prev.get(name).collect {
-        case p if sec > 2.0 * factor * p + 1.0 =>
+        case p if sec > 2.0 * loadRatio * factor * p + 1.0 =>
           name -> (sec, factor * p)
       }
     }
@@ -215,7 +261,9 @@ object ScaleProbe {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"scale_probe","factor":$factor,"total_sec":${jnum(total)},""" +
-      s""""n_queries":${results.size},"queries":$qs,"flags":$fl,"errors":$errJson,""" +
+      s""""n_queries":${results.size},"load_ratio":${jnum(loadRatio)},""" +
+      s""""heavy_tail_isolated":${heavy.map(h => jstr(h._1)).mkString("[", ",", "]")},""" +
+      s""""queries":$qs,"flags":$fl,"errors":$errJson,""" +
       streamSection.fold("")(s => s""""streaming":$s,""") +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println

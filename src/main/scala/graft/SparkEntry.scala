@@ -592,9 +592,20 @@ object SparkEntry {
           ch.where(col(Changelog.SeqCol) <= lo), Seq("user_id"))
         val batch = ch.where(col(Changelog.SeqCol) > lo &&
           col(Changelog.SeqCol) <= hi)
-        view = Changelog.mergeAggregate(view, state, batch,
-          Seq("user_id"), Seq("event_type"), Seq("value"))
-          .localCheckpoint() // the persisted-view boundary between batches
+        // the persisted-view boundary between batches: eager persist —
+        // the view is a handful of group rows referenced TWICE downstream
+        // (the next merge's full-outer join and the final read), so an
+        // in-memory cache beats localCheckpoint's block-manager write
+        // (measured 0.78 vs 1.7 s sf0.1, 0.93 vs 2.0-3.0 s sf1 — and the
+        // checkpoint write was the source of this query's run-to-run
+        // noise). The superseded boundary unpersists once its successor
+        // is materialized; the final one stays cached for the caller's
+        // read and is a few rows.
+        val prev = view
+        view = Changelog.mergeAggregate(prev, state, batch,
+          Seq("user_id"), Seq("event_type"), Seq("value")).persist()
+        view.count()
+        if (lo != splits.head) { prev.unpersist(); () }
       }
       view.select(col("event_type"), col("cnt"),
         col("sum_value").cast("double").as("sum_value"))
@@ -634,11 +645,19 @@ object SparkEntry {
       // hash-shuffle at vocab scale. The n_uni/n_bi normalizers are two
       // GLOBAL scalars off one size-only scan (no explode), inlined as ONE
       // struct-valued scalar subquery: construction stays lazy (plan-only
-      // consumers run zero jobs), the engine executes the subquery once
-      // inside the query itself, and no join operator is introduced (a
+      // consumers run zero jobs) and no join operator is introduced (a
       // 1-row cross join would plan as the CartesianProduct the plan spec
-      // bans). coalesce: sum() over zero rows is null — an empty corpus
-      // must yield an empty result, not a null normalizer.
+      // bans). The subquery executes once BY CONSTRUCTION: it is
+      // referenced in exactly one projected alias ("__t" below), and the
+      // nu/nu/nb reads go through that alias — Spark's subquery-reuse
+      // rules do NOT merge the three clones that field-level references
+      // would create (measured: three independent Subquery instances,
+      // zero ReusedSubquery, each re-tokenizing the corpus), while
+      // CollapseProject never inlines a non-cheap multiply-referenced
+      // alias, so the single-reference shape survives optimization
+      // (plan-asserted in PlanInvariantsSpec). coalesce: sum() over zero
+      // rows is null — an empty corpus must yield an empty result, not a
+      // null normalizer.
       val toks = t(dir, "documents")
         .select(col("doc_id"),
           graft.functions.CdcExpressions.regexTokens(col("text")).as("tk"))
@@ -646,8 +665,8 @@ object SparkEntry {
         coalesce(sum(size(col("tk"))), lit(0L)).as("nu"),
         coalesce(sum(greatest(size(col("tk")) - lit(1), lit(0))), lit(0L)).as("nb"))
         .as("t")).scalar()
-      val nUni = totals.getField("nu")
-      val nBi = totals.getField("nb")
+      val nUni = col("__t").getField("nu")
+      val nBi = col("__t").getField("nb")
       // CASE guard: Spark sequence(1, 0) yields a DESCENDING [1,0], not
       // an empty array — short docs must produce zero bigrams explicitly
       val bigrams = toks
@@ -664,6 +683,7 @@ object SparkEntry {
       bi
         .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
         .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
+        .withColumn("__t", totals) // the ONE subquery reference
         .withColumn("pmi", log(
           col("c_ab").cast("double") * nUni * nUni
             / nBi / col("c_a") / col("c_b")))
@@ -1725,6 +1745,29 @@ object SparkEntry {
       // capacity is never exceeded, and the layout is partitioning-invariant
       graft.ops.Pack.packBins(t(dir, "documents"), "doc_id",
         TextAnalysis.tokenCount(col("text")), capacity = 128, bands = 32)
+    },
+
+    "q_pack_bins_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated aggregate invariants of the packing above (the argmin
+      // chain itself stays rows-only): per band, the packed doc count /
+      // token sum / token sum-of-squares must equal the same pure input
+      // functions DuckDB recomputes from `documents` (multiset-of-lengths
+      // preservation), and the overfull-bin count must equal the oracle's
+      // literal 0 (capacity arithmetic). ONE scan of the packing: bin-level
+      // partial sums roll up to the band level.
+      val asg = graft.ops.Pack.packBins(t(dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 128, bands = 32)
+      asg.groupBy(col("band"), col("bin"))
+        .agg(count(lit(1)).as("bin_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          sum(col("n_tokens") * col("n_tokens")).as("bin_tok2"))
+        .groupBy(col("band"))
+        .agg(sum(col("bin_docs")).as("n_docs"),
+          sum(col("bin_tokens")).as("sum_tokens"),
+          sum(col("bin_tok2")).as("sum_tokens_sq"),
+          sum(when(col("bin_tokens") > 128, 1L).otherwise(0L))
+            .as("n_overfull_bins"))
     },
 
     // ---------- multimodal plumbing ----------
@@ -3968,6 +4011,8 @@ object SparkEntry {
         |       CAST(sum((n + 127) // 128) AS BIGINT) AS padded_windows,
         |       CAST(sum((n + 127) // 128) * 128 - sum(n) AS BIGINT) AS waste_tokens
         |FROM tok WHERE n > 0 GROUP BY len_bucket""".stripMargin,
+
+    "q_pack_bins_audit" -> OracleHashSql.packBinsAudit(capacity = 128, bands = 32),
 
     "q_frame_sample" ->
       """SELECT CAST(p_partkey AS BIGINT) AS asset_id,

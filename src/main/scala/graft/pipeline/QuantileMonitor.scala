@@ -76,9 +76,14 @@ final case class MonitorDef(
 }
 
 object MonitorDef {
+  /** The columns `Cli.monitorShow` generates per render row — defined ONCE
+    * so the definition-time reservation and the render-time clash check on
+    * foreign tables cannot drift apart when a render column is added.
+    */
+  private[graft] val renderCols: Set[String] = Set("n_obs", "q", "est")
   private[pipeline] val reserved: Set[String] =
-    Set("sketch", "n_obs", "q", "est",
-      QuantileMonitor.BatchCol, QuantileMonitor.LegsCol)
+    Set("sketch") ++ renderCols ++
+      Set(QuantileMonitor.BatchCol, QuantileMonitor.LegsCol)
 }
 
 object QuantileMonitor {

@@ -330,6 +330,13 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_pmi_collocations must not force a strategy on the unbounded vocab side")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+    // the nu/nb normalizer subquery must appear as ONE instance — the
+    // field-per-reference shape cloned it into three independent
+    // subqueries (none merged by reuse), each re-tokenizing the corpus;
+    // the single "__t" alias reference pins execute-once by construction
+    val subqIds = "subquery#\\d+".r.findAllIn(p).toSet
+    assert(subqIds.size === 1,
+      s"expected exactly 1 normalizer subquery instance, got $subqIds")
     // the at-scale shape (broadcast disabled = vocab beyond any threshold):
     // both count join-backs become key-shuffled sort-merge joins
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
