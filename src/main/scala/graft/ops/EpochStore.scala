@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array, col, lit}
 
 /** The single-writer EPOCH-ASSET protocol shared by the pipeline's small
   * persisted state tables (the `monitor:` quantile sketches in
@@ -97,4 +98,72 @@ object EpochStore {
     statuses.foreach { case (n, st) =>
       if (n < newEpoch - 1) { f.delete(st.getPath, true); () }
     }
+
+  // ---------------- replay ledger (effectively-once folds) ----------------
+  //
+  // A streaming foreachBatch replays its LAST batch after a crash; an
+  // epoch asset folded at-least-once would double-count it. The ledger is
+  // two constant metadata columns on the asset's rows — (batchId, sorted
+  // route legs), committed ATOMICALLY with the fold's data in the same
+  // epoch write — so a (batchId, leg) already recorded identifies the
+  // replay exactly. Shared by every epoch asset (the `monitor:` quantile
+  // sketches, the PCA suffstats); the asset chooses its own column names
+  // so pre-existing tables keep parsing. Known residual (documented at the
+  // monitor): resetting a checkpoint while KEEPING the asset path can skip
+  // one batch-0 fold — ids restart at 0 and collide with the recorded
+  // ledger; path rotation is the practice.
+
+  /** The recorded ledger of a live asset: the last folded batch id and the
+    * route legs folded under it.
+    */
+  final case class Ledger(batchId: Long, legs: Set[String])
+
+  /** Parse the ledger off a live epoch's DataFrame — ONE bounded limit(1)
+    * read. Pre-ledger epochs (no such column) and ctx-less-only histories
+    * (null ledger) parse to None.
+    */
+  def readLedger(df: DataFrame, batchCol: String, legsCol: String): Option[Ledger] =
+    if (!df.columns.contains(batchCol)) None
+    else df.select(col(batchCol), col(legsCol))
+      .where(col(batchCol).isNotNull).limit(1).collect().headOption
+      .map(r => Ledger(r.getLong(0), r.getSeq[String](1).toSet))
+
+  /** Is this fold a crash replay? Exact (batchId, leg) match ONLY:
+    * foreachBatch replays re-offer the SAME id (never an older one — ids
+    * advance only after the batch function returns), and a looser
+    * `batchId < ledger` rule would freeze folds forever if a user reset
+    * the checkpoint (ids restart at 0) while keeping the asset path.
+    * `ctx` is the (batchId, origin leg) of the incoming fold, if any.
+    */
+  def isReplay(ctx: Option[(Long, String)], ledger: Option[Ledger]): Boolean =
+    (ctx, ledger) match {
+      case (Some((b, leg)), Some(l)) => b == l.batchId && l.legs.contains(leg)
+      case _ => false
+    }
+
+  /** The ledger to commit with this fold: a ctx fold advances it (the same
+    * batch id accumulates legs); a ctx-less fold PRESERVES it — writing
+    * nulls would erase the replay protection of an in-flight streaming
+    * batch on the same path.
+    */
+  def advanceLedger(ctx: Option[(Long, String)],
+                    ledger: Option[Ledger]): Option[(Long, Seq[String])] =
+    ctx match {
+      case Some((b, leg)) => ledger match {
+        case Some(l) if b == l.batchId => Some((b, (l.legs + leg).toSeq.sorted))
+        case _ => Some((b, Seq(leg)))
+      }
+      case None => ledger.map(l => (l.batchId, l.legs.toSeq.sorted))
+    }
+
+  /** Stamp the fold's output rows with the ledger columns (constant across
+    * the epoch's rows; null when no ledger has ever been recorded).
+    */
+  def stampLedger(df: DataFrame, next: Option[(Long, Seq[String])],
+                  batchCol: String, legsCol: String): DataFrame = df
+    .withColumn(batchCol,
+      next.map(l => lit(l._1)).getOrElse(lit(null).cast("bigint")))
+    .withColumn(legsCol,
+      next.map(l => array(l._2.map(lit): _*))
+        .getOrElse(lit(null).cast("array<string>")))
 }

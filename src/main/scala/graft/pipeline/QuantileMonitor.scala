@@ -130,26 +130,13 @@ object QuantileMonitor {
           .map(n => (n, spark.read.parquet(s"${m.path}/epoch_$n")))
         // one tiny limit(1) job over the cell-bounded live table — read on
         // EVERY fold (ctx-less folds must carry the ledger forward, not
-        // null it out); pre-ledger epochs (no columns) and never-folded
-        // streaming paths (null ledger) parse to None
-        val ledger: Option[(Long, Set[String])] =
-          live.flatMap { case (_, df) =>
-            if (!df.columns.contains(BatchCol)) None
-            else df.select(col(BatchCol), col(LegsCol))
-              .where(col(BatchCol).isNotNull).limit(1).collect().headOption
-              .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
-          }
-        val replayed = (ctx, ledger) match {
-          // exact (batchId, leg) match ONLY: foreachBatch replays re-offer
-          // the SAME id (never an older one — ids advance only after the
-          // batch function returns), and a looser `batchId < ledger` rule
-          // would freeze folds forever if a user reset the checkpoint
-          // (ids restart at 0) while keeping the monitor path
-          case (Some(c), Some((maxB, legs))) =>
-            c.batchId == maxB && legs.contains(c.origin)
-          case _ => false
+        // null it out). Parse / replay-decision / advance semantics are
+        // the shared [[graft.ops.EpochStore]] ledger protocol.
+        val ctxPair = ctx.map(c => (c.batchId, c.origin))
+        val ledger = live.flatMap { case (_, df) =>
+          graft.ops.EpochStore.readLedger(df, BatchCol, LegsCol)
         }
-        if (!replayed) {
+        if (!graft.ops.EpochStore.isReplay(ctxPair, ledger)) {
           val sk = QuantileSketch.buildSketches(
             batch.select(m.dims.map(col) :+ col(m.value): _*), m.dims, m.value,
             m.compression)
@@ -158,23 +145,9 @@ object QuantileMonitor {
               cur.drop(BatchCol, LegsCol), sk, m.dims, m.compression)
             case None => sk
           }
-          // ctx fold: advance the ledger (same batch accumulates legs);
-          // ctx-less fold: PRESERVE it — writing nulls would erase the
-          // replay protection of an in-flight streaming batch on this path
-          val nextLedger: Option[(Long, Seq[String])] = ctx match {
-            case Some(c) => ledger match {
-              case Some((maxB, ls)) if c.batchId == maxB =>
-                Some((c.batchId, (ls + c.origin).toSeq.sorted))
-              case _ => Some((c.batchId, Seq(c.origin)))
-            }
-            case None => ledger.map { case (b, ls) => (b, ls.toSeq.sorted) }
-          }
-          val merged = merged0
-            .withColumn(BatchCol,
-              nextLedger.map(l => lit(l._1)).getOrElse(lit(null).cast("bigint")))
-            .withColumn(LegsCol,
-              nextLedger.map(l => array(l._2.map(lit): _*))
-                .getOrElse(lit(null).cast("array<string>")))
+          val merged = graft.ops.EpochStore.stampLedger(merged0,
+            graft.ops.EpochStore.advanceLedger(ctxPair, ledger),
+            BatchCol, LegsCol)
           val epochN = live.map(_._1 + 1).getOrElse(0L)
           merged.write.mode("overwrite").parquet(s"${m.path}/epoch_$epochN")
           graft.ops.EpochStore.gcBelowGrace(f, epochs, epochN)

@@ -61,4 +61,48 @@ class StreamingPcaSpec extends SparkSpec {
       assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)), s"ev $a vs $b")
     }
   }
+
+  private def assetN(path: String): Long =
+    spark.read.parquet(graft.ops.EpochStore.currentEpoch(spark, path).get)
+      .head().getAs[Long]("n")
+
+  test("ctx appends are effectively-once under crash replay") {
+    val stats = java.nio.file.Files.createTempDirectory("graft-spca-replay").toString
+    val batch = (0 until 100).map(i => (i.toLong, Seq(i.toFloat, -i.toFloat)))
+      .toDF("id", "vec")
+    val ctx7 = Some(graft.sinks.BatchCtx(7L, "db.events"))
+    Pca.appendStats(batch, "vec", stats, ctx7)
+    assert(assetN(stats) === 100)
+    // the crash replay: foreachBatch re-offers the SAME (batchId, leg) —
+    // the ledger identifies it and the suffstats must not double-fold
+    Pca.appendStats(batch, "vec", stats, ctx7)
+    assert(assetN(stats) === 100, "replayed batch double-folded")
+    // a DIFFERENT route leg of the same batch id is new work, not a replay
+    Pca.appendStats(batch, "vec", stats,
+      Some(graft.sinks.BatchCtx(7L, "db.other")))
+    assert(assetN(stats) === 200)
+    // the next batch id folds and rolls the ledger forward
+    Pca.appendStats(batch, "vec", stats,
+      Some(graft.sinks.BatchCtx(8L, "db.events")))
+    assert(assetN(stats) === 300)
+    // ...so the old (7, db.events) pair no longer matches: exact-match
+    // ledger semantics, never `batchId <=` (checkpoint resets restart at 0)
+    Pca.appendStats(batch, "vec", stats, ctx7)
+    assert(assetN(stats) === 400)
+  }
+
+  test("ctx-less appends preserve the recorded ledger") {
+    val stats = java.nio.file.Files.createTempDirectory("graft-spca-ctxless").toString
+    val batch = (0 until 50).map(i => (i.toLong, Seq(i.toFloat, 2f * i)))
+      .toDF("id", "vec")
+    val ctx = Some(graft.sinks.BatchCtx(3L, "db.events"))
+    Pca.appendStats(batch, "vec", stats, ctx)
+    // an interleaved BATCH-composer append (no ctx) folds at-least-once
+    // but must carry the streaming ledger forward, not null it out...
+    Pca.appendStats(batch, "vec", stats)
+    assert(assetN(stats) === 100)
+    // ...so the in-flight streaming batch's replay is STILL skipped
+    Pca.appendStats(batch, "vec", stats, ctx)
+    assert(assetN(stats) === 100, "ctx-less fold erased the replay ledger")
+  }
 }
