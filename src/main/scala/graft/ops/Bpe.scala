@@ -163,10 +163,19 @@ object Bpe {
     // classic in-memory trainer over the COLLECTED word-frequency table
     // (bounded by distinct words, ~10^7 rows — driver-sized), with this
     // distributed loop reserved for the corpus-scan + early-merge regime
-    // it is designed for.
-    require(numMerges <= 4096,
-      s"numMerges=$numMerges exceeds the 4096-job cap: collect wordCounts() " +
-        "and train large vocabs in memory instead")
+    // it is designed for. The route is transparent: same merge sequence,
+    // same vocab (BpeSpec pins both tiers against each other and against
+    // the naive reference) — the corpus is still scanned exactly once.
+    if (numMerges > 4096) {
+      val spark = df.sparkSession
+      val wf = wordCounts(df, textCol).collect().iterator
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      val (ms, rows) = trainMergesInMemory(wf, numMerges)
+      import spark.implicits._
+      return (ms,
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 500000))
+          .toDF("word", "freq", "syms"))
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var vocab = seedVocab(wordCounts(df, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -209,6 +218,166 @@ object Bpe {
     // first action would recompute the whole merge chain from the corpus
     prev.foreach { p => vocab.count(); p.unpersist() }
     (merges.toSeq, vocab)
+  }
+
+  /** Code-point string comparison — matches Spark's `orderBy` on STRING
+    * (UTF8String binary order == Unicode code-point order), NOT Java's
+    * `String.compareTo` (UTF-16 code-unit order, which sorts supplementary
+    * characters below U+E000). The two tie-break orders must be one order.
+    */
+  private[ops] def cmpSym(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** One merge (a,b)→ab over a symbol array — the exact write-pointer
+    * semantics of [[graft.functions.BpeMergePass]] with a 1-merge batch
+    * (the freshly written symbol participates in the next comparison:
+    * "aaa" under (a,a) → [aa, a]). Returns the INPUT array unchanged when
+    * nothing merged, so callers can skip delta work by reference equality.
+    */
+  private def mergeOnce(s: Array[String], a: String, b: String): Array[String] = {
+    val n = s.length
+    val cur = s.clone()
+    var w = 0
+    var r = 0
+    while (r < n) {
+      val t = cur(r)
+      if (w > 0 && cur(w - 1) == a && t == b) cur(w - 1) = a + b
+      else { cur(w) = t; w += 1 }
+      r += 1
+    }
+    if (w == n) s else java.util.Arrays.copyOf(cur, w)
+  }
+
+  /** The classic single-node BPE trainer over a COLLECTED word-frequency
+    * table — the production-vocab tier [[trainMerges]] routes to beyond
+    * its 4096-round cap. Identical semantics to the distributed loop
+    * (frequency-weighted OVERLAPPING adjacent-pair counts, argmax by
+    * (cnt desc, a, b) in code-point order, [[mergeOnce]] application,
+    * stop when no pair occurs twice), so the merge sequences and final
+    * vocabs are bit-identical — BpeSpec pins both against each other and
+    * against the naive reference.
+    *
+    * Heap-based incremental algorithm (the shape every real tokenizer
+    * trainer uses): pair counts live in a hash map; a lazy-deletion max
+    * heap orders candidates (stale entries are discarded when popped by
+    * checking the authoritative count); each merge rewrites ONLY the words
+    * that contain the pair (an inverted pair→words index, maintained as a
+    * superset) and applies the count deltas incrementally. O(merges ×
+    * touched-words) instead of O(merges × vocab) — 50k merges over a 10^7
+    * word table is minutes on a driver, with the CORPUS scanned exactly
+    * once by the distributed [[wordCounts]] feeder.
+    *
+    * Returns (ordered merges, final vocab rows (word, freq, syms)).
+    */
+  def trainMergesInMemory(wordFreqs: IndexedSeq[(String, Long)], numMerges: Int):
+      (Seq[(String, String)], IndexedSeq[(String, Long, Seq[String])]) = {
+    val nWords = wordFreqs.length
+    val freqs = new Array[Long](nWords)
+    val syms = new Array[Array[String]](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      freqs(wi) = wordFreqs(wi)._2
+      syms(wi) = wordFreqs(wi)._1.split("").filter(_.nonEmpty)
+      wi += 1
+    }
+
+    val counts = new java.util.HashMap[(String, String), Long]
+    val where = new java.util.HashMap[(String, String), java.util.BitSet]
+    def bump(p: (String, String), d: Long): Long = {
+      val nc = counts.getOrDefault(p, 0L) + d
+      if (nc <= 0L) { counts.remove(p); () } else { counts.put(p, nc); () }
+      nc
+    }
+    wi = 0
+    while (wi < nWords) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        bump(p, freqs(wi))
+        where.computeIfAbsent(p, _ => new java.util.BitSet).set(wi)
+        i += 1
+      }
+      wi += 1
+    }
+
+    // max heap: cnt desc, then a asc, then b asc (code-point order)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(u: (Long, String, String), v: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(u._1, v._1)
+        if (c != 0) c
+        else {
+          val ca = cmpSym(v._2, u._2)
+          if (ca != 0) ca else cmpSym(v._3, u._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.forEach((p, c) => heap.enqueue((c, p._1, p._2)))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val delta = new java.util.HashMap[(String, String), Long]
+    var done = false
+    while (!done && merges.size < numMerges && heap.nonEmpty) {
+      val (c, a, b) = heap.dequeue()
+      val cur = counts.getOrDefault((a, b), 0L)
+      if (c == cur) { // authoritative entry — stale ones just drop
+        if (c < 2) done = true // merging singletons is memorization
+        else {
+          merges += ((a, b))
+          // after this pass no (a,b) adjacency survives anywhere (ab can
+          // equal neither a nor b), so the pair's index entry retires; a
+          // made-symbol collision can revive the pair later through the
+          // generic delta path below, exactly as sequential BPE would
+          val ws = where.remove((a, b))
+          if (ws != null) {
+            var w = ws.nextSetBit(0)
+            while (w >= 0) {
+              val old = syms(w)
+              val neu = mergeOnce(old, a, b)
+              if (!(neu eq old)) { // stale index entries rewrite nothing
+                delta.clear()
+                val f = freqs(w)
+                var i = 0
+                while (i < old.length - 1) {
+                  delta.merge((old(i), old(i + 1)), -f, java.lang.Long.sum(_, _))
+                  i += 1
+                }
+                i = 0
+                while (i < neu.length - 1) {
+                  delta.merge((neu(i), neu(i + 1)), f, java.lang.Long.sum(_, _))
+                  i += 1
+                }
+                syms(w) = neu
+                delta.forEach { (p, d) =>
+                  if (d != 0L) {
+                    val nc = bump(p, d)
+                    if (nc > 0L) heap.enqueue((nc, p._1, p._2))
+                    if (d > 0L) {
+                      where.computeIfAbsent(p, _ => new java.util.BitSet).set(w)
+                      ()
+                    }
+                  }
+                }
+              }
+              w = ws.nextSetBit(w + 1)
+            }
+          }
+        }
+      }
+    }
+    (merges.toSeq,
+      (0 until nWords).map(i => (wordFreqs(i)._1, freqs(i), syms(i).toSeq)))
   }
 
   /** Tokenize a corpus with a trained vocab: words join the (bounded)

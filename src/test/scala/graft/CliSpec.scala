@@ -192,6 +192,93 @@ class CliSpec extends SparkSpec {
     assert(ls3 === Set("epoch_1", "epoch_2"), ls3.toString)
   }
 
+  test("routed multi-monitor pipeline folds both assets concurrently; monitor-show renders each") {
+    // TWO monitor: blocks on a routed 2-table pipeline with
+    // table-parallelism — the per-table slices process on separate
+    // threads, so the two folds run CONCURRENTLY under the per-path lock
+    // striping (distinct paths must not convoy, same path must
+    // serialize), and the read surface renders each asset afterwards.
+    // Monitors match the post-route (sink-side) table ids, the id the
+    // MonitorSink decorator observes.
+    import graft.pipeline.{PipelineDef, QuantileMonitor}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, expr}
+    val in = java.nio.file.Files.createTempDirectory("graft-mon2-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mon2-out").toString
+    val monDocs = s"$out/docs_len"
+    val monImgs = s"$out/imgs_px"
+    def ev(table: String, id: Int, payload: String) =
+      s"""{"before":null,"after":$payload,"op":"c","ts_ms":$id,"source":{"db":"corpus","table":"$table"}}"""
+    def doc(id: Int, lang: String, n: Int) =
+      ev("docs", id, s"""{"id":$id,"lang":"$lang","n_chars":$n}""")
+    def img(id: Int, fmt: String, px: Int) =
+      ev("imgs", id, s"""{"id":$id,"fmt":"$fmt","px":$px}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, "en", 10), doc(2, "en", 20), doc(3, "fr", 100),
+          img(1, "png", 100), img(2, "png", 300), img(3, "jpg", 50))
+        .mkString("", "\n", "\n"))
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, lang STRING, n_chars BIGINT"
+         |  schema.corpus.imgs: "id BIGINT, fmt STRING, px BIGINT"
+         |transform:
+         |  - source-table: corpus.docs
+         |    primary-keys: id
+         |  - source-table: corpus.imgs
+         |    primary-keys: id
+         |route:
+         |  - source-table: corpus.docs
+         |    sink-table: warehouse.docs
+         |  - source-table: corpus.imgs
+         |    sink-table: warehouse.imgs
+         |monitor:
+         |  - source-table: warehouse.docs
+         |    dims: lang
+         |    value: n_chars
+         |    path: $monDocs
+         |  - source-table: warehouse.imgs
+         |    dims: fmt
+         |    value: px
+         |    path: $monImgs
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out/state
+         |  buckets: 2
+         |pipeline:
+         |  name: multi-monitor-e2e
+         |  table-parallelism: 2
+         |""".stripMargin)
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    def weights(mon: String, dim: String) = QuantileMonitor.read(spark, mon)
+      .select(col(dim),
+        expr("aggregate(sketch.weights, 0D, (a, x) -> a + x)").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights(monDocs, "lang") === Map("en" -> 2.0, "fr" -> 1.0))
+    assert(weights(monImgs, "fmt") === Map("png" -> 2.0, "jpg" -> 1.0))
+
+    // wave 2 exercises BOTH incremental merge paths under the route again
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(4, "fr", 200), img(4, "jpg", 70)).mkString("", "\n", "\n"))
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(weights(monDocs, "lang") === Map("en" -> 2.0, "fr" -> 2.0))
+    assert(weights(monImgs, "fmt") === Map("png" -> 2.0, "jpg" -> 2.0))
+
+    // the read surface over each asset: exact per-cell n_obs next to the
+    // rank-bounded estimate, one row per (cell, q)
+    val shownDocs = Cli.monitorShow(spark, monDocs, Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(shownDocs.map(t => (t._1, t._2)) === Seq(("en", 2L), ("fr", 2L)))
+    val shownImgs = Cli.monitorShow(spark, monImgs, Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(shownImgs.map(t => (t._1, t._2)) === Seq(("jpg", 2L), ("png", 2L)))
+    val jpgP50 = shownImgs.find(_._1 == "jpg").get._3
+    assert(jpgP50 >= 50.0 && jpgP50 <= 70.0, s"jpg p50 $jpgP50")
+  }
+
   test("batch YAML pipeline folds its monitor once per run") {
     import graft.pipeline.QuantileMonitor
     import org.apache.spark.sql.functions.expr

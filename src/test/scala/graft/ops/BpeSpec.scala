@@ -89,11 +89,52 @@ class BpeSpec extends SparkSpec {
     assert(enc === Seq(("xy", Seq("x", "y")), ("unseen", Seq("u", "n", "s", "e", "e", "n"))))
   }
 
-  test("trainMerges refuses a production-vocab merge count (job-storm guard)") {
-    val err = intercept[IllegalArgumentException] {
-      Bpe.trainMerges(Seq((1L, "a b")).toDF("id", "text"), col("text"), 50000)
+  test("a production-vocab merge count routes to the in-memory tier (job-storm guard)") {
+    // beyond the 4096-round cap the trainer collects the word-frequency
+    // table and trains in memory instead of refusing — transparently: the
+    // naive reference must still match through the routed path
+    val texts = Seq("low lower lowest low low", "newer newest new low")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val (gotMerges, gotVocab) = Bpe.trainMerges(df, col("text"), numMerges = 50000)
+    val (expMerges, expVocab) = naiveBpe(texts, numMerges = 50000)
+    assert(gotMerges === expMerges)
+    assert(gotMerges.nonEmpty) // the tiny corpus exhausts, but not at zero
+    val vocabMap = gotVocab.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(vocabMap === expVocab)
+  }
+
+  test("the in-memory tier equals the distributed loop and the naive reference") {
+    // same adversarial-corpus recipe as the batched-equality test: runs,
+    // shared symbols, same-concatenation merge paths — the heap's
+    // lazy-deletion and the incremental pair deltas must reproduce the
+    // recount-from-scratch sequence bit-exactly, including pairs REVIVED
+    // by made-symbol collisions
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 0 until 12) {
+      val alphabet = Seq("a", "b", "c").take(2 + trial % 2)
+      val words = Seq.fill(30) {
+        (0 until (1 + rng.nextInt(6))).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString
+      }
+      val texts = Seq.fill(8)(Seq.fill(12)(words(rng.nextInt(words.size))).mkString(" "))
+      val budget = 3 + rng.nextInt(10)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val wf = Bpe.wordCounts(df, col("text")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      val (memMerges, memRows) = Bpe.trainMergesInMemory(wf, budget)
+      val (expMerges, expVocab) = naiveBpe(texts, budget)
+      assert(memMerges === expMerges, s"in-memory merge sequence diverged (trial $trial)")
+      assert(memRows.map(r => r._1 -> r._3).toMap === expVocab,
+        s"in-memory final vocab diverged (trial $trial)")
     }
-    assert(err.getMessage.contains("4096-job cap"))
+  }
+
+  test("in-memory tie-breaks compare code points, not UTF-16 units") {
+    // U+10000 (LINEAR B SYLLABLE, surrogate pair in UTF-16) sorts ABOVE
+    // U+FFFD in code-point order but BELOW it in raw char order — the
+    // in-memory argmax must match Spark's UTF8String binary order
+    assert(Bpe.cmpSym("�", new String(Character.toChars(0x10000))) < 0)
+    assert(Bpe.cmpSym("a", "ab") < 0) // prefix sorts first
+    assert(Bpe.cmpSym("b", "ab") > 0)
   }
 
   test("batched trainMerges equals the naive reference on adversarial random corpora") {
