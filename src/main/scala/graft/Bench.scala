@@ -230,9 +230,15 @@ object Bench {
       java.nio.file.Files.writeString(p, line + "\n")
       // and roll the cross-round baseline: next round's run compares each
       // query against THIS run's medians (bench-prev.json is committed, so
-      // it survives `clean` and re-clones)
-      java.nio.file.Files.writeString(prevPath, line + "\n")
-      ()
+      // it survives `clean` and re-clones). Mid-round iteration runs set
+      // SPARK_GRAFT_NO_ROLL_PREV=1 so the committed round baseline is not
+      // silently replaced by a drifted interim run (the r13 trap: the
+      // in-run band check compared against an already-regressed mid-round
+      // roll and missed a real 1.77x)
+      if (!sys.env.contains("SPARK_GRAFT_NO_ROLL_PREV")) {
+        java.nio.file.Files.writeString(prevPath, line + "\n")
+        ()
+      }
     } catch { case _: Exception => () } // stdout line already carries the record
     spark.stop()
   }

@@ -2283,6 +2283,24 @@ object SparkEntry {
         col("doc_id"), col("lang"), k = 25).select("doc_id", "lang")
     },
 
+    "q_token_budget" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // token-budget curation: the best-scored docs whose cumulative token
+      // count fits the budget — exact (score desc, id) prefix semantics,
+      // computed WITHOUT a global sort (bounded histogram fold + one
+      // bin-local window; see Sampling.tokenBudgetSelect). Score here is
+      // chars-per-token (one IEEE division off two table-derived integers,
+      // bit-identical in DuckDB); zero-token docs are excluded upstream so
+      // neither engine divides by zero
+      val tok = TextAnalysis.tokenCount(col("text"))
+      graft.ops.Sampling.tokenBudgetSelect(
+        t(dir, "documents")
+          .select(col("doc_id"), col("n_chars"), tok.as("tok"))
+          .where(col("tok") >= 1),
+        "doc_id", col("n_chars").cast("double") / col("tok"), col("tok"),
+        budget = 20000L)
+    },
+
     "q_corpus_holdout" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the composed holdout-assembly chain: exact-dedup survivors →
@@ -4480,6 +4498,25 @@ object SparkEntry {
         |  SELECT doc_id, lang, row_number() OVER (
         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t WHERE rn <= 25""".stripMargin,
+
+    // the naive single-window form of the budget prefix — the engine's
+    // histogram-fold + bin-local-window plan must equal it bit-for-bit
+    "q_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars AS DOUBLE) / tok AS score,
+        |         CAST(tok AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |        FROM documents)
+        |  WHERE tok >= 1),
+        |ord AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT doc_id, score, n_tokens FROM ord WHERE cum <= 20000""".stripMargin,
 
     "q_corpus_holdout" ->
       (s"""WITH surv AS (

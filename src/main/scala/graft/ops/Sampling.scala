@@ -193,4 +193,73 @@ object Sampling {
     df.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k).drop("__rank")
   }
+
+  /** Token-budget corpus selection: the best-scored docs whose cumulative
+    * token count fits `budget` — the curation step that turns "we can
+    * afford B training tokens" into a document set. Semantics are the
+    * maximal PREFIX of the (score desc, id asc) order with cumulative
+    * tokens ≤ budget (id breaks score ties, so the set is a deterministic
+    * pure function of the input — stable across runs, partitionings and
+    * engines; a doc that overflows the budget ends the prefix even if a
+    * later smaller doc would still fit: prefix, not knapsack). Returns
+    * (id, score, n_tokens) for the selected docs. Null scores/tokens are
+    * excluded (they have no place in a total order).
+    *
+    * Scale shape — the naive form is a GLOBAL sort plus a single-partition
+    * running-sum window over the corpus; this does neither. Two bounded
+    * aggregates and one bin-local window:
+    *   1. one scan for the score range, one for a per-bin token histogram
+    *      (`bins` order-aligned equal-width score bins — floor of a
+    *      monotone affine map, so bin-desc order refines score order);
+    *   2. the driver folds the ≤`bins`-row histogram from the top: bins
+    *      strictly above the cutoff fit entirely (selected by FILTER, no
+    *      sort, no window — the overwhelming share of the output);
+    *   3. only the ONE cutoff bin (~1/bins of the corpus) pays a sorted
+    *      running-sum window, seeded with the exact BIGINT token sum of
+    *      the higher bins — integer arithmetic, so the result equals the
+    *      naive global window bit-for-bit (property spec + SQL oracle).
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                        tokensCol: Column, budget: Long, bins: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(bins >= 1, s"bins must be positive: $bins")
+    val base = df.select(col(idCol), scoreCol.cast("double").as("score"),
+        tokensCol.cast("long").as("n_tokens"))
+      .where(col("score").isNotNull && col("n_tokens").isNotNull &&
+        col("n_tokens") >= 0)
+    val range = base.agg(min("score"), max("score")).head()
+    if (range.isNullAt(0)) return base.limit(0) // empty corpus
+    val (lo, hi) = (range.getDouble(0), range.getDouble(1))
+    // equal-width bins over the observed range; a constant-score corpus
+    // degenerates to one bin (= the naive window, still correct)
+    val width = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
+    val binOf = least(floor((col("score") - lit(lo)) / lit(width)), lit(bins - 1L))
+      .cast("long")
+    val binned = base.withColumn("__bin", binOf)
+    val hist = binned.groupBy("__bin").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    // fold bins from the best score down: bins that fit whole need no sort
+    var above = 0L
+    var cutoff = -1L // bin that straddles the budget; -1 = everything fits
+    var i = 0
+    while (cutoff < 0 && i < hist.length) {
+      val (b, t) = hist(i)
+      if (above + t <= budget) above += t else cutoff = b
+      i += 1
+    }
+    if (cutoff < 0) binned.drop("__bin") // whole corpus within budget
+    else {
+      val whole = binned.where(col("__bin") > cutoff).drop("__bin")
+      // the one bin the budget line crosses: bin-local running sum in the
+      // exact global order, seeded with the higher bins' exact token sum
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val partial = binned.where(col("__bin") === cutoff)
+        .withColumn("__cum", sum("n_tokens").over(w) + lit(above))
+        .where(col("__cum") <= budget)
+        .drop("__bin", "__cum")
+      whole.unionByName(partial)
+    }
+  }
 }

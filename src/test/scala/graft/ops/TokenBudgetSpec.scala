@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.tokenBudgetSelect]] vs the naive global-window prefix (the
+  * RepetitionPropertySpec pattern): the histogram-fold + bin-local-window
+  * plan must equal the obviously-correct single-window form bit-for-bit,
+  * on every input shape the bin boundaries could mishandle.
+  */
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive form: one global (score desc, id) running sum, prefix by
+    * cum <= budget.
+    */
+  private def naive(rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }
+      .iterator.map { case (id, _, t) => cum += t; (id, cum) }
+      .takeWhile(_._2 <= budget).map(_._1).toSet
+  }
+
+  private def got(rows: Seq[(Long, Double, Long)], budget: Long,
+                  bins: Int = 16): Set[Long] =
+    Sampling.tokenBudgetSelect(
+        rows.toDF("id", "score", "tok").repartition(5),
+        "id", col("score"), col("tok"), budget, bins)
+      .select("id").as[Long].collect().toSet
+
+  test("equals the naive global-window prefix on random corpora") {
+    val rng = new scala.util.Random(14L)
+    for (trial <- 0 until 8) {
+      // coarse score grid forces ties (id tie-break) and bin-edge pileups
+      val rows = (0 until 400).map(i => (i.toLong,
+        (rng.nextInt(20) / 4.0) + (if (trial % 2 == 0) rng.nextDouble() * 1e-3 else 0.0),
+        1L + rng.nextInt(50)))
+      val budget = 1L + rng.nextInt(rows.map(_._3).sum.toInt)
+      assert(got(rows, budget) === naive(rows, budget), s"trial $trial budget $budget")
+    }
+  }
+
+  test("budget edges: zero, one-doc, everything, straddling a tie group") {
+    val rows = Seq((1L, 2.0, 10L), (2L, 2.0, 10L), (3L, 2.0, 10L), (4L, 1.0, 5L))
+    assert(got(rows, 0L) === Set.empty)
+    assert(got(rows, 10L) === Set(1L))
+    assert(got(rows, 25L) === Set(1L, 2L)) // doc 3 overflows, doc 4 NOT pulled in: prefix, not knapsack
+    assert(got(rows, 35L) === Set(1L, 2L, 3L, 4L))
+    assert(got(rows, 1000L) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("degenerate shapes: constant score, single bin, null score/tokens excluded") {
+    val const = Seq((1L, 5.0, 3L), (2L, 5.0, 3L), (3L, 5.0, 3L))
+    assert(got(const, 6L) === Set(1L, 2L)) // id order inside the one bin
+    assert(got(const, 6L, bins = 1) === Set(1L, 2L))
+    val withNulls = Seq((1L, Some(2.0), Some(4L)), (2L, None, Some(4L)),
+      (3L, Some(1.0), None)).toDF("id", "score", "tok")
+    val sel = Sampling.tokenBudgetSelect(withNulls, "id", col("score"),
+      col("tok"), 100L).select("id").as[Long].collect().toSet
+    assert(sel === Set(1L))
+  }
+
+  test("selection is partitioning-invariant") {
+    val rng = new scala.util.Random(7L)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, rng.nextDouble() * 10, 1L + rng.nextInt(30)))
+    val budget = 900L
+    val a = got(rows, budget)
+    val b = Sampling.tokenBudgetSelect(rows.toDF("id", "score", "tok").repartition(1),
+        "id", col("score"), col("tok"), budget, 16)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+}
