@@ -1084,6 +1084,61 @@ SELECT lid AS vec_id, rid AS nn_id, CAST(rn AS INTEGER) AS rank FROM (
 """
   }
 
+  /** Retrieval-quality evaluation — [[graft.ops.Retrieval.evalMetrics]]
+    * over the IVF index's top-10 (the [[knnJoin]] replay restricted to the
+    * 20 query vectors) against brute-force ground truth (exact cosine
+    * cross join, per-query top-10): per-query recall@10 / MRR@10 (exact
+    * rationals of small integers) and binary-gain nDCG@10 (log2 sums,
+    * inside the gate's 1e-6 float tolerance). The IDCG curve is the same
+    * ascending partial-sum order as the engine's scanLeft.
+    */
+  val retrievalEval: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    prelude + ivfAssignCtes() + s""",
+probes AS (
+  SELECT vec_id AS lid, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${c("e.embedding", "c.c")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2 c
+    WHERE e.vec_id < 20) WHERE rn <= 4),
+cand AS (
+  SELECT p.lid, f.vec_id AS rid, l.embedding AS le, f.embedding AS re
+  FROM probes p
+  JOIN finalasg f ON f.cid = p.cid
+  JOIN embeddings l ON l.vec_id = p.lid
+  WHERE f.vec_id <> p.lid),
+candk AS (
+  SELECT lid AS q_id, rid AS item, rn AS crank FROM (
+    SELECT lid, rid, row_number() OVER (PARTITION BY lid
+             ORDER BY ${c("le", "re")} DESC, rid) AS rn
+    FROM cand) WHERE rn <= 10),
+truthk AS (
+  SELECT qid AS q_id, rid AS item FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS rid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${c("q.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) WHERE rn <= 10),
+tsize AS (SELECT q_id, count(*) AS n FROM truthk GROUP BY q_id),
+hits AS (
+  SELECT cd.q_id, count(*) AS nhits, min(cd.crank) AS first_rank,
+         sum(1.0 / log2(CAST(cd.crank AS DOUBLE) + 1.0)) AS dcg
+  FROM candk cd JOIN truthk t ON t.q_id = cd.q_id AND t.item = cd.item
+  GROUP BY cd.q_id),
+idcg AS (
+  SELECT j, sum(g) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS v FROM (
+    SELECT i AS j, 1.0 / log2(CAST(i AS DOUBLE) + 1.0) AS g
+    FROM generate_series(1, 10) t(i)))
+SELECT s.q_id,
+       CAST(coalesce(h.nhits, 0) AS DOUBLE) / least(10, s.n) AS recall,
+       coalesce(1.0 / h.first_rank, 0.0) AS mrr,
+       coalesce(h.dcg, 0.0) / i.v AS ndcg
+FROM tsize s
+LEFT JOIN hits h ON h.q_id = s.q_id
+JOIN idcg i ON i.j = least(10, s.n)"""
+  }
+
   /** Hard-negative mining — [[graft.ops.Ivf.hardNegatives]] replayed: the
     * knnJoin pipeline with the same-label exclusion applied BEFORE the
     * per-left top-k window (a same-label neighbor must not eat a rank

@@ -1341,6 +1341,35 @@ object SparkEntry {
       graft.ops.Ivf.knnJoin(emb, emb, "vec_id", "embedding", model, k = 5, nprobe = 4)
     },
 
+    "q_retrieval_eval" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // index-quality evaluation: the IVF index's top-10 per query vs the
+      // brute-force ground truth — per-query recall@10 / MRR@10 / nDCG@10,
+      // the accept gate an ANN deployment reads before shipping an index.
+      // Truth drives the output: a query the index lost entirely scores 0,
+      // not a missing row. Both inputs are rank-bounded, so the metric
+      // stage touches 10·|queries| rows — the corpus-scale work happened
+      // in the retrieval legs
+      val emb = t(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val cand = graft.ops.Ivf.knnJoin(queries, emb, "vec_id", "embedding",
+          model, k = 10, nprobe = 4)
+        .withColumnRenamed("vec_id", "q_id")
+      // brute-force truth: the 20 queries broadcast across the corpus,
+      // exact cosine, per-query top-10 WindowGroupLimit heaps
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("__qe"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(graft.functions.CdcExpressions
+          .cosineSim(col("__qe"), col("embedding")).desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("rank"))
+      graft.ops.Retrieval.evalMetrics(cand, truth, "q_id", "nn_id", "rank", 10)
+    },
+
     "q_hard_negatives" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // hard-negative mining for embedding-model training: each vector's
@@ -5189,6 +5218,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_knn_join" -> OracleHashSql.knnJoin,
+    "q_retrieval_eval" -> OracleHashSql.retrievalEval,
     "q_hard_negatives" -> OracleHashSql.hardNegatives,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,

@@ -99,4 +99,55 @@ object Retrieval {
           .as("rrf"))
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
+
+  /** Retrieval-quality metrics: per-query recall@k, MRR@k and binary-gain
+    * nDCG@k of a CANDIDATE ranking against a TRUTH ranking — the numbers
+    * that decide whether an ANN index's recall/latency point is
+    * acceptable before it ships. Standard IR definitions with the truth's
+    * top-k as the (binary) relevant set:
+    *
+    *   recall@k = |cand@k ∩ truth@k| / min(k, |truth@k|)
+    *   MRR@k    = 1 / rank of the first candidate in truth@k  (0 if none)
+    *   nDCG@k   = Σ_{hits} 1/log2(rank+1)  /  Σ_{i=1..min(k,|truth|)} 1/log2(i+1)
+    *
+    * The TRUTH drives the output: a query the candidate missed entirely
+    * scores 0 across the board instead of silently vanishing (an index
+    * returning nothing must look broken, not absent); candidate-only
+    * queries have no defined relevant set and are dropped. recall and MRR
+    * are exact rationals of small integers (bit-identical on any engine);
+    * the DCG log2 sums are IEEE within the gate's 1e-6 tolerance. The
+    * IDCG denominators ride as a k-element literal lookup (one double per
+    * possible truth size), so no per-row log series is recomputed.
+    *
+    * Scale shape: both inputs are rank-bounded (≤ k rows per query — the
+    * retrieval stage's own top-k did the corpus-scale work), so this is
+    * one (query, item) equi-join plus one per-query aggregation, both
+    * shuffling only k·|queries| rows; no window, no corpus contact.
+    */
+  def evalMetrics(candidate: DataFrame, truth: DataFrame, queryCol: String,
+                  itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val cand = candidate.where(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol), col(rankCol).cast("long").as("__crank"))
+    val tru = truth.where(col(rankCol) <= k)
+      .select(col(queryCol), col(itemCol))
+    val truSize = tru.groupBy(queryCol).agg(count(lit(1)).as("__tsize"))
+    val hits = cand.join(tru, Seq(queryCol, itemCol), "inner")
+    val perQuery = hits.groupBy(queryCol).agg(
+      count(lit(1)).as("__nhits"),
+      min(col("__crank")).as("__first"),
+      sum(lit(1.0) / log2(col("__crank").cast("double") + lit(1.0))).as("__dcg"))
+    // ascending partial sums of the ideal gain curve — element_at is
+    // 1-based, so idcg(j) = Σ_{i=1..j} 1/log2(i+1) for j = min(k, |truth@k|)
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .scanLeft(0.0)(_ + _).drop(1).toArray
+    truSize.join(perQuery, Seq(queryCol), "left")
+      .select(col(queryCol),
+        (coalesce(col("__nhits"), lit(0L)).cast("double")
+          / least(lit(k.toLong), col("__tsize"))).as("recall"),
+        coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr"),
+        (coalesce(col("__dcg"), lit(0.0))
+          / element_at(lit(idcg), least(lit(k), col("__tsize")).cast("int")))
+          .as("ndcg"))
+  }
 }
