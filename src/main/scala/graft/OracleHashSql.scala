@@ -1139,6 +1139,50 @@ LEFT JOIN hits h ON h.q_id = s.q_id
 JOIN idcg i ON i.j = least(10, s.n)"""
   }
 
+  /** The nprobe recall curve — [[retrievalEval]]'s machinery swept over
+    * nprobe ∈ {1,2,4,8} against one shared brute-force truth: per-query
+    * recall@10 rows keyed by nprobe, every value an exact rational.
+    * `allprobes` ranks each query's centroids once (rn ≤ max nprobe);
+    * each sweep leg filters `rn <= np` before its own top-10 window.
+    */
+  val recallCurve: String = {
+    val c = (x: String, y: String) => cos(64, x, y)
+    val legs = Seq(1, 2, 4, 8).map { np =>
+      s"""SELECT $np AS nprobe, s.q_id,
+   CAST(coalesce(h.nhits, 0) AS DOUBLE) / least(10, s.n) AS recall
+FROM tsize s LEFT JOIN (
+  SELECT cd.q_id, count(*) AS nhits FROM (
+    SELECT lid AS q_id, rid AS item FROM (
+      SELECT cc.lid, cc.rid,
+             row_number() OVER (PARTITION BY cc.lid
+               ORDER BY ${c("cc.le", "cc.re")} DESC, cc.rid) AS rn2
+      FROM (SELECT p.lid, f.vec_id AS rid, l.embedding AS le, f.embedding AS re
+            FROM allprobes p
+            JOIN finalasg f ON f.cid = p.cid
+            JOIN embeddings l ON l.vec_id = p.lid
+            WHERE p.rn <= $np AND f.vec_id <> p.lid) cc) WHERE rn2 <= 10) cd
+  JOIN truthk t ON t.q_id = cd.q_id AND t.item = cd.item
+  GROUP BY cd.q_id) h ON h.q_id = s.q_id"""
+    }
+    prelude + ivfAssignCtes() + s""",
+allprobes AS (
+  SELECT vec_id AS lid, cid, rn FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${c("e.embedding", "c.c")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent2 c
+    WHERE e.vec_id < 20) WHERE rn <= 8),
+truthk AS (
+  SELECT qid AS q_id, rid AS item FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS rid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${c("q.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) WHERE rn <= 10),
+tsize AS (SELECT q_id, count(*) AS n FROM truthk GROUP BY q_id)
+""" + legs.mkString("\n", "\nUNION ALL\n", "")
+  }
+
   /** Hard-negative mining — [[graft.ops.Ivf.hardNegatives]] replayed: the
     * knnJoin pipeline with the same-label exclusion applied BEFORE the
     * per-left top-k window (a same-label neighbor must not eat a rank

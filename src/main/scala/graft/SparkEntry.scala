@@ -1370,6 +1370,35 @@ object SparkEntry {
       graft.ops.Retrieval.evalMetrics(cand, truth, "q_id", "nn_id", "rank", 10)
     },
 
+    "q_recall_curve" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the recall/latency tuning curve: per-query recall@10 at nprobe
+      // 1/2/4/8 against ONE brute-force truth — the sweep an operator
+      // reads to pick the index's operating point. recall values are
+      // exact rationals (nhits / min(k, |truth|)), so the whole curve
+      // hash-compares exactly; one model, one truth, four rank-bounded
+      // candidate legs
+      val emb = t(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("__qe"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(graft.functions.CdcExpressions
+          .cosineSim(col("__qe"), col("embedding")).desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("rank"))
+      Seq(1, 2, 4, 8).map { np =>
+        val cand = graft.ops.Ivf.knnJoin(queries, emb, "vec_id", "embedding",
+            model, k = 10, nprobe = np)
+          .withColumnRenamed("vec_id", "q_id")
+        graft.ops.Retrieval.evalMetrics(cand, truth, "q_id", "nn_id", "rank", 10)
+          .select(lit(np).as("nprobe"), col("q_id"), col("recall"))
+      }.reduce(_ unionByName _)
+    },
+
     "q_hard_negatives" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // hard-negative mining for embedding-model training: each vector's
@@ -5219,6 +5248,7 @@ object SparkEntry {
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_knn_join" -> OracleHashSql.knnJoin,
     "q_retrieval_eval" -> OracleHashSql.retrievalEval,
+    "q_recall_curve" -> OracleHashSql.recallCurve,
     "q_hard_negatives" -> OracleHashSql.hardNegatives,
     "q_embed_sq8_topk" -> OracleHashSql.embedSq8Topk,
     "q_embed_project_topk" -> OracleHashSql.embedProjectTopk,
