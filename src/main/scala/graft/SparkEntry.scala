@@ -1767,6 +1767,21 @@ object SparkEntry {
         .toDF("rank", "a", "b", "merged")
     },
 
+    "q_bpe_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated audit of the trained vocab's bookkeeping (the
+      // q_pack_bins_audit pattern): one row per corpus word with its
+      // frequency — which must equal DuckDB's independent tokenize+count —
+      // and a rejoins flag pinned to the oracle's literal TRUE (the merge
+      // passes may only RE-GROUP a word's characters: concat(syms) must
+      // reproduce the word byte-for-byte). A dropped/duplicated word
+      // breaks the row count, a corrupted merge breaks rejoins, a freq
+      // drift breaks the count — the training loop's bookkeeping lands in
+      // the hard gate while the argmax chain stays rows-only
+      bpeVocabFor(spark, dir).select(col("word"), col("freq"),
+        (concat_ws("", col("syms")) === col("word")).as("rejoins"))
+    },
+
     "q_bpe_encode" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the trained tokenizer APPLIED: corpus re-tokenized through the
@@ -3266,6 +3281,28 @@ object SparkEntry {
       graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
     },
 
+    "q_hll_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated audit of the sketch table above (the q_pack_bins_audit
+      // pattern): the exact distinct count per rollup cell — independently
+      // recomputed by DuckDB — next to an in-band flag pinned to the
+      // oracle's literal TRUE. The sketch's error CONTRACT (|approx−exact|
+      // ≤ 5% ≈ 3σ at lgK=12) lands in the hard gate; the register state
+      // itself stays rows-only. The build still goes through the per-(type,
+      // day) sketch table + union rollup — auditing the deployed path, not
+      // a shortcut
+      val ev = events(dir).withColumn("day", expr("ts_us DIV 86400000000"))
+      val sketches = graft.ops.DistinctSketch.buildSketches(
+        ev, Seq("event_type", "day"), "user_id")
+      val est = graft.ops.DistinctSketch.estimate(sketches, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * lit(0.05)).as("in_band"))
+    },
+
     "q_quantile_sketch" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // mergeable quantile-sketch table (t-digest): per-(type, day)
@@ -4061,6 +4098,23 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS subword_tokens
         |FROM documents""".stripMargin,
+
+    // the vocab's bookkeeping replayed independently: same tokenization as
+    // q_bpe_pairs, freq per word, rejoins pinned to literal TRUE
+    "q_bpe_audit" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS freq, TRUE AS rejoins
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY w""".stripMargin,
+
+    // the HLL error contract: exact distinct per rollup cell recomputed
+    // independently, in_band pinned to literal TRUE
+    "q_hll_audit" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS in_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH words AS (
