@@ -2374,6 +2374,32 @@ object SparkEntry {
         budget = 20000L)
     },
 
+    "q_token_budget_incremental" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the incremental tier: two corpus halves folded into a persisted
+      // budget-histogram asset (per-bin integer sums — a commutative
+      // monoid, folded == one-shot exactly), selection off the asset over
+      // the union. Each append scans only ITSELF; the accumulated corpus
+      // is never re-scanned for the histogram. Binning affects only the
+      // plan, never the result, so the oracle is the SAME naive global
+      // window as q_token_budget
+      val docs = t(dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("tok"))
+        .where(col("tok") >= 1)
+      val score = col("n_chars").cast("double") / col("tok")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-tb-incr").toString
+      graft.ops.Sampling.appendBudgetHistogram(
+        docs.where(col("doc_id") % 2 === 0), score, col("tok"),
+        path, lo = 0.0, hi = 64.0)
+      graft.ops.Sampling.appendBudgetHistogram(
+        docs.where(col("doc_id") % 2 === 1), score, col("tok"),
+        path, lo = 0.0, hi = 64.0)
+      graft.ops.Sampling.tokenBudgetSelectFromStats(docs, "doc_id",
+        score, col("tok"), path, budget = 20000L)
+    },
+
     "q_corpus_holdout" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // the composed holdout-assembly chain: exact-dedup survivors →
@@ -4614,6 +4640,25 @@ object SparkEntry {
     // the naive single-window form of the budget prefix — the engine's
     // histogram-fold + bin-local-window plan must equal it bit-for-bit
     "q_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars AS DOUBLE) / tok AS score,
+        |         CAST(tok AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |        FROM documents)
+        |  WHERE tok >= 1),
+        |ord AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT doc_id, score, n_tokens FROM ord WHERE cum <= 20000""".stripMargin,
+
+    // binning affects only the plan, never the result — the incremental
+    // asset's selection replays as the same naive global window
+    "q_token_budget_incremental" ->
       """WITH scored AS (
         |  SELECT doc_id,
         |         CAST(n_chars AS DOUBLE) / tok AS score,

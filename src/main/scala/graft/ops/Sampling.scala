@@ -223,43 +223,176 @@ object Sampling {
                         tokensCol: Column, budget: Long, bins: Int = 4096): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     require(bins >= 1, s"bins must be positive: $bins")
-    val base = df.select(col(idCol), scoreCol.cast("double").as("score"),
-        tokensCol.cast("long").as("n_tokens"))
-      .where(col("score").isNotNull && col("n_tokens").isNotNull &&
-        col("n_tokens") >= 0)
+    val base = budgetBase(df, idCol, scoreCol, tokensCol)
     val range = base.agg(min("score"), max("score")).head()
     if (range.isNullAt(0)) return base.limit(0) // empty corpus
     val (lo, hi) = (range.getDouble(0), range.getDouble(1))
     // equal-width bins over the observed range; a constant-score corpus
     // degenerates to one bin (= the naive window, still correct)
     val width = math.max((hi - lo) / bins, java.lang.Double.MIN_NORMAL)
-    val binOf = least(floor((col("score") - lit(lo)) / lit(width)), lit(bins - 1L))
-      .cast("long")
-    val binned = base.withColumn("__bin", binOf)
+    val binned = base.withColumn("__bin", budgetBin(col("score"), lo, width, bins))
     val hist = binned.groupBy("__bin").agg(sum("n_tokens").as("toks"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    // fold bins from the best score down: bins that fit whole need no sort
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    selectByHistogram(binned, idCol, hist, budget)
+  }
+
+  private def budgetBase(df: DataFrame, idCol: String, scoreCol: Column,
+                         tokensCol: Column): DataFrame =
+    df.select(col(idCol), scoreCol.cast("double").as("score"),
+        tokensCol.cast("long").as("n_tokens"))
+      .where(col("score").isNotNull && col("n_tokens").isNotNull &&
+        col("n_tokens") >= 0)
+
+  /** The order-aligned bin of a score under fixed (lo, width, bins) — a
+    * monotone affine map + floor, so bin-desc order refines score order.
+    * Scores above the top edge clamp into the last bin; scores BELOW `lo`
+    * go negative (callers that declared a range treat that as a refusal).
+    */
+  private def budgetBin(score: Column, lo: Double, width: Double, bins: Int): Column =
+    least(floor((score - lit(lo)) / lit(width)), lit(bins - 1L)).cast("long")
+
+  /** The shared selection tail: fold the per-bin token histogram from the
+    * best score down (exact BIGINT arithmetic), select bins above the
+    * cutoff by pure filter, resolve the one straddling bin with a
+    * bin-local running-sum window. `binned` must carry (idCol, score,
+    * n_tokens, __bin) with __bin produced by [[budgetBin]] over the same
+    * binning the histogram used.
+    */
+  private def selectByHistogram(binned: DataFrame, idCol: String,
+                                hist: Seq[(Long, Long)], budget: Long): DataFrame = {
+    val desc = hist.sortBy(-_._1)
     var above = 0L
-    var cutoff = -1L // bin that straddles the budget; -1 = everything fits
+    // the bin the budget line crosses; None = everything fits. An Option,
+    // NOT a sentinel value — bin ids can be legitimately negative when a
+    // declared-range asset sees below-lo scores
+    var cutoff: Option[Long] = None
     var i = 0
-    while (cutoff < 0 && i < hist.length) {
-      val (b, t) = hist(i)
-      if (above + t <= budget) above += t else cutoff = b
+    while (cutoff.isEmpty && i < desc.length) {
+      val (b, t) = desc(i)
+      if (above + t <= budget) above += t else cutoff = Some(b)
       i += 1
     }
-    if (cutoff < 0) binned.drop("__bin") // whole corpus within budget
-    else {
-      val whole = binned.where(col("__bin") > cutoff).drop("__bin")
-      // the one bin the budget line crosses: bin-local running sum in the
-      // exact global order, seeded with the higher bins' exact token sum
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col(idCol))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val partial = binned.where(col("__bin") === cutoff)
-        .withColumn("__cum", sum("n_tokens").over(w) + lit(above))
-        .where(col("__cum") <= budget)
-        .drop("__bin", "__cum")
-      whole.unionByName(partial)
+    cutoff match {
+      case None => binned.drop("__bin") // whole corpus within budget
+      case Some(cut) =>
+        val whole = binned.where(col("__bin") > cut).drop("__bin")
+        // the one bin the budget line crosses: bin-local running sum in the
+        // exact global order, seeded with the higher bins' exact token sum
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val partial = binned.where(col("__bin") === cut)
+          .withColumn("__cum", sum("n_tokens").over(w) + lit(above))
+          .where(col("__cum") <= budget)
+          .drop("__bin", "__cum")
+        whole.unionByName(partial)
     }
+  }
+
+  // ------- persisted budget-histogram asset (incremental selection) -------
+
+  /** Ledger column names of the histogram asset (see
+    * [[graft.ops.EpochStore.readLedger]]).
+    */
+  private[graft] val BatchCol = "__tb_batch"
+  private[graft] val LegsCol = "__tb_legs"
+
+  /** Fold one batch's per-bin token histogram into the persisted asset at
+    * `path` — the incremental-maintenance tier of [[tokenBudgetSelect]]:
+    * per-bin token sums are a commutative integer monoid, so the folded
+    * histogram equals the one-shot histogram EXACTLY, and re-selecting
+    * after a corpus append costs one scan of the APPEND plus the bounded
+    * histogram fold — never a re-scan of the accumulated corpus (the
+    * selection itself is binning-independent: bins partition work, the
+    * result is a pure function of (score, id, tokens, budget)).
+    *
+    * The binning (lo, hi, bins) is DECLARED at asset creation and pinned:
+    * appends under a different declaration refuse (the PCA width-mismatch
+    * stance). Out-of-range scores stay EXACT either way — the within-bin
+    * resolution orders by true score, so a score above `hi` clamps into
+    * the top bin (which merely fattens) and a score below `lo` extends
+    * the histogram into negative bin ids (one row per occupied bin) —
+    * but a drifting score model will fatten edge bins until the cutoff
+    * bin's window stops being small; declare the range honestly.
+    * Persistence is the shared [[graft.ops.EpochStore]] single-writer
+    * protocol; with a [[graft.sinks.BatchCtx]] the fold is
+    * effectively-once under foreachBatch crash replays (the shared replay
+    * ledger), ctx-less folds stay at-least-once and preserve the ledger.
+    */
+  def appendBudgetHistogram(df: DataFrame, scoreCol: Column, tokensCol: Column,
+                            path: String, lo: Double, hi: Double,
+                            bins: Int = 4096,
+                            ctx: Option[graft.sinks.BatchCtx] = None): Unit = {
+    require(bins >= 1, s"bins must be positive: $bins")
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    val spark = df.sparkSession
+    val width = (hi - lo) / bins
+    val batchHist = budgetBase(df.withColumn("__tb_id", lit(0L)), "__tb_id",
+        scoreCol, tokensCol)
+      .withColumn("__bin", budgetBin(col("score"), lo, width, bins))
+      .groupBy("__bin").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (batchHist.nonEmpty) EpochStore.lockFor(spark, path).synchronized {
+      val f = EpochStore.fs(spark, path)
+      val epochs = EpochStore.epochStatuses(f, path)
+      val live = EpochStore.committedOf(f, epochs).lastOption.map { n =>
+        (n, spark.read.parquet(s"$path/epoch_$n"))
+      }
+      val ctxPair = ctx.map(c => (c.batchId, c.origin))
+      val ledger = live.flatMap { case (_, ldf) =>
+        EpochStore.readLedger(ldf, BatchCol, LegsCol)
+      }
+      if (!EpochStore.isReplay(ctxPair, ledger)) {
+        val merged = scala.collection.mutable.Map.empty[Long, Long]
+        live.foreach { case (_, ldf) =>
+          ldf.select(col("lo"), col("hi"), col("bins")).limit(1).collect()
+            .headOption.foreach { r =>
+              require(r.getDouble(0) == lo && r.getDouble(1) == hi &&
+                  r.getInt(2) == bins,
+                s"histogram asset at $path was declared (lo=${r.getDouble(0)}, " +
+                  s"hi=${r.getDouble(1)}, bins=${r.getInt(2)}) — appends must " +
+                  s"match, got (lo=$lo, hi=$hi, bins=$bins)")
+            }
+          ldf.select(col("bin"), col("toks")).collect().foreach { r =>
+            merged(r.getLong(0)) = merged.getOrElse(r.getLong(0), 0L) + r.getLong(1)
+          }
+        }
+        batchHist.foreach { case (b, t) =>
+          merged(b) = merged.getOrElse(b, 0L) + t
+        }
+        import spark.implicits._
+        val epochN = live.map(_._1 + 1).getOrElse(0L)
+        EpochStore.stampLedger(
+            merged.toSeq.sorted.map { case (b, t) => (b, t, lo, hi, bins) }
+              .toDF("bin", "toks", "lo", "hi", "bins"),
+            EpochStore.advanceLedger(ctxPair, ledger), BatchCol, LegsCol)
+          .write.mode("overwrite").parquet(s"$path/epoch_$epochN")
+        EpochStore.gcBelowGrace(f, epochs, epochN)
+      }
+    }
+  }
+
+  /** [[tokenBudgetSelect]] off the persisted histogram: the cutoff bin
+    * comes from the asset's bounded fold (no range scan, no histogram
+    * scan of the corpus), then the corpus pays one binned FILTER plus the
+    * one bin-local window — `df` must be the union of the appended
+    * batches (the maintained table the asset describes).
+    */
+  def tokenBudgetSelectFromStats(df: DataFrame, idCol: String, scoreCol: Column,
+                                 tokensCol: Column, path: String,
+                                 budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val spark = df.sparkSession
+    val live = EpochStore.currentEpoch(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no budget-histogram asset at $path"))
+    val asset = spark.read.parquet(live)
+    val meta = asset.select(col("lo"), col("hi"), col("bins")).head()
+    val (lo, hi, bins) = (meta.getDouble(0), meta.getDouble(1), meta.getInt(2))
+    val hist = asset.select(col("bin"), col("toks")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val width = (hi - lo) / bins
+    val binned = budgetBase(df, idCol, scoreCol, tokensCol)
+      .withColumn("__bin", budgetBin(col("score"), lo, width, bins))
+    selectByHistogram(binned, idCol, hist, budget)
   }
 }

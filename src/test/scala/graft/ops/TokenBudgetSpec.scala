@@ -60,6 +60,70 @@ class TokenBudgetSpec extends SparkSpec {
     assert(sel === Set(1L))
   }
 
+  test("incremental histogram folds equal the one-shot selection exactly") {
+    val rng = new scala.util.Random(21L)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, rng.nextDouble() * 10, 1L + rng.nextInt(30)))
+    val df = rows.toDF("id", "score", "tok")
+    val path = java.nio.file.Files.createTempDirectory("tb-incr").toString
+    // three appends (uneven split), declared range [0, 10], coarse bins
+    for (m <- 0 until 3)
+      Sampling.appendBudgetHistogram(df.where(col("id") % 3 === m),
+        col("score"), col("tok"), path, lo = 0.0, hi = 10.0, bins = 8)
+    for (budget <- Seq(0L, 500L, 2000L, 100000L)) {
+      val inc = Sampling.tokenBudgetSelectFromStats(df, "id", col("score"),
+        col("tok"), path, budget).select("id").as[Long].collect().toSet
+      assert(inc === naive(rows, budget), s"budget $budget")
+    }
+    // live + one grace epoch only (the shared EpochStore protocol)
+    assert(graft.ops.EpochStore.currentEpoch(spark, path)
+      .exists(_.endsWith("epoch_2")))
+  }
+
+  test("out-of-declared-range scores stay exact (clamped top bin, negative bins)") {
+    val rows = Seq((1L, -5.0, 10L), (2L, 0.5, 10L), (3L, 99.0, 10L),
+      (4L, 98.0, 10L), (5L, 0.6, 10L))
+    val df = rows.toDF("id", "score", "tok")
+    val path = java.nio.file.Files.createTempDirectory("tb-oor").toString
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 1.0, bins = 4)
+    for (budget <- Seq(10L, 20L, 30L, 45L)) {
+      val inc = Sampling.tokenBudgetSelectFromStats(df, "id", col("score"),
+        col("tok"), path, budget).select("id").as[Long].collect().toSet
+      assert(inc === naive(rows, budget), s"budget $budget")
+    }
+  }
+
+  test("asset declaration is pinned; replayed ctx folds are skipped") {
+    val df = Seq((1L, 1.0, 5L), (2L, 2.0, 7L)).toDF("id", "score", "tok")
+    val path = java.nio.file.Files.createTempDirectory("tb-ledger").toString
+    val ctx = Some(graft.sinks.BatchCtx(4L, "db.docs"))
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4, ctx = ctx)
+    def totalToks = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, path).get)
+      .agg(sum("toks")).head().getLong(0)
+    assert(totalToks === 12L)
+    // crash replay: same (batchId, leg) must not double-fold
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4, ctx = ctx)
+    assert(totalToks === 12L, "replayed fold double-counted")
+    // a ctx-less fold is at-least-once but preserves the ledger...
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    assert(totalToks === 24L)
+    // ...so the in-flight batch's replay is STILL skipped
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4, ctx = ctx)
+    assert(totalToks === 24L)
+    // a mismatched declaration refuses instead of silently re-binning
+    val err = intercept[IllegalArgumentException] {
+      Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+        path, lo = 0.0, hi = 20.0, bins = 4)
+    }
+    assert(err.getMessage.contains("declared"))
+  }
+
   test("selection is partitioning-invariant") {
     val rng = new scala.util.Random(7L)
     val rows = (0 until 300).map(i =>
