@@ -3329,6 +3329,39 @@ object SparkEntry {
             <= col("n_exact").cast("double") * lit(0.05)).as("in_band"))
     },
 
+    "q_tdigest_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated audit of the t-digest sketch table (the
+      // q_pack_bins_audit pattern, completing the trilogy with
+      // q_bpe_audit/q_hll_audit): per rollup cell, the EXACT observation
+      // count — digest weights are integer-valued doubles, so Σweights
+      // must equal DuckDB's independent COUNT — and a rank-band flag
+      // pinned to the oracle's literal TRUE: the union-rolled digest's
+      // p50 estimate must lie between the cell's exact p40 and p60
+      // VALUES (a ±10%-rank band, 10× the published ≤1% bound —
+      // QuantileSketchSpec pins the tight band; this pins the contract
+      // in the hard gate through the deployed build+union path)
+      val ev = events(dir).withColumn("day", expr("ts_us DIV 86400000000"))
+      val sketches = graft.ops.QuantileSketch.buildSketches(
+        ev, Seq("event_type", "day"), "value")
+      // n_obs read OFF THE DIGESTS (not a trivial re-count): per-type sum
+      // of each day-cell digest's weight total — equal to the oracle's
+      // COUNT only if the build conserved every observation's weight
+      val nObs = sketches.groupBy("event_type").agg(
+        expr("CAST(sum(aggregate(sketch.weights, 0D, (a, x) -> a + x)) AS BIGINT)")
+          .as("n_obs"))
+      val est = graft.ops.QuantileSketch.estimate(sketches,
+        Seq("event_type"), Seq(0.5))
+      val bands = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.4)").as("__p40"),
+        expr("percentile(value, 0.6)").as("__p60"))
+      nObs.join(est.where(col("q") === 0.5), Seq("event_type"))
+        .join(bands, Seq("event_type"))
+        .select(col("event_type"), col("n_obs"),
+          (col("est") >= col("__p40") && col("est") <= col("__p60"))
+            .as("in_band"))
+    },
+
     "q_quantile_sketch" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // mergeable quantile-sketch table (t-digest): per-(type, day)
@@ -4134,6 +4167,13 @@ object SparkEntry {
         |                x -> x <> '')) AS w
         |  FROM documents)
         |GROUP BY w""".stripMargin,
+
+    // the t-digest contract: exact per-cell observation count (weight
+    // conservation) + the p50 rank band, in_band pinned to literal TRUE
+    "q_tdigest_audit" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n_obs,
+        |       TRUE AS in_band
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the HLL error contract: exact distinct per rollup cell recomputed
     // independently, in_band pinned to literal TRUE
