@@ -44,6 +44,22 @@ object Bench {
     }
   }
 
+  /** The run's own median per-query ratio vs the previous round's medians —
+    * uniform ambient host load moves every query by ~this ratio (the
+    * r12/r13 signature), so a cross-round regression analysis compares
+    * `median / loadRatio` against the previous medians: one query far off
+    * the shared ratio is a plan change, the ratio itself is the host.
+    * Sub-50 ms previous medians are launch-noise and excluded; no shared
+    * queries → 1.0.
+    */
+  def loadRatio(current: Seq[(String, Double)],
+                prev: Map[String, Double]): Double = {
+    val rs = current.flatMap { case (k, v) =>
+      prev.get(k).collect { case p if p > 0.05 => v / p }
+    }.sorted
+    if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+  }
+
   /** Previous-round per-query medians from a persisted bench record line
     * (the `"queries":{...}` object — flat string→number, so the first `}`
     * closes it). Missing/corrupt file → empty map, never a failed bench.
@@ -189,18 +205,7 @@ object Bench {
         case c => c.toString
       } + "\""
 
-    // the run's own median per-query ratio vs the previous round's medians:
-    // uniform ambient host load moves every query by ~this ratio (the
-    // r12/r13 signature), so a cross-round regression analysis should
-    // compare `median / load_ratio` against the previous medians — one
-    // query far off the shared ratio is a plan change, the ratio itself is
-    // the host. Ratios on sub-50 ms queries are launch-noise and excluded.
-    val loadRatio = {
-      val rs = results.flatMap { case (k, v) =>
-        prevMedians.get(k).collect { case p if p > 0.05 => v(1) / p }
-      }.sorted
-      if (rs.isEmpty) 1.0 else rs(rs.size / 2)
-    }
+    val ratio = loadRatio(results.map { case (k, v) => (k, v(1)) }, prevMedians)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v(1) }.mkString("{", ",", "}")
     // per-query [min, median, max] of the 3 timed runs: round-6 reported a
     // 3.5x "regression" on q_dedup_ngram that round-7 could not reproduce
@@ -214,7 +219,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val reranJson = reran.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""load_ratio":${f"$loadRatio%.3f"},""" +
+      s""""load_ratio":${f"$ratio%.3f"},""" +
       s""""query_bands":$bands,"e2e_untimed_sec":$e2eJson,""" +
       s""""errors":$errJson,"reran":$reranJson,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +

@@ -57,6 +57,17 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(reran && picked == wide)
   }
 
+  test("loadRatio is the median per-query ratio, excluding launch-noise medians") {
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "tiny" -> 0.01)
+    // uniform 1.5x host slowdown, one genuine 10x regression, one
+    // launch-noise query that would skew the median if included
+    val cur = Seq("a" -> 1.5, "b" -> 3.0, "c" -> 40.0, "tiny" -> 1.0, "new" -> 9.9)
+    assert(Bench.loadRatio(cur, prev) === 1.5)
+    // no shared queries -> neutral 1.0
+    assert(Bench.loadRatio(Seq("x" -> 5.0), prev) === 1.0)
+    assert(Bench.loadRatio(Nil, prev) === 1.0)
+  }
+
   test("loadPrevMedians parses a persisted record line and tolerates absence") {
     val p = java.nio.file.Files.createTempFile("bench-prev", ".json")
     java.nio.file.Files.writeString(p,

@@ -321,6 +321,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("partial_vector_suffstats"), p.take(3000))
   }
 
+  test("token-budget selection sorts only the cutoff bin, never globally") {
+    // the naive form is a global sort + single-partition corpus window;
+    // the histogram-fold plan must keep exactly ONE window, fed by the
+    // straddling-bin filter, with a non-global sort (global=true in a
+    // Sort node would mean the corpus order is being re-established)
+    val df = SparkEntry.queries("q_token_budget")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty,
+      s"global sort in the budget plan:\n${p.take(3000)}")
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(3000))
+    // the bin predicate (the optimizer inlines __bin into its
+    // least(FLOOR(...)) form) must gate BOTH legs — filter-only above the
+    // cutoff, window only on the straddling bin
+    assert("least\\(FLOOR\\(".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("pmi vocab join-backs are cardinality-driven, never hint-forced") {
     // the unigram vocabulary is NOT dim-bounded (Heaps' law: 1e8+ distinct
     // tokens at 100 TB) — forcing broadcast(uni) is a driver OOM at scale.
