@@ -349,8 +349,19 @@ object Cli {
   }
 
   private def runStreaming(spark: SparkSession, p: PipelineDef): Unit = {
-    val (_, _, q) = buildStreaming(spark, p,
-      Trigger.ProcessingTime(p.config.getOrElse("batch-interval", "1 second")))
+    // `trigger: available-now` drains the current backlog and exits — the
+    // backfill / scheduled-catch-up operating mode (checkpointed, so the
+    // next run resumes where this one stopped); the default is the
+    // continuous micro-batch loop at `batch-interval`
+    val trigger = p.config.get("trigger") match {
+      case Some("available-now") => Trigger.AvailableNow()
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown pipeline trigger '$other' — supported: available-now " +
+          "(omit for the continuous loop at batch-interval)")
+      case None =>
+        Trigger.ProcessingTime(p.config.getOrElse("batch-interval", "1 second"))
+    }
+    val (_, _, q) = buildStreaming(spark, p, trigger)
     q.awaitTermination()
   }
 }

@@ -192,6 +192,44 @@ class CliSpec extends SparkSpec {
     assert(ls3 === Set("epoch_1", "epoch_2"), ls3.toString)
   }
 
+  test("pipeline trigger: available-now drains the backlog through Cli.main and exits") {
+    // the backfill / scheduled-catch-up operating mode: Cli.main on a
+    // streaming YAML must TERMINATE once the backlog drains (the default
+    // ProcessingTime loop awaits forever); unknown trigger values refuse
+    import graft.pipeline.PipelineDef
+    val in = java.nio.file.Files.createTempDirectory("graft-drain-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-drain-out").toString
+    def yaml(trigger: String) =
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.db.users: "id BIGINT, name STRING"
+         |transform:
+         |  - source-table: db.users
+         |    primary-keys: id
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out
+         |  buckets: 2
+         |pipeline:
+         |  name: drain-e2e
+         |  trigger: $trigger
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"before":null,"after":{"id":1,"name":"ann"},"op":"c","ts_ms":1,"source":{"db":"db","table":"users"}}""" + "\n")
+    val y = java.nio.file.Files.createTempFile("drain", ".yaml")
+    java.nio.file.Files.writeString(y, yaml("available-now"))
+    Cli.main(Array(y.toString)) // returns only because the trigger drains
+    val sink = new graft.sinks.ParquetUpsertSink(out, buckets = 2)
+    assert(sink.read(spark, TableId.of("db", "users")).count() === 1)
+    val err = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yaml("sometimes"))
+      java.nio.file.Files.writeString(y, yaml("sometimes"))
+      Cli.main(Array(y.toString))
+    }
+    assert(err.getMessage.contains("available-now"))
+  }
+
   test("routed multi-monitor pipeline folds both assets concurrently; monitor-show renders each") {
     // TWO monitor: blocks on a routed 2-table pipeline with
     // table-parallelism — the per-table slices process on separate
