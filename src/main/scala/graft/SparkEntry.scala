@@ -1798,6 +1798,21 @@ object SparkEntry {
           count(lit(1)).as("words"))
     },
 
+    "q_bpe_encode_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated audit of the encode path (broadcast vocab join + OOV
+      // char fallback): per doc, the encoded word-occurrence count must
+      // equal DuckDB's independent tokenize count, and every occurrence's
+      // subwords must concatenate back to its word (pinned to literal
+      // TRUE) — a dropped occurrence, a duplicated join match, or a
+      // corrupting split breaks a row
+      val docs = t(dir, "documents")
+      graft.ops.Bpe.encode(docs, "doc_id", col("text"), bpeVocabFor(spark, dir))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          expr("bool_and(concat_ws('', tokens) = word)").as("rejoins"))
+    },
+
     "q_pack_stats" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // packing-efficiency report: per length bucket, padded windows vs
@@ -3127,6 +3142,28 @@ object SparkEntry {
       graft.ops.Retrieval.mmr(cands, "vec_id", "score", "embedding", k = 10)
     },
 
+    "q_mmr_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated invariants of the MMR selection above (the audit
+      // pattern): the FIRST pick is pure relevance-argmax (λ·rel − 0,
+      // selected set empty — SQL-expressible as the brute-force top-1),
+      // the selection size is min(k, |candidates|), and every selected id
+      // is a candidate (membership pinned to literal TRUE). The argmax
+      // CHAIN stays rows-only; its entry point and bookkeeping land in
+      // the hard gate
+      val emb = t(dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val cands = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 40)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val sel = graft.ops.Retrieval.mmr(cands, "vec_id", "score", "embedding", k = 10)
+      sel.join(cands.select(col("vec_id"), lit(1).as("__in")), Seq("vec_id"), "left")
+        .agg(
+          min(when(col("mmr_rank") === 1, col("vec_id"))).as("first_id"),
+          count(lit(1)).as("n_selected"),
+          coalesce(expr("bool_and(__in IS NOT NULL)"), lit(true)).as("all_members"))
+    },
+
     "q_chat_render" -> { (spark, dir) =>
       implicit val s: SparkSession = spark
       // SFT data prep: turn rows render to one packed ChatML string per
@@ -4167,6 +4204,30 @@ object SparkEntry {
         |                x -> x <> '')) AS w
         |  FROM documents)
         |GROUP BY w""".stripMargin,
+
+    // the encode path's bookkeeping: per-doc word-occurrence counts from an
+    // independent tokenize, rejoins pinned to literal TRUE
+    "q_bpe_encode_audit" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+        |                            x -> x <> '')) AS BIGINT) AS n_words,
+        |       TRUE AS rejoins
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(lower(text), '\W+'),
+        |                      x -> x <> '')) > 0""".stripMargin,
+
+    // MMR's entry point and bookkeeping: the first pick is the brute-force
+    // relevance argmax, the size is min(k, |candidates|), membership TRUE
+    "q_mmr_audit" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
+        |  FROM embeddings e, q
+        |  ORDER BY score DESC, e.vec_id LIMIT 40)
+        |SELECT (SELECT vec_id FROM cand ORDER BY score DESC, vec_id LIMIT 1) AS first_id,
+        |       CAST(least(10, (SELECT count(*) FROM cand)) AS BIGINT) AS n_selected,
+        |       TRUE AS all_members""".stripMargin,
 
     // the t-digest contract: exact per-cell observation count (weight
     // conservation) + the p50 rank band, in_band pinned to literal TRUE
