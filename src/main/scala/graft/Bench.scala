@@ -44,6 +44,25 @@ object Bench {
     }
   }
 
+  /** Locale-pinned numeric formatting for the JSON records: `f"..%.3f"`
+    * formats with the JVM default locale, so a comma-decimal host would
+    * write an invalid-JSON baseline that [[loadPrevMedians]] silently
+    * parses as an empty map next round. ONE shared helper for Bench and
+    * ScaleProbe.
+    */
+  def jnum(d: Double, decimals: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  /** Median of an ASCENDING-sorted sequence, averaging the central pair for
+    * even sizes — `rs(rs.size / 2)` is the upper-middle element there,
+    * which systematically loosens any envelope normalized by it.
+    */
+  def medianOfSorted(rs: Seq[Double]): Double = {
+    require(rs.nonEmpty, "median of empty seq")
+    if (rs.size % 2 == 1) rs(rs.size / 2)
+    else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+  }
+
   /** The run's own median per-query ratio vs the previous round's medians —
     * uniform ambient host load moves every query by ~this ratio (the
     * r12/r13 signature), so a cross-round regression analysis compares
@@ -57,8 +76,55 @@ object Bench {
     val rs = current.flatMap { case (k, v) =>
       prev.get(k).collect { case p if p > 0.05 => v / p }
     }.sorted
-    if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+    if (rs.isEmpty) 1.0 else medianOfSorted(rs)
   }
+
+  /** The per-core-CPU-bound query families — dedup shingle hashing and the
+    * knn/hard-negative/fuzzy codegen loops, the shapes that twice (r13,
+    * r14) ran 1.7–2.4× their envelopes under ambient windows the suite
+    * median could not see (it is shuffle/launch bound). These normalize by
+    * `max(load_ratio, cpu_ratio)` ([[envelopeRatio]]) instead of
+    * `load_ratio` alone.
+    */
+  def cpuBoundFamily(name: String): Boolean =
+    name.startsWith("q_dedup") || Set("q_knn_join", "q_hard_negatives",
+      "q_fuzzy_join", "q_fuzzy_join_probe", "q_paragraph_dedup",
+      "q_semdedup", "q_span_dedup")(name)
+
+  /** The envelope normalizer for one query: uniform host load
+    * (`loadRatio`) for every query; the CPU-bound families additionally
+    * ride the measured `cpuRatio` when it is larger. Both legs clamp ≥ 1 —
+    * a FASTER host never tightens a committed envelope.
+    */
+  def envelopeRatio(loadRatio: Double, cpuRatio: Double, cpuBound: Boolean): Double = {
+    val lr = math.max(1.0, loadRatio)
+    if (cpuBound) math.max(lr, math.max(1.0, cpuRatio)) else lr
+  }
+
+  /** One top-level numeric field from a persisted record line (e.g.
+    * `cpu_kernel_sec`). Missing file/field → None, never a failed bench.
+    */
+  def loadPrevField(path: java.nio.file.Path, field: String): Option[Double] =
+    try {
+      val s = java.nio.file.Files.readString(path)
+      val tag = "\"" + field + "\":"
+      val i = s.indexOf(tag)
+      if (i < 0) None
+      else {
+        val rest = s.substring(i + tag.length)
+        val end = rest.indexWhere(c => c == ',' || c == '}')
+        Some(rest.substring(0, if (end < 0) rest.length else end).trim.toDouble)
+      }
+    } catch { case _: Exception => None }
+
+  /** Stamp the rolled baseline with the run it came from: `bench-prev.json`
+    * gets a `rolled_from` field naming the source record's `run_seq`, so a
+    * hand-assembled baseline (the r14 practice: run-1 medians + run-3's
+    * late audit queries) is self-describing and a reviewer can tell a
+    * mechanical roll from an assembled one without archaeology.
+    */
+  def rollLine(recordLine: String, runSeq: Long): String =
+    recordLine.stripLineEnd.stripSuffix("}") + s""","rolled_from":$runSeq}"""
 
   /** Previous-round per-query medians from a persisted bench record line
     * (the `"queries":{...}` object — flat string→number, so the first `}`
@@ -126,6 +192,14 @@ object Bench {
     val prevPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench-prev.json"))
     val prevMedians = loadPrevMedians(prevPath)
+    // per-core CPU calibration: the fixed kernel at run start (and again at
+    // run end, below) vs the baseline run's kernel — the CPU-bound
+    // families' cross-round suspicion bar scales by it, so a slow ambient
+    // window stops triggering remeasures the suite-median load_ratio
+    // cannot justify
+    val kernelStart = Calibrate.kernelSec()
+    val prevKernel = loadPrevField(prevPath, "cpu_kernel_sec")
+    val cpuRatioStart = prevKernel.fold(1.0)(p => kernelStart / p)
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => SparkEntry.launchBoundE2e(q._1))
@@ -138,8 +212,12 @@ object Bench {
             val rs = (1 to 3).map(_ => once())
             if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sorted)
           }
+        // the CPU-bound families' previous medians scale by the measured
+        // cpu_ratio (clamped ≥ 1) before the 3× suspicion compare
+        val prevForBar = prevMedians.get(name).map(
+          _ * envelopeRatio(1.0, cpuRatioStart, cpuBoundFamily(name)))
         triple().map { t1 =>
-          val (picked, didRerun) = adjudicate(t1, prevMedians.get(name), () => {
+          val (picked, didRerun) = adjudicate(t1, prevForBar, () => {
             val t2 = triple()
             // a flaked remeasure must not degrade four successful timed runs
             // into a hard error — adjudicate keeps the first triple
@@ -206,6 +284,14 @@ object Bench {
       } + "\""
 
     val ratio = loadRatio(results.map { case (k, v) => (k, v(1)) }, prevMedians)
+    // run-end kernel: the pair (start, end) records within-run host drift —
+    // the r14 end-of-round degradation measurement, now a number in the
+    // record instead of prose in SCALE.md. The canonical cpu_kernel_sec
+    // (what next round's ratio divides by) is the mean of the two: the
+    // queries were measured throughout the window, not at either edge.
+    val kernelEnd = Calibrate.kernelSec()
+    val kernelSec = (kernelStart + kernelEnd) / 2.0
+    val cpuRatio = prevKernel.fold(1.0)(p => kernelSec / p)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v(1) }.mkString("{", ",", "}")
     // per-query [min, median, max] of the 3 timed runs: round-6 reported a
     // 3.5x "regression" on q_dedup_ngram that round-7 could not reproduce
@@ -218,8 +304,14 @@ object Bench {
     val e2eJson = e2e.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val reranJson = reran.map(jstr).mkString("[", ",", "]")
+    val runSeq = System.currentTimeMillis()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""load_ratio":${f"$ratio%.3f"},""" +
+      s""""load_ratio":${jnum(ratio)},""" +
+      s""""cpu_kernel_sec":${jnum(kernelSec, 4)},""" +
+      s""""cpu_kernel_sec_start":${jnum(kernelStart, 4)},""" +
+      s""""cpu_kernel_sec_end":${jnum(kernelEnd, 4)},""" +
+      s""""cpu_ratio":${jnum(cpuRatio)},""" +
+      s""""run_seq":$runSeq,""" +
       s""""query_bands":$bands,"e2e_untimed_sec":$e2eJson,""" +
       s""""errors":$errJson,"reran":$reranJson,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
@@ -240,8 +332,11 @@ object Bench {
       // silently replaced by a drifted interim run (the r13 trap: the
       // in-run band check compared against an already-regressed mid-round
       // roll and missed a real 1.77x)
+      // the rolled baseline names its source record (`rolled_from` =
+      // this record's run_seq) — a hand-assembled baseline must be
+      // distinguishable from a mechanical roll
       if (!sys.env.contains("SPARK_GRAFT_NO_ROLL_PREV")) {
-        java.nio.file.Files.writeString(prevPath, line + "\n")
+        java.nio.file.Files.writeString(prevPath, rollLine(line, runSeq) + "\n")
         ()
       }
     } catch { case _: Exception => () } // stdout line already carries the record

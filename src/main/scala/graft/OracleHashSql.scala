@@ -530,9 +530,13 @@ xxh AS (
     * breaks at least one of the three), plus the count of bins whose token
     * sum exceeds capacity, which the oracle pins to literal 0 — a
     * capacity-arithmetic bug lands in the HARD gate instead of only in
-    * PackBinsSpec's replay.
+    * PackBinsSpec's replay. No capacity parameter: the oracle pins
+    * `n_overfull_bins` to literal 0 REGARDLESS of the capacity, so the
+    * engine side derives its overfull predicate from the one shared
+    * constant ([[graft.SparkEntry.PackCapacity]]) and a capacity change
+    * there cannot drift past this SQL.
     */
-  def packBinsAudit(capacity: Long, bands: Int): String = prelude + s"""
+  def packBinsAudit(bands: Int): String = prelude + s"""
 WITH kept AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

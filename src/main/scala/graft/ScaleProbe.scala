@@ -15,12 +15,16 @@ import org.apache.spark.sql.SparkSession
   * shared index builds land there, exactly as in Bench), then ONE timed
   * run — medians-of-three would triple an already-long probe for noise
   * margins the flag rule doesn't need. Flags on ratio AND absolute
-  * excess — `t > 2 × loadRatio × linear + 1 s` where `linear = factor ×
-  * sf0.1 median` and `loadRatio` is the run's own median per-query
-  * ratio vs linear (clamped ≥ 1) — tighter than the round brief's 10×
-  * bar, loose enough that single-run noise on sub-second queries cannot
-  * flag, and immune to uniform ambient host load (which moves the ratio,
-  * not the flag count). The >10 s index-building [[heavyTail]] runs last
+  * excess — `t > 2 × norm × linear + 1 s` where `linear = factor ×
+  * sf0.1 median`, `norm = loadRatio` ([[loadNormalizer]]: the run's own
+  * median per-query ratio vs linear, clamped to [1, 1.5], neutral below
+  * 20 shared queries) for most queries, and `max(loadRatio, cpu_ratio)`
+  * for the per-core-CPU-bound families ([[Bench.cpuBoundFamily]], with
+  * cpu_ratio the fixed [[Calibrate]] kernel vs the baseline run's) —
+  * tighter than the round brief's 10× bar, loose enough that single-run
+  * noise on sub-second queries cannot flag, and immune to both uniform
+  * ambient host load and family-selective CPU drift (each moves its
+  * recorded ratio, not the flag count). The >10 s index-building [[heavyTail]] runs last
   * in an isolated phase (cache-clear + GC before each) so block-manager
   * residue from ~170 earlier queries stops inflating exactly the queries
   * big enough to feel it. Writes `target/scale-probe.json`; flagged
@@ -41,6 +45,20 @@ object ScaleProbe {
     */
   val heavyTail: Set[String] =
     Set("q_knn_join", "q_fuzzy_join", "q_fuzzy_join_probe", "q_hard_negatives")
+
+  /** The probe's load normalizer from the ASCENDING-sorted per-query
+    * ratios vs linear — median (central-pair averaged), clamped to
+    * [1.0, 1.5], and NEUTRAL (1.0) below 20 shared queries. The guards
+    * close two self-masking holes: an explicit 1–2-query probe invocation
+    * must not let a regressed query set its own envelope (min-count), and
+    * a uniform REAL regression across the suite must not normalize itself
+    * away entirely (the 1.5 cap bounds how much the rule can attribute to
+    * host load — above it, queries flag and the recorded load_ratio gets
+    * eyeballed, see SCALE.md).
+    */
+  def loadNormalizer(sortedRatios: Seq[Double]): Double =
+    if (sortedRatios.size < 20) 1.0
+    else math.min(1.5, math.max(1.0, Bench.medianOfSorted(sortedRatios)))
 
   /** Drop JVM residue before an isolated measurement: evict cached
     * relations, then GC so ContextCleaner reclaims unreferenced
@@ -71,8 +89,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val prev = Bench.loadPrevMedians(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench-prev.json")))
+    val prevPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench-prev.json"))
+    val prev = Bench.loadPrevMedians(prevPath)
+    // per-core CPU calibration vs the baseline run's kernel — the
+    // CPU-bound families (dedup/knn/fuzzy) normalize by max(load_ratio,
+    // cpu_ratio): family-selective host drift the suite median cannot see
+    val kernelStart = Calibrate.kernelSec()
+    val prevKernel = Bench.loadPrevField(prevPath, "cpu_kernel_sec")
 
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // JVM warmup
 
@@ -112,11 +136,16 @@ object ScaleProbe {
     val ratios = results.flatMap { case (name, sec) =>
       prev.get(name).collect { case p if factor * p > 0.05 => sec / (factor * p) }
     }.sorted
-    val loadRatio =
-      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    val loadRatio = loadNormalizer(ratios)
+    // run-end kernel: (start, end) records within-run host drift; the
+    // canonical ratio uses the mean (queries ran throughout the window)
+    val kernelEnd = Calibrate.kernelSec()
+    val kernelSec = (kernelStart + kernelEnd) / 2.0
+    val cpuRatio = prevKernel.fold(1.0)(p => kernelSec / p)
     val flags = results.flatMap { case (name, sec) =>
+      val norm = Bench.envelopeRatio(loadRatio, cpuRatio, Bench.cpuBoundFamily(name))
       prev.get(name).collect {
-        case p if sec > 2.0 * loadRatio * factor * p + 1.0 =>
+        case p if sec > 2.0 * norm * factor * p + 1.0 =>
           name -> (sec, factor * p)
       }
     }
@@ -128,7 +157,7 @@ object ScaleProbe {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    def jnum(d: Double): String = f"$d%.3f"
+    def jnum(d: Double): String = Bench.jnum(d)
 
     // ---- streaming state probe (SPARK_GRAFT_STREAM_PROBE=1) ----
     //
@@ -243,7 +272,7 @@ object ScaleProbe {
           }
           val skewJson = if (skewEntries.isEmpty) ""
             else s""","skew_shapes":{${skewEntries.mkString(",")}}"""
-          Some(s"""{"rows_ratio":${f"$rowsRatio%.2f"},"max_files_per_trigger":8,""" +
+          Some(s"""{"rows_ratio":${Bench.jnum(rowsRatio, 2)},"max_files_per_trigger":8,""" +
             s""""shapes":{${entries.mkString(",")}}$skewJson}""")
         }
       } catch {
@@ -262,6 +291,10 @@ object ScaleProbe {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"scale_probe","factor":$factor,"total_sec":${jnum(total)},""" +
       s""""n_queries":${results.size},"load_ratio":${jnum(loadRatio)},""" +
+      s""""cpu_kernel_sec":${Bench.jnum(kernelSec, 4)},""" +
+      s""""cpu_kernel_sec_start":${Bench.jnum(kernelStart, 4)},""" +
+      s""""cpu_kernel_sec_end":${Bench.jnum(kernelEnd, 4)},""" +
+      s""""cpu_ratio":${jnum(cpuRatio)},""" +
       s""""heavy_tail_isolated":${heavy.map(h => jstr(h._1)).mkString("[", ",", "]")},""" +
       s""""queries":$qs,"flags":$fl,"errors":$errJson,""" +
       streamSection.fold("")(s => s""""streaming":$s,""") +

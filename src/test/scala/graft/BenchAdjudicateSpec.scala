@@ -68,6 +68,74 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.loadRatio(Nil, prev) === 1.0)
   }
 
+  test("medianOfSorted averages the central pair for even sizes") {
+    assert(Bench.medianOfSorted(Seq(1.0, 2.0, 9.0)) === 2.0)
+    // the old upper-middle pick would return 4.0 here and loosen the bar
+    assert(Bench.medianOfSorted(Seq(1.0, 2.0, 4.0, 9.0)) === 3.0)
+    assert(Bench.medianOfSorted(Seq(5.0)) === 5.0)
+  }
+
+  test("jnum is locale-pinned: a comma-decimal default cannot corrupt the record") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      assert(Bench.jnum(1.2345) === "1.234" || Bench.jnum(1.2345) === "1.235")
+      assert(!Bench.jnum(1.5).contains(","))
+      assert(Bench.jnum(0.98765, 4) === "0.9877" || Bench.jnum(0.98765, 4) === "0.9876")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("loadNormalizer: neutral below 20 shared queries, clamped to [1, 1.5]") {
+    // a 1-2 query explicit probe run must not set its own envelope
+    assert(ScaleProbe.loadNormalizer(Seq(5.0)) === 1.0)
+    assert(ScaleProbe.loadNormalizer((1 to 19).map(_ => 3.0)) === 1.0)
+    val n20 = (1 to 20).map(_ => 1.2)
+    assert(ScaleProbe.loadNormalizer(n20) === 1.2)
+    // a faster run never tightens the committed envelope
+    assert(ScaleProbe.loadNormalizer((1 to 20).map(_ => 0.7)) === 1.0)
+    // a uniform REAL regression cannot fully normalize itself away
+    assert(ScaleProbe.loadNormalizer((1 to 20).map(_ => 4.0)) === 1.5)
+  }
+
+  test("envelopeRatio: cpu_ratio applies only to the CPU-bound families, clamped >= 1") {
+    assert(Bench.envelopeRatio(1.1, 2.0, cpuBound = false) === 1.1)
+    assert(Bench.envelopeRatio(1.1, 2.0, cpuBound = true) === 2.0)
+    assert(Bench.envelopeRatio(1.3, 0.5, cpuBound = true) === 1.3)
+    assert(Bench.envelopeRatio(0.8, 0.5, cpuBound = true) === 1.0)
+    assert(Bench.envelopeRatio(0.8, 0.5, cpuBound = false) === 1.0)
+  }
+
+  test("cpuBoundFamily covers the twice-adjudicated families and nothing shuffle-bound") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_incremental_probe", "q_knn_join",
+        "q_hard_negatives", "q_fuzzy_join_probe", "q_semdedup"))
+      assert(Bench.cpuBoundFamily(q), q)
+    for (q <- Seq("q1_agg", "q_stream_pipeline", "q_token_budget", "q_join_broadcast"))
+      assert(!Bench.cpuBoundFamily(q), q)
+  }
+
+  test("calibration kernel measures positive, repeatable seconds") {
+    val a = Calibrate.kernelSec(iters = 2000000, passes = 3)
+    val b = Calibrate.kernelSec(iters = 2000000, passes = 3)
+    assert(a > 0 && b > 0)
+    // same fixed work back-to-back on one host: within 4x even under noise
+    assert(math.max(a, b) / math.min(a, b) < 4.0, s"a=$a b=$b")
+  }
+
+  test("rollLine stamps rolled_from; loadPrevField reads top-level numerics") {
+    val line = """{"metric":"total","value":1.2,"queries":{"a":0.1},"cpu_kernel_sec":0.1234,"run_seq":17,"sf":"x"}"""
+    val rolled = Bench.rollLine(line, 17L)
+    assert(rolled.endsWith(""","rolled_from":17}"""))
+    val p = java.nio.file.Files.createTempFile("bench-prev-prov", ".json")
+    java.nio.file.Files.writeString(p, rolled + "\n")
+    assert(Bench.loadPrevField(p, "cpu_kernel_sec").contains(0.1234))
+    assert(Bench.loadPrevField(p, "rolled_from").contains(17.0))
+    assert(Bench.loadPrevField(p, "nope").isEmpty)
+    assert(Bench.loadPrevField(java.nio.file.Paths.get("/nonexistent/x.json"),
+      "cpu_kernel_sec").isEmpty)
+    // the roll keeps the queries map parseable
+    assert(Bench.loadPrevMedians(p) == Map("a" -> 0.1))
+  }
+
   test("loadPrevMedians parses a persisted record line and tolerates absence") {
     val p = java.nio.file.Files.createTempFile("bench-prev", ".json")
     java.nio.file.Files.writeString(p,
