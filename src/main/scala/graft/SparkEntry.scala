@@ -3183,10 +3183,12 @@ object SparkEntry {
       // ORACLE-gated invariants of the MMR selection above (the audit
       // pattern): the FIRST pick is pure relevance-argmax (λ·rel − 0,
       // selected set empty — SQL-expressible as the brute-force top-1),
-      // the selection size is min(k, |candidates|), and every selected id
-      // is a candidate (membership pinned to literal TRUE). The argmax
-      // CHAIN stays rows-only; its entry point and bookkeeping land in
-      // the hard gate
+      // the SECOND pick is argmax of λ·rel − (1−λ)·cos(d, first) over the
+      // remaining candidates (one step deeper than the chain's entry —
+      // this pins the λ arithmetic and the cos-to-selected machinery
+      // without replaying the sequential chain), the selection size is
+      // min(k, |candidates|), and every selected id is a candidate
+      // (membership pinned to literal TRUE). Ranks 3+ stay rows-only
       val emb = t(dir, "embeddings")
       val qv = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
@@ -3196,6 +3198,7 @@ object SparkEntry {
       sel.join(cands.select(col("vec_id"), lit(1).as("__in")), Seq("vec_id"), "left")
         .agg(
           min(when(col("mmr_rank") === 1, col("vec_id"))).as("first_id"),
+          min(when(col("mmr_rank") === 2, col("vec_id"))).as("second_id"),
           count(lit(1)).as("n_selected"),
           coalesce(expr("bool_and(__in IS NOT NULL)"), lit(true)).as("all_members"))
     },
@@ -3512,6 +3515,79 @@ object SparkEntry {
         graft.ops.QuantileSketch.mergeSketchTables(state, batch,
           Seq("event_type", "day")),
         Seq("event_type"), Seq(0.5, 0.99))
+    },
+
+    "q_quantile_incremental_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // ORACLE-gated audit of the INCREMENTAL fold path above —
+      // q_tdigest_audit's contract applied to the maintained asset
+      // (completing the audit program: every rows-only family now has a
+      // hard-gate companion): per rollup cell, Σweights read OFF the
+      // state+batch MERGED digests must equal DuckDB's independent COUNT
+      // (mergeSketchTables conserves every observation's weight — a cell
+      // dropped, double-folded, or re-clustered lossily by the merge
+      // breaks the sum), and the merged p50 must lie in the cell's exact
+      // p40–p60 value band, pinned to the oracle's literal TRUE
+      val ev = events(dir).withColumn("day", expr("ts_us DIV 86400000000"))
+      val maxSeq = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxSeq * 9 / 10
+      val state = graft.ops.QuantileSketch.buildSketches(
+        ev.where(col("event_id") <= split), Seq("event_type", "day"), "value")
+      val batch = graft.ops.QuantileSketch.buildSketches(
+        ev.where(col("event_id") > split), Seq("event_type", "day"), "value")
+      val merged = graft.ops.QuantileSketch.mergeSketchTables(state, batch,
+        Seq("event_type", "day"))
+      val nObs = merged.groupBy("event_type").agg(
+        expr("CAST(sum(aggregate(sketch.weights, 0D, (a, x) -> a + x)) AS BIGINT)")
+          .as("n_obs"))
+      val est = graft.ops.QuantileSketch.estimate(merged,
+        Seq("event_type"), Seq(0.5))
+      val bands = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.4)").as("__p40"),
+        expr("percentile(value, 0.6)").as("__p60"))
+      nObs.join(est.where(col("q") === 0.5), Seq("event_type"))
+        .join(bands, Seq("event_type"))
+        .select(col("event_type"), col("n_obs"),
+          (col("est") >= col("__p40") && col("est") <= col("__p60"))
+            .as("in_band"))
+    },
+
+    "q_pca_audit" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      import s.implicits._
+      // ORACLE-gated audit of the PCA suffstats asset (the last rows-only
+      // family without a hard-gate companion): n, the per-dim sums, and
+      // the FULL second-moment upper triangle, read OFF the persisted
+      // incremental asset after two half-corpus appends (the deployed
+      // maintenance path — appendStats folded twice, not a fresh scan),
+      // must equal the pure input functions DuckDB recomputes from
+      // `embeddings`. n is integer-exact; sums and moments are raw IEEE
+      // doubles (never rounded — the gate's 1e-6 float tolerance absorbs
+      // summation-order ulps). The eigensolve stays rows-only
+      // (q_pca_variance); its entire INPUT is now in the hard gate.
+      val emb = t(dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pca-audit")
+      try {
+        val path = tmp.toString + "/stats"
+        graft.ops.Pca.appendStats(
+          emb.where(col("vec_id") % 2 === 0), "embedding", path)
+        graft.ops.Pca.appendStats(
+          emb.where(col("vec_id") % 2 === 1), "embedding", path)
+        val live = graft.ops.EpochStore.currentEpoch(spark, path)
+          .getOrElse(throw new IllegalStateException(s"no asset at $path"))
+        val r = spark.read.parquet(live).head()
+        val n = r.getAs[Long]("n")
+        val sums = r.getAs[scala.collection.Seq[Double]]("sums").toArray
+        val tri = r.getAs[scala.collection.Seq[Double]]("gram").toArray
+        val d = sums.length
+        // upper-triangle layout: (i,i) sits at i*d − i(i−1)/2, then j−i
+        val rows = for { i <- 0 until d; j <- i until d } yield
+          (i.toLong, j.toLong, n, sums(i), tri(i * d - i * (i - 1) / 2 + (j - i)))
+        rows.toDF("i", "j", "n", "sum_i", "moment")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        ()
+      }
     },
 
     "q_monitor_weights" -> { (spark, dir) =>
@@ -4253,17 +4329,53 @@ object SparkEntry {
         |                      x -> x <> '')) > 0""".stripMargin,
 
     // MMR's entry point and bookkeeping: the first pick is the brute-force
-    // relevance argmax, the size is min(k, |candidates|), membership TRUE
+    // relevance argmax, the second is argmax of λ·rel − (1−λ)·cos(d, first)
+    // over the rest (the λ arithmetic in the hard gate; the coefficient is
+    // written (1 - 0.7) to mirror the engine's IEEE evaluation exactly),
+    // the size is min(k, |candidates|), membership TRUE
     "q_mmr_audit" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |cand AS (
-        |  SELECT e.vec_id,
+        |  SELECT e.vec_id, e.embedding,
         |         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
         |  FROM embeddings e, q
-        |  ORDER BY score DESC, e.vec_id LIMIT 40)
-        |SELECT (SELECT vec_id FROM cand ORDER BY score DESC, vec_id LIMIT 1) AS first_id,
+        |  ORDER BY score DESC, e.vec_id LIMIT 40),
+        |first AS (SELECT vec_id, embedding FROM cand ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT (SELECT vec_id FROM first) AS first_id,
+        |       (SELECT c.vec_id FROM cand c, first f
+        |        WHERE c.vec_id <> f.vec_id
+        |        ORDER BY 0.7 * c.score
+        |                 - (1 - 0.7) * list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                                      f.embedding::DOUBLE[]) DESC,
+        |                 c.vec_id
+        |        LIMIT 1) AS second_id,
         |       CAST(least(10, (SELECT count(*) FROM cand)) AS BIGINT) AS n_selected,
         |       TRUE AS all_members""".stripMargin,
+
+    // the incremental fold path's weight conservation + p50 rank band:
+    // same pure input functions as q_tdigest_audit, read off the MERGED
+    // state+batch digests
+    "q_quantile_incremental_audit" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n_obs,
+        |       TRUE AS in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // the PCA eigensolve's entire INPUT, recomputed independently: n,
+    // per-dim sums, and the full second-moment upper triangle (raw IEEE
+    // doubles — the 1e-6 gate tolerance absorbs summation-order ulps)
+    "q_pca_audit" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS moment
+        |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i),
+        |sums AS (SELECT i, sum(x) AS sum_i FROM flat GROUP BY i)
+        |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+        |       (SELECT count(*) FROM embeddings) AS n, s.sum_i, p.moment
+        |FROM pairs p JOIN sums s ON s.i = p.i""".stripMargin,
 
     // the t-digest contract: exact per-cell observation count (weight
     // conservation) + the p50 rank band, in_band pinned to literal TRUE

@@ -218,6 +218,12 @@ object Sampling {
     *      running-sum window, seeded with the exact BIGINT token sum of
     *      the higher bins — integer arithmetic, so the result equals the
     *      naive global window bit-for-bit (property spec + SQL oracle).
+    *      A skew-fat cutoff bin (> [[RefineFrac]] of the corpus's tokens —
+    *      degenerate/Zipfian scores) is re-binned ONCE over its own
+    *      observed sub-range first (two-level histogram), so the window
+    *      input stays bounded even when equal-width binning piles mass
+    *      into one bin; only a constant-score bin (pure ties — the naive
+    *      form pays the same window) is unrefinable.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
                         tokensCol: Column, budget: Long, bins: Int = 4096): DataFrame = {
@@ -233,8 +239,30 @@ object Sampling {
     val binned = base.withColumn("__bin", budgetBin(col("score"), lo, width, bins))
     val hist = binned.groupBy("__bin").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    selectByHistogram(binned, idCol, hist, budget)
+    selectByHistogram(binned, idCol, hist, budget, bins)
   }
+
+  /** When the cutoff bin holds more than this fraction of the corpus's
+    * tokens (a degenerate/Zipfian score distribution piling mass into few
+    * bins — the documented soft spot of equal-width binning), the bin is
+    * RE-BINNED once over its own observed score sub-range (a two-level
+    * histogram) before paying the window, so the window input stays
+    * bounded by ~max(corpus/bins, slice/bins) instead of growing toward
+    * the naive global-window case. Semantics are unchanged — binning
+    * affects only the plan ([[tokenBudgetSelect]]'s oracle covers both
+    * routes); a constant-score cutoff bin cannot be refined (every row
+    * ties) and pays the window as before, which is also unavoidable in
+    * the naive form.
+    */
+  private[graft] val RefineFrac = 1.0 / 16
+
+  /** Test hook (the StreamingNative probe pattern): when set, every
+    * cutoff-bin window records its input row count here — the
+    * skew-hardening contract is "the window input is bounded", which no
+    * plan string can assert numerically.
+    */
+  private[graft] var probeWindowInput:
+      Option[scala.collection.mutable.ArrayBuffer[Long]] = None
 
   private def budgetBase(df: DataFrame, idCol: String, scoreCol: Column,
                          tokensCol: Column): DataFrame =
@@ -251,20 +279,16 @@ object Sampling {
   private def budgetBin(score: Column, lo: Double, width: Double, bins: Int): Column =
     least(floor((score - lit(lo)) / lit(width)), lit(bins - 1L)).cast("long")
 
-  /** The shared selection tail: fold the per-bin token histogram from the
-    * best score down (exact BIGINT arithmetic), select bins above the
-    * cutoff by pure filter, resolve the one straddling bin with a
-    * bin-local running-sum window. `binned` must carry (idCol, score,
-    * n_tokens, __bin) with __bin produced by [[budgetBin]] over the same
-    * binning the histogram used.
+  /** Fold a per-bin token histogram from the best score down (exact
+    * BIGINT arithmetic): returns the token sum of the bins that fit
+    * entirely and the bin the budget line crosses — None = everything
+    * fits. An Option, NOT a sentinel value: bin ids can be legitimately
+    * negative when a declared-range asset sees below-lo scores.
     */
-  private def selectByHistogram(binned: DataFrame, idCol: String,
-                                hist: Seq[(Long, Long)], budget: Long): DataFrame = {
+  private def foldCutoff(hist: Seq[(Long, Long)], budget: Long,
+                         seed: Long): (Long, Option[Long]) = {
     val desc = hist.sortBy(-_._1)
-    var above = 0L
-    // the bin the budget line crosses; None = everything fits. An Option,
-    // NOT a sentinel value — bin ids can be legitimately negative when a
-    // declared-range asset sees below-lo scores
+    var above = seed
     var cutoff: Option[Long] = None
     var i = 0
     while (cutoff.isEmpty && i < desc.length) {
@@ -272,20 +296,78 @@ object Sampling {
       if (above + t <= budget) above += t else cutoff = Some(b)
       i += 1
     }
+    (above, cutoff)
+  }
+
+  /** The running-sum window over ONE straddling bin: bin-local sum in the
+    * exact global (score desc, id) order, seeded with the exact BIGINT
+    * token sum of everything ordered before the bin.
+    */
+  private def windowSelect(slice: DataFrame, idCol: String, seed: Long,
+                           budget: Long): DataFrame = {
+    probeWindowInput.foreach(buf => buf.synchronized { buf += slice.count() })
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    slice.withColumn("__cum", sum("n_tokens").over(w) + lit(seed))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** The shared selection tail: fold the per-bin token histogram from the
+    * best score down (exact BIGINT arithmetic), select bins above the
+    * cutoff by pure filter, resolve the one straddling bin — re-binned
+    * once over its own sub-range first when it is skew-fat (see
+    * [[RefineFrac]]) — with a bin-local running-sum window. `binned` must
+    * carry (idCol, score, n_tokens, __bin) with __bin produced by
+    * [[budgetBin]] over the same binning the histogram used.
+    */
+  private def selectByHistogram(binned: DataFrame, idCol: String,
+                                hist: Seq[(Long, Long)], budget: Long,
+                                bins: Int): DataFrame = {
+    val (above, cutoff) = foldCutoff(hist, budget, 0L)
     cutoff match {
       case None => binned.drop("__bin") // whole corpus within budget
       case Some(cut) =>
         val whole = binned.where(col("__bin") > cut).drop("__bin")
-        // the one bin the budget line crosses: bin-local running sum in the
-        // exact global order, seeded with the higher bins' exact token sum
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col(idCol))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val partial = binned.where(col("__bin") === cut)
-          .withColumn("__cum", sum("n_tokens").over(w) + lit(above))
-          .where(col("__cum") <= budget)
-          .drop("__bin", "__cum")
+        val slice = binned.where(col("__bin") === cut).drop("__bin")
+        val cutTokens = hist.collectFirst { case (b, t) if b == cut => t }.getOrElse(0L)
+        val totalTokens = hist.iterator.map(_._2).sum
+        val partial =
+          if (cutTokens.toDouble <= RefineFrac * totalTokens)
+            windowSelect(slice, idCol, above, budget)
+          else refineCutoffBin(slice, idCol, above, budget, bins)
         whole.unionByName(partial)
+    }
+  }
+
+  /** Two-level histogram: re-bin the skew-fat cutoff bin once over its own
+    * observed [min, max] score sub-range, fold again seeded with the outer
+    * bins' exact sum, select whole sub-bins by pure filter, and pay the
+    * window only on the ONE straddling sub-bin. Costs two bounded
+    * aggregates over the slice (min/max + sub-histogram) — aggregation
+    * scans, never a sort — and no further recursion: a sub-bin that is
+    * still fat is either constant-score (unrefinable — every row ties, the
+    * naive form pays the same window) or pathological beyond what one
+    * refinement level meaningfully helps.
+    */
+  private def refineCutoffBin(slice: DataFrame, idCol: String, above: Long,
+                              budget: Long, bins: Int): DataFrame = {
+    val r = slice.agg(min("score"), max("score")).head()
+    val (lo2, hi2) = (r.getDouble(0), r.getDouble(1))
+    if (lo2 == hi2) return windowSelect(slice, idCol, above, budget)
+    val width2 = math.max((hi2 - lo2) / bins, java.lang.Double.MIN_NORMAL)
+    val sub = slice.withColumn("__subbin", budgetBin(col("score"), lo2, width2, bins))
+    val subHist = sub.groupBy("__subbin").agg(sum("n_tokens").as("toks"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSeq
+    val (above2, subCut) = foldCutoff(subHist, budget, above)
+    subCut match {
+      // defensive only: the outer fold chose this bin BECAUSE it overflows
+      case None => slice
+      case Some(sc) =>
+        val whole2 = sub.where(col("__subbin") > sc).drop("__subbin")
+        val slice2 = sub.where(col("__subbin") === sc).drop("__subbin")
+        whole2.unionByName(windowSelect(slice2, idCol, above2, budget))
     }
   }
 
@@ -311,9 +393,12 @@ object Sampling {
     * stance). Out-of-range scores stay EXACT either way — the within-bin
     * resolution orders by true score, so a score above `hi` clamps into
     * the top bin (which merely fattens) and a score below `lo` extends
-    * the histogram into negative bin ids (one row per occupied bin) —
-    * but a drifting score model will fatten edge bins until the cutoff
-    * bin's window stops being small; declare the range honestly.
+    * the histogram into negative bin ids (one row per occupied bin).
+    * A drifting score model that fattens an edge bin no longer degrades
+    * toward the naive window: a cutoff bin above [[RefineFrac]] of the
+    * corpus's tokens is re-binned once over its own sub-range at
+    * selection time (two extra bounded aggregates over the slice) —
+    * declaring the range honestly remains the cheap path.
     * Persistence is the shared [[graft.ops.EpochStore]] single-writer
     * protocol; with a [[graft.sinks.BatchCtx]] the fold is
     * effectively-once under foreachBatch crash replays (the shared replay
@@ -393,6 +478,6 @@ object Sampling {
     val width = (hi - lo) / bins
     val binned = budgetBase(df, idCol, scoreCol, tokensCol)
       .withColumn("__bin", budgetBin(col("score"), lo, width, bins))
-    selectByHistogram(binned, idCol, hist, budget)
+    selectByHistogram(binned, idCol, hist, budget, bins)
   }
 }

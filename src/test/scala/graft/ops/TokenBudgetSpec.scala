@@ -124,6 +124,81 @@ class TokenBudgetSpec extends SparkSpec {
     assert(err.getMessage.contains("declared"))
   }
 
+  /** Run a selection with the window-input probe armed; returns
+    * (selected ids, window input row counts in invocation order).
+    */
+  private def gotProbed(rows: Seq[(Long, Double, Long)], budget: Long,
+                        bins: Int): (Set[Long], Seq[Long]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Sampling.probeWindowInput = Some(buf)
+    try {
+      val ids = Sampling.tokenBudgetSelect(
+          rows.toDF("id", "score", "tok").repartition(5),
+          "id", col("score"), col("tok"), budget, bins)
+        .select("id").as[Long].collect().toSet
+      (ids, buf.toSeq)
+    } finally Sampling.probeWindowInput = None
+  }
+
+  test("skew-fat cutoff bin is re-binned: window input bounded, result unchanged") {
+    // the drifted-declared-range shape: 95% of scores sit in a band 1e-5
+    // wide while outliers stretch the observed range to ~100, so
+    // equal-width outer bins pile the mass into ONE bin. The two-level
+    // refinement must re-bin that slice and window only the straddling
+    // SUB-bin (~slice/bins), never the whole fat bin.
+    val rng = new scala.util.Random(33L)
+    val rows = (0 until 2000).map { i =>
+      val s = if (i < 1900) rng.nextDouble() * 1e-5 else 10.0 + rng.nextDouble() * 90.0
+      (i.toLong, s, 1L + rng.nextInt(20))
+    }
+    val bins = 16
+    val budgets = Seq(4000L, 9000L, 15000L) // inside the fat low-score mass
+    for (budget <- budgets) {
+      val (ids, windowInputs) = gotProbed(rows, budget, bins)
+      assert(ids === naive(rows, budget), s"budget $budget")
+      assert(windowInputs.size === 1, s"budget $budget: one straddling window")
+      // bounded by the refined sub-slice, with slack for uneven sub-bins —
+      // the UNREFINED fat bin is 1900 rows, the refined window must be
+      // an order of magnitude under it
+      assert(windowInputs.head <= 1900 / bins * 4,
+        s"budget $budget: window input ${windowInputs.head} not re-binned")
+    }
+  }
+
+  test("refined plan keeps ONE window and no global sort") {
+    val rng = new scala.util.Random(34L)
+    val rows = (0 until 2000).map { i =>
+      val s = if (i < 1900) rng.nextDouble() * 1e-5 else 10.0 + rng.nextDouble() * 90.0
+      (i.toLong, s, 1L + rng.nextInt(20))
+    }
+    val df = Sampling.tokenBudgetSelect(rows.toDF("id", "score", "tok"),
+      "id", col("score"), col("tok"), 9000L, 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty,
+      s"global sort in the refined plan:\n${p.take(3000)}")
+    assert("Window \\[".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
+  test("constant-score cutoff bin is unrefinable and still exact") {
+    // every row ties: the naive form pays the same full window, so paying
+    // it here is not a regression — but the result must stay the exact
+    // id-ordered prefix and the probe must show the refinement declined
+    val rows = (0 until 500).map(i => (i.toLong, 7.0, 3L))
+    val (ids, windowInputs) = gotProbed(rows, 99L, 16)
+    assert(ids === naive(rows, 99L))
+    assert(ids === (0L until 33L).toSet) // 33 * 3 = 99: id-order prefix
+    assert(windowInputs === Seq(500L)) // the whole (tied) bin, by design
+  }
+
+  test("zipf scores: refinement engages and the selection stays exact") {
+    val rows = (0 until 1500).map(i =>
+      (i.toLong, 100.0 / (i + 1), 1L + (i % 7)))
+    for (budget <- Seq(100L, 1200L, 4000L)) {
+      val (ids, _) = gotProbed(rows, budget, 16)
+      assert(ids === naive(rows, budget), s"budget $budget")
+    }
+  }
+
   test("selection is partitioning-invariant") {
     val rng = new scala.util.Random(7L)
     val rows = (0 until 300).map(i =>
