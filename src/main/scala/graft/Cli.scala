@@ -62,11 +62,30 @@ object Cli {
         .show(1000, truncate = false)
     case Seq("pca-show") => throw new IllegalArgumentException(
       "usage: graft.Cli pca-show <path> [k]")
+    case Seq("budget-select", yaml, table, budget) =>
+      // the curate asset's read surface: the maximal budget prefix over
+      // the sink's materialized table, cutoff off the maintained
+      // histogram — operators drive the selection without writing Scala
+      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yaml))))
+      budgetSelect(session("graft-budget-select"), p, table, budget.toLong)
+        .show(1000, truncate = false)
+    case Seq("budget-select", _*) => throw new IllegalArgumentException(
+      "usage: graft.Cli budget-select <pipeline.yaml> <table-id> <budget>")
     case Seq(yaml) => runPipeline(yaml)
     case _ => throw new IllegalArgumentException(
       "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> " +
-        "[quantile ...] | graft.Cli pca-show <path> [k]")
+        "[quantile ...] | graft.Cli pca-show <path> [k] | " +
+        "graft.Cli budget-select <pipeline.yaml> <table-id> <budget>")
   }
+
+  /** [[graft.pipeline.BudgetCurator.select]] under the one read-surface
+    * session shape — exposed (like [[monitorShow]]/[[pcaShow]]) so specs
+    * and embedding callers drive it with their own session.
+    */
+  def budgetSelect(spark: SparkSession, p: PipelineDef, tableId: String,
+                   budget: Long): org.apache.spark.sql.DataFrame =
+    graft.pipeline.BudgetCurator.select(spark, p, tableId, budget)
 
   /** Render the variance spectrum of a persisted PCA suffstats asset
     * ([[graft.ops.Pca.appendStats]]): component, eigenvalue, cumulative
@@ -136,7 +155,7 @@ object Cli {
     }
   }
 
-  private def runBatch(spark: SparkSession, p: PipelineDef): Unit = {
+  private[graft] def runBatch(spark: SparkSession, p: PipelineDef): Unit = {
     val results = Composer.composeBatch(spark, p)
     val parquetOut: Option[String] = p.sink.kind match {
       case "values" =>
@@ -156,16 +175,19 @@ object Cli {
         Some(out)
       case other => throw new IllegalArgumentException(s"unknown batch sink: $other")
     }
-    // monitor blocks fold AFTER delivery (the MonitorSink ordering: a
-    // failed sink must not advance monitor state), reading the parquet
-    // sink's materialized output rather than re-executing the lineage
+    // monitor and curate blocks fold AFTER delivery (the MonitorSink
+    // ordering: a failed sink must not advance asset state), reading the
+    // parquet sink's materialized output rather than re-executing lineage
     results.foreach { case (id, df) =>
-      // only tables some monitor actually selects pay the read-back
+      // only tables some block actually selects pay the read-back
       // (file listing + schema inference) — unmatched tables skip it
-      if (p.monitors.exists(_.selectors.matches(id))) {
+      val monitored = p.monitors.exists(_.selectors.matches(id))
+      val curated = p.curations.exists(_.selectors.matches(id))
+      if (monitored || curated) {
         val frame = parquetOut.fold(df)(out =>
           spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}"))
-        graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
+        if (monitored) graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
+        if (curated) graft.pipeline.BudgetCurator.fold(spark, id, frame, p.curations)
       }
     }
   }
@@ -285,11 +307,15 @@ object Cli {
       case _ => new ParquetUpsertSink(statePath, buckets)
     }
     val sink = sinkDecorator.map(_(sink0)).getOrElse(sink0)
-    // monitor blocks fold per micro-batch AFTER the data write; the tuple
-    // still returns the inner sink (tests read state through it)
-    val sinkForPipe: graft.sinks.CdcSink =
+    // monitor + curate blocks fold per micro-batch AFTER the data write
+    // (decorators stack); the tuple still returns the inner sink (tests
+    // read state through it)
+    val sinkMonitored: graft.sinks.CdcSink =
       if (p.monitors.isEmpty) sink
       else new graft.pipeline.QuantileMonitor.MonitorSink(sink, spark, p.monitors)
+    val sinkForPipe: graft.sinks.CdcSink =
+      if (p.curations.isEmpty) sinkMonitored
+      else new graft.pipeline.BudgetCurator.CurateSink(sinkMonitored, spark, p.curations)
     // `dead-letter-dir`: unroutable records (unparseable JSON, missing
     // source ids) quarantine as text under one dir per batch instead of
     // silently dropping — the YAML face of StreamingPipeline.deadLetter.

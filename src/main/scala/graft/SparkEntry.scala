@@ -227,6 +227,54 @@ object SparkEntry {
       (view, state, batch)
     })
 
+  /** Once-per-(JVM, dir) CURATED pipeline: the `curate:` YAML block run on
+    * the batch composer path — the pipeline materializes a filtered
+    * documents projection to a parquet sink and folds the budget-histogram
+    * asset after delivery (Cli.runBatch, the deployed lifecycle).
+    * `q_yaml_budget` then measures what an operator pays per selection:
+    * `budget-select` off the maintained asset, never the pipeline re-run
+    * (the budgetHistFor / bpeVocabFor discipline; re-running would also
+    * double-fold the ctx-less batch histogram). Temp dirs reclaimed at
+    * JVM exit.
+    */
+  private val yamlBudgetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.PipelineDef]()
+  private def yamlBudgetFor(spark: SparkSession, dir: String): graft.pipeline.PipelineDef =
+    yamlBudgetCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-yaml-budget")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.commons.io.FileUtils.deleteQuietly(root.toFile); ()
+      }))
+      val yaml =
+        s"""source:
+           |  type: parquet
+           |  path: $dir
+           |  schema-name: corpus
+           |  tables: corpus.documents
+           |transform:
+           |  - source-table: corpus.documents
+           |    projection: "doc_id, n_chars, TOKEN_COUNT(text) AS tok"
+           |    filter: "TOKEN_COUNT(text) >= 1"
+           |route:
+           |  - source-table: corpus.documents
+           |    sink-table: out.docs
+           |curate:
+           |  - source-table: out.docs
+           |    id-column: doc_id
+           |    score: "CAST(n_chars AS DOUBLE) / tok"
+           |    tokens: tok
+           |    path: $root/hist
+           |    lo: 0.0
+           |    hi: 64.0
+           |sink:
+           |  type: parquet
+           |  path: $root/out
+           |""".stripMargin
+      val p = graft.pipeline.PipelineDef.fromYaml(yaml)
+      Cli.runBatch(spark, p)
+      p
+    })
+
   /** Once-per-JVM RAG store: documents chunked (40-token windows, stride
     * 32), each chunk stub-embedded, the embeddings PERSISTED (at 100 TB
     * the chunk-embedding table is a materialized asset, not a recompute —
@@ -482,6 +530,18 @@ object SparkEntry {
            |  type: values
            |""".stripMargin
       Composer.composeBatch(spark, PipelineDef.fromYaml(yaml))(TableId.of("out", "clean_docs"))
+    },
+
+    "q_yaml_budget" -> { (spark, dir) =>
+      // the curation tier through the reference's primary entry point
+      // (YAML pipeline + `curate:` block + the budget-select read
+      // surface): selection off the asset the pipeline maintained, over
+      // the sink's materialized table. Pipeline runs once per (JVM, dir)
+      // — see yamlBudgetFor; the selection semantics are exactly
+      // q_token_budget's (the same score/tokens expressions through
+      // TOKEN_COUNT), so the oracle is the same naive global window —
+      // binning, the YAML route, and the asset affect only the plan
+      Cli.budgetSelect(spark, yamlBudgetFor(spark, dir), "out.docs", 20000L)
     },
 
     // ---------- changelog materialization / upsert semantics (§2.2, §7.4) ----------
@@ -4889,6 +4949,25 @@ object SparkEntry {
     // the naive single-window form of the budget prefix — the engine's
     // histogram-fold + bin-local-window plan must equal it bit-for-bit
     "q_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars AS DOUBLE) / tok AS score,
+        |         CAST(tok AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |        FROM documents)
+        |  WHERE tok >= 1),
+        |ord AS (
+        |  SELECT doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT doc_id, score, n_tokens FROM ord WHERE cum <= 20000""".stripMargin,
+
+    // the YAML curate route: same selection semantics as q_token_budget
+    // (TOKEN_COUNT replays as the trim/split SQL), same naive-window oracle
+    "q_yaml_budget" ->
       """WITH scored AS (
         |  SELECT doc_id,
         |         CAST(n_chars AS DOUBLE) / tok AS score,

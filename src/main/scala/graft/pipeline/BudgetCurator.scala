@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.model.{CdcSchema, SchemaChangeEvent, TableId}
+import graft.operators.Changelog
+import graft.ops.Sampling
+import graft.sinks.{BatchCtx, CdcSink}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus curation as a FIRST-CLASS pipeline asset — the
+  * `monitor:` discipline ([[QuantileMonitor]]) applied to the curation
+  * tier: a `curate:` YAML block declares a persisted budget-histogram
+  * asset ([[Sampling.appendBudgetHistogram]]) that every batch folds
+  * incrementally — each batch scans only ITSELF, the accumulated corpus is
+  * never re-scanned — and `graft.Cli budget-select <pipeline.yaml>
+  * <table-id> <budget>` runs [[Sampling.tokenBudgetSelectFromStats]] off
+  * the maintained asset against the sink's materialized table, so
+  * operators drive "the best docs that fit B tokens" without writing
+  * Scala. This exposes the curation operators through the reference's
+  * primary entry point (the YAML pipeline —
+  * flink-cdc-cli/.../CliFrontend.java:66-81 runs `pipeline.yaml`; our
+  * `monitor:` blocks are the precedent for engine-side extensions).
+  *
+  * ```yaml
+  * curate:
+  *   - source-table: corpus.docs          # selector over routed SINK ids
+  *     id-column: doc_id
+  *     score: "CAST(n_chars AS DOUBLE) / tok"   # any SQL expression
+  *     tokens: tok                         # SQL expression → BIGINT
+  *     path: /warehouse/curate/docs        # persisted histogram asset
+  *     lo: 0.0                             # declared score range (pinned)
+  *     hi: 64.0
+  *     bins: 4096                          # optional
+  * ```
+  *
+  * Persistence and delivery semantics are the shared
+  * [[graft.ops.EpochStore]] protocol via `appendBudgetHistogram`:
+  * `_SUCCESS`-committed epoch dirs, per-path fold locks, one grace epoch;
+  * on the streaming path folds are EFFECTIVELY-ONCE under foreachBatch
+  * crash replays (the (batchId, leg) replay ledger rides the asset),
+  * batch-composer folds are at-least-once by design and preserve the
+  * ledger. The histogram is GROW-ONLY: DELETE rows carry no curation
+  * observation and a later delete does not retract its document's tokens —
+  * the asset describes everything ever offered, the operating mode of
+  * append-shaped corpora (rebuild the asset on a compacted corpus the way
+  * the PCA/monitor assets are rebuilt: rotate the path).
+  */
+final case class CurateDef(
+    sourceTable: String,
+    idColumn: String,
+    score: String,
+    tokens: String,
+    path: String,
+    lo: Double,
+    hi: Double,
+    bins: Int = 4096) {
+  // refuse at definition time, not with an appendBudgetHistogram error
+  // mid-batch (the MonitorDef stance)
+  require(hi > lo, s"curate block at $path needs hi > lo: [$lo, $hi]")
+  require(bins >= 1, s"curate block at $path needs bins >= 1: $bins")
+  lazy val selectors: graft.model.Selectors = graft.model.Selectors.parse(sourceTable)
+}
+
+object BudgetCurator {
+
+  /** Fold one batch slice of sink table `id` into every matching curate
+    * asset: the batch's post-images (DELETE rows carry no observation)
+    * histogrammed under the block's declared (lo, hi, bins) — a mismatch
+    * against an existing asset refuses loudly (the declaration is pinned
+    * at creation). With a [[BatchCtx]], a crash-replayed (batchId, leg)
+    * is skipped — effectively-once, zero coupling to the sink's commit.
+    */
+  def fold(spark: SparkSession, id: TableId, batch: DataFrame,
+           curations: Seq[CurateDef], ctx: Option[BatchCtx] = None): Unit =
+    curations.filter(_.selectors.matches(id)).foreach { c =>
+      Sampling.appendBudgetHistogram(batch, expr(c.score), expr(c.tokens),
+        c.path, c.lo, c.hi, c.bins, ctx)
+    }
+
+  /** Sink decorator for the streaming path: data write first (idempotent,
+    * the sink's own protocol), then the effectively-once histogram fold of
+    * the batch's non-DELETE rows under the write's provenance — stacks
+    * with [[QuantileMonitor.MonitorSink]].
+    */
+  final class CurateSink(inner: CdcSink, spark: SparkSession,
+                         curations: Seq[CurateDef]) extends CdcSink {
+    override def applySchemaChange(e: SchemaChangeEvent): Unit =
+      inner.applySchemaChange(e)
+    override def write(id: TableId, changelog: DataFrame, schema: CdcSchema): Unit =
+      writeBatch(id, changelog, schema, None)
+    override def writeBatch(id: TableId, changelog: DataFrame, schema: CdcSchema,
+                            ctx: Option[BatchCtx]): Unit = {
+      inner.writeBatch(id, changelog, schema, ctx)
+      fold(spark, id, changelog.where(col(Changelog.OpCol) =!= "DELETE"),
+        curations, ctx)
+    }
+  }
+
+  /** The read surface: the maximal budget prefix over the sink's
+    * MATERIALIZED table, with the cutoff resolved off the maintained
+    * histogram asset — no range scan, no histogram scan of the corpus;
+    * the corpus pays one binned filter plus the one bin-local window
+    * ([[Sampling.tokenBudgetSelectFromStats]]'s contract).
+    */
+  def select(spark: SparkSession, p: PipelineDef, tableId: String,
+             budget: Long): DataFrame = {
+    val id = TableId.parse(tableId)
+    val c = p.curations.find(_.selectors.matches(id)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no curate block matches table $tableId (have: " +
+          s"${p.curations.map(_.sourceTable).mkString(", ")})"))
+    Sampling.tokenBudgetSelectFromStats(materializedTable(spark, p, id),
+      c.idColumn, expr(c.score), expr(c.tokens), c.path, budget)
+  }
+
+  /** Where the pipeline's sink materialized `id`: the parquet sink's table
+    * dir, or the parquet-upsert sink's maintained state (read through the
+    * sink so a crashed bucket swap is recovered first). A `values` sink
+    * materializes nothing — selection refuses rather than re-running the
+    * pipeline's lineage behind the operator's back.
+    */
+  private def materializedTable(spark: SparkSession, p: PipelineDef,
+                                id: TableId): DataFrame = p.sink.kind match {
+    case "parquet" =>
+      val out = p.sink.options.getOrElse("path",
+        throw new IllegalArgumentException("parquet sink needs `path`"))
+      spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}")
+    case "values" => throw new IllegalArgumentException(
+      "budget-select needs a materializing sink (parquet/parquet-upsert); " +
+        "the values sink keeps no table to select from")
+    case _ =>
+      new graft.sinks.ParquetUpsertSink(graft.Cli.stateDir(p)).read(spark, id)
+  }
+}

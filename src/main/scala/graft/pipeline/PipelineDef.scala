@@ -10,7 +10,16 @@ import scala.jdk.CollectionConverters._
   * (cli/parser/YamlPipelineDefinitionParser.java:59-87:
   * source / sink / transform / route / pipeline / model / user-defined-function),
   * plus this engine's `monitor` block ([[MonitorDef]] — per-cell t-digest
-  * quantile sketch tables folded per batch).
+  * quantile sketch tables folded per batch) and `curate` block
+  * ([[CurateDef]] — persisted token-budget histogram assets folded per
+  * batch, selected via `graft.Cli budget-select`).
+  *
+  * Omitted `source-table` selectors default to `\.*` — ONE part whose
+  * un-escaped regex `.*` matches any table name. A literal `.*` default
+  * would split on the unescaped dot into an empty part plus the invalid
+  * part-regex `*` (dangling quantifier) and throw on first match
+  * ([[graft.model.Selectors]] splits entries on unescaped dots, the
+  * reference's RegExSplitterByDot).
   */
 final case class SourceDef(kind: String, options: Map[String, String])
 final case class SinkDef(kind: String, options: Map[String, String])
@@ -25,6 +34,7 @@ final case class PipelineDef(
     udfs: Seq[UdfDef] = Nil,
     models: Seq[ModelDef] = Nil,
     monitors: Seq[MonitorDef] = Nil,
+    curations: Seq[CurateDef] = Nil,
     config: Map[String, String] = Map.empty
 ) {
   def name: String = config.getOrElse("name", "graft-pipeline")
@@ -57,7 +67,7 @@ object PipelineDef {
 
     val transforms = blockList(root.getOrElse("transform", null)).map { m =>
       TransformRule(
-        sourceTable = m.getOrElse("source-table", ".*"),
+        sourceTable = m.getOrElse("source-table", "\\.*"),
         projection = m.get("projection"),
         filter = m.get("filter"),
         primaryKeys = m.get("primary-keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
@@ -68,7 +78,7 @@ object PipelineDef {
     }
     val routes = blockList(root.getOrElse("route", null)).map { m =>
       RouteRule(
-        sourceTable = m.getOrElse("source-table", ".*"),
+        sourceTable = m.getOrElse("source-table", "\\.*"),
         sinkTable = m.getOrElse("sink-table", ""),
         replaceSymbol = m.get("replace-symbol"),
         description = m.get("description"))
@@ -79,7 +89,7 @@ object PipelineDef {
       .map(m => ModelDef(m.getOrElse("model-name", m.getOrElse("name", "model")), m))
     val monitors = blockList(root.getOrElse("monitor", null)).map { m =>
       MonitorDef(
-        sourceTable = m.getOrElse("source-table", ".*"),
+        sourceTable = m.getOrElse("source-table", "\\.*"),
         dims = m.get("dims").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil),
         value = m.getOrElse("value",
@@ -87,6 +97,20 @@ object PipelineDef {
         path = m.getOrElse("path",
           throw new IllegalArgumentException("monitor block needs `path`")),
         compression = m.getOrElse("compression", "100").toInt)
+    }
+
+    val curations = blockList(root.getOrElse("curate", null)).map { m =>
+      def req(k: String): String = m.getOrElse(k,
+        throw new IllegalArgumentException(s"curate block needs `$k`"))
+      CurateDef(
+        sourceTable = m.getOrElse("source-table", "\\.*"),
+        idColumn = req("id-column"),
+        score = req("score"),
+        tokens = req("tokens"),
+        path = req("path"),
+        lo = req("lo").toDouble,
+        hi = req("hi").toDouble,
+        bins = m.getOrElse("bins", "4096").toInt)
     }
 
     PipelineDef(
@@ -97,6 +121,7 @@ object PipelineDef {
       udfs = udfs,
       models = models,
       monitors = monitors,
+      curations = curations,
       config = strMap(root.getOrElse("pipeline", null)))
   }
 }

@@ -192,6 +192,148 @@ class CliSpec extends SparkSpec {
     assert(ls3 === Set("epoch_1", "epoch_2"), ls3.toString)
   }
 
+  test("curate YAML block maintains a budget-histogram asset; budget-select runs off it") {
+    // the curation tier through the reference's primary entry point: each
+    // micro-batch folds its post-image (score, tokens) histogram into the
+    // persisted asset (batch 2 exercises the incremental fold), and the
+    // budget-select read surface returns the exact (score desc, id) budget
+    // prefix over the sink's materialized state with the cutoff resolved
+    // off the asset — no corpus re-scan, no Scala
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-cur-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cur-out").toString
+    val asset = s"$out/budget_hist"
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, n_chars BIGINT, tok BIGINT"
+         |transform:
+         |  - source-table: corpus.docs
+         |    primary-keys: id
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: "CAST(n_chars AS DOUBLE) / tok"
+         |    tokens: tok
+         |    path: $asset
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out/state
+         |  buckets: 2
+         |""".stripMargin)
+    assert(p.curations.map(c => (c.idColumn, c.tokens, c.bins)) ===
+      Seq(("id", "tok", 8)))
+    def doc(id: Int, nChars: Int, tok: Int) =
+      s"""{"before":null,"after":{"id":$id,"n_chars":$nChars,"tok":$tok},""" +
+        s""""op":"c","ts_ms":$id,"source":{"db":"corpus","table":"docs"}}"""
+    // scores: id1=8.0, id2=4.0, id3=2.0, id4=1.0 — tokens 10 each
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(doc(1, 80, 10), doc(2, 40, 10), doc(3, 20, 10), doc(4, 10, 10))
+        .mkString("", "\n", "\n"))
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    def selected(budget: Long): Seq[Long] =
+      Cli.budgetSelect(spark, p, "corpus.docs", budget)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(selected(25L) === Seq(1L, 2L)) // 10 + 10 fit, doc 3 overflows
+    assert(selected(1000L) === Seq(1L, 2L, 3L, 4L))
+    // batch 2: a better-scored doc (id5=16.0) and one tying doc 3's score
+    // (id6=2.0 — id breaks the tie, doc 3 wins) fold INCREMENTALLY
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(doc(5, 160, 10), doc(6, 30, 15)).mkString("", "\n", "\n"))
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(selected(35L) === Seq(1L, 2L, 5L)) // new best first: 5,1,2 = 30
+    assert(selected(45L) === Seq(1L, 2L, 3L, 5L)) // tie at 2.0 → id 3 < 6
+    assert(selected(65L) === Seq(1L, 2L, 3L, 4L, 5L, 6L)) // Σ tokens = 65
+    // the asset folded per batch: live + one grace epoch, declaration rows
+    val live = graft.ops.EpochStore.currentEpoch(spark, asset)
+    assert(live.exists(_.endsWith("epoch_1")), live.toString)
+    // a selection against a table no curate block matches refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Cli.budgetSelect(spark, p, "corpus.other", 10L)
+    }
+    assert(err.getMessage.contains("no curate block"))
+  }
+
+  test("budget-select refuses a values sink (nothing materialized to select from)") {
+    import graft.pipeline.PipelineDef
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |curate:
+         |  - id-column: id
+         |    score: s
+         |    tokens: t
+         |    path: /tmp/x/hist
+         |    lo: 0.0
+         |    hi: 1.0
+         |sink:
+         |  type: values
+         |""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      Cli.budgetSelect(spark, p, "db.t", 10L)
+    }
+    assert(err.getMessage.contains("materializing sink"))
+  }
+
+  test("omitted source-table selectors match every table (the \\.* default)") {
+    // a literal ".*" default splits on the unescaped dot into the invalid
+    // part-regex "*" and throws on first match — latent in every block
+    // type until the curate read surface exercised the default
+    import graft.pipeline.PipelineDef
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |transform:
+         |  - projection: "*"
+         |monitor:
+         |  - value: v
+         |    path: /tmp/x/m
+         |curate:
+         |  - id-column: id
+         |    score: s
+         |    tokens: t
+         |    path: /tmp/x/h
+         |    lo: 0.0
+         |    hi: 1.0
+         |sink:
+         |  type: values
+         |""".stripMargin)
+    for (id <- Seq(TableId.of("db", "sch", "t1"), TableId.of("sch", "t2"),
+        TableId.parse("t3"))) {
+      assert(p.transforms.head.selectors.matches(id), s"transform vs $id")
+      assert(p.monitors.head.selectors.matches(id), s"monitor vs $id")
+      assert(p.curations.head.selectors.matches(id), s"curate vs $id")
+    }
+  }
+
+  test("curate block validation: missing keys and bad ranges refuse at parse time") {
+    import graft.pipeline.PipelineDef
+    def yamlWith(body: String) =
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |curate:
+         |  - $body
+         |sink:
+         |  type: values
+         |""".stripMargin
+    val e1 = intercept[IllegalArgumentException] { PipelineDef.fromYaml(yamlWith(
+      "id-column: id\n    score: s\n    tokens: t\n    lo: 0.0\n    hi: 1.0")) }
+    assert(e1.getMessage.contains("`path`"))
+    val e2 = intercept[IllegalArgumentException] { PipelineDef.fromYaml(yamlWith(
+      "id-column: id\n    score: s\n    tokens: t\n    path: /tmp/h\n    lo: 2.0\n    hi: 1.0")) }
+    assert(e2.getMessage.contains("hi > lo"))
+  }
+
   test("pipeline trigger: available-now drains the backlog through Cli.main and exits") {
     // the backfill / scheduled-catch-up operating mode: Cli.main on a
     // streaming YAML must TERMINATE once the backlog drains (the default
