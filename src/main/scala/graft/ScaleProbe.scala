@@ -295,6 +295,7 @@ object ScaleProbe {
       s""""cpu_kernel_sec_start":${Bench.jnum(kernelStart, 4)},""" +
       s""""cpu_kernel_sec_end":${Bench.jnum(kernelEnd, 4)},""" +
       s""""cpu_ratio":${jnum(cpuRatio)},""" +
+      s""""run_seq":${System.currentTimeMillis()},""" +
       s""""heavy_tail_isolated":${heavy.map(h => jstr(h._1)).mkString("[", ",", "]")},""" +
       s""""queries":$qs,"flags":$fl,"errors":$errJson,""" +
       streamSection.fold("")(s => s""""streaming":$s,""") +
