@@ -187,7 +187,10 @@ object Cli {
         val frame = parquetOut.fold(df)(out =>
           spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}"))
         if (monitored) graft.pipeline.QuantileMonitor.fold(spark, id, frame, p.monitors)
-        if (curated) graft.pipeline.BudgetCurator.fold(spark, id, frame, p.curations)
+        // REBUILD, not fold: the batch run re-materialized the complete
+        // table, so the asset must describe exactly it (a re-run is then
+        // idempotent; an accumulate here would corrupt selection seeds)
+        if (curated) graft.pipeline.BudgetCurator.rebuild(spark, id, frame, p.curations)
       }
     }
   }

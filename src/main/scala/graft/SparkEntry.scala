@@ -233,9 +233,9 @@ object SparkEntry {
     * asset after delivery (Cli.runBatch, the deployed lifecycle).
     * `q_yaml_budget` then measures what an operator pays per selection:
     * `budget-select` off the maintained asset, never the pipeline re-run
-    * (the budgetHistFor / bpeVocabFor discipline; re-running would also
-    * double-fold the ctx-less batch histogram). Temp dirs reclaimed at
-    * JVM exit.
+    * (the budgetHistFor / bpeVocabFor discipline; a re-run would be
+    * IDEMPOTENT on the asset — the batch path rebuilds, not folds — just
+    * wasted work). Temp dirs reclaimed at JVM exit.
     */
   private val yamlBudgetCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.PipelineDef]()

@@ -407,7 +407,37 @@ object Sampling {
   def appendBudgetHistogram(df: DataFrame, scoreCol: Column, tokensCol: Column,
                             path: String, lo: Double, hi: Double,
                             bins: Int = 4096,
-                            ctx: Option[graft.sinks.BatchCtx] = None): Unit = {
+                            ctx: Option[graft.sinks.BatchCtx] = None): Unit =
+    writeBudgetEpoch(df, scoreCol, tokensCol, path, lo, hi, bins, ctx,
+      merge = true)
+
+  /** REPLACE the persisted asset with THIS df's histogram — the batch
+    * composer's maintenance semantics: a one-shot pipeline run
+    * re-materializes the COMPLETE sink table every run, so the asset must
+    * describe exactly this run's output; accumulating ([[
+    * appendBudgetHistogram]], the streaming micro-batch semantics, where
+    * each batch IS new data) would double-count every prior run's rows and
+    * silently corrupt the seed arithmetic of every later selection — worse
+    * than the monitor's documented at-least-once (doubled digest weights
+    * are visibly wrong; a drifted budget cutoff is not). The declared
+    * binning stays pinned against the live asset (a different declaration
+    * is a different asset — rotate the path), the streaming replay ledger
+    * is PRESERVED (a rebuild interleaved on a streaming asset's path must
+    * not erase an in-flight batch's replay protection — though mixing the
+    * two maintainers on one path is operator error either way), and an
+    * empty df is a no-op like the append (selection over an empty corpus
+    * is empty regardless of the retained histogram).
+    */
+  def rebuildBudgetHistogram(df: DataFrame, scoreCol: Column, tokensCol: Column,
+                             path: String, lo: Double, hi: Double,
+                             bins: Int = 4096): Unit =
+    writeBudgetEpoch(df, scoreCol, tokensCol, path, lo, hi, bins, ctx = None,
+      merge = false)
+
+  private def writeBudgetEpoch(df: DataFrame, scoreCol: Column, tokensCol: Column,
+                               path: String, lo: Double, hi: Double, bins: Int,
+                               ctx: Option[graft.sinks.BatchCtx],
+                               merge: Boolean): Unit = {
     require(bins >= 1, s"bins must be positive: $bins")
     require(hi > lo, s"need hi > lo: [$lo, $hi]")
     val spark = df.sparkSession
@@ -438,7 +468,7 @@ object Sampling {
                   s"hi=${r.getDouble(1)}, bins=${r.getInt(2)}) — appends must " +
                   s"match, got (lo=$lo, hi=$hi, bins=$bins)")
             }
-          ldf.select(col("bin"), col("toks")).collect().foreach { r =>
+          if (merge) ldf.select(col("bin"), col("toks")).collect().foreach { r =>
             merged(r.getLong(0)) = merged.getOrElse(r.getLong(0), 0L) + r.getLong(1)
           }
         }

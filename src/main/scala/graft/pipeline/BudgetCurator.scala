@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
 /** Token-budget corpus curation as a FIRST-CLASS pipeline asset — the
   * `monitor:` discipline ([[QuantileMonitor]]) applied to the curation
   * tier: a `curate:` YAML block declares a persisted budget-histogram
-  * asset ([[Sampling.appendBudgetHistogram]]) that every batch folds
-  * incrementally — each batch scans only ITSELF, the accumulated corpus is
-  * never re-scanned — and `graft.Cli budget-select <pipeline.yaml>
+  * asset ([[Sampling.appendBudgetHistogram]]) that every STREAMING
+  * micro-batch folds incrementally — each batch scans only ITSELF, the
+  * accumulated corpus is never re-scanned — while the BATCH composer
+  * REBUILDS it per run ([[rebuild]]: a one-shot run re-materializes the
+  * complete table, so re-running is idempotent on the asset), and
+  * `graft.Cli budget-select <pipeline.yaml>
   * <table-id> <budget>` runs [[Sampling.tokenBudgetSelectFromStats]] off
   * the maintained asset against the sink's materialized table, so
   * operators drive "the best docs that fit B tokens" without writing
@@ -75,6 +78,21 @@ object BudgetCurator {
     curations.filter(_.selectors.matches(id)).foreach { c =>
       Sampling.appendBudgetHistogram(batch, expr(c.score), expr(c.tokens),
         c.path, c.lo, c.hi, c.bins, ctx)
+    }
+
+  /** The BATCH composer's maintenance: REPLACE the asset with this run's
+    * histogram ([[Sampling.rebuildBudgetHistogram]]) — a one-shot run
+    * re-materializes the complete sink table, so accumulating (the
+    * streaming semantics, where each micro-batch IS new data) would
+    * double-count every prior run on a re-run and silently corrupt later
+    * selections' seed arithmetic. Re-running the same pipeline is
+    * idempotent on the asset by construction.
+    */
+  def rebuild(spark: SparkSession, id: TableId, table: DataFrame,
+              curations: Seq[CurateDef]): Unit =
+    curations.filter(_.selectors.matches(id)).foreach { c =>
+      Sampling.rebuildBudgetHistogram(table, expr(c.score), expr(c.tokens),
+        c.path, c.lo, c.hi, c.bins)
     }
 
   /** Sink decorator for the streaming path: data write first (idempotent,

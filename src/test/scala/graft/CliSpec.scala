@@ -261,6 +261,52 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("no curate block"))
   }
 
+  test("batch curate REBUILDS the asset per run: a pipeline re-run is idempotent") {
+    // the batch composer re-materializes the complete table each run, so
+    // the asset must describe exactly it — an accumulate here would
+    // double the histogram on re-run and silently corrupt the selection's
+    // seed arithmetic (worse than the monitor's visible doubled n_obs)
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cur-batch").toString
+    Seq((1L, 8.0, 10L), (2L, 4.0, 10L), (3L, 2.0, 10L))
+      .toDF("id", "score", "tok").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: score
+         |    tokens: tok
+         |    path: $root/hist
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    Cli.runBatch(spark, p)
+    def selected(budget: Long): Seq[Long] =
+      Cli.budgetSelect(spark, p, "corpus.docs", budget)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(selected(25L) === Seq(1L, 2L))
+    // the re-run (same source, same yaml) must leave the selection exact —
+    // an accumulated histogram would seed the window with doubled sums
+    Cli.runBatch(spark, p)
+    assert(selected(25L) === Seq(1L, 2L))
+    assert(selected(1000L) === Seq(1L, 2L, 3L))
+    val toks = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, s"$root/hist").get)
+      .agg(org.apache.spark.sql.functions.sum("toks")).head().getLong(0)
+    assert(toks === 30L, "batch re-run accumulated the histogram")
+  }
+
   test("budget-select refuses a values sink (nothing materialized to select from)") {
     import graft.pipeline.PipelineDef
     val p = PipelineDef.fromYaml(

@@ -199,6 +199,47 @@ class TokenBudgetSpec extends SparkSpec {
     }
   }
 
+  test("rebuild replaces the asset (batch semantics): re-runs idempotent, appends merge") {
+    val df = Seq((1L, 1.0, 5L), (2L, 2.0, 7L)).toDF("id", "score", "tok")
+    val path = java.nio.file.Files.createTempDirectory("tb-rebuild").toString
+    def totalToks = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, path).get)
+      .agg(sum("toks")).head().getLong(0)
+    // two rebuilds of the same table = one table's histogram (a batch
+    // pipeline re-run must not double the asset like an append would)
+    Sampling.rebuildBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    assert(totalToks === 12L)
+    Sampling.rebuildBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    assert(totalToks === 12L, "batch rebuild accumulated instead of replacing")
+    // an append on top merges (the streaming semantics)...
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    assert(totalToks === 24L)
+    // ...and the next rebuild replaces the accumulated state again
+    Sampling.rebuildBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    assert(totalToks === 12L)
+    // declaration stays pinned across rebuilds too
+    val err = intercept[IllegalArgumentException] {
+      Sampling.rebuildBudgetHistogram(df, col("score"), col("tok"),
+        path, lo = 0.0, hi = 99.0, bins = 4)
+    }
+    assert(err.getMessage.contains("declared"))
+    // a rebuild preserves a recorded streaming ledger (mixed maintainers
+    // on one path are operator error, but replay protection must survive)
+    val ctx = Some(graft.sinks.BatchCtx(7L, "db.docs"))
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4, ctx = ctx)
+    assert(totalToks === 24L)
+    Sampling.rebuildBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    Sampling.appendBudgetHistogram(df, col("score"), col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4, ctx = ctx)
+    assert(totalToks === 12L, "replayed streaming fold applied after rebuild")
+  }
+
   test("selection is partitioning-invariant") {
     val rng = new scala.util.Random(7L)
     val rows = (0 until 300).map(i =>
