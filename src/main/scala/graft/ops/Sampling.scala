@@ -265,11 +265,12 @@ object Sampling {
       Option[scala.collection.mutable.ArrayBuffer[Long]] = None
 
   private def budgetBase(df: DataFrame, idCol: String, scoreCol: Column,
-                         tokensCol: Column): DataFrame =
-    df.select(col(idCol), scoreCol.cast("double").as("score"),
+                         tokensCol: Column, signed: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol), scoreCol.cast("double").as("score"),
         tokensCol.cast("long").as("n_tokens"))
-      .where(col("score").isNotNull && col("n_tokens").isNotNull &&
-        col("n_tokens") >= 0)
+      .where(col("score").isNotNull && col("n_tokens").isNotNull)
+    if (signed) base else base.where(col("n_tokens") >= 0)
+  }
 
   /** The order-aligned bin of a score under fixed (lo, width, bins) — a
     * monotone affine map + floor, so bin-desc order refines score order.
@@ -434,16 +435,37 @@ object Sampling {
     writeBudgetEpoch(df, scoreCol, tokensCol, path, lo, hi, bins, ctx = None,
       merge = false)
 
+  /** [[appendBudgetHistogram]] accepting SIGNED token deltas — the
+    * retraction fold: per-bin sums are a commutative GROUP, not just a
+    * monoid, so a CDC DELETE (whose before-image carries the row's
+    * original columns) folds as the exact negation of the insert it
+    * retracts, and the maintained histogram equals the SURVIVING table's
+    * — takedown/GDPR flows keep `budget-select` exact instead of
+    * grow-only-approximate. Null score/tokens excluded as ever. The
+    * contract: each retraction must mirror a prior offer (score and
+    * tokens recomputed off the same values the insert contributed — true
+    * for CDC before-images; an in-place update that changed them between
+    * offer and retraction drifts, and a net-negative bin is the loud
+    * symptom). Same EpochStore persistence/ledger semantics as the
+    * unsigned append.
+    */
+  def appendBudgetDeltas(df: DataFrame, scoreCol: Column,
+                         signedTokensCol: Column, path: String,
+                         lo: Double, hi: Double, bins: Int = 4096,
+                         ctx: Option[graft.sinks.BatchCtx] = None): Unit =
+    writeBudgetEpoch(df, scoreCol, signedTokensCol, path, lo, hi, bins, ctx,
+      merge = true, signed = true)
+
   private def writeBudgetEpoch(df: DataFrame, scoreCol: Column, tokensCol: Column,
                                path: String, lo: Double, hi: Double, bins: Int,
                                ctx: Option[graft.sinks.BatchCtx],
-                               merge: Boolean): Unit = {
+                               merge: Boolean, signed: Boolean = false): Unit = {
     require(bins >= 1, s"bins must be positive: $bins")
     require(hi > lo, s"need hi > lo: [$lo, $hi]")
     val spark = df.sparkSession
     val width = (hi - lo) / bins
     val batchHist = budgetBase(df.withColumn("__tb_id", lit(0L)), "__tb_id",
-        scoreCol, tokensCol)
+        scoreCol, tokensCol, signed)
       .withColumn("__bin", budgetBin(col("score"), lo, width, bins))
       .groupBy("__bin").agg(sum("n_tokens").as("toks"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))

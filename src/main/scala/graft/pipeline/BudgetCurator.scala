@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
   *     lo: 0.0                             # declared score range (pinned)
   *     hi: 64.0
   *     bins: 4096                          # optional
+  *     retract: true                       # optional: deletes retract
   * ```
   *
   * Persistence and delivery semantics are the shared
@@ -41,12 +42,14 @@ import org.apache.spark.sql.functions._
   * `_SUCCESS`-committed epoch dirs, per-path fold locks, one grace epoch;
   * on the streaming path folds are EFFECTIVELY-ONCE under foreachBatch
   * crash replays (the (batchId, leg) replay ledger rides the asset),
-  * batch-composer folds are at-least-once by design and preserve the
-  * ledger. The histogram is GROW-ONLY: DELETE rows carry no curation
-  * observation and a later delete does not retract its document's tokens —
-  * the asset describes everything ever offered, the operating mode of
-  * append-shaped corpora (rebuild the asset on a compacted corpus the way
-  * the PCA/monitor assets are rebuilt: rotate the path).
+  * batch-composer maintenance REBUILDS per run and is idempotent. Delete
+  * policy per block: by default the histogram is GROW-ONLY (DELETE rows
+  * carry no observation — the asset describes everything ever offered,
+  * the operating mode of append-shaped corpora); with `retract: true`
+  * DELETE rows fold as exact negations of the offers they retract (the
+  * CDC before-image carries the original columns), so the asset tracks
+  * the SURVIVING table and takedown/GDPR-delete flows keep selection
+  * exact — see [[fold]] for the in-place-update caveat.
   */
 final case class CurateDef(
     sourceTable: String,
@@ -56,7 +59,8 @@ final case class CurateDef(
     path: String,
     lo: Double,
     hi: Double,
-    bins: Int = 4096) {
+    bins: Int = 4096,
+    retract: Boolean = false) {
   // refuse at definition time, not with an appendBudgetHistogram error
   // mid-batch (the MonitorDef stance)
   require(hi > lo, s"curate block at $path needs hi > lo: [$lo, $hi]")
@@ -66,18 +70,49 @@ final case class CurateDef(
 
 object BudgetCurator {
 
-  /** Fold one batch slice of sink table `id` into every matching curate
-    * asset: the batch's post-images (DELETE rows carry no observation)
-    * histogrammed under the block's declared (lo, hi, bins) — a mismatch
-    * against an existing asset refuses loudly (the declaration is pinned
-    * at creation). With a [[BatchCtx]], a crash-replayed (batchId, leg)
-    * is skipped — effectively-once, zero coupling to the sink's commit.
+  /** Fold one batch's CHANGELOG slice of sink table `id` into every
+    * matching curate asset under the block's declared (lo, hi, bins) — a
+    * mismatch against an existing asset refuses loudly (the declaration
+    * is pinned at creation). Two per-block modes:
+    *
+    *  - default (grow-only): post-images fold positively, DELETE rows
+    *    carry no observation — the asset describes everything ever
+    *    offered.
+    *  - `retract: true`: DELETE rows fold as the NEGATION of the offer
+    *    they retract ([[Sampling.appendBudgetDeltas]] — per-bin sums are
+    *    a commutative group). The CDC before-image carries the row's
+    *    original columns, so the score/tokens expressions recompute
+    *    exactly what the insert contributed and the histogram tracks the
+    *    SURVIVING table: takedown/GDPR-delete flows keep `budget-select`
+    *    exact. Key-changing updates already arrive as a DELETE+UPDATE
+    *    pair ([[graft.sources.DebeziumJson.parse]]), so they retract
+    *    cleanly; an IN-PLACE update keeps only its after-image through
+    *    the flatten and still accumulates — the documented drift, loud
+    *    as net-negative bins when it matters.
+    *
+    * With a [[BatchCtx]], a crash-replayed (batchId, leg) is skipped —
+    * effectively-once, zero coupling to the sink's commit.
     */
-  def fold(spark: SparkSession, id: TableId, batch: DataFrame,
+  def fold(spark: SparkSession, id: TableId, changelog: DataFrame,
            curations: Seq[CurateDef], ctx: Option[BatchCtx] = None): Unit =
     curations.filter(_.selectors.matches(id)).foreach { c =>
-      Sampling.appendBudgetHistogram(batch, expr(c.score), expr(c.tokens),
-        c.path, c.lo, c.hi, c.bins, ctx)
+      if (c.retract) {
+        require(changelog.columns.contains(Changelog.OpCol),
+          s"curate block at ${c.path} declares retract but the batch for " +
+            s"$id carries no ${Changelog.OpCol} changelog column")
+        Sampling.appendBudgetDeltas(changelog, expr(c.score),
+          when(col(Changelog.OpCol) === "DELETE",
+              -expr(c.tokens).cast("long"))
+            .otherwise(expr(c.tokens).cast("long")),
+          c.path, c.lo, c.hi, c.bins, ctx)
+      } else {
+        val offered =
+          if (changelog.columns.contains(Changelog.OpCol))
+            changelog.where(col(Changelog.OpCol) =!= "DELETE")
+          else changelog
+        Sampling.appendBudgetHistogram(offered, expr(c.score), expr(c.tokens),
+          c.path, c.lo, c.hi, c.bins, ctx)
+      }
     }
 
   /** The BATCH composer's maintenance: REPLACE the asset with this run's
@@ -96,8 +131,9 @@ object BudgetCurator {
     }
 
   /** Sink decorator for the streaming path: data write first (idempotent,
-    * the sink's own protocol), then the effectively-once histogram fold of
-    * the batch's non-DELETE rows under the write's provenance — stacks
+    * the sink's own protocol), then the effectively-once histogram fold
+    * under the write's provenance — the FULL changelog goes to [[fold]],
+    * which applies each block's delete policy (skip vs retract). Stacks
     * with [[QuantileMonitor.MonitorSink]].
     */
   final class CurateSink(inner: CdcSink, spark: SparkSession,
@@ -109,8 +145,7 @@ object BudgetCurator {
     override def writeBatch(id: TableId, changelog: DataFrame, schema: CdcSchema,
                             ctx: Option[BatchCtx]): Unit = {
       inner.writeBatch(id, changelog, schema, ctx)
-      fold(spark, id, changelog.where(col(Changelog.OpCol) =!= "DELETE"),
-        curations, ctx)
+      fold(spark, id, changelog, curations, ctx)
     }
   }
 

@@ -110,7 +110,8 @@ object PipelineDef {
         path = req("path"),
         lo = req("lo").toDouble,
         hi = req("hi").toDouble,
-        bins = m.getOrElse("bins", "4096").toInt)
+        bins = m.getOrElse("bins", "4096").toInt,
+        retract = m.getOrElse("retract", "false").toBoolean)
     }
 
     PipelineDef(

@@ -261,6 +261,69 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("no curate block"))
   }
 
+  test("curate retract: true folds deletes as exact negations (takedown-exact selection)") {
+    // the CDC DELETE's before-image carries the original columns, so the
+    // retraction recomputes exactly what the insert contributed and the
+    // asset tracks the SURVIVING upsert state — budget-select stays the
+    // exact prefix over what remains after takedowns
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-ret-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ret-out").toString
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, n_chars BIGINT, tok BIGINT"
+         |transform:
+         |  - source-table: corpus.docs
+         |    primary-keys: id
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: "CAST(n_chars AS DOUBLE) / tok"
+         |    tokens: tok
+         |    path: $out/hist
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |    retract: true
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out/state
+         |  buckets: 2
+         |""".stripMargin)
+    def rec(op: String, id: Int, nChars: Int, tok: Int) = {
+      val payload = s"""{"id":$id,"n_chars":$nChars,"tok":$tok}"""
+      val (b, a) = if (op == "d") (payload, "null") else ("null", payload)
+      s"""{"before":$b,"after":$a,"op":"$op","ts_ms":$id,"source":{"db":"corpus","table":"docs"}}"""
+    }
+    // scores: id1=8.0, id2=4.0, id3=2.0, id4=1.0 — tokens 10 each
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(rec("c", 1, 80, 10), rec("c", 2, 40, 10),
+          rec("c", 3, 20, 10), rec("c", 4, 10, 10)).mkString("", "\n", "\n"))
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    def selected(budget: Long): Seq[Long] =
+      Cli.budgetSelect(spark, p, "corpus.docs", budget)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(selected(25L) === Seq(1L, 2L))
+    // takedown: the BEST doc (id1) is deleted; its before-image retracts
+    // its 10 tokens from the top bin, so the budget line now reaches id3
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      rec("d", 1, 80, 10) + "\n")
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(selected(25L) === Seq(2L, 3L),
+      "retraction must free the deleted doc's budget for survivors")
+    assert(selected(1000L) === Seq(2L, 3L, 4L))
+    // the histogram nets to the survivors' exact token total
+    val toks = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, s"$out/hist").get)
+      .agg(org.apache.spark.sql.functions.sum("toks")).head().getLong(0)
+    assert(toks === 30L)
+  }
+
   test("batch curate REBUILDS the asset per run: a pipeline re-run is idempotent") {
     // the batch composer re-materializes the complete table each run, so
     // the asset must describe exactly it — an accumulate here would

@@ -240,6 +240,35 @@ class TokenBudgetSpec extends SparkSpec {
     assert(totalToks === 12L, "replayed streaming fold applied after rebuild")
   }
 
+  test("signed deltas retract exactly: histogram tracks the surviving rows") {
+    // per-bin sums are a commutative GROUP: folding a delete as the
+    // negation of its insert leaves the histogram equal to the survivors'
+    // one-shot histogram, so selection off the asset stays exact
+    val rng = new scala.util.Random(41L)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, rng.nextDouble() * 10, 1L + rng.nextInt(30)))
+    val deleted = rows.filter(_._1 % 5 == 0)
+    val survivors = rows.filterNot(_._1 % 5 == 0)
+    val path = java.nio.file.Files.createTempDirectory("tb-retract").toString
+    Sampling.appendBudgetHistogram(rows.toDF("id", "score", "tok"),
+      col("score"), col("tok"), path, lo = 0.0, hi = 10.0, bins = 8)
+    Sampling.appendBudgetDeltas(deleted.toDF("id", "score", "tok"),
+      col("score"), -col("tok"), path, lo = 0.0, hi = 10.0, bins = 8)
+    for (budget <- Seq(0L, 300L, 1500L, 100000L)) {
+      val sel = Sampling.tokenBudgetSelectFromStats(
+          survivors.toDF("id", "score", "tok"), "id", col("score"),
+          col("tok"), path, budget).select("id").as[Long].collect().toSet
+      assert(sel === naive(survivors, budget), s"budget $budget")
+    }
+    // full retraction nets the histogram to the empty corpus's
+    Sampling.appendBudgetDeltas(survivors.toDF("id", "score", "tok"),
+      col("score"), -col("tok"), path, lo = 0.0, hi = 10.0, bins = 8)
+    val total = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, path).get)
+      .agg(sum("toks")).head().getLong(0)
+    assert(total === 0L)
+  }
+
   test("selection is partitioning-invariant") {
     val rng = new scala.util.Random(7L)
     val rows = (0 until 300).map(i =>
