@@ -62,21 +62,54 @@ object Cli {
         .show(1000, truncate = false)
     case Seq("pca-show") => throw new IllegalArgumentException(
       "usage: graft.Cli pca-show <path> [k]")
-    case Seq("budget-select", yaml, table, budget) =>
+    case Seq("budget-select", yaml, table, budget, rest @ _*) if rest.size <= 1 =>
       // the curate asset's read surface: the maximal budget prefix over
       // the sink's materialized table, cutoff off the maintained
-      // histogram — operators drive the selection without writing Scala
+      // histogram — operators drive the selection without writing Scala.
+      // With a trailing outDir the selection MATERIALIZES as parquet (the
+      // curated-corpus handoff to a training job); without, it renders.
       val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(yaml))))
-      budgetSelect(session("graft-budget-select"), p, table, budget.toLong)
-        .show(1000, truncate = false)
+      val sp = session("graft-budget-select")
+      val sel = budgetSelect(sp, p, table, budget.toLong)
+      rest.headOption match {
+        case Some(outDir) =>
+          sel.write.mode("overwrite").parquet(outDir)
+          // scalastyle:off println
+          println(s"budget-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
+          // scalastyle:on
+        case None => sel.show(1000, truncate = false)
+      }
     case Seq("budget-select", _*) => throw new IllegalArgumentException(
-      "usage: graft.Cli budget-select <pipeline.yaml> <table-id> <budget>")
+      "usage: graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir]")
+    case Seq("curate-show", path) =>
+      // the histogram asset itself: declared binning + per-bin token
+      // sums — what the selection's cutoff fold reads, inspectable
+      curateShow(session("graft-curate-show"), path).show(10000, truncate = false)
+    case Seq("curate-show") => throw new IllegalArgumentException(
+      "usage: graft.Cli curate-show <path>")
     case Seq(yaml) => runPipeline(yaml)
     case _ => throw new IllegalArgumentException(
       "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> " +
         "[quantile ...] | graft.Cli pca-show <path> [k] | " +
-        "graft.Cli budget-select <pipeline.yaml> <table-id> <budget>")
+        "graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir] | " +
+        "graft.Cli curate-show <path>")
+  }
+
+  /** Render a persisted budget-histogram asset: one row per occupied bin
+    * with its net token sum plus the pinned declaration — the exact input
+    * of the selection's cutoff fold. Bounded by `bins`; the corpus is
+    * never touched. A net-negative bin in a `retract: true` asset is the
+    * loud symptom of retractions outrunning offers (an in-place update
+    * changed score/tokens between offer and retraction).
+    */
+  def curateShow(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val live = graft.ops.EpochStore.currentEpoch(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no budget-histogram asset at $path"))
+    spark.read.parquet(live)
+      .select(col("bin"), col("toks"), col("lo"), col("hi"), col("bins"))
+      .orderBy(col("bin").desc)
   }
 
   /** [[graft.pipeline.BudgetCurator.select]] under the one read-surface

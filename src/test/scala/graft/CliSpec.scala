@@ -370,6 +370,25 @@ class CliSpec extends SparkSpec {
     assert(toks === 30L, "batch re-run accumulated the histogram")
   }
 
+  test("curate-show renders the asset's bins and pinned declaration") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-cshow").toString
+    graft.ops.Sampling.appendBudgetHistogram(
+      Seq((1L, 1.0, 5L), (2L, 9.0, 7L)).toDF("id", "score", "tok"),
+      org.apache.spark.sql.functions.col("score"),
+      org.apache.spark.sql.functions.col("tok"),
+      path, lo = 0.0, hi = 10.0, bins = 4)
+    val shown = Cli.curateShow(spark, path).collect()
+    assert(shown.map(_.getLong(0)).toSeq === Seq(3L, 0L)) // bin desc
+    assert(shown.map(_.getLong(1)).toSeq === Seq(7L, 5L))
+    assert(shown.forall(r => r.getDouble(2) === 0.0 && r.getDouble(3) === 10.0
+      && r.getInt(4) === 4))
+    val err = intercept[IllegalArgumentException] {
+      Cli.curateShow(spark, "/nonexistent/asset")
+    }
+    assert(err.getMessage.contains("no budget-histogram asset"))
+  }
+
   test("budget-select refuses a values sink (nothing materialized to select from)") {
     import graft.pipeline.PipelineDef
     val p = PipelineDef.fromYaml(
