@@ -355,6 +355,9 @@ object Sampling {
   private def refineCutoffBin(slice: DataFrame, idCol: String, above: Long,
                               budget: Long, bins: Int): DataFrame = {
     val r = slice.agg(min("score"), max("score")).head()
+    // an empty slice (a FromStats asset whose histogram doesn't match the
+    // offered corpus — contract misuse) must yield empty, not an NPE
+    if (r.isNullAt(0)) return windowSelect(slice, idCol, above, budget)
     val (lo2, hi2) = (r.getDouble(0), r.getDouble(1))
     if (lo2 == hi2) return windowSelect(slice, idCol, above, budget)
     val width2 = math.max((hi2 - lo2) / bins, java.lang.Double.MIN_NORMAL)
