@@ -101,21 +101,78 @@ object Bench {
     if (cpuBound) math.max(lr, math.max(1.0, cpuRatio)) else lr
   }
 
+  /** Raw text of each TOP-LEVEL field of a one-line JSON record — a
+    * depth- and string-aware scan (values come back verbatim, nested
+    * braces included), shared by [[loadPrevField]] and
+    * [[loadPrevMedians]]. The old indexOf substring scan would match a
+    * field name appearing INSIDE a nested object (a query literally named
+    * `cpu_kernel_sec`) or inside a string value, silently parsing the
+    * wrong number into every CPU-bound envelope for the round.
+    */
+  def topLevelFields(s: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = s.indexOf('{')
+    if (i < 0) return Map.empty
+    i += 1
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    // at an opening quote: consume the string, return its unescaped-enough
+    // content (field names in our records never contain escapes)
+    def parseString(): String = {
+      val sb = new StringBuilder
+      i += 1
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
+        else { sb.append(s(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    // raw value text: tracks nesting depth and in-string state so commas
+    // and braces inside nested objects/strings never terminate early
+    def parseValue(): String = {
+      val start = i
+      var depth = 0
+      var inStr = false
+      var done = false
+      while (i < s.length && !done) {
+        val c = s(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+          i += 1
+        } else c match {
+          case '"' => inStr = true; i += 1
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' =>
+            if (depth == 0) done = true else { depth -= 1; i += 1 }
+          case ',' if depth == 0 => done = true
+          case _ => i += 1
+        }
+      }
+      s.substring(start, i).trim
+    }
+    var more = true
+    while (more && i < s.length) {
+      skipWs()
+      if (i >= s.length || s(i) == '}') more = false
+      else if (s(i) == ',') i += 1
+      else if (s(i) == '"') {
+        val key = parseString()
+        skipWs()
+        if (i < s.length && s(i) == ':') { i += 1; skipWs(); out += key -> parseValue() }
+        else more = false
+      } else more = false
+    }
+    out.result()
+  }
+
   /** One top-level numeric field from a persisted record line (e.g.
     * `cpu_kernel_sec`). Missing file/field → None, never a failed bench.
     */
   def loadPrevField(path: java.nio.file.Path, field: String): Option[Double] =
-    try {
-      val s = java.nio.file.Files.readString(path)
-      val tag = "\"" + field + "\":"
-      val i = s.indexOf(tag)
-      if (i < 0) None
-      else {
-        val rest = s.substring(i + tag.length)
-        val end = rest.indexWhere(c => c == ',' || c == '}')
-        Some(rest.substring(0, if (end < 0) rest.length else end).trim.toDouble)
-      }
-    } catch { case _: Exception => None }
+    try topLevelFields(java.nio.file.Files.readString(path)).get(field)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+    catch { case _: Exception => None }
 
   /** Stamp the rolled baseline with the run it came from: `bench-prev.json`
     * gets a `rolled_from` field naming the source record's `run_seq`, so a
@@ -127,27 +184,40 @@ object Bench {
     recordLine.stripLineEnd.stripSuffix("}") + s""","rolled_from":$runSeq}"""
 
   /** Previous-round per-query medians from a persisted bench record line
-    * (the `"queries":{...}` object — flat string→number, so the first `}`
-    * closes it). Missing/corrupt file → empty map, never a failed bench.
+    * (the TOP-LEVEL `"queries":{...}` object — resolved via
+    * [[topLevelFields]], so a same-named key nested elsewhere can't
+    * shadow it). Missing/corrupt file → empty map, never a failed bench.
     */
   def loadPrevMedians(path: java.nio.file.Path): Map[String, Double] =
     try {
-      val s = java.nio.file.Files.readString(path)
-      val tag = "\"queries\":{"
-      val i = s.indexOf(tag)
-      if (i < 0) Map.empty
-      else {
-        val body = s.substring(i + tag.length, s.indexOf('}', i + tag.length))
-        body.split(',').iterator.flatMap { kv =>
-          kv.split(':') match {
-            case Array(k, v) =>
-              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
+      topLevelFields(java.nio.file.Files.readString(path)).get("queries") match {
+        case Some(obj) if obj.startsWith("{") =>
+          obj.stripPrefix("{").stripSuffix("}").split(',').iterator.flatMap { kv =>
+            kv.split(':') match {
+              case Array(k, v) =>
+                try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        case _ => Map.empty
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Whether this run may replace the committed cross-round baseline
+    * (`bench-prev.json`). The roll is OPT-IN — `SPARK_GRAFT_ROLL_PREV=1`,
+    * set only by the builder's freeze recipe (SCALE.md): the driver's
+    * post-freeze bench, which knows nothing of the flag, clobbered the
+    * committed healthy baseline with a degraded-window roll in BOTH r14
+    * and r15 — provenance (`rolled_from`) made it visible, the inverted
+    * default makes it impossible. Even when requested, a run whose own
+    * raw load_ratio exceeds [[RollLoadBar]] refuses: a degraded window
+    * must never become the envelope every next-round query normalizes
+    * against (exactly the r13 trap, now closed on the explicit path too).
+    */
+  val RollLoadBar = 1.1
+  def shouldRollPrev(env: Map[String, String], loadRatio: Double): Boolean =
+    env.get("SPARK_GRAFT_ROLL_PREV").contains("1") && loadRatio <= RollLoadBar
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -327,18 +397,19 @@ object Bench {
       java.nio.file.Files.writeString(p, line + "\n")
       // and roll the cross-round baseline: next round's run compares each
       // query against THIS run's medians (bench-prev.json is committed, so
-      // it survives `clean` and re-clones). Mid-round iteration runs set
-      // SPARK_GRAFT_NO_ROLL_PREV=1 so the committed round baseline is not
-      // silently replaced by a drifted interim run (the r13 trap: the
-      // in-run band check compared against an already-regressed mid-round
-      // roll and missed a real 1.77x)
-      // the rolled baseline names its source record (`rolled_from` =
-      // this record's run_seq) — a hand-assembled baseline must be
-      // distinguishable from a mechanical roll
-      if (!sys.env.contains("SPARK_GRAFT_NO_ROLL_PREV")) {
+      // it survives `clean` and re-clones). The roll is OPT-IN
+      // (SPARK_GRAFT_ROLL_PREV=1, the builder's freeze recipe) and refuses
+      // under a degraded window — see [[shouldRollPrev]]; the rolled
+      // baseline names its source record (`rolled_from` = this record's
+      // run_seq) so a hand-assembled baseline stays distinguishable from
+      // a mechanical roll
+      if (shouldRollPrev(sys.env, ratio)) {
         java.nio.file.Files.writeString(prevPath, rollLine(line, runSeq) + "\n")
         ()
-      }
+      } else if (sys.env.get("SPARK_GRAFT_ROLL_PREV").contains("1"))
+        System.err.println(f"[graft] bench: roll requested but load_ratio " +
+          f"$ratio%.3f exceeds the ${RollLoadBar} sanity bar — baseline NOT " +
+          "rolled (re-run in a quieter window)")
     } catch { case _: Exception => () } // stdout line already carries the record
     spark.stop()
   }

@@ -107,13 +107,24 @@ object ScaleProbe {
       .filter(q => only.isEmpty || only(q._1))
     // heavy tail runs LAST in its own isolated phase — see [[heavyTail]]
     val (heavy, light) = selected.partition(q => heavyTail(q._1))
+    // single-query JIT floor: the first non-heavy query's (cold warmup,
+    // warm timed) pair — the fresh-JVM floor the r15 end-of-round check
+    // had to infer from cpu_ratio (an isolated 2-query probe read
+    // 2.7x/1.8x with per-core CPU FASTER) is now a number in the record,
+    // so an isolated re-run reading ~cold/warm above its envelope is
+    // mechanical, not prose in SCALE.md
+    var jitFloor: Option[(String, Double, Double)] = None
     val results = (light ++ heavy).flatMap { case (name, fn) =>
       try {
         if (heavyTail(name)) isolate(spark)
+        val w0 = System.nanoTime()
         fn(spark, sfDir).count() // untimed warmup (JIT + shared caches)
+        val coldSec = (System.nanoTime() - w0) / 1e9
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        if (jitFloor.isEmpty && !heavyTail(name))
+          jitFloor = Some((name, coldSec, sec))
         // scalastyle:off println
         println(f"  $name%-28s $sec%8.2f s  (linear ${prev.get(name).fold("?")(p => f"${factor * p}%.2f")})")
         // scalastyle:on
@@ -136,6 +147,11 @@ object ScaleProbe {
     val ratios = results.flatMap { case (name, sec) =>
       prev.get(name).collect { case p if factor * p > 0.05 => sec / (factor * p) }
     }.sorted
+    // raw median recorded ALONGSIDE the applied normalizer: the clamp/
+    // neutralize guards hide the magnitude the eyeball-above-cap step
+    // needs (was it 1.6 or 6.0?), and a small-query run under heavy load
+    // would otherwise record a misleading 1.0
+    val loadRatioRaw = if (ratios.isEmpty) 1.0 else Bench.medianOfSorted(ratios)
     val loadRatio = loadNormalizer(ratios)
     // run-end kernel: (start, end) records within-run host drift; the
     // canonical ratio uses the mean (queries ran throughout the window)
@@ -289,8 +305,13 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val jitJson = jitFloor.fold("") { case (q, cold, warm) =>
+      s""""jit_floor":{"query":${jstr(q)},"cold_sec":${jnum(cold)},""" +
+        s""""warm_sec":${jnum(warm)}},"""
+    }
     val line = s"""{"metric":"scale_probe","factor":$factor,"total_sec":${jnum(total)},""" +
       s""""n_queries":${results.size},"load_ratio":${jnum(loadRatio)},""" +
+      s""""load_ratio_raw":${jnum(loadRatioRaw)},""" + jitJson +
       s""""cpu_kernel_sec":${Bench.jnum(kernelSec, 4)},""" +
       s""""cpu_kernel_sec_start":${Bench.jnum(kernelStart, 4)},""" +
       s""""cpu_kernel_sec_end":${Bench.jnum(kernelEnd, 4)},""" +

@@ -136,6 +136,35 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.loadPrevMedians(p) == Map("a" -> 0.1))
   }
 
+  test("loadPrevField anchors to TOP-LEVEL fields: nested and in-string shadows can't win") {
+    // the ADVICE r15 hazard: a query literally named cpu_kernel_sec inside
+    // the queries object, AND a string value containing the field-shaped
+    // substring — the old indexOf scan parsed whichever came first
+    val line = """{"metric":"total","sf":"note \"cpu_kernel_sec\":99 here",""" +
+      """"queries":{"cpu_kernel_sec":7.0,"q1":0.1},"cpu_kernel_sec":0.05,"run_seq":3}"""
+    val p = java.nio.file.Files.createTempFile("bench-prev-shadow", ".json")
+    java.nio.file.Files.writeString(p, line + "\n")
+    assert(Bench.loadPrevField(p, "cpu_kernel_sec").contains(0.05))
+    assert(Bench.loadPrevField(p, "run_seq").contains(3.0))
+    // prefix-named fields: "run" must not match inside "run_seq"
+    assert(Bench.loadPrevField(p, "run").isEmpty)
+    assert(Bench.loadPrevMedians(p) == Map("cpu_kernel_sec" -> 7.0, "q1" -> 0.1))
+  }
+
+  test("shouldRollPrev: opt-in only, and refused under a degraded window") {
+    // the r14/r15 driver clobber: no env flag -> never rolls
+    assert(!Bench.shouldRollPrev(Map.empty, 0.94))
+    assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_NO_ROLL_PREV" -> "1"), 0.94))
+    // the builder's freeze recipe: explicit flag + healthy window rolls
+    assert(Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "1"), 0.94))
+    assert(Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "1"), 1.1))
+    // even an explicit request refuses a degraded-window roll (load 1.064
+    // was exactly the r15 post-freeze record that clobbered the baseline —
+    // under the bar, but the flag alone would have stopped it)
+    assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "1"), 1.2))
+    assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "0"), 0.9))
+  }
+
   test("loadPrevMedians parses a persisted record line and tolerates absence") {
     val p = java.nio.file.Files.createTempFile("bench-prev", ".json")
     java.nio.file.Files.writeString(p,
