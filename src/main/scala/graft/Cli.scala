@@ -82,6 +82,26 @@ object Cli {
       }
     case Seq("budget-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir]")
+    case Seq("split-select", yaml, table, splitName, rest @ _*) if rest.size <= 1 =>
+      // the split block's read surface: one named deterministic split of
+      // the sink's materialized table — train/valid/test handoffs to a
+      // training job without writing Scala. With a trailing outDir the
+      // split MATERIALIZES as parquet; without, it renders.
+      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yaml))))
+      val sp = session("graft-split-select")
+      val sel = splitSelect(sp, p, table, splitName)
+      rest.headOption match {
+        case Some(outDir) =>
+          sel.write.mode("overwrite").parquet(outDir)
+          // scalastyle:off println
+          println(s"split-select: wrote ${sp.read.parquet(outDir).count()} " +
+            s"rows of split '$splitName' to $outDir")
+          // scalastyle:on
+        case None => sel.show(1000, truncate = false)
+      }
+    case Seq("split-select", _*) => throw new IllegalArgumentException(
+      "usage: graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir]")
     case Seq("curate-show", path) =>
       // the histogram asset itself: declared binning + per-bin token
       // sums — what the selection's cutoff fold reads, inspectable
@@ -93,6 +113,7 @@ object Cli {
       "usage: graft.Cli <pipeline.yaml> | graft.Cli monitor-show <path> " +
         "[quantile ...] | graft.Cli pca-show <path> [k] | " +
         "graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir] | " +
+        "graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir] | " +
         "graft.Cli curate-show <path>")
   }
 
@@ -100,8 +121,10 @@ object Cli {
     * with its net token sum plus the pinned declaration — the exact input
     * of the selection's cutoff fold. Bounded by `bins`; the corpus is
     * never touched. A net-negative bin in a `retract: true` asset is the
-    * loud symptom of retractions outrunning offers (an in-place update
-    * changed score/tokens between offer and retraction).
+    * loud symptom of a genuinely UNPAIRED retraction (a feed without
+    * before-images, or a DELETE whose before-image mismatches the offer)
+    * — in-place updates fold exactly as (−before, +after) pairs and
+    * cannot drift.
     */
   def curateShow(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -119,6 +142,13 @@ object Cli {
   def budgetSelect(spark: SparkSession, p: PipelineDef, tableId: String,
                    budget: Long): org.apache.spark.sql.DataFrame =
     graft.pipeline.BudgetCurator.select(spark, p, tableId, budget)
+
+  /** [[graft.pipeline.CorpusSplitter.select]] under the one read-surface
+    * session shape — the `split:` block's named-split read.
+    */
+  def splitSelect(spark: SparkSession, p: PipelineDef, tableId: String,
+                  splitName: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.CorpusSplitter.select(spark, p, tableId, splitName)
 
   /** Render the variance spectrum of a persisted PCA suffstats asset
     * ([[graft.ops.Pca.appendStats]]): component, eigenvalue, cumulative
@@ -366,7 +396,11 @@ object Cli {
     // pipeline, FlinkParallelizedPipelineITCase)
     val pipe = new StreamingPipeline(registry, p.transforms, p.routes, sinkForPipe,
       tableParallelism = p.config.getOrElse("table-parallelism", "4").toInt,
-      deadLetter = deadLetter)
+      deadLetter = deadLetter,
+      // a retract: true curate block needs the (−before, +after) pair for
+      // in-place updates; the CurateSink above strips the UPDATE_BEFORE
+      // leg before the materializing sink
+      emitUpdateBefore = p.curations.exists(_.retract))
 
     // source block declares table schemas as `schema.<table-id>: "col TYPE, ..."`
     p.source.options.collect { case (k, v) if k.startsWith("schema.") =>

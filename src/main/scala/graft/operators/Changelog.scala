@@ -13,6 +13,19 @@ object Changelog {
   val OpCol = "__op"
   val SeqCol = "__seq"
 
+  /** Retraction leg of an in-place UPDATE — the Flink `-U` row kind: the
+    * before-image emitted as its own changelog row so retraction-folding
+    * consumers ([[graft.pipeline.BudgetCurator]] `retract: true`) can
+    * negate exactly what the superseded image contributed. NEVER reaches
+    * a sink's materialization (the CurateSink decorator strips it before
+    * delegating): its (key, seq) pair collides with its paired
+    * after-image row, which would make a per-key `max_by(…, seq)`
+    * nondeterministic. Emitted only when
+    * [[graft.sources.DebeziumJson.parse]] runs with
+    * `emitUpdateBefore = true`.
+    */
+  val UpdateBeforeOp = "UPDATE_BEFORE"
+
   /** Wrap a plain batch DataFrame as an insert-only changelog (snapshot load). */
   def fromSnapshot(df: DataFrame, seq: Column): DataFrame =
     df.withColumn(OpCol, lit("INSERT")).withColumn(SeqCol, seq)

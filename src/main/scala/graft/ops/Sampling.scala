@@ -446,11 +446,13 @@ object Sampling {
     * — takedown/GDPR flows keep `budget-select` exact instead of
     * grow-only-approximate. Null score/tokens excluded as ever. The
     * contract: each retraction must mirror a prior offer (score and
-    * tokens recomputed off the same values the insert contributed — true
-    * for CDC before-images; an in-place update that changed them between
-    * offer and retraction drifts, and a net-negative bin is the loud
-    * symptom). Same EpochStore persistence/ledger semantics as the
-    * unsigned append.
+    * tokens recomputed off the same values the superseded image
+    * contributed — true for CDC before-images, including in-place
+    * updates when the caller folds their `(−before, +after)` pair as
+    * [[graft.pipeline.BudgetCurator.fold]] does; a feed without
+    * before-images drifts, and a net-negative bin is the loud symptom).
+    * Same EpochStore persistence/ledger semantics as the unsigned
+    * append.
     */
   def appendBudgetDeltas(df: DataFrame, scoreCol: Column,
                          signedTokensCol: Column, path: String,

@@ -78,17 +78,22 @@ object BudgetCurator {
     *  - default (grow-only): post-images fold positively, DELETE rows
     *    carry no observation — the asset describes everything ever
     *    offered.
-    *  - `retract: true`: DELETE rows fold as the NEGATION of the offer
-    *    they retract ([[Sampling.appendBudgetDeltas]] — per-bin sums are
-    *    a commutative group). The CDC before-image carries the row's
-    *    original columns, so the score/tokens expressions recompute
-    *    exactly what the insert contributed and the histogram tracks the
-    *    SURVIVING table: takedown/GDPR-delete flows keep `budget-select`
-    *    exact. Key-changing updates already arrive as a DELETE+UPDATE
-    *    pair ([[graft.sources.DebeziumJson.parse]]), so they retract
-    *    cleanly; an IN-PLACE update keeps only its after-image through
-    *    the flatten and still accumulates — the documented drift, loud
-    *    as net-negative bins when it matters.
+    *  - `retract: true`: DELETE and UPDATE_BEFORE rows fold as the
+    *    NEGATION of the offer they retract ([[Sampling.appendBudgetDeltas]]
+    *    — per-bin sums are a commutative group). The CDC before-image
+    *    carries the row's original columns, so the score/tokens
+    *    expressions recompute exactly what the superseded image
+    *    contributed and the histogram tracks the SURVIVING table:
+    *    takedown/GDPR-delete flows keep `budget-select` exact.
+    *    Key-changing updates arrive as a DELETE+UPDATE pair and IN-PLACE
+    *    updates as an UPDATE_BEFORE+UPDATE pair
+    *    ([[graft.sources.DebeziumJson.parse]] with `emitUpdateBefore`,
+    *    which [[graft.Cli.buildStreaming]] enables whenever a retract
+    *    block is declared), so BOTH update shapes fold `(−before,
+    *    +after)` exactly. The remaining drift caveat is genuinely
+    *    unpaired retractions (a feed without before-images, or a DELETE
+    *    whose before-image mismatches the offer) — net-negative bins are
+    *    the loud symptom there.
     *
     * With a [[BatchCtx]], a crash-replayed (batchId, leg) is skipped —
     * effectively-once, zero coupling to the sink's commit.
@@ -101,14 +106,18 @@ object BudgetCurator {
           s"curate block at ${c.path} declares retract but the batch for " +
             s"$id carries no ${Changelog.OpCol} changelog column")
         Sampling.appendBudgetDeltas(changelog, expr(c.score),
-          when(col(Changelog.OpCol) === "DELETE",
+          when(col(Changelog.OpCol).isin("DELETE", Changelog.UpdateBeforeOp),
               -expr(c.tokens).cast("long"))
             .otherwise(expr(c.tokens).cast("long")),
           c.path, c.lo, c.hi, c.bins, ctx)
       } else {
+        // an UPDATE_BEFORE is the superseded image, not a new offer — a
+        // grow-only block sharing a pipeline with a retract block (which
+        // turns the pair emission on globally) must not double-count
         val offered =
           if (changelog.columns.contains(Changelog.OpCol))
-            changelog.where(col(Changelog.OpCol) =!= "DELETE")
+            changelog.where(!col(Changelog.OpCol)
+              .isin("DELETE", Changelog.UpdateBeforeOp))
           else changelog
         Sampling.appendBudgetHistogram(offered, expr(c.score), expr(c.tokens),
           c.path, c.lo, c.hi, c.bins, ctx)
@@ -134,7 +143,12 @@ object BudgetCurator {
     * the sink's own protocol), then the effectively-once histogram fold
     * under the write's provenance — the FULL changelog goes to [[fold]],
     * which applies each block's delete policy (skip vs retract). Stacks
-    * with [[QuantileMonitor.MonitorSink]].
+    * with [[QuantileMonitor.MonitorSink]]. UPDATE_BEFORE retraction rows
+    * are for the fold ONLY: they are stripped before the inner sink (and
+    * every decorator under it — the monitor must not observe superseded
+    * images either), because their (key, seq) collides with the paired
+    * after-image row and would make the sink's per-key `max_by(…, seq)`
+    * materialization nondeterministic.
     */
   final class CurateSink(inner: CdcSink, spark: SparkSession,
                          curations: Seq[CurateDef]) extends CdcSink {
@@ -144,7 +158,11 @@ object BudgetCurator {
       writeBatch(id, changelog, schema, None)
     override def writeBatch(id: TableId, changelog: DataFrame, schema: CdcSchema,
                             ctx: Option[BatchCtx]): Unit = {
-      inner.writeBatch(id, changelog, schema, ctx)
+      val forSink =
+        if (changelog.columns.contains(Changelog.OpCol))
+          changelog.where(col(Changelog.OpCol) =!= Changelog.UpdateBeforeOp)
+        else changelog
+      inner.writeBatch(id, forSink, schema, ctx)
       fold(spark, id, changelog, curations, ctx)
     }
   }
@@ -170,16 +188,17 @@ object BudgetCurator {
     * dir, or the parquet-upsert sink's maintained state (read through the
     * sink so a crashed bucket swap is recovered first). A `values` sink
     * materializes nothing — selection refuses rather than re-running the
-    * pipeline's lineage behind the operator's back.
+    * pipeline's lineage behind the operator's back. Shared with every
+    * pipeline read surface over sink tables ([[CorpusSplitter.select]]).
     */
-  private def materializedTable(spark: SparkSession, p: PipelineDef,
-                                id: TableId): DataFrame = p.sink.kind match {
+  private[pipeline] def materializedTable(spark: SparkSession, p: PipelineDef,
+                                          id: TableId): DataFrame = p.sink.kind match {
     case "parquet" =>
       val out = p.sink.options.getOrElse("path",
         throw new IllegalArgumentException("parquet sink needs `path`"))
       spark.read.parquet(s"$out/${id.identifier.replace('.', '_')}")
     case "values" => throw new IllegalArgumentException(
-      "budget-select needs a materializing sink (parquet/parquet-upsert); " +
+      "selection needs a materializing sink (parquet/parquet-upsert); " +
         "the values sink keeps no table to select from")
     case _ =>
       new graft.sinks.ParquetUpsertSink(graft.Cli.stateDir(p)).read(spark, id)

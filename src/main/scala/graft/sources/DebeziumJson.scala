@@ -53,24 +53,45 @@ object DebeziumJson {
     * without `primaryKeys` the after-image-only behavior applies and a
     * PK-mutating update leaves the old key behind.
     *
+    * With `emitUpdateBefore`, an IN-PLACE update (before-image present,
+    * key unchanged) emits a `UPDATE_BEFORE` retraction row carrying the
+    * before-image ahead of its after-image row — the Flink `-U`/`+U` row
+    * pair, consumed by retraction-folding decorators
+    * ([[graft.operators.Changelog.UpdateBeforeOp]] documents why it must
+    * be stripped before any sink materialization). An update without a
+    * before-image (a source configured without `REPLICA IDENTITY FULL`)
+    * still emits only its after-image.
+    *
     * @param seq column providing the per-key monotone sequence; defaults to
     *            `ts_ms` — pass a Kafka offset when ts_ms ties are possible.
     */
   def parse(df: DataFrame, payload: StructType, valueCol: String = "value",
-            seq: Option[Column] = None, primaryKeys: Seq[String] = Nil): DataFrame = {
+            seq: Option[Column] = None, primaryKeys: Seq[String] = Nil,
+            emitUpdateBefore: Boolean = false): DataFrame = {
     val parsed = df.withColumn("__dbz", from_json(col(valueCol), envelopeSchema(payload)))
     val image = when(col("__dbz.op") === "d", col("__dbz.before")).otherwise(col("__dbz.after"))
+    val single = array(struct(image.as("img"), opWord.as("opw")))
+    // null-safe inequality on any PK column marks a key-changing update
+    val pkChanged: Option[Column] =
+      if (primaryKeys.isEmpty) None
+      else Some(primaryKeys
+        .map(k => !(col("__dbz.before").getField(k) <=> col("__dbz.after").getField(k)))
+        .reduce(_ || _))
+    val withPkSplit = pkChanged.fold(single)(changed =>
+      when(col("__dbz.op") === "u" && col("__dbz.before").isNotNull && changed,
+        array(struct(col("__dbz.before").as("img"), lit("DELETE").as("opw")),
+              struct(col("__dbz.after").as("img"), lit("UPDATE").as("opw"))))
+        .otherwise(single))
     val imgOp =
-      if (primaryKeys.isEmpty) array(struct(image.as("img"), opWord.as("opw")))
+      if (!emitUpdateBefore) withPkSplit
       else {
-        // null-safe inequality on any PK column marks a key-changing update
-        val pkChanged = primaryKeys
-          .map(k => !(col("__dbz.before").getField(k) <=> col("__dbz.after").getField(k)))
-          .reduce(_ || _)
-        when(col("__dbz.op") === "u" && col("__dbz.before").isNotNull && pkChanged,
-          array(struct(col("__dbz.before").as("img"), lit("DELETE").as("opw")),
+        val inPlace = col("__dbz.op") === "u" && col("__dbz.before").isNotNull &&
+          pkChanged.fold(lit(true))(c => !c)
+        when(inPlace,
+          array(struct(col("__dbz.before").as("img"),
+                  lit(graft.operators.Changelog.UpdateBeforeOp).as("opw")),
                 struct(col("__dbz.after").as("img"), lit("UPDATE").as("opw"))))
-          .otherwise(array(struct(image.as("img"), opWord.as("opw"))))
+          .otherwise(withPkSplit)
       }
     parsed
       .select(explode(imgOp).as("__e"),

@@ -40,7 +40,16 @@ final class StreamingPipeline(
       * them — wire it to a quarantine parquet dir or error topic. Called at
       * most once per batch, with a frame of `value: STRING` rows.
       */
-    deadLetter: Option[(DataFrame, Long) => Unit] = None) {
+    deadLetter: Option[(DataFrame, Long) => Unit] = None,
+    /** Emit the before-image of every in-place UPDATE as its own
+      * `UPDATE_BEFORE` changelog row ([[graft.sources.DebeziumJson.parse]])
+      * so a retraction-folding sink decorator can negate the superseded
+      * contribution exactly. Requires a decorator that strips those rows
+      * before the materializing sink ([[graft.pipeline.BudgetCurator
+      * .CurateSink]] does) — set only when a `retract: true` curate block
+      * is in play ([[graft.Cli.buildStreaming]] wires it).
+      */
+    emitUpdateBefore: Boolean = false) {
 
   private val router = new TableIdRouter(routes)
   // sink-side schema cache: what DDL the sink has already been given
@@ -249,7 +258,7 @@ final class StreamingPipeline(
       def process(src: TableId, schema: CdcSchema): Unit = {
         val slice = tagged.where(col("__db") === src.schemaName && col("__table") === src.tableName)
         writeSlice(src, DebeziumJson.parse(slice, schema.struct, seq = seq,
-          primaryKeys = schema.primaryKeys)
+          primaryKeys = schema.primaryKeys, emitUpdateBefore = emitUpdateBefore)
           .drop("__db", "__table"), batchId = Some(batchId))
       }
       if (tableParallelism > 1 && known.size > 1) {

@@ -324,6 +324,87 @@ class CliSpec extends SparkSpec {
     assert(toks === 30L)
   }
 
+  test("curate retract: in-place updates fold (-before, +after) — selection stays exact") {
+    // the r15 drift (ADVICE medium): an in-place UPDATE changing score AND
+    // tokens used to fold only its after-image positively, accumulating on
+    // every update. The Debezium 'u' envelope carries both images; the
+    // pipeline now emits an UPDATE_BEFORE retraction row for the fold (and
+    // strips it before the materializing sink), so budget-select remains
+    // the exact prefix over the survivors at their CURRENT values
+    import graft.pipeline.PipelineDef
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft-upd-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-upd-out").toString
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: debezium-json
+         |  path: $in
+         |  schema.corpus.docs: "id BIGINT, n_chars BIGINT, tok BIGINT"
+         |transform:
+         |  - source-table: corpus.docs
+         |    primary-keys: id
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: "CAST(n_chars AS DOUBLE) / tok"
+         |    tokens: tok
+         |    path: $out/hist
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |    retract: true
+         |sink:
+         |  type: parquet-upsert
+         |  path: $out/state
+         |  buckets: 2
+         |""".stripMargin)
+    def ins(id: Int, nChars: Int, tok: Int) =
+      s"""{"before":null,"after":{"id":$id,"n_chars":$nChars,"tok":$tok},""" +
+        s""""op":"c","ts_ms":$id,"source":{"db":"corpus","table":"docs"}}"""
+    def upd(id: Int, bChars: Int, bTok: Int, aChars: Int, aTok: Int, ts: Int) =
+      s"""{"before":{"id":$id,"n_chars":$bChars,"tok":$bTok},""" +
+        s""""after":{"id":$id,"n_chars":$aChars,"tok":$aTok},""" +
+        s""""op":"u","ts_ms":$ts,"source":{"db":"corpus","table":"docs"}}"""
+    // scores: id1=8.0, id2=4.0, id3=2.0, id4=1.0 — tokens 10 each
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(ins(1, 80, 10), ins(2, 40, 10), ins(3, 20, 10), ins(4, 10, 10))
+        .mkString("", "\n", "\n"))
+    val (_, _, q1) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    def selected(budget: Long): Seq[Long] =
+      Cli.budgetSelect(spark, p, "corpus.docs", budget)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(selected(25L) === Seq(1L, 2L))
+    // in-place updates change BOTH score and tokens: id1 (8.0, 10 toks) →
+    // (0.2, 25 toks) demotes to last; id2 (4.0, 10) → (8.0, 15) promotes
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(upd(1, 80, 10, 5, 25, 101), upd(2, 40, 10, 120, 15, 102))
+        .mkString("", "\n", "\n"))
+    val (_, _, q2) = Cli.buildStreaming(spark, p, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    // naive order over the survivors' CURRENT values:
+    //   id2 (8.0, 15), id3 (2.0, 10), id4 (1.0, 10), id1 (0.2, 25)
+    assert(selected(20L) === Seq(2L), "id3 (10 toks) must overflow 20")
+    assert(selected(25L) === Seq(2L, 3L),
+      "selection must use the UPDATED score/tokens, not the accumulated offers")
+    assert(selected(35L) === Seq(2L, 3L, 4L))
+    assert(selected(60L) === Seq(1L, 2L, 3L, 4L)) // exact total = 60
+    // the asset nets to the survivors' exact token total with no
+    // net-negative bins (the pair-fold retracted each superseded image)
+    val hist = spark.read
+      .parquet(graft.ops.EpochStore.currentEpoch(spark, s"$out/hist").get)
+      .select("bin", "toks").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.map(_._2).sum === 60L, hist.mkString(", "))
+    assert(hist.forall(_._2 >= 0L), s"net-negative bin: ${hist.mkString(", ")}")
+    // the sink's materialized state carries the after-images exactly once
+    val state = new graft.sinks.ParquetUpsertSink(s"$out/state")
+      .read(spark, graft.model.TableId.of("corpus", "docs"))
+      .select("id", "n_chars", "tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(state.toSeq === Seq((1L, 5L, 25L), (2L, 120L, 15L),
+      (3L, 20L, 10L), (4L, 10L, 10L)))
+  }
+
   test("batch curate REBUILDS the asset per run: a pipeline re-run is idempotent") {
     // the batch composer re-materializes the complete table each run, so
     // the asset must describe exactly it — an accumulate here would
@@ -370,6 +451,97 @@ class CliSpec extends SparkSpec {
     assert(toks === 30L, "batch re-run accumulated the histogram")
   }
 
+  test("split YAML block: split-select reads leakage-free named splits of the sink table") {
+    // the split: block through the batch pipeline — a deterministic
+    // md5-band partition of the materialized sink table, keyed on a GROUP
+    // expression so every member of a group lands in one split
+    // (leakage-free by key), with no maintained asset: re-reads, re-runs,
+    // and appends recompute the same membership
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-split-sel").toString
+    // 40 docs over 10 groups (4 docs per group g0..g9)
+    (0L until 40L).map(i => (i, s"g${i % 10}", i * 3))
+      .toDF("id", "grp", "n_chars").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |split:
+         |  - source-table: corpus.docs
+         |    key: grp
+         |    splits: "train:0.6,valid:0.2,test:0.2"
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    assert(p.splits.map(s => (s.key, s.weights)) ===
+      Seq(("grp", Seq("train" -> 0.6, "valid" -> 0.2, "test" -> 0.2))))
+    Cli.runBatch(spark, p)
+    def part(name: String): Seq[(Long, String)] =
+      Cli.splitSelect(spark, p, "corpus.docs", name)
+        .select("id", "grp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (tr, va, te) = (part("train"), part("valid"), part("test"))
+    // disjoint and exhaustive over the materialized table
+    assert(tr.size + va.size + te.size === 40)
+    assert((tr.map(_._1) ++ va.map(_._1) ++ te.map(_._1)).distinct.size === 40)
+    assert(va.nonEmpty && te.nonEmpty, s"valid=${va.size} test=${te.size}")
+    // leakage-free: a group's docs are never divided across splits
+    val byGroup = (tr.map(_._2 -> "train") ++ va.map(_._2 -> "valid") ++
+      te.map(_._2 -> "test")).groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byGroup.values.forall(_.size === 1),
+      s"group split across bands: ${byGroup.filter(_._2.size > 1)}")
+    // deterministic: a re-read returns the identical membership
+    assert(part("valid") === va)
+    // undeclared split name refuses (a typo must not return empty)
+    val e = intercept[IllegalArgumentException] {
+      Cli.splitSelect(spark, p, "corpus.docs", "dev")
+    }
+    assert(e.getMessage.contains("unknown split"))
+    // no block matches → loud refusal, like budget-select
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.splitSelect(spark, p, "corpus.other", "train")
+    }
+    assert(e2.getMessage.contains("no split block"))
+  }
+
+  test("split block validation: weights must be named, positive, and sum to 1") {
+    import graft.pipeline.PipelineDef
+    def yamlWith(body: String) =
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |split:
+         |  - $body
+         |sink:
+         |  type: values
+         |""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("key: id"))
+    }
+    assert(e1.getMessage.contains("`splits`"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("key: id\n    splits: \"train:0.6,valid:0.2\""))
+    }
+    assert(e2.getMessage.contains("sum to 1"))
+    val e3 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("key: id\n    splits: \"train:0.8,train:0.2\""))
+    }
+    assert(e3.getMessage.contains("unique"))
+    val e4 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("splits: \"train:1.0\""))
+    }
+    assert(e4.getMessage.contains("`key`"))
+    val e5 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("key: id\n    splits: \"train=1.0\""))
+    }
+    assert(e5.getMessage.contains("name:weight"))
+  }
+
   test("curate-show renders the asset's bins and pinned declaration") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-cshow").toString
@@ -411,17 +583,18 @@ class CliSpec extends SparkSpec {
     assert(err.getMessage.contains("materializing sink"))
   }
 
-  test("omitted source-table selectors match every table (the \\.* default)") {
-    // a literal ".*" default splits on the unescaped dot into the invalid
-    // part-regex "*" and throws on first match — latent in every block
-    // type until the curate read surface exercised the default
+  test("omitted source-table: monitor/curate match every table; transform/route refuse") {
+    // the engine-side extension blocks keep the \.* convenience default
+    // (a literal ".*" would split on the unescaped dot into the invalid
+    // part-regex "*" and throw on first match); transform and route
+    // REQUIRE source-table at parse time like the reference's
+    // YamlPipelineDefinitionParser — a forgotten selector silently
+    // projecting every table is worse than a parse error
     import graft.pipeline.PipelineDef
     val p = PipelineDef.fromYaml(
       s"""source:
          |  type: parquet
          |  path: /tmp/x
-         |transform:
-         |  - projection: "*"
          |monitor:
          |  - value: v
          |    path: /tmp/x/m
@@ -437,10 +610,26 @@ class CliSpec extends SparkSpec {
          |""".stripMargin)
     for (id <- Seq(TableId.of("db", "sch", "t1"), TableId.of("sch", "t2"),
         TableId.parse("t3"))) {
-      assert(p.transforms.head.selectors.matches(id), s"transform vs $id")
       assert(p.monitors.head.selectors.matches(id), s"monitor vs $id")
       assert(p.curations.head.selectors.matches(id), s"curate vs $id")
     }
+    def yamlWith(block: String) =
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |$block
+         |sink:
+         |  type: values
+         |""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("transform:\n  - projection: \"*\""))
+    }
+    assert(e1.getMessage.contains("source-table") &&
+      e1.getMessage.contains("transform"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(yamlWith("route:\n  - source-table: db.t"))
+    }
+    assert(e2.getMessage.contains("sink-table") && e2.getMessage.contains("route"))
   }
 
   test("curate block validation: missing keys and bad ranges refuse at parse time") {

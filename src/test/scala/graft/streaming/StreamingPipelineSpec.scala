@@ -38,6 +38,33 @@ class DebeziumJsonSpec extends SparkSpec {
       (2L, "b2", "UPDATE")))                       // same key: single row
   }
 
+  test("emitUpdateBefore: in-place update emits UPDATE_BEFORE(before) + UPDATE(after)") {
+    val rows = Seq(
+      // in-place: same key, changed payload → retraction pair
+      """{"before":{"id":2,"name":"b"},"after":{"id":2,"name":"b2"},"op":"u","ts_ms":6,"source":{"db":"db","table":"users"}}""",
+      // PK-mutating: stays the DELETE+UPDATE split (already retracts cleanly)
+      """{"before":{"id":1,"name":"a"},"after":{"id":9,"name":"a"},"op":"u","ts_ms":5,"source":{"db":"db","table":"users"}}""",
+      // before-image-less update (no REPLICA IDENTITY FULL): after-only
+      """{"before":null,"after":{"id":3,"name":"c2"},"op":"u","ts_ms":7,"source":{"db":"db","table":"users"}}""",
+      // inserts/deletes unaffected
+      """{"before":null,"after":{"id":4,"name":"d"},"op":"c","ts_ms":8,"source":{"db":"db","table":"users"}}""")
+    val out = DebeziumJson.parse(rows.toDF("value"), userStruct,
+        primaryKeys = Seq("id"), emitUpdateBefore = true)
+      .orderBy("__seq", "__op", "id")
+      .select("id", "name", "__op").as[(Long, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", "DELETE"), (9L, "a", "UPDATE"),
+      (2L, "b2", "UPDATE"), (2L, "b", graft.operators.Changelog.UpdateBeforeOp),
+      (3L, "c2", "UPDATE"),
+      (4L, "d", "INSERT")))
+    // without PKs every 'u' with a before-image is in-place
+    val noPk = DebeziumJson.parse(rows.take(1).toDF("value"), userStruct,
+        emitUpdateBefore = true)
+      .orderBy("__op").select("name", "__op").as[(String, String)].collect().toSeq
+    assert(noPk === Seq(("b2", "UPDATE"),
+      ("b", graft.operators.Changelog.UpdateBeforeOp)))
+  }
+
   test("serialize → parse round-trips the changelog") {
     val ch = Seq((1L, "x", "INSERT", 10L), (2L, "y", "DELETE", 11L))
       .toDF("id", "name", graft.operators.Changelog.OpCol, graft.operators.Changelog.SeqCol)
