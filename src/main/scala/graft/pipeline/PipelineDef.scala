@@ -10,14 +10,20 @@ import scala.jdk.CollectionConverters._
   * (cli/parser/YamlPipelineDefinitionParser.java:59-87:
   * source / sink / transform / route / pipeline / model / user-defined-function),
   * plus this engine's `monitor` block ([[MonitorDef]] — per-cell t-digest
-  * quantile sketch tables folded per batch) and `curate` block
+  * quantile sketch tables folded per batch), `curate` block
   * ([[CurateDef]] — persisted token-budget histogram assets folded per
-  * batch, selected via `graft.Cli budget-select`).
+  * batch, selected via `graft.Cli budget-select`), and `split` block
+  * ([[SplitDef]] — named deterministic md5-band splits over sink tables,
+  * read via `graft.Cli split-select`).
   *
-  * Omitted `source-table` selectors default to `\.*` — ONE part whose
-  * un-escaped regex `.*` matches any table name. A literal `.*` default
-  * would split on the unescaped dot into an empty part plus the invalid
-  * part-regex `*` (dangling quantifier) and throw on first match
+  * `source-table` is REQUIRED for transform and route blocks (parse-time
+  * refusal, the reference's YamlPipelineDefinitionParser contract — a
+  * forgotten selector must not silently apply a projection to every
+  * table). For the engine-side monitor/curate extensions an omitted
+  * `source-table` defaults to `\.*` — ONE part whose un-escaped regex
+  * `.*` matches any table name. A literal `.*` default would split on
+  * the unescaped dot into an empty part plus the invalid part-regex `*`
+  * (dangling quantifier) and throw on first match
   * ([[graft.model.Selectors]] splits entries on unescaped dots, the
   * reference's RegExSplitterByDot).
   */
@@ -35,6 +41,7 @@ final case class PipelineDef(
     models: Seq[ModelDef] = Nil,
     monitors: Seq[MonitorDef] = Nil,
     curations: Seq[CurateDef] = Nil,
+    splits: Seq[SplitDef] = Nil,
     config: Map[String, String] = Map.empty
 ) {
   def name: String = config.getOrElse("name", "graft-pipeline")
@@ -65,9 +72,19 @@ object PipelineDef {
     val sourceOpts = strMap(root.getOrElse("source", null))
     val sinkOpts = strMap(root.getOrElse("sink", null))
 
+    // transform and route REQUIRE source-table (and route sink-table) at
+    // parse time, matching the reference's YamlPipelineDefinitionParser
+    // (toTransformDef/toRouteDef checkNotNull): a forgotten source-table
+    // silently applying a projection/filter to EVERY table is worse than
+    // a parse error. The match-all `\.*` default remains the documented
+    // convenience for the engine-side monitor/curate extensions only.
+    def req(block: String, m: Map[String, String], k: String): String =
+      m.getOrElse(k, throw new IllegalArgumentException(
+        s"""missing required field "$k" in $block configuration"""))
+
     val transforms = blockList(root.getOrElse("transform", null)).map { m =>
       TransformRule(
-        sourceTable = m.getOrElse("source-table", "\\.*"),
+        sourceTable = req("transform", m, "source-table"),
         projection = m.get("projection"),
         filter = m.get("filter"),
         primaryKeys = m.get("primary-keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
@@ -78,8 +95,8 @@ object PipelineDef {
     }
     val routes = blockList(root.getOrElse("route", null)).map { m =>
       RouteRule(
-        sourceTable = m.getOrElse("source-table", "\\.*"),
-        sinkTable = m.getOrElse("sink-table", ""),
+        sourceTable = req("route", m, "source-table"),
+        sinkTable = req("route", m, "sink-table"),
         replaceSymbol = m.get("replace-symbol"),
         description = m.get("description"))
     }
@@ -114,6 +131,15 @@ object PipelineDef {
         retract = m.getOrElse("retract", "false").toBoolean)
     }
 
+    val splits = blockList(root.getOrElse("split", null)).map { m =>
+      def reqS(k: String): String = m.getOrElse(k,
+        throw new IllegalArgumentException(s"split block needs `$k`"))
+      SplitDef(
+        sourceTable = m.getOrElse("source-table", "\\.*"),
+        key = reqS("key"),
+        weights = SplitDef.parseWeights(reqS("splits")))
+    }
+
     PipelineDef(
       source = SourceDef(sourceOpts.getOrElse("type", "parquet"), sourceOpts),
       sink = SinkDef(sinkOpts.getOrElse("type", "values"), sinkOpts),
@@ -123,6 +149,7 @@ object PipelineDef {
       models = models,
       monitors = monitors,
       curations = curations,
+      splits = splits,
       config = strMap(root.getOrElse("pipeline", null)))
   }
 }
