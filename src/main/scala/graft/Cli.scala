@@ -102,6 +102,52 @@ object Cli {
       }
     case Seq("split-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir]")
+    case Seq("sample-select", yaml, table, rest @ _*) if rest.size <= 1 =>
+      // the sample block's read surface: the deterministic md5-threshold
+      // sample of the sink's materialized table — reproducible subset
+      // handoffs without writing Scala. Same outDir convention as
+      // split-select.
+      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yaml))))
+      val sp = session("graft-sample-select")
+      val sel = sampleSelect(sp, p, table)
+      rest.headOption match {
+        case Some(outDir) =>
+          sel.write.mode("overwrite").parquet(outDir)
+          // scalastyle:off println
+          println(s"sample-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
+          // scalastyle:on
+        case None => sel.show(1000, truncate = false)
+      }
+    case Seq("sample-select", _*) => throw new IllegalArgumentException(
+      "usage: graft.Cli sample-select <pipeline.yaml> <table-id> [outDir]")
+    case Seq("mix-select", yaml, table, rest @ _*) if rest.size <= 1 =>
+      // the mix block's read surface: the temperature-rebalanced view of
+      // the sink's materialized table (rates derived from the CURRENT
+      // per-stratum counts, then the same md5 thresholds)
+      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yaml))))
+      val sp = session("graft-mix-select")
+      val sel = mixSelect(sp, p, table)
+      rest.headOption match {
+        case Some(outDir) =>
+          sel.write.mode("overwrite").parquet(outDir)
+          // scalastyle:off println
+          println(s"mix-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
+          // scalastyle:on
+        case None => sel.show(1000, truncate = false)
+      }
+    case Seq("mix-select", _*) => throw new IllegalArgumentException(
+      "usage: graft.Cli mix-select <pipeline.yaml> <table-id> [outDir]")
+    case Seq("curate-check", yaml, table) =>
+      // the curate drift audit: asset token mass vs the surviving table's
+      // — the mechanical symptom of unpaired retractions / grow-only
+      // assets over deleting tables / mixed maintainers
+      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yaml))))
+      curateCheck(session("graft-curate-check"), p, table).show(truncate = false)
+    case Seq("curate-check", _*) => throw new IllegalArgumentException(
+      "usage: graft.Cli curate-check <pipeline.yaml> <table-id>")
     case Seq("curate-show", path) =>
       // the histogram asset itself: declared binning + per-bin token
       // sums — what the selection's cutoff fold reads, inspectable
@@ -114,6 +160,9 @@ object Cli {
         "[quantile ...] | graft.Cli pca-show <path> [k] | " +
         "graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir] | " +
         "graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir] | " +
+        "graft.Cli sample-select <pipeline.yaml> <table-id> [outDir] | " +
+        "graft.Cli mix-select <pipeline.yaml> <table-id> [outDir] | " +
+        "graft.Cli curate-check <pipeline.yaml> <table-id> | " +
         "graft.Cli curate-show <path>")
   }
 
@@ -149,6 +198,27 @@ object Cli {
   def splitSelect(spark: SparkSession, p: PipelineDef, tableId: String,
                   splitName: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.CorpusSplitter.select(spark, p, tableId, splitName)
+
+  /** [[graft.pipeline.BudgetCurator.check]] under the one read-surface
+    * session shape — the curate drift audit.
+    */
+  def curateCheck(spark: SparkSession, p: PipelineDef,
+                  tableId: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.BudgetCurator.check(spark, p, tableId)
+
+  /** [[graft.pipeline.CorpusSampler.select]] under the one read-surface
+    * session shape — the `sample:` block's deterministic-sample read.
+    */
+  def sampleSelect(spark: SparkSession, p: PipelineDef,
+                   tableId: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.CorpusSampler.select(spark, p, tableId)
+
+  /** [[graft.pipeline.CorpusMixer.select]] under the one read-surface
+    * session shape — the `mix:` block's temperature-rebalanced read.
+    */
+  def mixSelect(spark: SparkSession, p: PipelineDef,
+                tableId: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.CorpusMixer.select(spark, p, tableId)
 
   /** Render the variance spectrum of a persisted PCA suffstats asset
     * ([[graft.ops.Pca.appendStats]]): component, eigenvalue, cumulative

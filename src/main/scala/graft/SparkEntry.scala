@@ -295,6 +295,17 @@ object SparkEntry {
            |  - source-table: out.docs
            |    key: source
            |    splits: "train:0.8,valid:0.1,test:0.1"
+           |sample:
+           |  - source-table: out.docs
+           |    key: doc_id
+           |    stratum: source
+           |    rates: "src1:0.25,src2:0.5"
+           |    default-rate: 0.75
+           |mix:
+           |  - source-table: out.docs
+           |    key: doc_id
+           |    stratum: source
+           |    temperature: 2.0
            |sink:
            |  type: parquet
            |  path: $root/out
@@ -584,6 +595,30 @@ object SparkEntry {
       Cli.splitSelect(spark, yamlBudgetFor(spark, dir), "out.docs", "valid")
         .select(col("doc_id"), col("n_chars"), col("source"),
           col("tok").cast("long").as("tok"))
+    },
+
+    "q_yaml_sample" -> { (spark, dir) =>
+      // the sample tier through the same YAML entry point: a `sample:`
+      // block stratified on `source` (downsample two named sources, keep
+      // the rest at the default rate) read via the sample-select surface
+      // over the sink's materialized table. A pure md5-threshold
+      // membership function of the key — no asset, no shuffle — and the
+      // oracle recomputes the identical per-stratum thresholds
+      // (0.25→4000, 0.5→8000, 0.75→c000).
+      Cli.sampleSelect(spark, yamlBudgetFor(spark, dir), "out.docs")
+        .select(col("doc_id"), col("source"), col("tok").cast("long").as("tok"))
+    },
+
+    "q_yaml_mix" -> { (spark, dir) =>
+      // the mixing tier through the same YAML entry point: a `mix:` block
+      // at temperature 2 (q_d ∝ n_d^0.5) over `source` strata, read via
+      // mix-select. Rates derive from the materialized table's CURRENT
+      // per-source counts (one bounded decision-table aggregate), then
+      // the same md5 thresholds apply — the q_mix_temperature arithmetic
+      // composed with the pipeline's transform/filter, so the oracle
+      // re-derives the identical decision table off the same base.
+      Cli.mixSelect(spark, yamlBudgetFor(spark, dir), "out.docs")
+        .select(col("doc_id"), col("source"), col("tok").cast("long").as("tok"))
     },
 
     // ---------- changelog materialization / upsert semantics (§2.2, §7.4) ----------
@@ -5046,6 +5081,48 @@ object SparkEntry {
         |WHERE tok >= 1
         |  AND substring(md5(source), 1, 4) >= 'cccd'
         |  AND substring(md5(source), 1, 4) < 'e666'""".stripMargin,
+
+    // the YAML stratified sample over the pipeline's filtered projection:
+    // per-source md5 thresholds (0.25→4000, 0.5→8000, default 0.75→c000)
+    "q_yaml_sample" ->
+      """SELECT doc_id, source, tok FROM (
+        |  SELECT doc_id, source,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END
+        |              AS BIGINT) AS tok
+        |  FROM documents)
+        |WHERE tok >= 1
+        |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      CASE source WHEN 'src1' THEN '4000'
+        |                  WHEN 'src2' THEN '8000' ELSE 'c000' END""".stripMargin,
+
+    // the YAML temperature mix over the pipeline's filtered projection:
+    // the q_mix_temperature decision-table arithmetic re-derived off the
+    // same base (alpha = 1/T = 0.5; z summed in stratum order — the
+    // engine's pinned fold order)
+    "q_yaml_mix" ->
+      """WITH flt AS (
+        |  SELECT doc_id, source, tok FROM (
+        |    SELECT doc_id, source,
+        |           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+')) END
+        |                AS BIGINT) AS tok
+        |    FROM documents)
+        |  WHERE tok >= 1),
+        |cnt AS (SELECT source AS s, CAST(count(*) AS DOUBLE) AS n
+        |        FROM flt WHERE source IS NOT NULL GROUP BY 1),
+        |z AS (SELECT list_reduce(list_prepend(0.0, list(pow(n, 0.5) ORDER BY s)),
+        |             (a, x) -> a + x) AS z FROM cnt),
+        |w AS (SELECT s, n, pow(n, 0.5) / z.z AS wt FROM cnt, z),
+        |budget AS (SELECT min(n / wt) AS t FROM w),
+        |rates AS (
+        |  SELECT w.s, round(least(1.0, w.wt * b.t / w.n) * 65536) AS thr
+        |  FROM w CROSS JOIN budget b)
+        |SELECT f.doc_id, f.source, f.tok
+        |FROM flt f JOIN rates r ON r.s = f.source
+        |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
+        |  ELSE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
+        |  END""".stripMargin,
 
     // binning affects only the plan, never the result — the incremental
     // asset's selection replays as the same naive global window

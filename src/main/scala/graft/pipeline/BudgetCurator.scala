@@ -184,6 +184,39 @@ object BudgetCurator {
       c.idColumn, expr(c.score), expr(c.tokens), c.path, budget)
   }
 
+  /** Drift audit (`graft.Cli curate-check`): compare the maintained
+    * asset's total token mass against the materialized table's — equal
+    * when every offer and retraction folded exactly (a batch rebuild, or
+    * streaming `retract: true` over a feed with before-images); a
+    * mismatch is the MECHANICAL symptom of the drift modes that are
+    * otherwise silent: a feed without before-images, a grow-only asset
+    * over a table with deletes, a DELETE whose before-image mismatches
+    * its offer, or mixed maintainers on one path. The table leg
+    * replicates the fold's row filter exactly (null score/tokens rows
+    * are never offered). One bounded asset read + ONE aggregation scan
+    * of the table — never a selection, never a window; scan-bound at
+    * 100 TB and far cheaper than the re-selection a drifted asset would
+    * silently corrupt.
+    */
+  def check(spark: SparkSession, p: PipelineDef, tableId: String): DataFrame = {
+    val id = TableId.parse(tableId)
+    val c = p.curations.find(_.selectors.matches(id)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no curate block matches table $tableId (have: " +
+          s"${p.curations.map(_.sourceTable).mkString(", ")})"))
+    val assetToks = graft.ops.EpochStore.currentEpoch(spark, c.path)
+      .map(dir => spark.read.parquet(dir)
+        .agg(coalesce(sum("toks"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    val tableToks = materializedTable(spark, p, id)
+      .where(expr(c.score).isNotNull && expr(c.tokens).isNotNull)
+      .agg(coalesce(sum(expr(c.tokens).cast("long")), lit(0L)))
+      .head().getLong(0)
+    import spark.implicits._
+    Seq((assetToks, tableToks, assetToks == tableToks))
+      .toDF("asset_tokens", "table_tokens", "consistent")
+  }
+
   /** Where the pipeline's sink materialized `id`: the parquet sink's table
     * dir, or the parquet-upsert sink's maintained state (read through the
     * sink so a crashed bucket swap is recovered first). A `values` sink

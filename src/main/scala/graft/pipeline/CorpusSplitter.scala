@@ -48,8 +48,12 @@ final case class SplitDef(
 
 object SplitDef {
 
-  /** Parse the YAML `splits:` value — `"train:0.8,valid:0.1,test:0.1"`. */
-  def parseWeights(s: String): Seq[(String, Double)] =
+  /** Parse a YAML name:number list — `"train:0.8,valid:0.1,test:0.1"`
+    * (the `split:` block's `splits:`, the `sample:` block's `rates:`).
+    * `what` names the field in refusals so a sample-block typo doesn't
+    * report as a split error.
+    */
+  def parseWeights(s: String, what: String = "split weights"): Seq[(String, Double)] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
       p.split(":") match {
         case Array(n, w) if n.trim.nonEmpty =>
@@ -57,11 +61,11 @@ object SplitDef {
             try w.trim.toDouble
             catch {
               case _: NumberFormatException => throw new IllegalArgumentException(
-                s"split weight must be numeric, got '$p'")
+                s"$what must be numeric, got '$p'")
             }
           n.trim -> weight
         case _ => throw new IllegalArgumentException(
-          s"splits must be name:weight pairs, got '$p'")
+          s"$what must be name:number pairs, got '$p'")
       }
     }
 }

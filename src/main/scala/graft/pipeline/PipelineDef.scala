@@ -12,9 +12,13 @@ import scala.jdk.CollectionConverters._
   * plus this engine's `monitor` block ([[MonitorDef]] — per-cell t-digest
   * quantile sketch tables folded per batch), `curate` block
   * ([[CurateDef]] — persisted token-budget histogram assets folded per
-  * batch, selected via `graft.Cli budget-select`), and `split` block
+  * batch, selected via `graft.Cli budget-select`), `split` block
   * ([[SplitDef]] — named deterministic md5-band splits over sink tables,
-  * read via `graft.Cli split-select`).
+  * read via `graft.Cli split-select`), `sample` block ([[SampleDef]] —
+  * deterministic uniform/stratified md5-threshold samples, read via
+  * `graft.Cli sample-select`), and `mix` block ([[MixDef]] —
+  * temperature-scaled mixture rebalancing, read via `graft.Cli
+  * mix-select`).
   *
   * `source-table` is REQUIRED for transform and route blocks (parse-time
   * refusal, the reference's YamlPipelineDefinitionParser contract — a
@@ -42,6 +46,8 @@ final case class PipelineDef(
     monitors: Seq[MonitorDef] = Nil,
     curations: Seq[CurateDef] = Nil,
     splits: Seq[SplitDef] = Nil,
+    samples: Seq[SampleDef] = Nil,
+    mixes: Seq[MixDef] = Nil,
     config: Map[String, String] = Map.empty
 ) {
   def name: String = config.getOrElse("name", "graft-pipeline")
@@ -140,6 +146,38 @@ object PipelineDef {
         weights = SplitDef.parseWeights(reqS("splits")))
     }
 
+    val samples = blockList(root.getOrElse("sample", null)).map { m =>
+      SampleDef(
+        sourceTable = m.getOrElse("source-table", "\\.*"),
+        key = m.getOrElse("key",
+          throw new IllegalArgumentException("sample block needs `key`")),
+        rate = m.get("rate").map(_.toDouble),
+        stratum = m.get("stratum"),
+        rates = m.get("rates").map(SplitDef.parseWeights(_, "sample rates")).getOrElse(Nil),
+        defaultRate = m.getOrElse("default-rate", "1.0").toDouble)
+    }
+
+    val mixes = blockList(root.getOrElse("mix", null)).map { m =>
+      def reqM(k: String): String = m.getOrElse(k,
+        throw new IllegalArgumentException(s"mix block needs `$k`"))
+      // alpha XOR temperature (alpha = 1/T) — both would be ambiguous,
+      // neither is underspecified
+      val alpha = (m.get("alpha"), m.get("temperature")) match {
+        case (Some(a), None) => a.toDouble
+        case (None, Some(t)) =>
+          val temp = t.toDouble
+          require(temp >= 1, s"mix temperature must be >= 1: $temp")
+          1.0 / temp
+        case _ => throw new IllegalArgumentException(
+          "mix block needs exactly one of `alpha` or `temperature`")
+      }
+      MixDef(
+        sourceTable = m.getOrElse("source-table", "\\.*"),
+        key = reqM("key"),
+        stratum = reqM("stratum"),
+        alpha = alpha)
+    }
+
     PipelineDef(
       source = SourceDef(sourceOpts.getOrElse("type", "parquet"), sourceOpts),
       sink = SinkDef(sinkOpts.getOrElse("type", "values"), sinkOpts),
@@ -150,6 +188,8 @@ object PipelineDef {
       monitors = monitors,
       curations = curations,
       splits = splits,
+      samples = samples,
+      mixes = mixes,
       config = strMap(root.getOrElse("pipeline", null)))
   }
 }

@@ -451,6 +451,53 @@ class CliSpec extends SparkSpec {
     assert(toks === 30L, "batch re-run accumulated the histogram")
   }
 
+  test("curate-check: asset vs table token mass — consistent after a fold, loud on drift") {
+    // the drift audit: equal totals when every offer folded exactly; a
+    // table mutated behind the asset's back (the unpaired-retraction /
+    // mixed-maintainer shape) flips consistent to false
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cur-check").toString
+    Seq((1L, 8.0, 10L), (2L, 4.0, 10L), (3L, 2.0, 10L))
+      .toDF("id", "score", "tok").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: score
+         |    tokens: tok
+         |    path: $root/hist
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    Cli.runBatch(spark, p)
+    val ok = Cli.curateCheck(spark, p, "corpus.docs").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((30L, 30L, true)))
+    // mutate the materialized table behind the asset's back — the audit
+    // must surface the drift mechanically
+    Seq((4L, 1.0, 12L)).toDF("id", "score", "tok")
+      .write.mode("append").parquet(s"$root/out/corpus_docs")
+    val drifted = Cli.curateCheck(spark, p, "corpus.docs").collect()
+    assert(drifted.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((30L, 42L, false)))
+    // no block matches → loud refusal, like budget-select
+    val e = intercept[IllegalArgumentException] {
+      Cli.curateCheck(spark, p, "corpus.other")
+    }
+    assert(e.getMessage.contains("no curate block"))
+  }
+
   test("split YAML block: split-select reads leakage-free named splits of the sink table") {
     // the split: block through the batch pipeline — a deterministic
     // md5-band partition of the materialized sink table, keyed on a GROUP
@@ -539,7 +586,174 @@ class CliSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException] {
       PipelineDef.fromYaml(yamlWith("key: id\n    splits: \"train=1.0\""))
     }
-    assert(e5.getMessage.contains("name:weight"))
+    assert(e5.getMessage.contains("name:number"))
+  }
+
+  test("sample YAML block: sample-select reads the deterministic stratified sample") {
+    // the sample: block through the batch pipeline — per-stratum
+    // md5-threshold membership over the materialized sink table, no
+    // asset: re-reads recompute the same subset
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sample-sel").toString
+    (0L until 60L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "src").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |sample:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    stratum: src
+         |    rates: "s0:0.0,s1:1.0"
+         |    default-rate: 0.5
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    assert(p.samples.map(s => (s.key, s.stratum, s.rates, s.defaultRate)) ===
+      Seq(("id", Some("src"), Seq("s0" -> 0.0, "s1" -> 1.0), 0.5)))
+    Cli.runBatch(spark, p)
+    val kept = Cli.sampleSelect(spark, p, "corpus.docs")
+      .select("id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // rate-0 stratum drops entirely; rate-1 stratum survives whole
+    assert(kept.count(_._2 == "s0") === 0)
+    assert(kept.count(_._2 == "s1") === 20)
+    // the default-rate stratum keeps the md5-threshold subset — a proper
+    // nonempty subset, and exactly the operator's own keep set
+    val s2 = kept.filter(_._2 == "s2").map(_._1)
+    assert(s2.nonEmpty && s2.size < 20, s"s2 kept ${s2.size}")
+    val direct = graft.ops.Sampling.hashSample(
+      (0L until 60L).filter(_ % 3 == 2).toDF("id"),
+      org.apache.spark.sql.functions.col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(s2.toSeq === direct)
+    // deterministic: a re-read returns identical membership
+    assert(Cli.sampleSelect(spark, p, "corpus.docs")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted === kept.map(_._1))
+    // no block matches → loud refusal, like split-select
+    val e = intercept[IllegalArgumentException] {
+      Cli.sampleSelect(spark, p, "corpus.other")
+    }
+    assert(e.getMessage.contains("no sample block"))
+  }
+
+  test("mix YAML block: mix-select derives temperature rates from the live table") {
+    // counts 40/10 at T=2 (alpha 0.5): weights 2/3, 1/3 exactly; budget
+    // min(60, 30) = 30 → s1 (binding) kept whole, s0 at rate 0.5 — the
+    // q_mix_temperature arithmetic through the YAML read surface
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mix-sel").toString
+    ((0L until 40L).map(i => (i, "s0")) ++ (40L until 50L).map(i => (i, "s1")))
+      .toDF("id", "src").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |mix:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    stratum: src
+         |    temperature: 2.0
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    assert(p.mixes.map(m => (m.key, m.stratum, m.alpha)) ===
+      Seq(("id", "src", 0.5)))
+    Cli.runBatch(spark, p)
+    val kept = Cli.mixSelect(spark, p, "corpus.docs")
+      .select("id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // the binding stratum is kept whole
+    assert(kept.count(_._2 == "s1") === 10)
+    // the over-represented stratum downsamples to exactly rate 0.5's
+    // md5-threshold subset
+    val s0 = kept.filter(_._2 == "s0").map(_._1)
+    val direct = graft.ops.Sampling.hashSample(
+      (0L until 40L).toDF("id"),
+      org.apache.spark.sql.functions.col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(s0.toSeq === direct)
+    // no block matches → loud refusal
+    val e = intercept[IllegalArgumentException] {
+      Cli.mixSelect(spark, p, "corpus.other")
+    }
+    assert(e.getMessage.contains("no mix block"))
+  }
+
+  test("sample and mix block validation refuses underspecified definitions") {
+    import graft.pipeline.PipelineDef
+    def sampleYaml(body: String) =
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |sample:
+         |  - $body
+         |sink:
+         |  type: parquet
+         |  path: /tmp/y
+         |""".stripMargin
+    def mixYaml(body: String) =
+      s"""source:
+         |  type: parquet
+         |  path: /tmp/x
+         |mix:
+         |  - $body
+         |sink:
+         |  type: parquet
+         |  path: /tmp/y
+         |""".stripMargin
+    // exactly one of rate | stratum
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml("key: id"))
+    }
+    assert(e1.getMessage.contains("exactly one of `rate`"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml(
+        "key: id\n    rate: 0.5\n    stratum: src\n    rates: \"a:0.1\""))
+    }
+    assert(e2.getMessage.contains("exactly one of `rate`"))
+    // stratified needs rates; rates need stratum
+    val e3 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml("key: id\n    stratum: src"))
+    }
+    assert(e3.getMessage.contains("needs `rates`"))
+    val e4 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml("key: id\n    rate: 1.5"))
+    }
+    assert(e4.getMessage.contains("[0,1]"))
+    val e5 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml("stratum: src\n    rates: \"a:0.5\""))
+    }
+    assert(e5.getMessage.contains("`key`"))
+    // mix: alpha XOR temperature, both bounded
+    val e6 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(mixYaml("key: id\n    stratum: src"))
+    }
+    assert(e6.getMessage.contains("exactly one of `alpha`"))
+    val e7 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(mixYaml(
+        "key: id\n    stratum: src\n    alpha: 0.5\n    temperature: 2.0"))
+    }
+    assert(e7.getMessage.contains("exactly one of `alpha`"))
+    val e8 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(mixYaml("key: id\n    stratum: src\n    temperature: 0.5"))
+    }
+    assert(e8.getMessage.contains(">= 1"))
+    val e9 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(mixYaml("key: id\n    stratum: src\n    alpha: 0.0"))
+    }
+    assert(e9.getMessage.contains("(0,1]"))
   }
 
   test("curate-show renders the asset's bins and pinned declaration") {
