@@ -11,6 +11,23 @@ class PlanInvariantsSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("yaml sample read is one scan-bound filter: no exchange, no join") {
+    // the sample: block's scale contract — membership is a pure
+    // md5-threshold projection over the materialized table's scan
+    val p = plan("q_yaml_sample")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("yaml mix read: bounded decision-table aggregate, then one scan-bound filter") {
+    // the mix: block derives per-stratum rates via one bounded collect
+    // (a row per stratum — resolved before this plan exists), so the
+    // SELECTION plan is the same shuffle-free narrow filter as sample:
+    val p = plan("q_yaml_mix")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("transform filter pushes predicates into the parquet scan") {
     val p = plan("q_transform_filter")
     assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)"), p.take(2000))
