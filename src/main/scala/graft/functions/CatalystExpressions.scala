@@ -278,6 +278,40 @@ object CdcExprHelpers {
     Double.box(if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
   }
 
+  /** Cosine similarity with PRECOMPUTED squared norms — the bulk-pair hot
+    * loop of [[graft.ops.Ivf.knnJoin]]: the norms are per-ROW constants, so
+    * evaluating them once per row instead of once per candidate PAIR cuts
+    * the pair loop from three fused multiply-adds per element to one (the
+    * dot), a ~3× arithmetic reduction on the |L|·|R|·nprobe/k candidate
+    * volume. BIT-IDENTICAL to [[cosineFF]] for equal-length vectors: `na`
+    * and `nb` are independent accumulators there, and the final expression
+    * keeps the exact `dot / sqrt(na * nb)` shape (never
+    * `sqrt(na) * sqrt(nb)`, which rounds differently). Callers must pass
+    * fixed-dimension vectors (norms are full-length sums; cosineFF's
+    * min-length truncation only differs when dims mismatch).
+    */
+  def cosinePre(a: ArrayData, b: ArrayData, na: Double, nb: Double): java.lang.Double = {
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    Double.box(if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb))
+  }
+
+  /** Squared L2 norm of a float vector (ascending-index accumulation —
+    * bit-identical to [[cosineFF]]'s internal `na`/`nb`); NULL when the
+    * vector has a null element, matching cosineFF's null propagation.
+    */
+  def normSqFF(a: ArrayData): java.lang.Double = {
+    if (hasNullElement(a)) return null
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    Double.box(s)
+  }
+
   /** Static entry: text → the five within-document repetition metrics
     * ([[graft.ops.Repetition.statsOf]]) as a primitive double array.
     */
@@ -643,6 +677,74 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"
+}
+
+/** `VEC_NORM_SQ(vec)` over `ARRAY<FLOAT>` — squared L2 norm, the per-row
+  * half of the hoisted-norm cosine ([[CosinePre]]): evaluated once per
+  * row, carried as one DOUBLE column through the candidate shuffle.
+  */
+case class VecNormSq(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // null input, or null vector elements
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.normSqFF(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("nsq")
+      s"""java.lang.Double $boxed = graft.functions.CdcExprHelpers.normSqFF($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): VecNormSq =
+    copy(child = newChild)
+  override def prettyName: String = "vec_norm_sq"
+}
+
+/** `COSINE_PRE(a, b, na, nb)` — cosine similarity with the squared norms
+  * hoisted to per-row columns ([[VecNormSq]]): the bulk k-NN pair loop pays
+  * only the dot product. Bit-identical to [[CosineSim]] on fixed-dimension
+  * vectors (`dot / sqrt(na * nb)`, same accumulation order).
+  */
+case class CosinePre(a: Expression, b: Expression, na: Expression, nb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = na
+  override def fourth: Expression = nb
+  private def vec(t: DataType): Boolean = t match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vec(a.dataType) && vec(b.dataType) &&
+        na.dataType == org.apache.spark.sql.types.DoubleType &&
+        nb.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, ARRAY<FLOAT>, DOUBLE, DOUBLE), got " +
+        s"(${a.dataType}, ${b.dataType}, ${na.dataType}, ${nb.dataType})")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(av: Any, bv: Any, nav: Any, nbv: Any): Any =
+    CdcExprHelpers.cosinePre(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData],
+      nav.asInstanceOf[Double], nbv.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, nav, nbv) => {
+      val boxed = ctx.freshName("cosp")
+      s"""java.lang.Double $boxed =
+         |  graft.functions.CdcExprHelpers.cosinePre($av, $bv, $nav, $nbv);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): CosinePre =
+    copy(a = newFirst, b = newSecond, na = newThird, nb = newFourth)
+  override def prettyName: String = "cosine_pre"
 }
 
 /** `HYPERPLANE_SIG(vec)` with bound planes — the LSH bucketing hot loop as a
@@ -1039,6 +1141,11 @@ object CdcExpressions {
     GraftBridge.column(UnicodeNormalize(GraftBridge.expression(text), form))
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def vecNormSq(a: Column): Column =
+    GraftBridge.column(VecNormSq(GraftBridge.expression(a)))
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    GraftBridge.column(CosinePre(GraftBridge.expression(a), GraftBridge.expression(b),
+      GraftBridge.expression(na), GraftBridge.expression(nb)))
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =

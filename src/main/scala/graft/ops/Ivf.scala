@@ -142,8 +142,14 @@ object Ivf {
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
               model: Model, k: Int, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // squared norms are per-ROW constants: hoist them out of the
+    // |L|·|R|·nprobe/k candidate pair loop (CosinePre pays only the dot —
+    // bit-identical to CosineSim on fixed-dim vectors, ~3× less pair
+    // arithmetic), carried as one DOUBLE column through the shuffle
     val assignedRight = assign(right, idCol, vecCol, model)
-      .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"), col("centroid_id"))
+      .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+        graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
+        col("centroid_id"))
     // (-score, cid) structs sort lexicographically to (score DESC, cid ASC)
     val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
@@ -151,10 +157,13 @@ object Ivf {
     }: _*)
     val probes = left
       .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
+        graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
         explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
-      .select(col("__lid"), col("__lvec"), col("__p.cid").as("centroid_id"))
+      .select(col("__lid"), col("__lvec"), col("__ln2"),
+        col("__p.cid").as("centroid_id"))
     val w = Window.partitionBy("__lid").orderBy(
-      graft.functions.CdcExpressions.cosineSim(col("__lvec"), col("__rvec")).desc,
+      graft.functions.CdcExpressions.cosinePre(col("__lvec"), col("__rvec"),
+        col("__ln2"), col("__rn2")).desc,
       col("__rid"))
     probes.join(assignedRight, "centroid_id")
       .where(col("__rid") =!= col("__lid"))
@@ -179,6 +188,7 @@ object Ivf {
     // inline rather than joining it back by id later
     val assignedRight = df.select(col(idCol).cast("long").as("__rid"),
       col(vecCol).as("__rvec"), col(tagCol).as("__rtag"),
+      graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
       graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
         .as("centroid_id"))
     val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
@@ -188,11 +198,14 @@ object Ivf {
     val probes = df
       .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
         col(tagCol).as("__ltag"),
+        graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
         explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
-      .select(col("__lid"), col("__lvec"), col("__ltag"),
+      .select(col("__lid"), col("__lvec"), col("__ltag"), col("__ln2"),
         col("__p.cid").as("centroid_id"))
+    // the same hoisted-norm pair loop as knnJoin (bit-identical scores)
     val w = Window.partitionBy("__lid").orderBy(
-      graft.functions.CdcExpressions.cosineSim(col("__lvec"), col("__rvec")).desc,
+      graft.functions.CdcExpressions.cosinePre(col("__lvec"), col("__rvec"),
+        col("__ln2"), col("__rn2")).desc,
       col("__rid"))
     probes.join(assignedRight, "centroid_id")
       .where(col("__rtag") =!= col("__ltag")) // excludes self too

@@ -232,6 +232,40 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(viaSql === vecs.map(v => graft.ops.Similarity.cosine(v._2, v._3)))
   }
 
+  test("cosine_pre with hoisted norms is bit-identical to cosine_sim") {
+    // the knnJoin pair-loop optimization's exactness contract: hoisting
+    // the squared norms to per-row columns must not move a single bit —
+    // including the zero-norm → 0.0 and null-element → NULL edges
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4 - 2),
+          Array.fill(16)(rnd.nextFloat() * 4 - 2))) ++ Seq(
+      (98L, Array.fill(16)(0.0f), Array.fill(16)(1.0f)),
+      (99L, Array.fill(16)(1.0f), Array.fill(16)(0.0f)))
+    val df = vecs.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        CdcExpressions.cosineSim(col("a"), col("b")).as("ref"),
+        CdcExpressions.cosinePre(col("a"), col("b"),
+          CdcExpressions.vecNormSq(col("a")),
+          CdcExpressions.vecNormSq(col("b"))).as("pre"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, ref, pre) =>
+      assert(java.lang.Double.doubleToLongBits(ref) ===
+        java.lang.Double.doubleToLongBits(pre), s"id $id: $ref vs $pre")
+    }
+    // null-element vectors: both formulations return NULL
+    val nulled = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f),
+        Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .selectExpr("id", "CAST(a AS ARRAY<FLOAT>) AS a", "CAST(b AS ARRAY<FLOAT>) AS b")
+      .select(CdcExpressions.vecNormSq(col("a")).as("n2"),
+        CdcExpressions.cosinePre(col("a"), col("b"),
+          CdcExpressions.vecNormSq(col("a")),
+          CdcExpressions.vecNormSq(col("b"))).as("pre"))
+      .head()
+    assert(nulled.isNullAt(0) && nulled.isNullAt(1))
+  }
+
   private implicit class Tup3(rows: Array[(Long, Seq[Long], Long)]) {
     def toMap2: Map[Long, (Seq[Long], Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
