@@ -216,8 +216,22 @@ object Bench {
     * against (exactly the r13 trap, now closed on the explicit path too).
     */
   val RollLoadBar = 1.1
+
+  /** Any common truthy spelling requests the roll — a freeze recipe typo
+    * (`=true` instead of `=1`) silently skipping the roll AND its refusal
+    * warning would be exactly the stale-baseline failure this flag exists
+    * to close. Unrecognized non-empty values refuse LOUDLY (see main)
+    * rather than guessing.
+    */
+  def rollRequested(env: Map[String, String]): Boolean =
+    env.get("SPARK_GRAFT_ROLL_PREV").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .exists(v => v == "1" || v == "true" || v == "yes")
+  def rollValueUnrecognized(env: Map[String, String]): Boolean =
+    env.get("SPARK_GRAFT_ROLL_PREV")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .exists(v => v.nonEmpty && !Set("1", "true", "yes", "0", "false", "no").contains(v))
   def shouldRollPrev(env: Map[String, String], loadRatio: Double): Boolean =
-    env.get("SPARK_GRAFT_ROLL_PREV").contains("1") && loadRatio <= RollLoadBar
+    rollRequested(env) && loadRatio <= RollLoadBar
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -406,10 +420,14 @@ object Bench {
       if (shouldRollPrev(sys.env, ratio)) {
         java.nio.file.Files.writeString(prevPath, rollLine(line, runSeq) + "\n")
         ()
-      } else if (sys.env.get("SPARK_GRAFT_ROLL_PREV").contains("1"))
+      } else if (rollRequested(sys.env))
         System.err.println(f"[graft] bench: roll requested but load_ratio " +
           f"$ratio%.3f exceeds the ${RollLoadBar} sanity bar — baseline NOT " +
           "rolled (re-run in a quieter window)")
+      else if (rollValueUnrecognized(sys.env))
+        System.err.println("[graft] bench: SPARK_GRAFT_ROLL_PREV=" +
+          s"'${sys.env("SPARK_GRAFT_ROLL_PREV")}' not recognized " +
+          "(use 1/true/yes) — baseline NOT rolled")
     } catch { case _: Exception => () } // stdout line already carries the record
     spark.stop()
   }

@@ -62,81 +62,37 @@ object Cli {
         .show(1000, truncate = false)
     case Seq("pca-show") => throw new IllegalArgumentException(
       "usage: graft.Cli pca-show <path> [k]")
+    // the four selection read surfaces (budget/split/sample/mix) share one
+    // materialize-or-show convention — selectCmd keeps them from drifting:
+    // with a trailing outDir the selection MATERIALIZES as parquet (the
+    // corpus handoff to a training job); without, it renders
     case Seq("budget-select", yaml, table, budget, rest @ _*) if rest.size <= 1 =>
       // the curate asset's read surface: the maximal budget prefix over
-      // the sink's materialized table, cutoff off the maintained
-      // histogram — operators drive the selection without writing Scala.
-      // With a trailing outDir the selection MATERIALIZES as parquet (the
-      // curated-corpus handoff to a training job); without, it renders.
-      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(yaml))))
-      val sp = session("graft-budget-select")
-      val sel = budgetSelect(sp, p, table, budget.toLong)
-      rest.headOption match {
-        case Some(outDir) =>
-          sel.write.mode("overwrite").parquet(outDir)
-          // scalastyle:off println
-          println(s"budget-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
-          // scalastyle:on
-        case None => sel.show(1000, truncate = false)
-      }
+      // the sink's materialized table, cutoff off the maintained histogram
+      selectCmd("budget-select", yaml, rest.headOption)(
+        (sp, p) => budgetSelect(sp, p, table, budget.toLong))
     case Seq("budget-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli budget-select <pipeline.yaml> <table-id> <budget> [outDir]")
     case Seq("split-select", yaml, table, splitName, rest @ _*) if rest.size <= 1 =>
       // the split block's read surface: one named deterministic split of
-      // the sink's materialized table — train/valid/test handoffs to a
-      // training job without writing Scala. With a trailing outDir the
-      // split MATERIALIZES as parquet; without, it renders.
-      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(yaml))))
-      val sp = session("graft-split-select")
-      val sel = splitSelect(sp, p, table, splitName)
-      rest.headOption match {
-        case Some(outDir) =>
-          sel.write.mode("overwrite").parquet(outDir)
-          // scalastyle:off println
-          println(s"split-select: wrote ${sp.read.parquet(outDir).count()} " +
-            s"rows of split '$splitName' to $outDir")
-          // scalastyle:on
-        case None => sel.show(1000, truncate = false)
-      }
+      // the sink's materialized table (train/valid/test handoffs)
+      selectCmd(s"split-select (split '$splitName')", yaml, rest.headOption)(
+        (sp, p) => splitSelect(sp, p, table, splitName))
     case Seq("split-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir]")
     case Seq("sample-select", yaml, table, rest @ _*) if rest.size <= 1 =>
       // the sample block's read surface: the deterministic md5-threshold
-      // sample of the sink's materialized table — reproducible subset
-      // handoffs without writing Scala. Same outDir convention as
-      // split-select.
-      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(yaml))))
-      val sp = session("graft-sample-select")
-      val sel = sampleSelect(sp, p, table)
-      rest.headOption match {
-        case Some(outDir) =>
-          sel.write.mode("overwrite").parquet(outDir)
-          // scalastyle:off println
-          println(s"sample-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
-          // scalastyle:on
-        case None => sel.show(1000, truncate = false)
-      }
+      // sample of the sink's materialized table
+      selectCmd("sample-select", yaml, rest.headOption)(
+        (sp, p) => sampleSelect(sp, p, table))
     case Seq("sample-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli sample-select <pipeline.yaml> <table-id> [outDir]")
     case Seq("mix-select", yaml, table, rest @ _*) if rest.size <= 1 =>
       // the mix block's read surface: the temperature-rebalanced view of
       // the sink's materialized table (rates derived from the CURRENT
       // per-stratum counts, then the same md5 thresholds)
-      val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(yaml))))
-      val sp = session("graft-mix-select")
-      val sel = mixSelect(sp, p, table)
-      rest.headOption match {
-        case Some(outDir) =>
-          sel.write.mode("overwrite").parquet(outDir)
-          // scalastyle:off println
-          println(s"mix-select: wrote ${sp.read.parquet(outDir).count()} rows to $outDir")
-          // scalastyle:on
-        case None => sel.show(1000, truncate = false)
-      }
+      selectCmd("mix-select", yaml, rest.headOption)(
+        (sp, p) => mixSelect(sp, p, table))
     case Seq("mix-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli mix-select <pipeline.yaml> <table-id> [outDir]")
     case Seq("curate-check", yaml, table) =>
@@ -164,6 +120,27 @@ object Cli {
         "graft.Cli mix-select <pipeline.yaml> <table-id> [outDir] | " +
         "graft.Cli curate-check <pipeline.yaml> <table-id> | " +
         "graft.Cli curate-show <path>")
+  }
+
+  /** The shared body of the four selection read surfaces: parse the
+    * pipeline YAML, build the selection under the one read-surface session
+    * shape, then materialize to `outDir` (count read back off the written
+    * parquet — the handoff's ground truth, not the plan's) or render.
+    */
+  private def selectCmd(label: String, yamlPath: String, outDir: Option[String])(
+      build: (SparkSession, PipelineDef) => org.apache.spark.sql.DataFrame): Unit = {
+    val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(yamlPath))))
+    val sp = session(s"graft-$label")
+    val sel = build(sp, p)
+    outDir match {
+      case Some(dir) =>
+        sel.write.mode("overwrite").parquet(dir)
+        // scalastyle:off println
+        println(s"$label: wrote ${sp.read.parquet(dir).count()} rows to $dir")
+        // scalastyle:on
+      case None => sel.show(1000, truncate = false)
+    }
   }
 
   /** Render a persisted budget-histogram asset: one row per occupied bin

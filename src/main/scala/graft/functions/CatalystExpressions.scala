@@ -286,13 +286,16 @@ object CdcExprHelpers {
     * volume. BIT-IDENTICAL to [[cosineFF]] for equal-length vectors: `na`
     * and `nb` are independent accumulators there, and the final expression
     * keeps the exact `dot / sqrt(na * nb)` shape (never
-    * `sqrt(na) * sqrt(nb)`, which rounds differently). Callers must pass
-    * fixed-dimension vectors (norms are full-length sums; cosineFF's
-    * min-length truncation only differs when dims mismatch).
+    * `sqrt(na) * sqrt(nb)`, which rounds differently). A MISMATCHED-length
+    * pair (a short/corrupted vector in a ragged table) falls back to
+    * [[cosineFF]] — its min-length truncation is the pre-hoist semantics,
+    * so a ragged row's neighbor ranks cannot silently shift; the check is
+    * one int compare per pair, paid only by genuinely ragged data.
     */
   def cosinePre(a: ArrayData, b: ArrayData, na: Double, nb: Double): java.lang.Double = {
     if (hasNullElement(a) || hasNullElement(b)) return null
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return cosineFF(a, b)
     var dot = 0.0; var i = 0
     while (i < n) {
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1

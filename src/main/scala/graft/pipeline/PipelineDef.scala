@@ -146,15 +146,24 @@ object PipelineDef {
         weights = SplitDef.parseWeights(reqS("splits")))
     }
 
+    // numeric fields refuse with the block and field NAMED — a bare
+    // NumberFormatException from a YAML typo gives the operator nothing
+    def num(block: String, k: String, v: String): Double =
+      try v.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"""$block field "$k" must be numeric, got '$v'""")
+      }
+
     val samples = blockList(root.getOrElse("sample", null)).map { m =>
       SampleDef(
         sourceTable = m.getOrElse("source-table", "\\.*"),
         key = m.getOrElse("key",
           throw new IllegalArgumentException("sample block needs `key`")),
-        rate = m.get("rate").map(_.toDouble),
+        rate = m.get("rate").map(num("sample", "rate", _)),
         stratum = m.get("stratum"),
         rates = m.get("rates").map(SplitDef.parseWeights(_, "sample rates")).getOrElse(Nil),
-        defaultRate = m.getOrElse("default-rate", "1.0").toDouble)
+        defaultRate = num("sample", "default-rate", m.getOrElse("default-rate", "1.0")))
     }
 
     val mixes = blockList(root.getOrElse("mix", null)).map { m =>
@@ -163,9 +172,9 @@ object PipelineDef {
       // alpha XOR temperature (alpha = 1/T) — both would be ambiguous,
       // neither is underspecified
       val alpha = (m.get("alpha"), m.get("temperature")) match {
-        case (Some(a), None) => a.toDouble
+        case (Some(a), None) => num("mix", "alpha", a)
         case (None, Some(t)) =>
-          val temp = t.toDouble
+          val temp = num("mix", "temperature", t)
           require(temp >= 1, s"mix temperature must be >= 1: $temp")
           1.0 / temp
         case _ => throw new IllegalArgumentException(

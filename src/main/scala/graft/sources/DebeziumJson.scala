@@ -60,7 +60,10 @@ object DebeziumJson {
     * ([[graft.operators.Changelog.UpdateBeforeOp]] documents why it must
     * be stripped before any sink materialization). An update without a
     * before-image (a source configured without `REPLICA IDENTITY FULL`)
-    * still emits only its after-image.
+    * still emits only its after-image — and so does EVERY update when
+    * `primaryKeys` is empty: without keys, in-place vs key-changing is
+    * undecidable, and a misclassified key-changing update would retract a
+    * row the sink still materializes (the pair rides the PK proof).
     *
     * @param seq column providing the per-key monotone sequence; defaults to
     *            `ts_ms` — pass a Kafka offset when ts_ms ties are possible.
@@ -85,8 +88,16 @@ object DebeziumJson {
     val imgOp =
       if (!emitUpdateBefore) withPkSplit
       else {
+        // pair emission needs the PKs to PROVE the update is in-place: a
+        // key-changing update's retraction must ride its DELETE leg (the
+        // sink supersedes the old key through it), not an UPDATE_BEFORE
+        // that the sink strips while still holding the old row. Without
+        // declared PKs in-place vs key-changing is undecidable, so fall
+        // back to after-image-only — a histogram that under-retracts
+        // (grow-only drift, the documented pre-retract behavior) beats one
+        // that negates rows the sink still materializes.
         val inPlace = col("__dbz.op") === "u" && col("__dbz.before").isNotNull &&
-          pkChanged.fold(lit(true))(c => !c)
+          pkChanged.fold(lit(false))(c => !c)
         when(inPlace,
           array(struct(col("__dbz.before").as("img"),
                   lit(graft.operators.Changelog.UpdateBeforeOp).as("opw")),

@@ -163,6 +163,15 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     // under the bar, but the flag alone would have stopped it)
     assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "1"), 1.2))
     assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "0"), 0.9))
+    // common truthy spellings roll too — a freeze-recipe typo (`=true`)
+    // silently skipping the roll would be the stale-baseline failure this
+    // flag exists to close; unrecognized values refuse loudly instead
+    assert(Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "true"), 0.9))
+    assert(Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "YES"), 0.9))
+    assert(!Bench.shouldRollPrev(Map("SPARK_GRAFT_ROLL_PREV" -> "maybe"), 0.9))
+    assert(Bench.rollValueUnrecognized(Map("SPARK_GRAFT_ROLL_PREV" -> "maybe")))
+    assert(!Bench.rollValueUnrecognized(Map("SPARK_GRAFT_ROLL_PREV" -> "false")))
+    assert(!Bench.rollValueUnrecognized(Map.empty))
   }
 
   test("loadPrevMedians parses a persisted record line and tolerates absence") {

@@ -253,6 +253,17 @@ class CatalystExpressionsSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(ref) ===
         java.lang.Double.doubleToLongBits(pre), s"id $id: $ref vs $pre")
     }
+    // MISMATCHED lengths fall back to the min-length cosineFF semantics
+    // (a ragged row's ranks must not silently shift vs the pre-hoist code)
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(CdcExpressions.cosineSim(col("a"), col("b")).as("ref"),
+        CdcExpressions.cosinePre(col("a"), col("b"),
+          CdcExpressions.vecNormSq(col("a")),
+          CdcExpressions.vecNormSq(col("b"))).as("pre"))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(ragged._1) ===
+      java.lang.Double.doubleToLongBits(ragged._2))
     // null-element vectors: both formulations return NULL
     val nulled = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f),
         Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
