@@ -643,6 +643,40 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("no sample block"))
   }
 
+  test("sample YAML block: uniform rate samples without a stratum") {
+    // the `rate:`-only shape — one md5 threshold over the whole table
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sample-uni").toString
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "n")
+      .write.mode("overwrite").parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |sample:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    rate: 0.5
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    assert(p.samples.map(s => (s.key, s.rate, s.stratum)) ===
+      Seq(("id", Some(0.5), None)))
+    Cli.runBatch(spark, p)
+    val kept = Cli.sampleSelect(spark, p, "corpus.docs")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val direct = graft.ops.Sampling.hashSample(
+      (0L until 100L).toDF("id"),
+      org.apache.spark.sql.functions.col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept === direct)
+    assert(kept.nonEmpty && kept.size < 100, s"kept ${kept.size}")
+  }
+
   test("mix YAML block: mix-select derives temperature rates from the live table") {
     // counts 40/10 at T=2 (alpha 0.5): weights 2/3, 1/3 exactly; budget
     // min(60, 30) = 30 → s1 (binding) kept whole, s0 at rate 0.5 — the
