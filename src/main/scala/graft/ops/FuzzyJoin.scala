@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   * candidates 83.4M → 17.7M (4.7×) with recall unchanged, turning the
   * one super-linear scale-probe flag back under the linear envelope.
   *
+  * A third filter rides the same blocking join: LENGTH. Levenshtein
+  * distance is bounded below by |len_a − len_b| (every edit changes the
+  * length by at most 1), so a candidate pair whose lengths differ by
+  * more than d can never verify — yet without the filter it still pays
+  * the distinct, both string attaches, and a banded-DP start. The prefix
+  * relation carries each record's string length as one INT (the
+  * hoisted-norm discipline of [[graft.functions.CosinePre]]: per-ROW
+  * constants move out of the per-PAIR loop), and
+  * `|len_a − len_b| ≤ d` prunes at the hash-join probe. Results are
+  * bit-identical by construction — the exact verify already rejects
+  * every pruned pair.
+  *
   * Scale design: the blocking relation carries (gram, pos, id) ONLY —
   * strings never ride the blocking shuffles; the global df table is a
   * map-side-combined agg joined back on the same gram key; prefix
@@ -59,22 +71,15 @@ object FuzzyJoin {
                        n: Int = 3, maxDist: Int = 2,
                        dfCap: Int = Int.MaxValue): DataFrame = {
     val strs = slimStrs(df, idCol, strCol, n)
-    val gramPos = gramsOf(strs, n)
-    val gdf = gramPos.select("gram", "__id").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("__df"))
     // MATERIALIZED: the prefix relation is ~prefixLen slim rows per record
     // and feeds BOTH sides of the self-join plus the pair stage —
     // re-deriving it through the scan+explode+window lineage per
     // consumer measured 4× slower than materializing once (the Bpe-vocab
     // localCheckpoint pattern; at deployment scale this is the persisted
     // blocking-key table)
-    val prefix = prefixOf(gramPos, gdf, n, maxDist, dfCap)
-      .select("gram", "pos", "__id")
+    val prefix = prefixRelation(df, idCol, strCol, n, maxDist, dfCap)
       .localCheckpoint()
-    prefix.as("a").join(prefix.as("b"),
-        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id") &&
-          abs(col("a.pos") - col("b.pos")) <= maxDist)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+    candidatePairs(prefix, maxDist)
       // strings attach to DISTINCT candidates only (prefix-bounded), then
       // the exact DP verify runs as a narrow projection over them
       .join(strs.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
@@ -112,10 +117,16 @@ object FuzzyJoin {
   //                     n·d+1 and recall silently decays) from "never seen"
   //                     (df 0: the RAREST possible — two appended batches
   //                     sharing a novel gram still collide);
-  //   block/prefix/     (gram, pos, id) prefix-occurrence rows,
+  //   block/prefix/     (gram, pos, id, len) prefix-occurrence rows,
   //                     hash-partitioned on disk by
   //                     pbucket = pmod(xxhash64(gram), P) so a batch's
-  //                     lookup prunes at the FILE LISTING.
+  //                     lookup prunes at the FILE LISTING. `len` is the
+  //                     record's string length: the probe join prunes
+  //                     candidates with |len_a − len_b| > maxDist (an
+  //                     exact Levenshtein lower bound). An index written
+  //                     before the column existed still probes correctly
+  //                     — the filter is skipped when the stored prefix
+  //                     lacks `len` (compact to adopt it).
   //
   // `block` (gramdf + prefix together — they must stay mutually consistent)
   // is the compaction swap unit; `strings` is the append-only rebuild
@@ -123,12 +134,44 @@ object FuzzyJoin {
   // build/append/probe — a mismatched order or partition count silently
   // loses recall, never errors (the Dedup `numPartitions` contract).
 
-  /** All positional gram occurrences of each record: (gram, pos, __id). */
+  /** The blocking relation of `df`: the prefix-occurrence rows
+    * (gram, pos, __id, __len) under the corpus's own (df, gram) order —
+    * the candidate-generation input of [[editDistanceJoin]], exposed
+    * (with [[candidatePairs]]) so specs can assert what the blocking
+    * join prunes, which no end-to-end result can see (the verify rejects
+    * the same pairs, slower).
+    */
+  private[graft] def prefixRelation(df: DataFrame, idCol: String, strCol: String,
+                                    n: Int, maxDist: Int, dfCap: Int): DataFrame = {
+    val gramPos = gramsOf(slimStrs(df, idCol, strCol, n), n)
+    val gdf = gramPos.select("gram", "__id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+    prefixOf(gramPos, gdf, n, maxDist, dfCap)
+  }
+
+  /** The blocking self-join over a prefix relation: distinct (id_a < id_b)
+    * pairs sharing a prefix gram within the Ed-Join positional band AND
+    * within `maxDist` of each other's length — the length bound is exact
+    * (levenshtein ≥ |len_a − len_b|), so pruning here is pure candidate
+    * reduction, never a semantics change.
+    */
+  private[graft] def candidatePairs(prefix: DataFrame, maxDist: Int): DataFrame =
+    prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id") &&
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
+          abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
+
+  /** All positional gram occurrences of each record:
+    * (gram, pos, __id, __len) — `__len` is the record's string length,
+    * a per-ROW constant carried through the blocking relation so the
+    * candidate join can prune impossible pairs (one INT per slim row).
+    */
   private def gramsOf(strs: DataFrame, n: Int): DataFrame =
-    strs.select(col("__id"), posexplode(expr(
+    strs.select(col("__id"), length(col("__s")).as("__len"), posexplode(expr(
         s"transform(sequence(1, length(__s) - ${n - 1}), i -> substring(__s, i, $n))"))
         .as(Seq("pos0", "gram")))
-      .select(col("gram"), (col("pos0") + 1).as("pos"), col("__id"))
+      .select(col("gram"), (col("pos0") + 1).as("pos"), col("__id"), col("__len"))
 
   private def slimStrs(df: DataFrame, idCol: String, strCol: String, n: Int): DataFrame =
     df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
@@ -151,11 +194,12 @@ object FuzzyJoin {
       .where(col("__df") <= dfCap)
       .withColumn("__rk", dense_rank().over(w))
       .where(col("__rk") <= n * maxDist + 1)
-      .select(col("gram"), col("pos"), col("__id"))
+      .select(col("gram"), col("pos"), col("__id"), col("__len"))
   }
 
   private def withBucket(prefix: DataFrame, numPartitions: Int): DataFrame =
     prefix.select(col("gram"), col("pos"), col("__id").as("id"),
+      col("__len").as("len"),
       pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
 
   /** Build the persisted index over `df`: freeze the gram order, write the
@@ -259,11 +303,16 @@ object FuzzyJoin {
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(s"$path/block/prefix")
       .where(col("pbucket").isin(touched: _*))
-    probePrefix.join(
-        idx.select(col("gram").as("igram"), col("pos").as("ipos"),
-          col("id").as("match_id")),
+    // the length prefilter needs `len` on BOTH sides; an index written
+    // before the column existed (see the layout note) skips it — correct
+    // either way, the verify rejects the same pairs
+    val hasLen = idx.columns.contains("len")
+    val iCols = Seq(col("gram").as("igram"), col("pos").as("ipos"),
+      col("id").as("match_id")) ++ (if (hasLen) Seq(col("len").as("ilen")) else Nil)
+    val lenBand = if (hasLen) abs(col("len") - col("ilen")) <= maxDist else lit(true)
+    probePrefix.join(idx.select(iCols: _*),
         col("gram") === col("igram") &&
-          abs(col("pos") - col("ipos")) <= maxDist)
+          abs(col("pos") - col("ipos")) <= maxDist && lenBand)
       .where(col("id") =!= col("match_id")) // re-probed batch: skip self
       .select("id", "match_id").distinct()
   }

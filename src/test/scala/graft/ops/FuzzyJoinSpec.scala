@@ -105,6 +105,47 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture must actually exercise matches
   }
 
+  test("length prefilter prunes impossible candidates at the blocking join") {
+    // 1 and 2 share grams at band-close positions (2 extends 1) but differ
+    // in length by 10 > maxDist — an impossible pair (levenshtein >=
+    // |len_a - len_b|) that the OLD blocking join still surfaced to the
+    // verify; 1 and 3 are a true distance-1 pair. The pruning is only
+    // observable at the candidate stage: the end-to-end result was always
+    // identical (the verify rejects the same pairs, after paying for them).
+    val rows = Seq((1L, "abcdefgh"), (2L, "abcdefghXXXXXXXXXX"),
+      (3L, "abcdefgi")).toDF("id", "s")
+    val prefix = FuzzyJoin.prefixRelation(rows, "id", "s",
+      n = 3, maxDist = 2, dfCap = Int.MaxValue).localCheckpoint()
+    val cands = FuzzyJoin.candidatePairs(prefix, maxDist = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(!cands.contains((1L, 2L))) // pruned before distinct/attach/DP
+    assert(cands.contains((1L, 3L))) // the real near-match survives
+    // end-to-end: bit-identical to brute force, as ever
+    val got = FuzzyJoin.editDistanceJoin(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 3L, 1)))
+  }
+
+  test("probe of a legacy index without the len column skips the prefilter correctly") {
+    // an index written before the layout carried `len` must still probe
+    // with full recall — the length band is an optimization, never a
+    // schema requirement (the layout note's compact-to-adopt contract)
+    val idxRows = Seq((1L, "same same same"), (2L, "other other otha"))
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx5").toString
+    FuzzyJoin.writeIndex(idxRows.toDF("id", "s"), "id", "s", path, numPartitions = 4)
+    // strip `len` from the stored prefix relation, simulating the old layout
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val legacy = spark.read.parquet(s"$path/block/prefix").drop("len")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/block/prefix"), true)
+    legacy.write.partitionBy("pbucket").parquet(s"$path/block/prefix")
+    val got = FuzzyJoin.indexProbe(
+        Seq((9L, "same same samX")).toDF("id", "s"), "id", "s", path,
+        numPartitions = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((9L, 1L, 1)))
+  }
+
   test("short strings never pair; identical strings pair at distance 0") {
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "same same same"),
       (4L, "same same same")).toDF("id", "s")
