@@ -174,6 +174,26 @@ object Bench {
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
     catch { case _: Exception => None }
 
+  /** The compact record line printed LAST on stdout, after the full
+    * record: the driver's artifact capture has kept only the stdout TAIL
+    * of a very long record line for nine straight rounds (`BENCH_r{N}`
+    * `parsed: null`), so totals + anchors + provenance — no per-query
+    * maps — are repeated in a self-describing line small enough (≤500
+    * bytes by construction, pinned in spec) to survive a tail window
+    * intact. The builder-side records (`target/bench-latest.json`,
+    * `bench-prev.json`) are unchanged and stay the full line.
+    */
+  def summaryLine(total: Double, nQueries: Int, loadRatio: Double,
+                  cpuRatio: Double, runSeq: Long, transformRps: Long,
+                  upsertRps: Long, microbatchSec: Double, nErrors: Int,
+                  nReran: Int, sf: String): String =
+    s"""{"metric":"bench_summary","value":${jnum(total)},"unit":"sec",""" +
+      s""""n_queries":$nQueries,"load_ratio":${jnum(loadRatio)},""" +
+      s""""cpu_ratio":${jnum(cpuRatio)},"run_seq":$runSeq,""" +
+      s""""transform_rps":$transformRps,"upsert_rps":$upsertRps,""" +
+      s""""microbatch_sec":${jnum(microbatchSec)},""" +
+      s""""n_errors":$nErrors,"n_reran":$nReran,"sf":"${sf.take(120)}"}"""
+
   /** Stamp the rolled baseline with the run it came from: `bench-prev.json`
     * gets a `rolled_from` field naming the source record's `run_seq`, so a
     * hand-assembled baseline (the r14 practice: run-1 medians + run-3's
@@ -429,6 +449,12 @@ object Bench {
           s"'${sys.env("SPARK_GRAFT_ROLL_PREV")}' not recognized " +
           "(use 1/true/yes) — baseline NOT rolled")
     } catch { case _: Exception => () } // stdout line already carries the record
+    // the compact repeat is the LAST stdout line — see [[summaryLine]]
+    // scalastyle:off println
+    println(summaryLine(total, results.size, ratio, cpuRatio, runSeq,
+      transformRps.round, upsertRps.round, microbatchSec, errors.size,
+      reran.size, sfDir))
+    // scalastyle:on
     spark.stop()
   }
 }

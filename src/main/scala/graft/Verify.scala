@@ -50,6 +50,17 @@ object Verify {
     // (exactly the round-9 artifact defect). Empty object when clean.
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // compact self-describing summary as the LAST stdout line — the
+    // driver's artifact capture keeps only the stdout tail (see
+    // Bench.summaryLine); per-query detail stays in the outDir files
+    val dumped = SparkEntry.queries.keys
+      .count(name => filters.isEmpty || filters.exists(name.contains))
+    // scalastyle:off println
+    println(s"""{"metric":"verify_summary","n_queries":$dumped,""" +
+      s""""n_failures":${failures.size},""" +
+      s""""failed":${failures.keys.take(5).map(q).mkString("[", ",", "]")},""" +
+      s""""out":${q(outDir.take(120))}}""")
+    // scalastyle:on
     spark.stop()
   }
 }

@@ -174,6 +174,31 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(!Bench.rollValueUnrecognized(Map.empty))
   }
 
+  test("summaryLine stays under a tail-capture window and is self-describing") {
+    // the driver's artifact capture keeps only the stdout TAIL of a very
+    // long record line — the compact repeat must survive a tail window
+    // intact (≤500 bytes) with every anchor present, even at worst-case
+    // field widths
+    val line = Bench.summaryLine(
+      total = 99999.999, nQueries = 99999, loadRatio = 99.999,
+      cpuRatio = 99.999, runSeq = Long.MaxValue,
+      transformRps = Long.MaxValue, upsertRps = Long.MaxValue,
+      microbatchSec = 99999.999, nErrors = 999, nReran = 999,
+      sf = "x" * 300) // pathological sfDir truncates rather than growing
+    assert(line.getBytes("UTF-8").length <= 500, line)
+    val fields = Bench.topLevelFields(line)
+    assert(fields.get("metric").contains("\"bench_summary\""))
+    for (k <- Seq("value", "n_queries", "load_ratio", "cpu_ratio", "run_seq",
+        "transform_rps", "upsert_rps", "microbatch_sec", "n_errors",
+        "n_reran", "sf"))
+      assert(fields.contains(k), s"missing $k in $line")
+    // and realistic values round-trip numerically
+    val real = Bench.summaryLine(85.7, 195, 0.951, 0.698, 1755321000000L,
+      5100000L, 35800L, 0.69, 0, 0, "/root/testdata/sf0.1")
+    assert(Bench.topLevelFields(real)("value").toDouble === 85.7)
+    assert(Bench.topLevelFields(real)("n_queries").toInt === 195)
+  }
+
   test("loadPrevMedians parses a persisted record line and tolerates absence") {
     val p = java.nio.file.Files.createTempFile("bench-prev", ".json")
     java.nio.file.Files.writeString(p,
