@@ -621,6 +621,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tok").cast("long").as("tok"))
     },
 
+    "q_curate_audit" -> { (spark, dir) =>
+      // the drift audit that guards every other audit's input asset: the
+      // maintained budget-histogram's total token mass vs the surviving
+      // materialized table's under the fold's exact row filter — equal
+      // when every offer folded exactly (here: the batch composer's
+      // REBUILD, so by construction), a mismatch the mechanical symptom
+      // of the otherwise-silent drift modes (no before-images, grow-only
+      // over deletes, mixed maintainers). One bounded asset read + one
+      // aggregation scan; the oracle recomputes the table leg's sum and
+      // asserts consistency.
+      Cli.curateCheck(spark, yamlBudgetFor(spark, dir), "out.docs")
+    },
+
     // ---------- changelog materialization / upsert semantics (§2.2, §7.4) ----------
 
     "q_materialize" -> { (spark, dir) =>
@@ -5123,6 +5136,24 @@ object SparkEntry {
         |WHERE CASE WHEN r.thr >= 65536 THEN TRUE WHEN r.thr <= 0 THEN FALSE
         |  ELSE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.thr AS INTEGER))
         |  END""".stripMargin,
+
+    // the curate drift audit over the YAML pipeline's rebuilt asset: the
+    // asset leg must equal the table leg's token mass under the fold's
+    // exact row filter (tok >= 1 from the pipeline filter; score/tokens
+    // non-null and tokens >= 0 from the fold) — both legs re-derive as
+    // ONE sum in DuckDB, and `consistent` is asserted TRUE
+    "q_curate_audit" ->
+      """WITH flt AS (
+        |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |         AS BIGINT) AS tok,
+        |         n_chars
+        |  FROM documents)
+        |SELECT CAST(sum(tok) AS BIGINT) AS asset_tokens,
+        |       CAST(sum(tok) AS BIGINT) AS table_tokens,
+        |       TRUE AS consistent
+        |FROM flt
+        |WHERE tok >= 1 AND (CAST(n_chars AS DOUBLE) / tok) IS NOT NULL""".stripMargin,
 
     // binning affects only the plan, never the result — the incremental
     // asset's selection replays as the same naive global window
