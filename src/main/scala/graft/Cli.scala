@@ -76,7 +76,8 @@ object Cli {
     case Seq("split-select", yaml, table, splitName, rest @ _*) if rest.size <= 1 =>
       // the split block's read surface: one named deterministic split of
       // the sink's materialized table (train/valid/test handoffs)
-      selectCmd(s"split-select (split '$splitName')", yaml, rest.headOption)(
+      selectCmd("split-select", yaml, rest.headOption,
+          label = Some(s"split-select (split '$splitName')"))(
         (sp, p) => splitSelect(sp, p, table, splitName))
     case Seq("split-select", _*) => throw new IllegalArgumentException(
       "usage: graft.Cli split-select <pipeline.yaml> <table-id> <split-name> [outDir]")
@@ -126,18 +127,24 @@ object Cli {
     * pipeline YAML, build the selection under the one read-surface session
     * shape, then materialize to `outDir` (count read back off the written
     * parquet — the handoff's ground truth, not the plan's) or render.
+    * `cmd` is the bare command name and becomes the session appName
+    * (`graft-<cmd>`, never decorated — an app name with spaces/quotes
+    * pollutes cluster UIs and log grep); `label`, when given, decorates
+    * only the printed line (e.g. the chosen split name).
     */
-  private def selectCmd(label: String, yamlPath: String, outDir: Option[String])(
+  private def selectCmd(cmd: String, yamlPath: String, outDir: Option[String],
+      label: Option[String] = None)(
       build: (SparkSession, PipelineDef) => org.apache.spark.sql.DataFrame): Unit = {
     val p = PipelineDef.fromYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(yamlPath))))
-    val sp = session(s"graft-$label")
+    val display = label.getOrElse(cmd)
+    val sp = session(s"graft-$cmd")
     val sel = build(sp, p)
     outDir match {
       case Some(dir) =>
         sel.write.mode("overwrite").parquet(dir)
         // scalastyle:off println
-        println(s"$label: wrote ${sp.read.parquet(dir).count()} rows to $dir")
+        println(s"$display: wrote ${sp.read.parquet(dir).count()} rows to $dir")
         // scalastyle:on
       case None => sel.show(1000, truncate = false)
     }

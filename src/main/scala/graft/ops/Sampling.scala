@@ -142,10 +142,17 @@ object Sampling {
                            alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
     // stratum-sorted so the double sum for Z has one fixed order — the
-    // decision table must not depend on hash-map iteration order
+    // decision table must not depend on hash-map iteration order. Sorted
+    // by CODE POINTS ([[codePointOrder]]), not Scala's default UTF-16
+    // code-unit order: the oracle replays the fold in DuckDB under binary
+    // UTF-8 collation, and the two orders diverge for supplementary-plane
+    // strata (surrogates sort above U+E000..U+FFFF code units), which
+    // could shift the derived rates by an ULP and break the bit-exact
+    // match
     val counts = df.where(stratum.isNotNull)
       .groupBy(stratum.cast("string").as("__stratum")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)(codePointOrder)
     require(counts.nonEmpty, "no non-null stratum present in the data")
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val weights = counts.map { case (s, n) =>
@@ -155,6 +162,29 @@ object Sampling {
       s -> math.min(1.0, weights(s) * budget / n) }.toMap
     stratified(df, key, stratum, rates, defaultRate = 0.0)
   }
+
+  /** Code-point string order — identical to binary UTF-8 order (UTF-8
+    * byte order preserves code-point order), the collation engines like
+    * DuckDB compare strings under. Java/Scala's default `String` order
+    * compares UTF-16 CODE UNITS, where a supplementary-plane character's
+    * surrogates (0xD800–0xDFFF) sort BELOW U+E000..U+FFFF despite having
+    * larger code points — any fold whose result feeds a cross-engine
+    * bit-exact oracle must sort with this ordering instead.
+    */
+  private[graft] val codePointOrder: Ordering[String] =
+    (a: String, b: String) => {
+      var i = 0
+      var j = 0
+      var r = 0
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+    }
 
   /** Deterministic global shuffle — the epoch-shuffle stage of a training
     * pipeline: rows ordered by `xxhash64(key)`, with `shuffle_pos` the exact

@@ -192,8 +192,11 @@ object BudgetCurator {
     * otherwise silent: a feed without before-images, a grow-only asset
     * over a table with deletes, a DELETE whose before-image mismatches
     * its offer, or mixed maintainers on one path. The table leg
-    * replicates the fold's row filter exactly (null score/tokens rows
-    * are never offered). One bounded asset read + ONE aggregation scan
+    * replicates the fold's row filter exactly: null score/tokens rows
+    * are never offered, and the UNSIGNED fold (batch rebuild, grow-only
+    * streaming) additionally drops negative-token rows — the signed
+    * retract fold keeps them (they are deltas), so the filter follows
+    * the block's mode. One bounded asset read + ONE aggregation scan
     * of the table — never a selection, never a window; scan-bound at
     * 100 TB and far cheaper than the re-selection a drifted asset would
     * silently corrupt.
@@ -208,8 +211,10 @@ object BudgetCurator {
       .map(dir => spark.read.parquet(dir)
         .agg(coalesce(sum("toks"), lit(0L))).head().getLong(0))
       .getOrElse(0L)
-    val tableToks = materializedTable(spark, p, id)
+    val offered = materializedTable(spark, p, id)
       .where(expr(c.score).isNotNull && expr(c.tokens).isNotNull)
+    val tableToks = (if (c.retract) offered
+        else offered.where(expr(c.tokens).cast("long") >= 0))
       .agg(coalesce(sum(expr(c.tokens).cast("long")), lit(0L)))
       .head().getLong(0)
     import spark.implicits._

@@ -156,6 +156,14 @@ object PipelineDef {
       }
 
     val samples = blockList(root.getOrElse("sample", null)).map { m =>
+      // a uniform `rate:` block has no unlisted strata for `default-rate`
+      // to apply to — silently parsing-then-ignoring it would depart from
+      // the refuse-at-definition stance every other meaningless field
+      // combination gets (e.g. rate+rates)
+      if (m.contains("rate") && m.contains("default-rate"))
+        throw new IllegalArgumentException(
+          "sample block: `default-rate` applies only to stratified blocks " +
+            "— a uniform `rate` block must not also set it")
       SampleDef(
         sourceTable = m.getOrElse("source-table", "\\.*"),
         key = m.getOrElse("key",

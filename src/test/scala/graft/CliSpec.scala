@@ -498,6 +498,42 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("no curate block"))
   }
 
+  test("curate-check: negative-token rows sit outside the unsigned fold AND the table leg") {
+    // budgetBase(signed=false) — the batch rebuild and every grow-only
+    // fold — excludes negative-token rows; the audit's table leg must
+    // replicate that filter, or a row whose tokens expression evaluates
+    // negative reads as drift when the fold behaved exactly as designed
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cur-neg").toString
+    Seq((1L, 8.0, 10L), (2L, 4.0, 10L), (3L, 2.0, -5L))
+      .toDF("id", "score", "tok").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |curate:
+         |  - source-table: corpus.docs
+         |    id-column: id
+         |    score: score
+         |    tokens: tok
+         |    path: $root/hist
+         |    lo: 0.0
+         |    hi: 64.0
+         |    bins: 8
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    Cli.runBatch(spark, p)
+    val ok = Cli.curateCheck(spark, p, "corpus.docs").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((20L, 20L, true)))
+  }
+
   test("split YAML block: split-select reads leakage-free named splits of the sink table") {
     // the split: block through the batch pipeline — a deterministic
     // md5-band partition of the materialized sink table, keyed on a GROUP
@@ -788,6 +824,14 @@ class CliSpec extends SparkSpec {
       PipelineDef.fromYaml(mixYaml("key: id\n    stratum: src\n    alpha: 0.0"))
     }
     assert(e9.getMessage.contains("(0,1]"))
+    // a uniform rate block has no unlisted strata — a supplied
+    // default-rate would be parsed, validated, and silently unused;
+    // refuse at definition time like every other meaningless combination
+    val e10 = intercept[IllegalArgumentException] {
+      PipelineDef.fromYaml(sampleYaml(
+        "key: id\n    rate: 0.5\n    default-rate: 0.75"))
+    }
+    assert(e10.getMessage.contains("default-rate"))
   }
 
   test("curate-show renders the asset's bins and pinned declaration") {

@@ -146,6 +146,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureRebalance(df.repartition(13), col("id"), col("s"), 0.5).count())
   }
 
+  test("codePointOrder matches binary UTF-8 collation where UTF-16 code units diverge") {
+    // a supplementary-plane character (U+1F600, surrogate pair D83D DE00)
+    // sorts BELOW U+FFFD under Java's default code-unit order but ABOVE
+    // it by code points — the order DuckDB's binary collation (UTF-8
+    // bytes) uses. The mix fold's Z-sum order must match the oracle's.
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji.compareTo("�") < 0) // the Java default order trap
+    assert(Sampling.codePointOrder.compare(emoji, "�") > 0)
+    assert(Sampling.codePointOrder.compare("�", emoji) < 0)
+    // agreement with UTF-8 byte order on a mixed sample, prefixes included
+    val strs = Seq("", "a", "ab", "aB", "z", "é", "�", emoji,
+      emoji + "a", "a" + emoji, "")
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    }
+    assert(strs.sorted(Sampling.codePointOrder) ===
+      strs.sortWith(utf8Lt))
+    // ASCII strata (every stratum in the test corpus) are order-identical
+    // to the Java default — the fix is invisible there by construction
+    val ascii = Seq("src2", "src1", "a", "B", "src10")
+    assert(ascii.sorted(Sampling.codePointOrder) === ascii.sorted)
+  }
+
   test("temperatureRebalance drops NULL-stratum rows and excludes them from the mix") {
     val df = ids.withColumn("s", when(col("id") < 2000, "a")
       .when(col("id") < 4000, lit(null).cast("string")).otherwise("b"))
