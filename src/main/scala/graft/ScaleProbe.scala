@@ -107,13 +107,15 @@ object ScaleProbe {
       .filter(q => only.isEmpty || only(q._1))
     // heavy tail runs LAST in its own isolated phase — see [[heavyTail]]
     val (heavy, light) = selected.partition(q => heavyTail(q._1))
-    // single-query JIT floor: the first non-heavy query's (cold warmup,
-    // warm timed) pair — the fresh-JVM floor the r15 end-of-round check
-    // had to infer from cpu_ratio (an isolated 2-query probe read
-    // 2.7x/1.8x with per-core CPU FASTER) is now a number in the record,
-    // so an isolated re-run reading ~cold/warm above its envelope is
-    // mechanical, not prose in SCALE.md
-    var jitFloor: Option[(String, Double, Double)] = None
+    // JIT floor: the first THREE non-heavy queries' (cold warmup, warm
+    // timed) pairs — the fresh-JVM floor the r15 end-of-round check had
+    // to infer from cpu_ratio (an isolated 2-query probe read 2.7x/1.8x
+    // with per-core CPU FASTER) is a small distribution in the record
+    // rather than a point (one query's cold/warm pair can itself be an
+    // outlier), so an isolated re-run reading ~cold/warm above its
+    // envelope is mechanical, not prose in SCALE.md
+    val jitFloors = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double)]
     val results = (light ++ heavy).flatMap { case (name, fn) =>
       try {
         if (heavyTail(name)) isolate(spark)
@@ -123,8 +125,8 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        if (jitFloor.isEmpty && !heavyTail(name))
-          jitFloor = Some((name, coldSec, sec))
+        if (jitFloors.size < 3 && !heavyTail(name))
+          jitFloors += ((name, coldSec, sec))
         // scalastyle:off println
         println(f"  $name%-28s $sec%8.2f s  (linear ${prev.get(name).fold("?")(p => f"${factor * p}%.2f")})")
         // scalastyle:on
@@ -305,9 +307,14 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val jitJson = jitFloor.fold("") { case (q, cold, warm) =>
+    // `jit_floor` stays the first pair (r16's shape — existing readers
+    // keep working); `jit_floor_samples` carries the distribution
+    val jitJson = jitFloors.headOption.fold("") { case (q, cold, warm) =>
       s""""jit_floor":{"query":${jstr(q)},"cold_sec":${jnum(cold)},""" +
-        s""""warm_sec":${jnum(warm)}},"""
+        s""""warm_sec":${jnum(warm)}},""" +
+        s""""jit_floor_samples":[""" + jitFloors.map { case (q2, c2, w2) =>
+          s"""{"query":${jstr(q2)},"cold_sec":${jnum(c2)},"warm_sec":${jnum(w2)}}"""
+        }.mkString(",") + "],"
     }
     val line = s"""{"metric":"scale_probe","factor":$factor,"total_sec":${jnum(total)},""" +
       s""""n_queries":${results.size},"load_ratio":${jnum(loadRatio)},""" +

@@ -592,6 +592,62 @@ class CliSpec extends SparkSpec {
     assert(e2.getMessage.contains("no split block"))
   }
 
+  test("overlapping split/sample/mix blocks: the FIRST matching block in declared order wins") {
+    // the reference's transform semantics are first-match; the selection
+    // read surfaces (p.splits.find / p.samples.find / p.mixes.find) must
+    // pin the same precedence — each second block here would yield a
+    // strictly smaller selection, so full-count equality proves the
+    // declared order won
+    import graft.pipeline.PipelineDef
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-first-match").toString
+    (0L until 20L).map(i => (i, if (i < 4) "a" else "b"))
+      .toDF("id", "src").write.mode("overwrite")
+      .parquet(s"$root/src/docs.parquet")
+    val p = PipelineDef.fromYaml(
+      s"""source:
+         |  type: parquet
+         |  path: $root/src
+         |  schema-name: corpus
+         |  tables: corpus.docs
+         |split:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    splits: "train:1.0"
+         |  - source-table: corpus.docs
+         |    key: id
+         |    splits: "train:0.5,rest:0.5"
+         |sample:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    rate: 1.0
+         |  - source-table: corpus.docs
+         |    key: id
+         |    rate: 0.0
+         |mix:
+         |  - source-table: corpus.docs
+         |    key: id
+         |    stratum: src
+         |    alpha: 1.0
+         |  - source-table: corpus.docs
+         |    key: id
+         |    stratum: src
+         |    alpha: 0.05
+         |sink:
+         |  type: parquet
+         |  path: $root/out
+         |""".stripMargin)
+    Cli.runBatch(spark, p)
+    // first split block: the single band holds every row; the second
+    // block's 0.5 band would not
+    assert(Cli.splitSelect(spark, p, "corpus.docs", "train").count() === 20L)
+    // first sample block keeps everything; the second keeps nothing
+    assert(Cli.sampleSelect(spark, p, "corpus.docs").count() === 20L)
+    // first mix block (alpha 1) keeps the natural mix whole; the second
+    // (alpha 0.05 over a 4:16 skew) would downsample the b stratum
+    assert(Cli.mixSelect(spark, p, "corpus.docs").count() === 20L)
+  }
+
   test("split block validation: weights must be named, positive, and sum to 1") {
     import graft.pipeline.PipelineDef
     def yamlWith(body: String) =
