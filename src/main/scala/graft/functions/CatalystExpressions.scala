@@ -27,6 +27,26 @@ object CdcExprHelpers {
 
   def simhash(s: UTF8String): Long = Dedup.simhash64(s.toString)
 
+  /** 64-bucket character-presence bitmap (bit `codepoint % 64` per
+    * distinct character) — the fuzzy-join blocking stage's content
+    * prefilter constant: one edit flips ≤2 presence bits and bucket
+    * collisions only shrink the xor, so
+    * `bit_count(sig_a ^ sig_b) ≤ 2·d` is an exact Levenshtein lower
+    * bound ([[graft.ops.FuzzyJoin]]). Counts by code points, matching
+    * Spark's character semantics (`length`/`substring`/`ascii`).
+    */
+  def charBitmap64(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc |= 1L << (cp % 64)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   def hash64(s: UTF8String): Long = Dedup.hash64(s.toString)
 
   /** Static entry the generated code calls: text → distinct shingle hashes. */
@@ -613,6 +633,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** `CHAR_BITMAP64(text)` — 64-bucket character-presence bitmap
+  * ([[CdcExprHelpers.charBitmap64]]), the fuzzy-join content prefilter's
+  * per-row constant. A native codegen expression, NOT the
+  * aggregate/transform higher-order-function formulation: HOF lambdas
+  * are interpreted and evict the WHOLE projection stage from
+  * WholeStageCodegen — measured 1.6× on the fuzzy-join prefix stage at
+  * sf0.1, where the blocking relation is derived twice.
+  */
+case class CharBitmap64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.charBitmap64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcExprHelpers.charBitmap64($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharBitmap64 =
+    copy(child = newChild)
+  override def prettyName: String = "char_bitmap64"
+}
+
 /** `HASH64(text)` — the engine's canonical 64-bit string hash
   * (FNV-1a + splitmix finalizer, [[graft.ops.Dedup.hash64]]) as a scalar
   * codegen expression: the building block sketches and partitioners share
@@ -1116,6 +1158,8 @@ object CdcExpressions {
     GraftBridge.column(RegexTokens(GraftBridge.expression(text), pattern, lowercase))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(text)))
+  def charBitmap64(text: Column): Column =
+    GraftBridge.column(CharBitmap64(GraftBridge.expression(text)))
   def hash64(text: Column): Column =
     GraftBridge.column(Hash64(GraftBridge.expression(text)))
   def mix64(h: Column): Column =

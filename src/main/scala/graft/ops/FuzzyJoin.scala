@@ -180,16 +180,18 @@ object FuzzyJoin {
     * constant behind the blocking join's content prefilter. One edit
     * removes at most one character occurrence and adds at most one, so
     * the TRUE presence bitmaps of two strings within distance d differ
-    * in at most 2·d bits; bucketing by `pmod(codepoint, 64)` ORs
-    * presences together and can only shrink the xor, so
+    * in at most 2·d bits; bucketing by `codepoint % 64` ORs presences
+    * together and can only shrink the xor, so
     * `bit_count(sig_a ^ sig_b) ≤ 2·d` stays necessary (the exactness is
     * property-checked against brute-force levenshtein in FuzzyJoinSpec).
     * O(len) once per record — the per-pair check is one xor + popcount.
+    * A native codegen expression ([[graft.functions.CharBitmap64]]): the
+    * aggregate/transform HOF formulation is interpreted and evicted the
+    * whole twice-derived prefix projection from WholeStageCodegen
+    * (measured 1.6× at sf0.1, where pruning saves little).
     */
-  private def charBitmap: org.apache.spark.sql.Column = expr(
-    "aggregate(transform(sequence(1, length(__s)), " +
-      "i -> pmod(ascii(substring(__s, i, 1)), 64)), " +
-      "0L, (acc, b) -> acc | shiftleft(1L, b))")
+  private def charBitmap: org.apache.spark.sql.Column =
+    graft.functions.CdcExpressions.charBitmap64(col("__s"))
 
   private def bitmapBand(sa: org.apache.spark.sql.Column,
                          sb: org.apache.spark.sql.Column,

@@ -169,11 +169,20 @@ class FuzzyJoinSpec extends SparkSpec {
     val df = pairs.toDF("i", "a", "b")
     val out = df.select(
         expr("levenshtein(a, b)").as("d"),
-        expr(s"bit_count((${sigSql("a")}) ^ (${sigSql("b")}))").as("x"))
-      .collect()
+        graft.functions.CdcExpressions.charBitmap64(col("a"))
+          .bitwiseXOR(graft.functions.CdcExpressions.charBitmap64(col("b")))
+          .as("xr"))
+      .select(col("d"), expr("bit_count(xr)").as("x")).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getInt(1) <= 2 * r.getInt(0),
       s"bound violated: xor bits ${r.getInt(1)} > 2*dist ${r.getInt(0)}"))
+    // the codegen expression must equal the SQL-replayable HOF formula —
+    // a future engine replaying persisted sigs in SQL depends on it
+    val cross = df.select(
+        graft.functions.CdcExpressions.charBitmap64(col("a")).as("e"),
+        expr(sigSql("a")).as("s")).collect()
+    cross.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"expression/SQL sig divergence: ${r.getLong(0)} vs ${r.getLong(1)}"))
   }
 
   private def sigSql(c: String): String =
