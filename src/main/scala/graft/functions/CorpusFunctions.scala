@@ -41,8 +41,11 @@ object CorpusFunctions {
     one("REP_STATS")(CdcExpressions.repetitionStats)
     one("REP_KEEP")(graft.ops.Repetition.keepColumn)
     // the Gopher word/line rules at default thresholds; HASH64 for
-    // deterministic bucketing/sampling expressions in YAML
+    // deterministic bucketing/sampling expressions in YAML;
+    // CHAR_BITMAP64 for content-similarity prefilters (the fuzzy-join
+    // lower bound: bit_count(a ^ b) <= 2*maxDist)
     one("GOPHER_KEEP")(TextAnalysis.gopherKeep(_))
     one("HASH64")(CdcExpressions.hash64)
+    one("CHAR_BITMAP64")(CdcExpressions.charBitmap64)
   }
 }

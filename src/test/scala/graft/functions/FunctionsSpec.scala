@@ -205,6 +205,11 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(kept === Seq(1L))
     val h = spark.sql("SELECT HASH64(text) AS h FROM gopher_docs WHERE doc_id = 1").head()
     assert(h.getLong(0) === graft.ops.Dedup.hash64("the cat sat with the hat and that mat"))
+    val bm = spark.sql(
+      "SELECT CHAR_BITMAP64(text) AS b FROM gopher_docs WHERE doc_id = 1").head()
+    assert(bm.getLong(0) === graft.functions.CdcExprHelpers.charBitmap64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the cat sat with the hat and that mat")))
   }
 
   test("cosine_sim propagates null for null vector elements") {
