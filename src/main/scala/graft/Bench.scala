@@ -192,7 +192,29 @@ object Bench {
       s""""cpu_ratio":${jnum(cpuRatio)},"run_seq":$runSeq,""" +
       s""""transform_rps":$transformRps,"upsert_rps":$upsertRps,""" +
       s""""microbatch_sec":${jnum(microbatchSec)},""" +
-      s""""n_errors":$nErrors,"n_reran":$nReran,"sf":"${sf.take(120)}"}"""
+      s""""n_errors":$nErrors,"n_reran":$nReran,""" +
+      s""""sf":${jsonStr(sf, maxBytes = 120)}}"""
+
+  /** JSON string literal, escaped (a quote or backslash in a path must
+    * not break the one line whose whole purpose is to parse) and bounded
+    * by UTF-8 BYTES — `take(n)` counts chars, and 120 CJK chars is ~360
+    * bytes, past the tail-window budget the summary line pins in spec.
+    */
+  def jsonStr(s: String, maxBytes: Int): String = {
+    var t = s
+    while (t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > maxBytes)
+      t = t.substring(0, t.length - 1)
+    // char-wise truncation can strand a high surrogate — drop it rather
+    // than emit invalid UTF-8
+    if (t.nonEmpty && Character.isHighSurrogate(t.last))
+      t = t.substring(0, t.length - 1)
+    "\"" + t.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  }
 
   /** Stamp the rolled baseline with the run it came from: `bench-prev.json`
     * gets a `rolled_from` field naming the source record's `run_seq`, so a

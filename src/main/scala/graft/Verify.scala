@@ -18,9 +18,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
+    // ONE filtered collection: the dump loop and the summary line's count
+    // must not re-derive the predicate separately and drift
+    val selected = SparkEntry.queries
       .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,10 +55,8 @@ object Verify {
     // compact self-describing summary as the LAST stdout line — the
     // driver's artifact capture keeps only the stdout tail (see
     // Bench.summaryLine); per-query detail stays in the outDir files
-    val dumped = SparkEntry.queries.keys
-      .count(name => filters.isEmpty || filters.exists(name.contains))
     // scalastyle:off println
-    println(s"""{"metric":"verify_summary","n_queries":$dumped,""" +
+    println(s"""{"metric":"verify_summary","n_queries":${selected.size},""" +
       s""""n_failures":${failures.size},""" +
       s""""failed":${failures.keys.take(5).map(q).mkString("[", ",", "]")},""" +
       s""""out":${q(outDir.take(120))}}""")

@@ -340,19 +340,33 @@ object FuzzyJoin {
       .localCheckpoint()
     val touched = probePrefix.select("pbucket").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(s"$path/block/prefix")
+    // mergeSchema: an index appended to across the layout upgrade holds
+    // prefix files WITH and WITHOUT len/sig — plain schema inference
+    // samples one footer and could read the columns as absent (or worse,
+    // present, with legacy rows as NULL)
+    val idx = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/block/prefix")
       .where(col("pbucket").isin(touched: _*))
     // the lower-bound prefilters need their column on BOTH sides; an
     // index written before a column existed (see the layout note) skips
-    // that filter — correct either way, the verify rejects the same pairs
+    // that filter — correct either way, the verify rejects the same
+    // pairs. coalesce(_, true): a LEGACY row inside an upgraded index
+    // reads len/sig as NULL, and a NULL band predicate would silently
+    // DROP every candidate against that record (the exact loses-recall-
+    // never-errors failure the layout contract warns about) — a missing
+    // constant must mean "filter does not apply", never "no match"
     val hasLen = idx.columns.contains("len")
     val hasSig = idx.columns.contains("sig")
     val iCols = Seq(col("gram").as("igram"), col("pos").as("ipos"),
       col("id").as("match_id")) ++
       (if (hasLen) Seq(col("len").as("ilen")) else Nil) ++
       (if (hasSig) Seq(col("sig").as("isig")) else Nil)
-    val lenBand = if (hasLen) abs(col("len") - col("ilen")) <= maxDist else lit(true)
-    val sigBand = if (hasSig) bitmapBand(col("sig"), col("isig"), maxDist) else lit(true)
+    val lenBand =
+      if (hasLen) coalesce(abs(col("len") - col("ilen")) <= maxDist, lit(true))
+      else lit(true)
+    val sigBand =
+      if (hasSig) coalesce(bitmapBand(col("sig"), col("isig"), maxDist), lit(true))
+      else lit(true)
     probePrefix.join(idx.select(iCols: _*),
         col("gram") === col("igram") &&
           abs(col("pos") - col("ipos")) <= maxDist && lenBand && sigBand)

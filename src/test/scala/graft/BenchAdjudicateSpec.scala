@@ -197,6 +197,22 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       5100000L, 35800L, 0.69, 0, 0, "/root/testdata/sf0.1")
     assert(Bench.topLevelFields(real)("value").toDouble === 85.7)
     assert(Bench.topLevelFields(real)("n_queries").toInt === 195)
+    // a quote/backslash in sfDir must not break the one line whose whole
+    // purpose is to parse; non-ASCII paths bound by BYTES, not chars
+    val hostile = Bench.summaryLine(1.0, 1, 1.0, 1.0, 1L, 1L, 1L, 1.0, 0, 0,
+      """C:\data\"quoted" dir""")
+    assert(Bench.topLevelFields(hostile).contains("sf"), hostile)
+    assert(Bench.topLevelFields(hostile)("n_reran") === "0")
+    val cjk = Bench.summaryLine(1.0, 1, 1.0, 1.0, 1L, 1L, 1L, 1.0, 0, 0,
+      "数" * 300)
+    assert(cjk.getBytes("UTF-8").length <= 500, cjk)
+    assert(Bench.topLevelFields(cjk).contains("sf"))
+    // byte-truncation never strands half a surrogate pair
+    val emoji = new String(Character.toChars(0x1F600)) * 100
+    val em = Bench.jsonStr(emoji, maxBytes = 10)
+    assert(em.getBytes("UTF-8").length <= 12)
+    assert(!em.exists(Character.isHighSurrogate(_)) ||
+      em.count(Character.isHighSurrogate) == em.count(Character.isLowSurrogate))
   }
 
   test("loadPrevMedians parses a persisted record line and tolerates absence") {

@@ -212,6 +212,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Set((9L, 1L, 1)))
   }
 
+  test("append to a legacy index yields mixed prefix schemas; probe keeps full recall") {
+    // the upgrade-in-place state the layout note's compact-to-adopt
+    // contract leaves open: legacy rows read len/sig as NULL inside an
+    // index whose NEW appends carry them — a NULL band predicate would
+    // silently drop every candidate against the legacy-indexed records
+    // (loses recall, never errors); the bands must treat a missing
+    // constant as "filter does not apply"
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx6").toString
+    FuzzyJoin.writeIndex(Seq((1L, "same same same")).toDF("id", "s"),
+      "id", "s", path, numPartitions = 4)
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val legacy = spark.read.parquet(s"$path/block/prefix").drop("len", "sig")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/block/prefix"), true)
+    legacy.write.partitionBy("pbucket").parquet(s"$path/block/prefix")
+    // the new-code append writes rows WITH len/sig beside the legacy files
+    FuzzyJoin.appendToIndex(Seq((2L, "same same samm")).toDF("id", "s"),
+      "id", "s", path, numPartitions = 4)
+    val got = FuzzyJoin.indexProbe(
+        Seq((9L, "same same samX")).toDF("id", "s"), "id", "s", path,
+        numPartitions = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // one substitution from EACH of the legacy-indexed and appended rows
+    assert(got === Set((9L, 1L, 1), (9L, 2L, 1)))
+  }
+
   test("short strings never pair; identical strings pair at distance 0") {
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "same same same"),
       (4L, "same same same")).toDF("id", "s")
