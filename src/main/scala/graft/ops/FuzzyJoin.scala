@@ -340,12 +340,15 @@ object FuzzyJoin {
       .localCheckpoint()
     val touched = probePrefix.select("pbucket").distinct()
       .collect().map(_.getLong(0)).toSeq
-    // mergeSchema: an index appended to across the layout upgrade holds
-    // prefix files WITH and WITHOUT len/sig — plain schema inference
-    // samples one footer and could read the columns as absent (or worse,
-    // present, with legacy rows as NULL)
-    val idx = spark.read.option("mergeSchema", "true")
-      .parquet(s"$path/block/prefix")
+    // NOTE deliberately NO mergeSchema: it would re-read every touched
+    // footer on every probe of every healthy index to serve only the
+    // transitional mixed-schema state (an index appended to across the
+    // len/sig layout upgrade). Plain inference samples one footer; if it
+    // lands on a legacy file the prefilter columns read as absent and
+    // the bands are skipped (correct, just unpruned until compaction);
+    // if it lands on a new file, legacy rows fill len/sig as NULL and
+    // the coalesce below keeps them
+    val idx = spark.read.parquet(s"$path/block/prefix")
       .where(col("pbucket").isin(touched: _*))
     // the lower-bound prefilters need their column on BOTH sides; an
     // index written before a column existed (see the layout note) skips
