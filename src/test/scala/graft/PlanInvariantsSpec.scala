@@ -97,6 +97,13 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("ReusedExchange"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the exact lower-bound prefilters (length band, char-bitmap popcount)
+    // must ride the BLOCKING JOIN condition: dropping them changes no
+    // result (the verify rejects the same pairs) so only this plan
+    // assertion would catch a refactor silently re-paying the 12.5×
+    // pruned candidate volume
+    assert(p.contains("bit_count"), p.take(3000))
+    assert(p.contains("__len"), p.take(3000))
   }
 
   test("anomaly stats: duplicate series subtrees collapse via exchange reuse") {
