@@ -116,6 +116,28 @@ object Ivf {
       assigned.where(col("centroid_id").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
+  /** Spread a compact candidate-list side across the session's full
+    * parallelism before the pair loop. The candidate join's ENTIRE cost
+    * — one CosinePre dot per (probe, list-member) pair plus the local
+    * sort feeding the partial WindowGroupLimit heap — runs inside the
+    * STREAMED side's partitions (the probe side broadcasts when bounded,
+    * and a shuffled join keys on only k_centroids values), so a list
+    * table that arrives as a handful of scan partitions serializes the
+    * whole pair loop no matter how many cores exist. Measured at sf1
+    * (20k vectors ≈ 10 scan partitions on 32 cores): `q_knn_join`
+    * 14.3 → 5.9 s, results bit-identical — the heavy tail was a
+    * PARALLELISM cap, not arithmetic. A salted (centroid_id, salt) join
+    * was measured WORSE (18.7 s: probe-side ×S inflation + lumpy key
+    * distribution). No-op when the input already carries at least the
+    * session's parallelism — at 100 TB a list table has thousands of
+    * partitions and must NOT be collapsed through one round-robin
+    * exchange; the guard costs one plan compile, zero jobs.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Bulk k-NN JOIN: for EVERY vector in `left`, its `k` nearest
     * neighbors among `right` (cosine; self-pairs excluded when ids
     * collide) — the all-pairs workhorse behind SemDeDup-style semantic
@@ -124,15 +146,18 @@ object Ivf {
     *
     * Scale design: both sides IVF-prune. The right side is assigned to
     * its single nearest centroid ([[assign]] — or read back from a
-    * persisted [[writeIndex]]); each left row computes its `nprobe`
-    * nearest centroids ENTIRELY inside one codegen projection (scores
-    * against the broadcast centroid array → `sort_array` → `slice` →
-    * `explode`: no exchange, no per-query driver work), so the only
-    * shuffles are the inherent ones — candidates co-locating by
-    * centroid id, then winners by left id for the per-left top-k, which
-    * `WindowGroupLimit` pre-prunes with per-partition heaps before the
-    * exchange. Candidate volume is |L|·|R|·nprobe/k_centroids pairs —
-    * the IVF pruning factor — instead of the |L|·|R| cross join.
+    * persisted [[writeIndex]]) and [[spread]] across the session's
+    * parallelism; each left row computes its `nprobe` nearest centroids
+    * ENTIRELY inside one codegen projection (scores against the
+    * broadcast centroid array → `sort_array` → `slice` → `explode`: no
+    * exchange, no per-query driver work). The probe side broadcasts
+    * when bounded (Catalyst/AQE's choice — a genuinely huge probe side
+    * degrades to a shuffled join on centroid id, which is fine exactly
+    * when k_centroids is sized to the cluster), so the pair loop and
+    * its partial `WindowGroupLimit` heaps run in the list side's
+    * partitions; the one inherent exchange is winners by left id for
+    * the per-left top-k. Candidate volume is |L|·|R|·nprobe/k_centroids
+    * pairs — the IVF pruning factor — instead of the |L|·|R| cross join.
     *
     * Ordering ties break by ascending neighbor id; `rank` (1-based) is
     * emitted instead of the raw score so the output is integer-exact
@@ -146,7 +171,7 @@ object Ivf {
     // |L|·|R|·nprobe/k candidate pair loop (CosinePre pays only the dot —
     // bit-identical to CosineSim on fixed-dim vectors, ~3× less pair
     // arithmetic), carried as one DOUBLE column through the shuffle
-    val assignedRight = assign(right, idCol, vecCol, model)
+    val assignedRight = assign(spread(right), idCol, vecCol, model)
       .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
         col("centroid_id"))
@@ -186,7 +211,7 @@ object Ivf {
     import org.apache.spark.sql.expressions.Window
     // assign() projects to (id, vec, centroid_id), so re-attach the tag
     // inline rather than joining it back by id later
-    val assignedRight = df.select(col(idCol).cast("long").as("__rid"),
+    val assignedRight = spread(df).select(col(idCol).cast("long").as("__rid"),
       col(vecCol).as("__rvec"), col(tagCol).as("__rtag"),
       graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
       graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)

@@ -68,12 +68,20 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q_knn_join")
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the candidate pair loop runs in the LIST side's partitions: a
+    // compact list table must be spread to the session's parallelism
+    // before the join, or the whole loop serializes on the scan's few
+    // partitions (the sf1 heavy tail: 14.3 → 5.9 s) — the round-robin
+    // exchange is the guard that a refactor silently re-serializing the
+    // loop fails, since results are bit-identical either way
+    assert(p.contains("RoundRobinPartitioning"), p.take(3000))
   }
 
   test("hard negatives keep the knn-join plan shape; the tag filter is pre-window") {
     val p = plan("q_hard_negatives")
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("RoundRobinPartitioning"), p.take(3000))
     // the exclusion must sit below the rank window (a filter ABOVE the
     // window would let same-tag rows eat rank slots)
     val windowIx = p.indexOf("WindowGroupLimit")

@@ -749,6 +749,29 @@ class IvfSpec extends SparkSpec {
     assert(perLeft.values.forall(_ == 3))
   }
 
+  test("knnJoin spreads a compact list side; an already-parallel side is untouched") {
+    // the pair loop runs in the list side's partitions (probe side
+    // broadcasts): a compact list table must spread to the session's
+    // parallelism (the sf1 heavy-tail fix), but a side that already
+    // carries >= that many partitions — the 100 TB shape — must NOT be
+    // collapsed through one round-robin exchange
+    val model = Ivf.train(vecs.toDF("id", "v"), "id", "v", k = 4, iters = 1)
+    val narrow = spark.sparkContext.parallelize(vecs, 1).toDF("id", "v")
+    val wide = spark.sparkContext.parallelize(vecs, 8).toDF("id", "v")
+    val pNarrow = Ivf.knnJoin(narrow, narrow, "id", "v", model, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(pNarrow.contains("RoundRobinPartitioning"), pNarrow.take(2000))
+    val pWide = Ivf.knnJoin(wide, wide, "id", "v", model, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!pWide.contains("RoundRobinPartitioning"), pWide.take(2000))
+    // the spread is a pure parallelism change: identical results
+    val a = Ivf.knnJoin(narrow, narrow, "id", "v", model, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Ivf.knnJoin(wide, wide, "id", "v", model, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
   test("persisted-assignment rebalance selects the identical rows as the recomputed one") {
     // the 100 TB shape documented on Ivf.assign: both rebalance passes
     // (decision-table count + filter) read the slim persisted
