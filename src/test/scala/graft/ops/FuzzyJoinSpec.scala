@@ -238,6 +238,46 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Set((9L, 1L, 1), (9L, 2L, 1)))
   }
 
+  test("compaction adopts the len/sig prefilter columns on a legacy index") {
+    // the last open edge of the layout note's compact-to-adopt contract:
+    // recall on a legacy index is pinned above, and compactIndex re-derives
+    // the prefix relation from strings/ (so adoption is automatic by
+    // construction) — this pins that the adoption actually HAPPENS: after
+    // compacting, the stored schema carries both columns and the probe's
+    // candidate stage prunes pairs the legacy index had to carry to verify
+    val path = java.nio.file.Files.createTempDirectory("graft-fzidx7").toString
+    // record 2 shares the prefix gram "sam" at the same position as the
+    // probe but is 19 chars longer — only the len band can reject it
+    // before the verify
+    val idxRows = Seq((1L, "same same same"),
+      (2L, "samzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("id", "s")
+    FuzzyJoin.writeIndex(idxRows, "id", "s", path, numPartitions = 4)
+    val fs = IndexMaintenance.fsOf(path, spark)
+    val legacy = spark.read.parquet(s"$path/block/prefix").drop("len", "sig")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/block/prefix"), true)
+    legacy.write.partitionBy("pbucket").parquet(s"$path/block/prefix")
+    val probe = Seq((9L, "same same samX")).toDF("id", "s")
+    val before = FuzzyJoin.probePairs(probe, "id", "s", path,
+        n = 3, maxDist = 2, dfCap = Int.MaxValue, numPartitions = 4)
+      .as[(Long, Long)].collect().toSet
+    // legacy layout: no bands, the impossible pair reaches the verify
+    assert(before === Set((9L, 1L), (9L, 2L)))
+    FuzzyJoin.compactIndex(spark, path, numPartitions = 4)
+    val adopted = spark.read.parquet(s"$path/block/prefix").schema.fieldNames.toSet
+    assert(Set("len", "sig").subsetOf(adopted),
+      s"compaction did not adopt the prefilter columns: $adopted")
+    val after = FuzzyJoin.probePairs(probe, "id", "s", path,
+        n = 3, maxDist = 2, dfCap = Int.MaxValue, numPartitions = 4)
+      .as[(Long, Long)].collect().toSet
+    // adopted bands prune the length-impossible pair before the verify
+    assert(after === Set((9L, 1L)))
+    // the probe's end-to-end result is identical either way
+    val got = FuzzyJoin.indexProbe(probe, "id", "s", path, numPartitions = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((9L, 1L, 1)))
+  }
+
   test("short strings never pair; identical strings pair at distance 0") {
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "same same same"),
       (4L, "same same same")).toDF("id", "s")
