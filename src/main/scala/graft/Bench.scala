@@ -79,6 +79,44 @@ object Bench {
     if (rs.isEmpty) 1.0 else medianOfSorted(rs)
   }
 
+  /** Mechanical in-run burst verdict — the discard decision the builder
+    * made BY HAND for two r17 runs (roving multi-minute host-load windows
+    * inflate one execution-order stretch of queries 2.7–3.4× with TIGHT
+    * in-run bands, invisible to the suite-median `loadRatio`), now a field
+    * of the record itself (`window_flags`), the way `jit_floor_samples`
+    * made isolated-probe adjudication mechanical.
+    *
+    * A burst window = ≥4 consecutive (execution-order) ratio-eligible
+    * queries whose prev-normalized, load-corrected ratios all reach 2× —
+    * long enough that one genuine plan regression (a single query, or a
+    * co-touched pair) cannot trip it, short enough to catch the
+    * multi-minute windows. Eligibility mirrors [[loadRatio]]: previous
+    * median > 50 ms. Returns (firstQuery, lastQuery, n, medianRatio) per
+    * window; an empty result is the healthy-run verdict a roll-worthy
+    * record should carry.
+    */
+  def burstWindows(ordered: Seq[(String, Double)], prev: Map[String, Double],
+                   loadRatio: Double): Seq[(String, String, Int, Double)] = {
+    val lr = math.max(1.0, loadRatio)
+    val ratios = ordered.flatMap { case (k, v) =>
+      prev.get(k).collect { case p if p > 0.05 => (k, v / p / lr) }
+    }
+    val out = Seq.newBuilder[(String, String, Int, Double)]
+    var i = 0
+    while (i < ratios.length) {
+      if (ratios(i)._2 >= 2.0) {
+        var j = i
+        while (j + 1 < ratios.length && ratios(j + 1)._2 >= 2.0) j += 1
+        if (j - i + 1 >= 4) {
+          val rs = ratios.slice(i, j + 1).map(_._2).sorted
+          out += ((ratios(i)._1, ratios(j)._1, j - i + 1, medianOfSorted(rs)))
+        }
+        i = j + 1
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** The per-core-CPU-bound query families — dedup shingle hashing and the
     * knn/hard-negative/fuzzy codegen loops, the shapes that twice (r13,
     * r14) ran 1.7–2.4× their envelopes under ambient windows the suite
@@ -186,34 +224,42 @@ object Bench {
   def summaryLine(total: Double, nQueries: Int, loadRatio: Double,
                   cpuRatio: Double, runSeq: Long, transformRps: Long,
                   upsertRps: Long, microbatchSec: Double, nErrors: Int,
-                  nReran: Int, sf: String): String =
+                  nReran: Int, sf: String, nBurstWindows: Int = 0): String =
     s"""{"metric":"bench_summary","value":${jnum(total)},"unit":"sec",""" +
       s""""n_queries":$nQueries,"load_ratio":${jnum(loadRatio)},""" +
       s""""cpu_ratio":${jnum(cpuRatio)},"run_seq":$runSeq,""" +
       s""""transform_rps":$transformRps,"upsert_rps":$upsertRps,""" +
       s""""microbatch_sec":${jnum(microbatchSec)},""" +
       s""""n_errors":$nErrors,"n_reran":$nReran,""" +
+      s""""n_burst_windows":$nBurstWindows,""" +
       s""""sf":${jsonStr(sf, maxBytes = 120)}}"""
 
   /** JSON string literal, escaped (a quote or backslash in a path must
     * not break the one line whose whole purpose is to parse) and bounded
-    * by UTF-8 BYTES — `take(n)` counts chars, and 120 CJK chars is ~360
-    * bytes, past the tail-window budget the summary line pins in spec.
+    * by UTF-8 BYTES of the ESCAPED output — `take(n)` counts chars (120
+    * CJK chars is ~360 bytes), and budgeting the raw string lets escape
+    * expansion (quote/backslash 2×, control chars 6×) blow past the
+    * tail-window byte budget the summary line pins in spec. Trimming the
+    * raw string until its escaped form fits can never split an escape
+    * sequence. Quadratic in the worst case, but inputs are ≤300-char
+    * paths and it runs once per record line.
     */
   def jsonStr(s: String, maxBytes: Int): String = {
-    var t = s
-    while (t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > maxBytes)
-      t = t.substring(0, t.length - 1)
-    // char-wise truncation can strand a high surrogate — drop it rather
-    // than emit invalid UTF-8
-    if (t.nonEmpty && Character.isHighSurrogate(t.last))
-      t = t.substring(0, t.length - 1)
-    "\"" + t.flatMap {
+    def esc(t: String): String = t.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
-    } + "\""
+    }
+    def bytes(t: String): Int =
+      esc(t).getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    var t = s
+    while (bytes(t) > maxBytes) t = t.substring(0, t.length - 1)
+    // char-wise truncation can strand a high surrogate — drop it rather
+    // than emit invalid UTF-8
+    if (t.nonEmpty && Character.isHighSurrogate(t.last))
+      t = t.substring(0, t.length - 1)
+    "\"" + esc(t) + "\""
   }
 
   /** Stamp the rolled baseline with the run it came from: `bench-prev.json`
@@ -430,6 +476,13 @@ object Bench {
     val e2eJson = e2e.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val reranJson = reran.map(jstr).mkString("[", ",", "]")
+    // the burst-discard verdict rides the record (see [[burstWindows]]):
+    // a run the freeze recipe should discard says so itself
+    val bursts = burstWindows(
+      results.map { case (k, v) => (k, v(1)) }, prevMedians, ratio)
+    val burstJson = bursts.map { case (from, to, n, r) =>
+      s"""{"from":${jstr(from)},"to":${jstr(to)},"n":$n,"ratio":${jnum(r)}}"""
+    }.mkString("""{"bursts":[""", ",", "]}")
     val runSeq = System.currentTimeMillis()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""load_ratio":${jnum(ratio)},""" +
@@ -439,7 +492,7 @@ object Bench {
       s""""cpu_ratio":${jnum(cpuRatio)},""" +
       s""""run_seq":$runSeq,""" +
       s""""query_bands":$bands,"e2e_untimed_sec":$e2eJson,""" +
-      s""""errors":$errJson,"reran":$reranJson,""" +
+      s""""errors":$errJson,"reran":$reranJson,"window_flags":$burstJson,""" +
       s""""transform_rps":${transformRps.round},"upsert_rps":${upsertRps.round},""" +
       s""""microbatch_sec":$microbatchSec,"sf":"$sfDir"}"""
     // scalastyle:off println
@@ -475,7 +528,7 @@ object Bench {
     // scalastyle:off println
     println(summaryLine(total, results.size, ratio, cpuRatio, runSeq,
       transformRps.round, upsertRps.round, microbatchSec, errors.size,
-      reran.size, sfDir))
+      reran.size, sfDir, bursts.size))
     // scalastyle:on
     spark.stop()
   }

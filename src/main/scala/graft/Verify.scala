@@ -54,13 +54,35 @@ object Verify {
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // compact self-describing summary as the LAST stdout line — the
     // driver's artifact capture keeps only the stdout tail (see
-    // Bench.summaryLine); per-query detail stays in the outDir files
+    // Bench.summaryLine); per-query detail stays in the outDir files.
+    // Every variable-width field goes through Bench.jsonStr (escaped,
+    // bounded by UTF-8 bytes of the ESCAPED form, surrogate-safe), so the
+    // whole line stays under the same ≤500-byte tail budget summaryLine
+    // pins — a non-ASCII outDir or a pathological query name can only
+    // truncate, never grow the line (the size is pinned in spec).
+    val summary = summaryLine(selected.size, failures.size,
+      failures.keys.toSeq, outDir)
+    // ...and to a fixed liftable path: the bench-side stdout-tail
+    // mitigation worked (the driver's BENCH record carried an intact
+    // bench_summary line in r17); give the correctness side the same two
+    // chances — a tail line AND a file any future driver capture can lift
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/verify-latest.json"), summary + "\n")
     // scalastyle:off println
-    println(s"""{"metric":"verify_summary","n_queries":${selected.size},""" +
-      s""""n_failures":${failures.size},""" +
-      s""""failed":${failures.keys.take(5).map(q).mkString("[", ",", "]")},""" +
-      s""""out":${q(outDir.take(120))}}""")
+    println(summary)
     // scalastyle:on
     spark.stop()
   }
+
+  /** The compact verify record line — byte-bounded so it survives a
+    * stdout tail window intact (Bench.summaryLine's contract), pinned
+    * ≤500 bytes in VerifySummarySpec.
+    */
+  def summaryLine(nQueries: Int, nFailures: Int, failedKeys: Seq[String],
+                  outDir: String): String =
+    s"""{"metric":"verify_summary","n_queries":$nQueries,""" +
+      s""""n_failures":$nFailures,""" +
+      s""""failed":${failedKeys.take(5).map(Bench.jsonStr(_, maxBytes = 48))
+        .mkString("[", ",", "]")},""" +
+      s""""out":${Bench.jsonStr(outDir, maxBytes = 120)}}"""
 }

@@ -190,7 +190,7 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(fields.get("metric").contains("\"bench_summary\""))
     for (k <- Seq("value", "n_queries", "load_ratio", "cpu_ratio", "run_seq",
         "transform_rps", "upsert_rps", "microbatch_sec", "n_errors",
-        "n_reran", "sf"))
+        "n_reran", "n_burst_windows", "sf"))
       assert(fields.contains(k), s"missing $k in $line")
     // and realistic values round-trip numerically
     val real = Bench.summaryLine(85.7, 195, 0.951, 0.698, 1755321000000L,
@@ -213,6 +213,77 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(em.getBytes("UTF-8").length <= 12)
     assert(!em.exists(Character.isHighSurrogate(_)) ||
       em.count(Character.isHighSurrogate) == em.count(Character.isLowSurrogate))
+  }
+
+  test("burstWindows flags a roving-load stretch; single regressions stay silent") {
+    val prev = ('a' to 'z').map(c => s"q_$c" -> 1.0).toMap
+    // healthy run: uniform 1.1x — no windows
+    val healthy = ('a' to 'z').map(c => s"q_$c" -> 1.1)
+    assert(Bench.burstWindows(healthy, prev, 1.1).isEmpty)
+    // the r17 signature: one execution-order stretch at ~3x under a
+    // normal suite median
+    val burst = ('a' to 'z').map { c =>
+      s"q_$c" -> (if (c >= 'h' && c <= 'm') 3.0 else 1.0)
+    }
+    val w = Bench.burstWindows(burst, prev, 1.0)
+    assert(w === Seq(("q_h", "q_m", 6, 3.0)))
+    // one genuine 10x plan regression (or a co-touched pair) never trips
+    val single = ('a' to 'z').map { c =>
+      s"q_$c" -> (if (c == 'h' || c == 'i') 10.0 else 1.0)
+    }
+    assert(Bench.burstWindows(single, prev, 1.0).isEmpty)
+    // uniform host load is the loadRatio's job, not a burst: a whole-run
+    // 2.5x with loadRatio 2.5 normalizes away
+    val uniform = ('a' to 'z').map(c => s"q_$c" -> 2.5)
+    assert(Bench.burstWindows(uniform, prev, 2.5).isEmpty)
+    // launch-noise queries (prev <= 50 ms) are not eligible; stretches
+    // separated ONLY by them are continuous in wall time (sub-50 ms
+    // queries take no window) and count as one burst
+    val tinyPrev = prev + ("q_j" -> 0.01) + ("q_k" -> 0.01)
+    val bridged = ('a' to 'z').map { c =>
+      s"q_$c" -> (if (c >= 'h' && c <= 'm') 3.0 else 1.0)
+    }
+    // h,i + l,m = 4 consecutive eligible queries at 3x → one window
+    assert(Bench.burstWindows(bridged, tinyPrev, 1.0) ===
+      Seq(("q_h", "q_m", 4, 3.0)))
+  }
+
+  test("jsonStr budgets the ESCAPED bytes — expansion cannot outgrow maxBytes") {
+    // escape expansion (quote/backslash 2×, control chars 6×) used to be
+    // measured on the RAW string: a 120-byte field of quotes emitted 240
+    // bytes and could push the summary line past its tail-window budget
+    for (s <- Seq("\"" * 120, "\\" * 120, "\u0001" * 120,
+        ("\"\\\u0007" + "数") * 60)) {
+      val out = Bench.jsonStr(s, maxBytes = 120)
+      // content bytes (between the enclosing quotes) within budget
+      assert(out.getBytes("UTF-8").length <= 122, s"overflow: $out")
+      assert(out.startsWith("\"") && out.endsWith("\""))
+      // still parseable: the escape trim never splits a \-sequence
+      assert(Bench.topLevelFields(s"""{"sf":$out}""").contains("sf"), out)
+    }
+    // plain ASCII keeps the full budget (the fix must not over-shrink)
+    assert(Bench.jsonStr("x" * 120, maxBytes = 120) === "\"" + "x" * 120 + "\"")
+  }
+
+  test("Verify summary line stays under the tail window with hostile fields") {
+    // the correctness-side record line gets the same pins the bench side
+    // has: every variable-width field byte-bounded THROUGH Bench.jsonStr,
+    // whole line ≤500 bytes, parseable by topLevelFields — a non-ASCII
+    // outDir or pathological query names truncate rather than grow
+    val hostile = Verify.summaryLine(
+      nQueries = 99999, nFailures = 99999,
+      failedKeys = Seq.fill(9)("q_" + "数" * 200 + "\"\\"),
+      outDir = "/tmp/ü" + "数" * 200)
+    assert(hostile.getBytes("UTF-8").length <= 500, hostile)
+    val fields = Bench.topLevelFields(hostile)
+    assert(fields.get("metric").contains("\"verify_summary\""))
+    for (k <- Seq("n_queries", "n_failures", "failed", "out"))
+      assert(fields.contains(k), s"missing $k in $hostile")
+    // realistic values round-trip numerically
+    val real = Verify.summaryLine(210, 1, Seq("q1_agg"), "/tmp/verify-out")
+    assert(Bench.topLevelFields(real)("n_queries").toInt === 210)
+    assert(Bench.topLevelFields(real)("n_failures").toInt === 1)
+    assert(Bench.topLevelFields(real)("failed") === """["q1_agg"]""")
   }
 
   test("loadPrevMedians parses a persisted record line and tolerates absence") {
