@@ -134,6 +134,9 @@ object Ivf {
     * exchange; the guard costs one plan compile, zero jobs.
     */
   private def spread(df: DataFrame): DataFrame = {
+    // a streaming side has no .rdd before execution — it keeps its source
+    // partitioning (micro-batch sizing is the stream's own lever)
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
