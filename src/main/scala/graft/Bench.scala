@@ -524,11 +524,19 @@ object Bench {
           s"'${sys.env("SPARK_GRAFT_ROLL_PREV")}' not recognized " +
           "(use 1/true/yes) — baseline NOT rolled")
     } catch { case _: Exception => () } // stdout line already carries the record
-    // the compact repeat is the LAST stdout line — see [[summaryLine]]
-    // scalastyle:off println
-    println(summaryLine(total, results.size, ratio, cpuRatio, runSeq,
+    // the compact repeat is the LAST stdout line — see [[summaryLine]] —
+    // and a fixed liftable file next to the full record (the same two
+    // capture chances Verify's summary has: stdout tail + a file)
+    val summary = summaryLine(total, results.size, ratio, cpuRatio, runSeq,
       transformRps.round, upsertRps.round, microbatchSec, errors.size,
-      reran.size, sfDir, bursts.size))
+      reran.size, sfDir, bursts.size)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench-summary.json"), summary + "\n")
+      ()
+    } catch { case _: Exception => () } // the stdout line still carries it
+    // scalastyle:off println
+    println(summary)
     // scalastyle:on
     spark.stop()
   }
