@@ -248,6 +248,51 @@ class BenchAdjudicateSpec extends AnyFunSuite {
       Seq(("q_h", "q_m", 4, 3.0)))
   }
 
+  test("burstWindows property: windows are >=4, above-bar throughout, maximal, disjoint") {
+    val rnd = new scala.util.Random(181818L)
+    for (_ <- 1 to 200) {
+      val n = 5 + rnd.nextInt(60)
+      val names = (0 until n).map(i => f"q_$i%03d")
+      val prev = names.map(_ -> 1.0).toMap
+      // mix healthy ratios with occasional elevated stretches
+      val cur = names.map { k =>
+        val r =
+          if (rnd.nextDouble() < 0.25) 2.0 + rnd.nextDouble() * 3
+          else 0.7 + rnd.nextDouble()
+        k -> r
+      }
+      val ws = Bench.burstWindows(cur, prev, 1.0)
+      val ratio = cur.toMap
+      val idx = names.zipWithIndex.toMap
+      // reconstruct each window's span and check every property
+      var lastEnd = -1
+      for ((from, to, len, med) <- ws) {
+        val (i, j) = (idx(from), idx(to))
+        assert(j - i + 1 === len && len >= 4)
+        assert(i > lastEnd, "windows overlap or out of order")
+        lastEnd = j
+        val member = (i to j).map(k => ratio(names(k)))
+        assert(member.forall(_ >= 2.0), s"below-bar member in $from..$to")
+        assert(med >= 2.0)
+        // maximal: the neighbors just outside are below the bar
+        if (i > 0) assert(ratio(names(i - 1)) < 2.0, "left-extendable window")
+        if (j < n - 1) assert(ratio(names(j + 1)) < 2.0, "right-extendable window")
+      }
+      // completeness: every >=4 run of >=2x ratios is reported
+      var i = 0
+      var expected = 0
+      while (i < n) {
+        if (ratio(names(i)) >= 2.0) {
+          var j = i
+          while (j + 1 < n && ratio(names(j + 1)) >= 2.0) j += 1
+          if (j - i + 1 >= 4) expected += 1
+          i = j + 1
+        } else i += 1
+      }
+      assert(ws.size === expected, s"missed or extra windows (n=$n)")
+    }
+  }
+
   test("jsonStr budgets the ESCAPED bytes — expansion cannot outgrow maxBytes") {
     // escape expansion (quote/backslash 2×, control chars 6×) used to be
     // measured on the RAW string: a 120-byte field of quotes emitted 240
