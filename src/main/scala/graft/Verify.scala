@@ -79,7 +79,8 @@ object Verify {
 
   /** The compact verify record line — byte-bounded so it survives a
     * stdout tail window intact (Bench.summaryLine's contract), pinned
-    * ≤500 bytes in VerifySummarySpec.
+    * ≤500 bytes in BenchAdjudicateSpec ("Verify summary line stays under
+    * the tail window with hostile fields").
     */
   def summaryLine(nQueries: Int, nFailures: Int, failedKeys: Seq[String],
                   outDir: String): String =
