@@ -301,6 +301,18 @@ object ScaleProbe {
             String.valueOf(e.getMessage)).take(300))}}""")
       }
 
+    // the same mechanical burst verdict the bench record carries (r18):
+    // >=4 consecutive execution-order queries at >=2x their load-corrected
+    // factor-scaled medians = a roving host-load window, adjudicated by
+    // the record instead of by eye against variance bands. `results` is
+    // already execution-ordered (light ++ heavy); prev medians scale by
+    // the probe factor, and the correction uses the RAW (uncapped) load
+    // median — burstWindows' own contract
+    val bursts = Bench.burstWindows(results,
+      prev.view.mapValues(_ * factor).toMap, loadRatioRaw)
+    val burstJson = bursts.map { case (from, to, n, r) =>
+      s"""{"from":${jstr(from)},"to":${jstr(to)},"n":$n,"ratio":${jnum(r)}}"""
+    }.mkString("""{"bursts":[""", ",", "]}")
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val fl = flags.map { case (k, (t, lin)) =>
       jstr(k) + ":{\"sec\":" + jnum(t) + ",\"linear\":" + jnum(lin) + "}"
@@ -326,6 +338,7 @@ object ScaleProbe {
       s""""run_seq":${System.currentTimeMillis()},""" +
       s""""heavy_tail_isolated":${heavy.map(h => jstr(h._1)).mkString("[", ",", "]")},""" +
       s""""queries":$qs,"flags":$fl,"errors":$errJson,""" +
+      s""""window_flags":$burstJson,"n_burst_windows":${bursts.size},""" +
       streamSection.fold("")(s => s""""streaming":$s,""") +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println

@@ -1525,7 +1525,8 @@ object SparkEntry {
       // IVF-pruned on BOTH sides (left probes 4 lists inside one codegen
       // projection — no per-query jobs; right reads its single list).
       // Candidate volume is nprobe/k_centroids of the cross join; the
-      // per-left top-k is WindowGroupLimit-pruned before its exchange.
+      // per-left top-k is bounded-heap-pruned (graft.plans.HeapTopK)
+      // before its exchange — the candidate stream is never sorted.
       val emb = t(dir, "embeddings")
       val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.ops.Ivf.knnJoin(emb, emb, "vec_id", "embedding", model, k = 5, nprobe = 4)

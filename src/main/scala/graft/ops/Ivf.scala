@@ -118,8 +118,8 @@ object Ivf {
 
   /** Spread a compact candidate-list side across the session's full
     * parallelism before the pair loop. The candidate join's ENTIRE cost
-    * — one CosinePre dot per (probe, list-member) pair plus the local
-    * sort feeding the partial WindowGroupLimit heap — runs inside the
+    * — one CosinePre dot per (probe, list-member) pair plus the partial
+    * per-group top-k heap pass — runs inside the
     * STREAMED side's partitions (the probe side broadcasts when bounded,
     * and a shuffled join keys on only k_centroids values), so a list
     * table that arrives as a handful of scan partitions serializes the
@@ -132,13 +132,45 @@ object Ivf {
     * session's parallelism — at 100 TB a list table has thousands of
     * partitions and must NOT be collapsed through one round-robin
     * exchange; the guard costs one plan compile, zero jobs.
+    *
+    * Probe safety under AQE: `Dataset.rdd` on a plan CONTAINING exchanges
+    * eagerly submits the shuffle map-stage jobs
+    * (`AdaptiveSparkPlanExec.getFinalPhysicalPlan`) and that work is then
+    * discarded — a caller composing knnJoin over a joined/aggregated side
+    * would silently execute its upstream pipeline TWICE at plan-build
+    * time. The physical `sparkPlan` can't be inspected for this
+    * (exchanges are inserted later, by `EnsureRequirements`), so the
+    * judgment runs on the OPTIMIZED LOGICAL plan: the `.rdd` probe runs
+    * only when every node is narrow (scan-shaped — leaf / project /
+    * filter / generate / union / sample, no subqueries), where the probe
+    * is one plan compile and zero jobs. Anything wider is judged by its
+    * plan's own STATIC shuffle width (`spark.sql.shuffle.partitions`)
+    * instead — AQE may still coalesce below that width at runtime, but
+    * accepting that residual beats running the caller's pipeline twice.
+    * IvfSpec pins the zero-jobs-at-plan-build contract.
     */
   private def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     // a streaming side has no .rdd before execution — it keeps its source
     // partitioning (micro-batch sizing is the stream's own lever)
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val scanShaped = !df.queryExecution.optimizedPlan.exists {
+      case n if n.subqueries.nonEmpty => true
+      case _: LeafNode | _: Project | _: Filter | _: Generate |
+           _: SubqueryAlias | _: Union | _: Sample | _: Expand |
+           _: SerializeFromObject | _: DeserializeToObject |
+           _: MapElements | _: TypedFilter => false
+      case _ => true
+    }
+    if (scanShaped) {
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    } else {
+      val width = scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(p)
+      if (width < p) df.repartition(p) else df
+    }
   }
 
   /** Bulk k-NN JOIN: for EVERY vector in `left`, its `k` nearest
@@ -157,7 +189,7 @@ object Ivf {
     * when bounded (Catalyst/AQE's choice — a genuinely huge probe side
     * degrades to a shuffled join on centroid id, which is fine exactly
     * when k_centroids is sized to the cluster), so the pair loop and
-    * its partial `WindowGroupLimit` heaps run in the list side's
+    * its partial [[graft.plans.HeapTopK]] heaps run in the list side's
     * partitions; the one inherent exchange is winners by left id for
     * the per-left top-k. Candidate volume is |L|·|R|·nprobe/k_centroids
     * pairs — the IVF pruning factor — instead of the |L|·|R| cross join.
@@ -168,37 +200,69 @@ object Ivf {
     * oracle's replay — same dot/sqrt/divide shape).
     */
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-              model: Model, k: Int, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // squared norms are per-ROW constants: hoist them out of the
-    // |L|·|R|·nprobe/k candidate pair loop (CosinePre pays only the dot —
-    // bit-identical to CosineSim on fixed-dim vectors, ~3× less pair
-    // arithmetic), carried as one DOUBLE column through the shuffle
-    val assignedRight = assign(spread(right), idCol, vecCol, model)
-      .select(col(idCol).as("__rid"), col(vecCol).as("__rvec"),
+              model: Model, k: Int, nprobe: Int = 4): DataFrame =
+    pairTopK(left, right, idCol, vecCol, model, k, nprobe, tagCol = None)
+      .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
+        col("__rn").as("rank"))
+
+  /** The shared candidate-pair/top-k pipeline behind [[knnJoin]] and
+    * [[hardNegatives]] (one builder, r18's spread fix had to land twice):
+    * assign + spread the list side, explode each probe row's nprobe
+    * nearest centroids in one codegen projection, equi-join on
+    * centroid_id with the exclusion predicate (self-id, or same-tag when
+    * `tagCol` is set — BEFORE the top-k so excluded rows never eat rank
+    * slots), then the exact per-left top-k.
+    *
+    * The top-k runs on [[graft.plans.HeapTopK]] rather than a
+    * `row_number` window: Catalyst's WindowGroupLimit chain SORTS the
+    * full |L|·|R|·nprobe/k_centroids candidate stream per partition
+    * (O(n log n) + spill — the measured ~6 s warm floor at sf1) where
+    * per-group bounded heaps pay O(n log k) and shuffle only the
+    * per-partition survivors. Candidates are projected to three slim
+    * columns (lid, rid, score) first, so heap retention is 24 bytes/row
+    * × groups × k per partition. Scores stay bit-identical: CosinePre is
+    * computed once in the join's codegen stage and the heap compares
+    * with the catalyst RowOrdering over the same
+    * (score DESC NULLS LAST, rid ASC) SortOrders a window would use.
+    *
+    * squared norms are per-ROW constants: hoist them out of the
+    * |L|·|R|·nprobe/k candidate pair loop (CosinePre pays only the dot —
+    * bit-identical to CosineSim on fixed-dim vectors, ~3× less pair
+    * arithmetic), carried as one DOUBLE column through the shuffle.
+    */
+  private def pairTopK(left: DataFrame, right: DataFrame, idCol: String,
+                       vecCol: String, model: Model, k: Int, nprobe: Int,
+                       tagCol: Option[String]): DataFrame = {
+    val rightCols =
+      Seq(col(idCol).cast("long").as("__rid"), col(vecCol).as("__rvec")) ++
+        tagCol.map(t => col(t).as("__rtag")) ++ Seq(
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
-        col("centroid_id"))
+        graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
+          .as("centroid_id"))
+    val assignedRight = spread(right).select(rightCols: _*)
     // (-score, cid) structs sort lexicographically to (score DESC, cid ASC)
     val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
         lit(i).as("cid"))
     }: _*)
-    val probes = left
-      .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
+    val probeCols =
+      Seq(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec")) ++
+        tagCol.map(t => col(t).as("__ltag")) ++ Seq(
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
         explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
-      .select(col("__lid"), col("__lvec"), col("__ln2"),
-        col("__p.cid").as("centroid_id"))
-    val w = Window.partitionBy("__lid").orderBy(
-      graft.functions.CdcExpressions.cosinePre(col("__lvec"), col("__rvec"),
-        col("__ln2"), col("__rn2")).desc,
-      col("__rid"))
-    probes.join(assignedRight, "centroid_id")
-      .where(col("__rid") =!= col("__lid"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
-        col("__rn").as("rank"))
+    val probes = left.select(probeCols: _*)
+      .withColumn("centroid_id", col("__p.cid")).drop("__p")
+    val exclude = tagCol match {
+      case Some(_) => col("__rtag") =!= col("__ltag") // excludes self too
+      case None => col("__rid") =!= col("__lid")
+    }
+    val candidates = probes.join(assignedRight, "centroid_id")
+      .where(exclude)
+      .select(col("__lid"), col("__rid"),
+        graft.functions.CdcExpressions.cosinePre(col("__lvec"), col("__rvec"),
+          col("__ln2"), col("__rn2")).as("__score"))
+    graft.plans.HeapTopK.topKPerGroup(candidates, Seq(col("__lid")),
+      Seq(col("__score").desc, col("__rid")), k, rankCol = "__rn")
   }
 
   /** Hard-negative mining: each vector's k nearest neighbors among rows
@@ -207,41 +271,14 @@ object Ivf {
     * heap, not after — a same-tag neighbor must not eat a rank slot (the
     * post-filter formulation silently returns < k negatives near dense
     * positives). Same plan shape as [[knnJoin]]: IVF-pruned candidates,
-    * the tag rides the slim probe/list rows, WindowGroupLimit heaps.
+    * the tag rides the slim probe/list rows, [[graft.plans.HeapTopK]]
+    * bounded heaps.
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String, tagCol: String,
-                    model: Model, k: Int, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // assign() projects to (id, vec, centroid_id), so re-attach the tag
-    // inline rather than joining it back by id later
-    val assignedRight = spread(df).select(col(idCol).cast("long").as("__rid"),
-      col(vecCol).as("__rvec"), col(tagCol).as("__rtag"),
-      graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
-      graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
-        .as("centroid_id"))
-    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
-        lit(i).as("cid"))
-    }: _*)
-    val probes = df
-      .select(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec"),
-        col(tagCol).as("__ltag"),
-        graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
-        explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
-      .select(col("__lid"), col("__lvec"), col("__ltag"), col("__ln2"),
-        col("__p.cid").as("centroid_id"))
-    // the same hoisted-norm pair loop as knnJoin (bit-identical scores)
-    val w = Window.partitionBy("__lid").orderBy(
-      graft.functions.CdcExpressions.cosinePre(col("__lvec"), col("__rvec"),
-        col("__ln2"), col("__rn2")).desc,
-      col("__rid"))
-    probes.join(assignedRight, "centroid_id")
-      .where(col("__rtag") =!= col("__ltag")) // excludes self too
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
+                    model: Model, k: Int, nprobe: Int = 4): DataFrame =
+    pairTopK(df, df, idCol, vecCol, model, k, nprobe, tagCol = Some(tagCol))
       .select(col("__lid").as(idCol), col("__rid").as("neg_id"),
         col("__rn").as("rank"))
-  }
 
   /** Persist the index `partitionBy(centroid_id)` plus the centroids as a
     * tiny side table. At 100 TB this is what makes IVF an INDEX rather than

@@ -21,6 +21,44 @@ object GraftBridge {
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the injection point for library-defined logical
+    * operators (graft.plans.*): build the node over [[analyzedPlan]],
+    * hand it back to the session, and the analyzer resolves the node's
+    * expressions like any built-in operator's.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan a library operator composes over. */
+  def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Idempotently register a physical strategy on the session
+    * (`experimental.extraStrategies` — the per-session injection point
+    * that needs no SparkSessionExtensions wiring at session-build time,
+    * so library operators work on a caller's existing session).
+    */
+  def registerStrategy(spark: SparkSession,
+                       s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    synchronized {
+      val cls = spark.asInstanceOf[classic.SparkSession]
+      if (!cls.experimental.extraStrategies.contains(s)) {
+        cls.experimental.extraStrategies = cls.experimental.extraStrategies :+ s
+      }
+    }
+
+  /** Eagerly convert a Column to a catalyst SortOrder (wrapping a bare
+    * expression ascending, the SQL default).
+    */
+  def sortOrderOf(c: Column): org.apache.spark.sql.catalyst.expressions.SortOrder =
+    convertedExpression(c) match {
+      case s: org.apache.spark.sql.catalyst.expressions.SortOrder => s
+      case e => org.apache.spark.sql.catalyst.expressions.SortOrder(
+        e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+
   /** Block until the shared listener bus has delivered every queued event
     * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`). Streaming
     * query progress events ride this bus asynchronously; the scale probe's

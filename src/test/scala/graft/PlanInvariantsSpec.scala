@@ -64,9 +64,13 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("knn join: probe selection in-row, WindowGroupLimit heaps, no nested loop") {
+  test("knn join: probe selection in-row, sort-free bounded-heap top-k, no nested loop") {
     val p = plan("q_knn_join")
-    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // two heap passes (partial below the lid exchange, final above) in
+    // place of the Sort → WindowGroupLimit → Window chain: the candidate
+    // stream is never sorted (the r18 ~6 s warm sf1 floor was that sort)
+    assert("HeapTopKPerGroup".r.findAllIn(p).size === 2, p.take(3000))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Sort "), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     // the candidate pair loop runs in the LIST side's partitions: a
     // compact list table must be spread to the session's parallelism
@@ -77,16 +81,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("RoundRobinPartitioning"), p.take(3000))
   }
 
-  test("hard negatives keep the knn-join plan shape; the tag filter is pre-window") {
+  test("hard negatives keep the knn-join plan shape; the tag filter is pre-top-k") {
     val p = plan("q_hard_negatives")
-    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("HeapTopKPerGroup".r.findAllIn(p).size === 2, p.take(3000))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Sort "), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("RoundRobinPartitioning"), p.take(3000))
-    // the exclusion must sit below the rank window (a filter ABOVE the
-    // window would let same-tag rows eat rank slots)
-    val windowIx = p.indexOf("WindowGroupLimit")
+    // the exclusion must sit below the rank-assigning top-k (a filter
+    // ABOVE it would let same-tag rows eat rank slots)
+    val topkIx = p.indexOf("HeapTopKPerGroup")
     val filterIx = p.indexOf("NOT (__rtag")
-    assert(filterIx > windowIx, p.take(3000)) // deeper in tree = printed later
+    assert(filterIx > topkIx, p.take(3000)) // deeper in tree = printed later
   }
 
   test("temporal join: one equi-key join with interval residual, no nested loop") {

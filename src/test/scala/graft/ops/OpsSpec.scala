@@ -772,6 +772,35 @@ class IvfSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("knnJoin over an exchange-bearing side submits ZERO jobs at plan-build time") {
+    // Dataset.rdd under AQE on a plan containing exchanges eagerly runs
+    // the shuffle map stages and discards the work — spread must judge
+    // such inputs statically, or a caller composing knnJoin over a
+    // joined/aggregated side executes its upstream pipeline TWICE
+    val model = Ivf.train(vecs.toDF("id", "v"), "id", "v", k = 4, iters = 1)
+    val agged = vecs.toDF("id", "v").groupBy("id")
+      .agg(first("v").as("v")) // plan carries an Exchange
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val planned = Ivf.knnJoin(agged, agged, "id", "v", model, k = 3, nprobe = 2)
+      val _ = planned.queryExecution.executedPlan // physical planning only
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs === 0, "plan construction executed the upstream pipeline")
+      // and the results match the scan-shaped formulation exactly
+      val viaAgg = planned.as[(Long, Long, Int)].collect().toSet
+      val viaScan = Ivf.knnJoin(vecs.toDF("id", "v"), vecs.toDF("id", "v"),
+        "id", "v", model, k = 3, nprobe = 2).as[(Long, Long, Int)].collect().toSet
+      assert(viaAgg === viaScan)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("persisted-assignment rebalance selects the identical rows as the recomputed one") {
     // the 100 TB shape documented on Ivf.assign: both rebalance passes
     // (decision-table count + filter) read the slim persisted
