@@ -64,6 +64,8 @@ object HeapTopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
                    k: Int, rankCol: String): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an input column")
     val spark = df.sparkSession
     GraftBridge.registerStrategy(spark, HeapTopKStrategy)
     val group = groupCols.map(GraftBridge.convertedExpression)
@@ -186,15 +188,21 @@ case class HeapTopKPerGroupExec(
 /** Size-bounded max-heap of rows: the root is the WORST retained row
   * under `cmp` (last in sort order), so admission is one root compare and
   * eviction replaces the root. O(log k) per admitted row, O(1) per
-  * rejected row.
+  * rejected row. Storage grows on demand (doubling, capped at k) — a
+  * large k must cost memory proportional to rows RETAINED, not to k per
+  * group (a top-1M request over thousands of small groups would
+  * otherwise pre-allocate megabyte arrays each).
   */
 private[plans] final class BoundedRowHeap(k: Int,
     cmp: java.util.Comparator[InternalRow]) {
-  private val a = new Array[InternalRow](k)
+  private var a = new Array[InternalRow](math.min(k, 16))
   private var n = 0
 
   def offer(row: InternalRow, toUnsafe: UnsafeProjection): Unit = {
     if (n < k) {
+      if (n == a.length) {
+        a = java.util.Arrays.copyOf(a, math.min(k.toLong, 2L * n).toInt)
+      }
       a(n) = toUnsafe(row).copy()
       siftUp(n)
       n += 1

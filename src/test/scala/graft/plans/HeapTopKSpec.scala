@@ -54,6 +54,33 @@ class HeapTopKSpec extends SparkSpec {
     assert(got === Set((3L, 1), (1L, 2), (5L, 3), (2L, 4)))
   }
 
+  test("property: equals the window for random data, k, and group counts (heap growth path)") {
+    val rnd = new scala.util.Random(1919L)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(40) // > the 16-slot initial array → growth
+      val rows = (0 until 800 + rnd.nextInt(800)).map { i =>
+        (i.toLong, rnd.nextInt(nGroups), math.floor(rnd.nextDouble() * 30) / 10.0)
+      }
+      val df = rows.toDF("id", "g", "s").repartition(1 + rnd.nextInt(6))
+      val got = HeapTopK.topKPerGroup(df, Seq(col("g")),
+          Seq(col("s").desc, col("id")), k, rankCol = "rnk")
+        .select("id", "g", "s", "rnk").as[(Long, Int, Double, Int)]
+        .collect().toSet
+      val want = windowTopK(df, k)
+        .select("id", "g", "s", "rnk").as[(Long, Int, Double, Int)]
+        .collect().toSet
+      assert(got === want, s"trial $trial (groups=$nGroups k=$k)")
+    }
+  }
+
+  test("rank column name colliding with an input column is refused") {
+    val df = Seq((1L, 0, 2.0)).toDF("id", "g", "s")
+    intercept[IllegalArgumentException] {
+      HeapTopK.topKPerGroup(df, Seq(col("g")), Seq(col("s").desc), 3, rankCol = "s")
+    }
+  }
+
   test("plan shape: partial pass narrow, one hash exchange on the group key, no sort of the input") {
     val df = (0 until 1000).map(i => (i.toLong, i % 8, (i * 37 % 101).toDouble))
       .toDF("id", "g", "s").repartition(5)
