@@ -41,6 +41,7 @@ object SparkEntry {
   // one-time build must not be inside its timed body
   private val mhIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfSq8Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfFloatCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val fuzzyIdxCache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
   /** Once-per-JVM persisted fuzzy-join blocking-key index over the
@@ -76,6 +77,23 @@ object SparkEntry {
       graft.ops.Ivf.writeIndexSq8(emb, "vec_id", "embedding", model, idxDir)
       idxDir
     })
+  /** Once-per-JVM shared FLOAT IVF index ([[graft.ops.Ivf.writeIndex]])
+    * over the embeddings table — the list side `q_knn_join_indexed` reads,
+    * so the bench row times the PROBE alone: the train + corpus assignment
+    * a deployment pays once live here, not in the timed query. Same model
+    * constants as `q_knn_join` (k=16, iters=2, deterministic seeding), so
+    * both queries share one oracle replay.
+    */
+  private def ivfFloatIndexFor(spark: SparkSession, dir: String): String =
+    ivfFloatCache.computeIfAbsent(dir, _ => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-shared").toString
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val assigned = graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+      graft.ops.Ivf.writeIndex(assigned, model, idxDir)
+      idxDir
+    })
+
   private def minhashIndexFor(spark: SparkSession, dir: String): String =
     mhIndexCache.computeIfAbsent(dir, _ => {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx-shared").toString
@@ -1530,6 +1548,20 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.ops.Ivf.knnJoin(emb, emb, "vec_id", "embedding", model, k = 5, nprobe = 4)
+    },
+
+    "q_knn_join_indexed" -> { (spark, dir) =>
+      implicit val s: SparkSession = spark
+      // the same bulk k-NN join in its DEPLOYMENT shape: the list side is
+      // the persisted float IVF index (train + corpus assignment paid once
+      // at build time, outside this query), so the timed plan is probe
+      // projection → pair loop over pre-assigned lists → bounded-heap
+      // top-k. Bit-identical results to q_knn_join — one oracle replay
+      // covers both
+      val emb = t(dir, "embeddings")
+      val idx = ivfFloatIndexFor(spark, dir)
+      graft.ops.Ivf.knnJoinIndexed(emb, idx, "vec_id", "embedding",
+        k = 5, nprobe = 4)
     },
 
     "q_retrieval_eval" -> { (spark, dir) =>
@@ -5846,6 +5878,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleHashSql.embedLshTopk,
     "q_embed_ivf_topk" -> OracleHashSql.embedIvfTopk,
     "q_knn_join" -> OracleHashSql.knnJoin,
+    "q_knn_join_indexed" -> OracleHashSql.knnJoin,
     "q_retrieval_eval" -> OracleHashSql.retrievalEval,
     "q_recall_curve" -> OracleHashSql.recallCurve,
     "q_hard_negatives" -> OracleHashSql.hardNegatives,

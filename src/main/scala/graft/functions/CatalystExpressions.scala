@@ -256,6 +256,51 @@ object CdcExprHelpers {
     Int.box(best)
   }
 
+  /** Top-`nprobe` centroid ids by cosine (score DESC, id ASC on ties — the
+    * lex order of the (−score, cid) struct sort this call replaces); null
+    * on null elements, like [[cosineFF]]. Per-centroid scores reproduce
+    * [[cosineFF]]'s exact arithmetic (same accumulation order, same
+    * `dot / sqrt(na * nb)` shape, zero-norm → 0.0), so the selected probe
+    * lists are bit-identical to the literal struct-array formulation.
+    * Selection is one insertion pass over a bounded nprobe-sized buffer —
+    * O(k · nprobe) with no per-row allocation beyond the output.
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Float]],
+                       nprobe: Int): ArrayData = {
+    if (hasNullElement(v)) return null
+    val arr = v.toFloatArray()
+    val n = math.min(nprobe, centroids.length)
+    val ids = new Array[Int](n)
+    val scores = new Array[Double](n)
+    var filled = 0; var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(arr.length, c.length)
+      while (i < m) {
+        val x = arr(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      // a later id displaces only on STRICTLY greater score (ties → lower id)
+      if (filled < n) {
+        var pos = filled
+        while (pos > 0 && s > scores(pos - 1)) {
+          scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        scores(pos) = s; ids(pos) = j; filled += 1
+      } else if (s > scores(n - 1)) {
+        var pos = n - 1
+        while (pos > 0 && s > scores(pos - 1)) {
+          scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        scores(pos) = s; ids(pos) = j
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(ids)
+  }
+
   /** Unicode normalization (UAX #15) — the NFC/NFKC step of text cleaning;
     * `form` is validated at plan time by [[UnicodeNormalize]].
     */
@@ -853,6 +898,47 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `NEAREST_CENTROIDS(vec)` with bound centroids — the k-NN join's
+  * probe-list selection as ONE codegen'd call returning the top-`nprobe`
+  * centroid ids (cosine DESC, id ASC). The formulation it replaces — a
+  * literal `array(struct(−cosine, cid), …)` per centroid fed through
+  * `sort_array`/`slice` — builds an O(k_centroids) expression tree with
+  * every centroid inlined as a plan literal: fine at k=16, but a deployment
+  * sizes k_centroids with the corpus (constant-length lists ⇒ k ∝ N, 10⁴+
+  * lists at 100 TB), where a per-centroid expression tree breaks codegen
+  * long before the arithmetic matters. Centroids ride as a plan reference
+  * object (like [[NearestCentroid]]); probe selection is O(k · nprobe) in
+  * one tight loop; scores are bit-identical to the struct-sort path
+  * ([[CdcExprHelpers.nearestCentroids]] reproduces [[CosineSim]]'s exact
+  * arithmetic).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+                            nprobe: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null input, or null vector elements
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("probes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.CdcExprHelpers.nearestCentroids($c, $ref, $nprobe);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** `PQ_ENCODE(vec)` with bound codebooks — product-quantization encoding
   * as a codegen'd call over the columnar scan ([[graft.ops.Pq]]): m argmin-
   * L2 searches per vector, codes packed into one int64 (32× smaller than
@@ -1197,6 +1283,8 @@ object CdcExpressions {
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(vec), centroids, nprobe))
   def minhashBands(sig: Column, bands: Int): Column =
     GraftBridge.column(MinHashBands(GraftBridge.expression(sig), bands))
   def estJaccard(a: Column, b: Column): Column =

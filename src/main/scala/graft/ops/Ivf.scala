@@ -25,8 +25,38 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   final case class Model(centroids: Array[Array[Float]]) {
-    def nearest(v: Array[Float], n: Int = 1): Seq[Int] =
-      centroids.indices.sortBy(i => -Similarity.cosine(centroids(i), v)).take(n)
+    /** Top-`n` centroid ids by cosine (score DESC, id ASC on ties) —
+      * semantics of the stable `sortBy(-cos).take(n)` it replaces, as one
+      * bounded insertion pass: O(k·n) with no per-call k-sized sort. This
+      * is [[train]]'s per-vector hot loop (n=1, every Lloyd pass), and a
+      * deployment sizes k_centroids WITH the corpus — at k in the
+      * thousands the full sort was the train bottleneck, not the dots.
+      */
+    def nearest(v: Array[Float], n: Int = 1): Seq[Int] = {
+      val m = math.min(n, centroids.length)
+      val ids = new Array[Int](m)
+      val scores = new Array[Double](m)
+      var filled = 0; var j = 0
+      while (j < centroids.length) {
+        val s = Similarity.cosine(centroids(j), v)
+        // a later id displaces only on STRICTLY greater (ties → lower id)
+        if (filled < m) {
+          var pos = filled
+          while (pos > 0 && s > scores(pos - 1)) {
+            scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+          }
+          scores(pos) = s; ids(pos) = j; filled += 1
+        } else if (s > scores(m - 1)) {
+          var pos = m - 1
+          while (pos > 0 && s > scores(pos - 1)) {
+            scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+          }
+          scores(pos) = s; ids(pos) = j
+        }
+        j += 1
+      }
+      ids.toSeq
+    }
   }
 
   /** Train a coarse quantizer with `iters` Lloyd iterations over a
@@ -183,9 +213,10 @@ object Ivf {
     * its single nearest centroid ([[assign]] — or read back from a
     * persisted [[writeIndex]]) and [[spread]] across the session's
     * parallelism; each left row computes its `nprobe` nearest centroids
-    * ENTIRELY inside one codegen projection (scores against the
-    * broadcast centroid array → `sort_array` → `slice` → `explode`: no
-    * exchange, no per-query driver work). The probe side broadcasts
+    * ENTIRELY inside one codegen projection (`NEAREST_CENTROIDS`, the
+    * centroid matrix as a plan reference object → `explode`: no exchange,
+    * no per-query driver work, O(1) plan nodes at any
+    * k_centroids). The probe side broadcasts
     * when bounded (Catalyst/AQE's choice — a genuinely huge probe side
     * degrades to a shuffled join on centroid id, which is fine exactly
     * when k_centroids is sized to the cluster), so the pair loop and
@@ -204,6 +235,32 @@ object Ivf {
     pairTopK(left, right, idCol, vecCol, model, k, nprobe, tagCol = None)
       .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
         col("__rn").as("rank"))
+
+  /** [[knnJoin]] against a PERSISTED [[writeIndex]] — the steady-state
+    * deployment shape at 100 TB: the corpus-wide k-means train and the
+    * corpus-wide nearest-centroid assignment were paid ONCE at index-build
+    * time, so a probe batch pays only its own probe projection, the pair
+    * loop over the pre-assigned lists, and the per-left top-k heaps.
+    * Results are bit-identical to the inline formulation over the same
+    * data (the persisted `centroid_id` IS [[assign]]'s output, floats
+    * round-trip parquet exactly, [[readModel]] restores centroid order) —
+    * IvfSpec pins row-set equality. The probe side still computes its
+    * nprobe lists inside one codegen projection; the list side skips
+    * NEAREST_CENTROID entirely and its squared norm is the only per-row
+    * arithmetic added on top of the scan.
+    */
+  def knnJoinIndexed(left: DataFrame, indexPath: String, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val (lists, model) = readIndex(left.sparkSession, indexPath)
+    val assignedRight = spread(lists).select(
+      col(idCol).cast("long").as("__rid"), col(vecCol).as("__rvec"),
+      graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
+      col("centroid_id").cast("int").as("centroid_id"))
+    pairTopKAssigned(left, assignedRight, idCol, vecCol, model, k, nprobe,
+        tagCol = None)
+      .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
+        col("__rn").as("rank"))
+  }
 
   /** The shared candidate-pair/top-k pipeline behind [[knnJoin]] and
     * [[hardNegatives]] (one builder, r18's spread fix had to land twice):
@@ -239,19 +296,31 @@ object Ivf {
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
         graft.functions.CdcExpressions.nearestCentroid(col(vecCol), model.centroids)
           .as("centroid_id"))
-    val assignedRight = spread(right).select(rightCols: _*)
-    // (-score, cid) structs sort lexicographically to (score DESC, cid ASC)
-    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-graft.functions.CdcExpressions.cosineSim(col(vecCol), lit(c))).as("n"),
-        lit(i).as("cid"))
-    }: _*)
+    pairTopKAssigned(left, spread(right).select(rightCols: _*),
+      idCol, vecCol, model, k, nprobe, tagCol)
+  }
+
+  /** The probe half of [[pairTopK]], over a list side ALREADY in the slim
+    * assigned shape (`__rid`, `__rvec`, [`__rtag`,] `__rn2`, `centroid_id`)
+    * — shared by the assign-inline path and [[knnJoinIndexed]]'s persisted
+    * read, so the probe plan cannot drift between them.
+    */
+  private def pairTopKAssigned(left: DataFrame, assignedRight: DataFrame,
+                               idCol: String, vecCol: String, model: Model,
+                               k: Int, nprobe: Int,
+                               tagCol: Option[String]): DataFrame = {
+    // each probe row's nprobe nearest centroids (score DESC, cid ASC) in
+    // ONE codegen'd call — the centroid matrix rides as a plan reference
+    // object, so the probe projection stays O(1) plan nodes no matter how
+    // k_centroids is sized (a deployment grows it with the corpus; a
+    // per-centroid literal struct tree would break codegen at large k)
     val probeCols =
       Seq(col(idCol).cast("long").as("__lid"), col(vecCol).as("__lvec")) ++
         tagCol.map(t => col(t).as("__ltag")) ++ Seq(
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
-        explode(slice(sort_array(scored), 1, nprobe)).as("__p"))
+        explode(graft.functions.CdcExpressions.nearestCentroids(
+          col(vecCol), model.centroids, nprobe)).as("centroid_id"))
     val probes = left.select(probeCols: _*)
-      .withColumn("centroid_id", col("__p.cid")).drop("__p")
     val exclude = tagCol match {
       case Some(_) => col("__rtag") =!= col("__ltag") // excludes self too
       case None => col("__rid") =!= col("__lid")

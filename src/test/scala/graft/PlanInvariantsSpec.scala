@@ -81,6 +81,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("RoundRobinPartitioning"), p.take(3000))
   }
 
+  test("indexed knn join keeps the heap shape and never recomputes the corpus assignment") {
+    val p = plan("q_knn_join_indexed")
+    assert("HeapTopKPerGroup".r.findAllIn(p).size === 2, p.take(3000))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Sort "), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the index paid the assignment at build time: the probe plan must
+    // read the persisted centroid_id, not re-run NEAREST_CENTROID over
+    // the list side (the whole point of the persisted shape). No
+    // RoundRobinPartitioning assertion here: the index's partitionBy
+    // layout already carries one file per list, so spread is a designed
+    // no-op when that matches the session's parallelism
+    assert(!p.contains("nearest_centroid("), p.take(3000))
+    // probe-list selection is the single reference-object expression, not
+    // a per-centroid literal tree
+    assert(p.contains("nearest_centroids("), p.take(3000))
+  }
+
   test("hard negatives keep the knn-join plan shape; the tag filter is pre-top-k") {
     val p = plan("q_hard_negatives")
     assert("HeapTopKPerGroup".r.findAllIn(p).size === 2, p.take(3000))

@@ -282,6 +282,39 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(nulled.isNullAt(0) && nulled.isNullAt(1))
   }
 
+  test("nearest_centroids equals the literal struct-sort probe selection exactly") {
+    // the knnJoin probe projection's exactness contract: replacing the
+    // O(k_centroids) literal struct-array/sort_array tree with the single
+    // reference-object expression must select the SAME probe lists in the
+    // SAME order — (cosine DESC, cid ASC), ties to the lower id
+    val rnd = new scala.util.Random(13)
+    val cents: Array[Array[Float]] =
+      Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    cents(5) = cents(2).clone() // exact duplicate: exercises the cid tie-break
+    val df = (1L to 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    for (nprobe <- Seq(1, 3, 8, 12)) { // incl. nprobe > k
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct((-CdcExpressions.cosineSim(col("v"), lit(c))).as("n"),
+          lit(i).as("cid"))
+      }: _*)
+      val both = df.select(col("id"),
+          transform(slice(sort_array(scored), 1, nprobe), p => p.getField("cid")).as("ref"),
+          CdcExpressions.nearestCentroids(col("v"), cents, nprobe).as("got"))
+        .as[(Long, Seq[Int], Seq[Int])].collect()
+      both.foreach { case (id, ref, got) =>
+        assert(got === ref, s"id $id nprobe $nprobe")
+      }
+    }
+    // null-element vectors return NULL (explode then drops the row)
+    val nulledProbe = Seq((1L, Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("id", "v")
+      .selectExpr("id", "CAST(v AS ARRAY<FLOAT>) AS v")
+      .select(CdcExpressions.nearestCentroids(col("v"), cents, 3))
+      .head()
+    assert(nulledProbe.isNullAt(0))
+  }
+
   private implicit class Tup3(rows: Array[(Long, Seq[Long], Long)]) {
     def toMap2: Map[Long, (Seq[Long], Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

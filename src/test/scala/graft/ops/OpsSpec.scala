@@ -721,6 +721,52 @@ class IvfSpec extends SparkSpec {
     assert(got.forall { case (l, r, _) => l != r })
   }
 
+  test("Model.nearest bounded selection equals the stable sort formulation") {
+    // train's per-vector hot loop: the O(k·n) insertion pass must pick the
+    // SAME ids in the SAME order as sortBy(-cos).take(n) — score DESC,
+    // id ASC on ties (exercised via an exact-duplicate centroid)
+    val rnd = new scala.util.Random(31)
+    val cents: Array[Array[Float]] =
+      Array.fill(20)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    cents(7) = cents(3).clone()
+    val model = Ivf.Model(cents)
+    for (_ <- 1 to 100) {
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      for (n <- Seq(1, 3, 20, 25)) { // incl. n > k
+        val ref = cents.indices
+          .sortBy(i => -Similarity.cosine(cents(i), v)).take(n)
+        assert(model.nearest(v, n) === ref, s"n=$n")
+      }
+    }
+  }
+
+  test("knnJoinIndexed over a persisted index equals the inline knnJoin exactly") {
+    // the deployment shape: train + assign + writeIndex once, probes read
+    // the lists — bit-identical to re-assigning inline (persisted
+    // centroid_id IS assign's output; floats round-trip parquet exactly;
+    // readModel restores centroid order)
+    val df = vecs.toDF("id", "v")
+    val model = Ivf.train(df, "id", "v", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-knn-idx").toString
+    try {
+      Ivf.writeIndex(Ivf.assign(df, "id", "v", model), model, dir)
+      val inline = Ivf.knnJoin(df, df, "id", "v", model, k = 3, nprobe = 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val indexed = Ivf.knnJoinIndexed(df, dir, "id", "v", k = 3, nprobe = 3)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(indexed === inline)
+      // and the indexed plan never recomputes the corpus assignment
+      // (nearest_centroid( singular — the probe side's NEAREST_CENTROIDS
+      // list selection is a different expression and belongs there)
+      val p = Ivf.knnJoinIndexed(df, dir, "id", "v", k = 3, nprobe = 3)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("nearest_centroid("), p.take(2000))
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("hardNegatives: same-tag neighbors are excluded BEFORE the top-k heap") {
     val tagged = vecs.map { case (id, v) => (id, v, (id % 3).toString) }
     val df = tagged.toDF("id", "v", "tag")
