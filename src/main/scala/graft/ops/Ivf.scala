@@ -179,29 +179,7 @@ object Ivf {
     * accepting that residual beats running the caller's pipeline twice.
     * IvfSpec pins the zero-jobs-at-plan-build contract.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    // a streaming side has no .rdd before execution — it keeps its source
-    // partitioning (micro-batch sizing is the stream's own lever)
-    if (df.isStreaming) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val scanShaped = !df.queryExecution.optimizedPlan.exists {
-      case n if n.subqueries.nonEmpty => true
-      case _: LeafNode | _: Project | _: Filter | _: Generate |
-           _: SubqueryAlias | _: Union | _: Sample | _: Expand |
-           _: SerializeFromObject | _: DeserializeToObject |
-           _: MapElements | _: TypedFilter => false
-      case _ => true
-    }
-    if (scanShaped) {
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    } else {
-      val width = scala.util.Try(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-        .getOrElse(p)
-      if (width < p) df.repartition(p) else df
-    }
-  }
+  private def spread(df: DataFrame): DataFrame = Spread.across(df)
 
   /** Bulk k-NN JOIN: for EVERY vector in `left`, its `k` nearest
     * neighbors among `right` (cosine; self-pairs excluded when ids
@@ -320,7 +298,16 @@ object Ivf {
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
         explode(graft.functions.CdcExpressions.nearestCentroids(
           col(vecCol), model.centroids, nprobe)).as("centroid_id"))
-    val probes = left.select(probeCols: _*)
+    // spread the probe side too: WHICH side broadcasts is a size-driven
+    // planner choice (the r18 fix spread only the list side, measured
+    // under a broadcast-probe plan; with a compact persisted index the
+    // planner flips to BuildRight and the whole pair loop lands in the
+    // probe side's scan partitions — one task for a single-row-group
+    // fixture). Spreading both sides keeps the streamed side at the
+    // session's parallelism under either choice; each spread is the same
+    // guarded no-op for wide inputs (r19: q_knn_join_indexed exec
+    // 1.89 → see OPTIMIZATION_r19.md).
+    val probes = spread(left).select(probeCols: _*)
     val exclude = tagCol match {
       case Some(_) => col("__rtag") =!= col("__ltag") // excludes self too
       case None => col("__rid") =!= col("__lid")

@@ -56,9 +56,21 @@ object ChangelogJson {
     ), WireJsonOptions.asJava)
   }
 
-  /** One string column `value` in debezium-json. */
-  def debezium(changelog: DataFrame, id: TableId): DataFrame =
-    changelog.select(debeziumValue(changelog, id).as("value"))
+  /** One string column `value` in debezium-json.
+    *
+    * The encode input is [[graft.ops.Spread.across]]-spread first: JSON
+    * rendering is the most expensive per-row projection on the wire path,
+    * and a compact batch input (e.g. a single-row-group snapshot file)
+    * would otherwise serialize the whole encode inside one scan task.
+    * No-op for streaming frames and for inputs already at the session's
+    * parallelism (the 100 TB case); row SET is unchanged, row order is
+    * not — every consumer keys on the in-band `ts_ms` seq, never on line
+    * order (in-JVM A/B at sf0.1: roundtrip/pipeline queries 0.79-0.89x).
+    */
+  def debezium(changelog: DataFrame, id: TableId): DataFrame = {
+    val c = graft.ops.Spread.across(changelog)
+    c.select(debeziumValue(c, id).as("value"))
+  }
 
   /** canal-json value column (`ts` carries the sequence like canal's ms clock). */
   def canalValue(changelog: DataFrame, id: TableId): Column = {
@@ -74,9 +86,11 @@ object ChangelogJson {
     ), WireJsonOptions.asJava)
   }
 
-  /** One string column `value` in canal-json. */
-  def canal(changelog: DataFrame, id: TableId): DataFrame =
-    changelog.select(canalValue(changelog, id).as("value"))
+  /** One string column `value` in canal-json (spread like [[debezium]]). */
+  def canal(changelog: DataFrame, id: TableId): DataFrame = {
+    val c = graft.ops.Spread.across(changelog)
+    c.select(canalValue(c, id).as("value"))
+  }
 }
 
 /** Kafka changelog sink — the `sink: {type: kafka}` seam of the reference's
