@@ -2594,7 +2594,12 @@ object SparkEntry {
       // curation stage to a table, which is what a 100 TB deployment does
       // between stages (recomputing the regex-heavy gate per subtree was
       // a measured 5× on this query's wall time)
-      val docs = t(dir, "documents")
+      // spread the compact fixture scan so the regex-heavy gates (and the
+      // localCheckpoint that materializes them ONCE for the five
+      // downstream subtrees) run at the session's parallelism — without
+      // it the checkpoint inherits the scan's single partition and every
+      // downstream stage stays single-task (guarded no-op at scale)
+      val docs = graft.ops.Spread.across(t(dir, "documents"))
       val srcOk = Reputation.groupFilter(docs, col("source"),
         TextAnalysis.tokenCount(col("text")) < 40, maxBadFraction = 0.35)
       val gOk = srcOk.where(TextAnalysis.gopherKeep(col("text"),
@@ -2643,7 +2648,7 @@ object SparkEntry {
       // re-scanned for the histogram. Binning affects only the plan,
       // never the result, so the oracle is the SAME naive global window
       // as q_token_budget
-      val docs = t(dir, "documents")
+      val docs = graft.ops.Spread.across(t(dir, "documents"))
         .select(col("doc_id"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).as("tok"))
         .where(col("tok") >= 1)

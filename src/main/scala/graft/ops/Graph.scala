@@ -77,8 +77,12 @@ object Graph {
           (acc: Column, f: Column) => acc + f("c")).as("s"))
       ranks = nodes.join(folded, nodes("node") === folded("dst"), "left")
         .select(col("node"), (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint() // cut the per-iteration lineage, as a deployment
-                           // would persist ranks between rounds
+        // cut the per-iteration lineage, as a deployment would persist
+        // ranks between rounds. EAGER on purpose (r19 measured): lazy
+        // checkpoints defer materialization but leave every round's join
+        // planning against a stats-less LogicalRDD — the contribution
+        // joins lose their broadcast and the query read ~1.4x slower
+        .localCheckpoint()
     }
     ranks
   }

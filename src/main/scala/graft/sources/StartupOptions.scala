@@ -58,13 +58,18 @@ object StartupOptions {
     // records WITHOUT a ts_ms (in-band schema-change control records,
     // malformed lines) pass through: the position filter only skips
     // positioned data records — control DDL must never be lost to a
-    // startup offset, and malformed lines belong to the dead-letter path
-    lazy val unpositioned = ts.isNull
+    // startup offset, and malformed lines belong to the dead-letter path.
+    // `coalesce(ts ⋈ bound, true)` is exactly `ts IS NULL OR ts ⋈ bound`
+    // (the compare is null iff ts is null) but evaluates the
+    // get_json_object scan of the record ONCE per row instead of twice
+    // (r19; guide §4's evaluate-expensive-expressions-once stance)
+    def pass(cmp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(cmp, lit(true))
     mode match {
       case Initial | Earliest => feed
-      case Latest             => val b = launchPosition; feed.where(unpositioned || ts > b)
-      case Timestamp(t)       => feed.where(unpositioned || ts >= t)
-      case SpecificOffset(o)  => feed.where(unpositioned || ts > o)
+      case Latest             => val b = launchPosition; feed.where(pass(ts > b))
+      case Timestamp(t)       => feed.where(pass(ts >= t))
+      case SpecificOffset(o)  => feed.where(pass(ts > o))
     }
   }
 
