@@ -234,7 +234,13 @@ object Ivf {
       col(idCol).cast("long").as("__rid"), col(vecCol).as("__rvec"),
       graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__rn2"),
       col("centroid_id").cast("int").as("centroid_id"))
-    pairTopKAssigned(left, assignedRight, idCol, vecCol, model, k, nprobe,
+    // spread the PROBE side here (and only here — see pairTopKAssigned):
+    // against a compact persisted index the planner picks BuildRight, so
+    // the pair loop runs in THIS side's partitions; a single-row-group
+    // probe input would serialize it on one core (r19 measured: sf0.1
+    // exec 1.89 → 0.5 s, sf1 probe 7.7 → 6.2 s; guarded no-op for a
+    // corpus-scale probe side, which arrives in thousands of splits)
+    pairTopKAssigned(spread(left), assignedRight, idCol, vecCol, model, k, nprobe,
         tagCol = None)
       .select(col("__lid").as(idCol), col("__rid").as("nn_id"),
         col("__rn").as("rank"))
@@ -298,16 +304,16 @@ object Ivf {
         graft.functions.CdcExpressions.vecNormSq(col(vecCol)).as("__ln2"),
         explode(graft.functions.CdcExpressions.nearestCentroids(
           col(vecCol), model.centroids, nprobe)).as("centroid_id"))
-    // spread the probe side too: WHICH side broadcasts is a size-driven
-    // planner choice (the r18 fix spread only the list side, measured
-    // under a broadcast-probe plan; with a compact persisted index the
-    // planner flips to BuildRight and the whole pair loop lands in the
-    // probe side's scan partitions — one task for a single-row-group
-    // fixture). Spreading both sides keeps the streamed side at the
-    // session's parallelism under either choice; each spread is the same
-    // guarded no-op for wide inputs (r19: q_knn_join_indexed exec
-    // 1.89 → see OPTIMIZATION_r19.md).
-    val probes = spread(left).select(probeCols: _*)
+    // the probe side keeps its source partitioning HERE: the inline-assign
+    // callers (knnJoin/hardNegatives) run under a broadcast-PROBE plan
+    // where the pair loop lives in the spread list side — r19 measured
+    // that also spreading this side regresses them at sf1 (q_knn_join
+    // 6.2 → 8.7 s, q_hard_negatives 7.2 → 9.8 s isolated probes: the
+    // exchange feeds a subtree the planner BROADCASTS, pure cost).
+    // [[knnJoinIndexed]] spreads its own left input instead — under its
+    // compact persisted index the planner flips to BuildRight and the
+    // pair loop lands in the probe side's partitions.
+    val probes = left.select(probeCols: _*)
     val exclude = tagCol match {
       case Some(_) => col("__rtag") =!= col("__ltag") // excludes self too
       case None => col("__rid") =!= col("__lid")
