@@ -413,7 +413,13 @@ object Cli {
     p.models.foreach(m => graft.functions.AiFunctions.registerModel(spark, m.name, m.options))
 
     val registry = new SchemaRegistry(SchemaChangeBehavior.of(p.schemaChangeBehavior))
-    val buckets = p.sink.options.getOrElse("buckets", "32").toInt
+    // `buckets: auto` derives the count from the first batch and pins it in
+    // the table's layout meta (scale-adaptive file sizing); an explicit
+    // integer stays supported for pinned layouts
+    val buckets = p.sink.options.getOrElse("buckets", "32") match {
+      case "auto" => ParquetUpsertSink.AutoBuckets
+      case n => n.toInt
+    }
     val sink0: graft.sinks.CdcSink = p.sink.kind match {
       case "kafka" => new graft.sinks.KafkaChangelogSink(
         p.sink.options.getOrElse("properties.bootstrap.servers",

@@ -34,10 +34,26 @@ object SparkEntry {
   // §5/§6: listing and planning are single-process driver work) while
   // every action still scans the parquet — nothing about RESULTS is
   // cached, exactly like a catalog table's resolved relation.
-  private val tableCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
-    tableCache.computeIfAbsent(s"${System.identityHashCode(spark)}/$dir/$name",
+  // keyed on the SESSION OBJECT (r20, advisor note): identityHashCode is not
+  // unique — two live sessions could collide and hand a query a DataFrame
+  // bound to the wrong (or a stopped) session. The outer map is weak-keyed,
+  // so a stopped session and its file-listing snapshot can be collected
+  // instead of pinning the JVM for its lifetime.
+  private val tableCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame = {
+    val perSession = tableCache.synchronized {
+      var m = tableCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tableCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name",
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Flagship: the minimum end-to-end YAML pipeline slice (SURVEY.md §7.3)
     * on sf0.001; driver smoke-checks rows>0.
@@ -255,7 +271,10 @@ object SparkEntry {
         "user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
         .copy(primaryKeys = Seq("user_id"))
       val out = java.nio.file.Files.createTempDirectory("graft-stream-steady").toString
-      val sink = new graft.sinks.ParquetUpsertSink(out, buckets = 32)
+      // scale-adaptive layout: bucket count derived from the snapshot batch
+      // and pinned in the table's layout meta (r20; guide §6 file sizing)
+      val sink = new graft.sinks.ParquetUpsertSink(out,
+        buckets = graft.sinks.ParquetUpsertSink.AutoBuckets)
       val pipe = new graft.streaming.StreamingPipeline(
         new graft.operators.SchemaRegistry(), sink = sink)
       pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
@@ -1043,7 +1062,9 @@ object SparkEntry {
         "user_id" -> "BIGINT", "event_type" -> "STRING", "value" -> "DOUBLE")
         .copy(primaryKeys = Seq("user_id"))
       val out = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
-      val sink = new ParquetUpsertSink(out, buckets = 32)
+      // scale-adaptive layout: bucket count derived from the snapshot batch
+      // and pinned in the table's layout meta (r20; guide §6 file sizing)
+      val sink = new ParquetUpsertSink(out, buckets = ParquetUpsertSink.AutoBuckets)
       val pipe = new StreamingPipeline(new graft.operators.SchemaRegistry(), sink = sink)
       pipe.applySchemaChange(graft.model.CreateTableEvent(srcId, schema))
       pipe.processBatch(graft.sinks.ChangelogJson.debezium(eventsChangelog(spark, dir), srcId), 0L)
@@ -2350,17 +2371,37 @@ object SparkEntry {
       // date (this fixture has no l_commitdate/l_receiptdate, same
       // convention as q4). The oracle runs the classic EXISTS/NOT EXISTS
       // form, independently validating the decorrelation.
+      // the explicit suppkey not-null filter does double duty: it keeps the
+      // fold's group-count semantics identical to the countDistinct it
+      // replaces (countDistinct ignores nulls; a groupBy would count a
+      // null-key group), and it makes BOTH legs' scan predicates equal —
+      // without it the supplier join infers isnotnull(l_suppkey) into only
+      // leg1's scan and the otherwise-identical exchange subtrees stop
+      // canonicalizing equal, killing the reuse below
       val lo = t(dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .where(col("l_suppkey").isNotNull)
         .join(t(dir, "orders").where(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
-      lo.where(col("is_late"))
-        .select("l_orderkey", "l_suppkey").distinct()
+      // BOTH legs fold onto ONE per-(order, supplier) aggregate: n_supp =
+      // count of its rows per order, n_late = count of its late rows (a
+      // supplier is "late" iff ANY of its lines is — exactly what the old
+      // countDistinct(when(is_late, suppkey)) counted), and the late-pair
+      // distinct IS its late rows. The two consumers then share an
+      // IDENTICAL exchange subtree, so ReuseExchange computes the
+      // lineitem ⋈ orders scan + partial aggregate ONCE where the previous
+      // shape (differently-shaped aggregates per leg) ran it twice (r20;
+      // guide §2.4 share-one-exchange). The oracle runs the classic
+      // EXISTS/NOT EXISTS form, independently validating this fold.
+      val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("is_late")).as("late"))
+      val perOrder = perSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("late"), lit(1))).as("n_late"))
+      perSupp.where(col("late"))
+        .select("l_orderkey", "l_suppkey")
         .join(perOrder, col("l_orderkey") === col("po_orderkey"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
         .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))

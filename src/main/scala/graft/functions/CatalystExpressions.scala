@@ -49,6 +49,95 @@ object CdcExprHelpers {
 
   def hash64(s: UTF8String): Long = Dedup.hash64(s.toString)
 
+  /** Top-level JSON integer-field extract + long cast in ONE byte scan —
+    * the fused form of `get_json_object(record, '$.key').cast('long')`,
+    * which runs a full Jackson parse of every record just to read one
+    * envelope field ([[graft.sources.StartupOptions]]'s per-record offset
+    * filter). Single pass over the UTF-8 bytes tracking depth and in-string
+    * state; ASCII structural bytes never collide with UTF-8 continuation
+    * bytes, so no decode is needed. The long cast delegates to
+    * `UTF8String.toLong` — TRY_CAST semantics (null on a malformed token),
+    * which is what a startup filter wants: under ANSI (the Spark 4 default)
+    * the plain `.cast("long")` it replaces would CRASH the pipeline on one
+    * malformed line, while those lines belong to the dead-letter path.
+    *
+    * Parity contract (vs get_json_object + try_cast): identical for records
+    * whose top-level `key` value is an unescaped scalar — the debezium
+    * envelope's `ts_ms`/offset fields are always plain integers (pinned by
+    * CatalystExpressionsSpec). Documented divergences, all on inputs no
+    * JSON serializer emits for these envelopes: escaped key spellings
+    * (`"ts_ms"`) are not matched, and escaped content inside a quoted
+    * value yields null.
+    */
+  def jsonLongField(s: UTF8String, key: Array[Byte]): java.lang.Long = {
+    val n = s.numBytes
+    var i = 0
+    var depth = 0
+    var inStr = false
+    def ws(b: Byte): Boolean = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def matchesKey(at: Int): Boolean = {
+      if (at + key.length >= n || s.getByte(at + key.length) != '"') return false
+      var k = 0
+      while (k < key.length) {
+        if (s.getByte(at + k) != key(k)) return false
+        k += 1
+      }
+      true
+    }
+    // parse the scalar token at j as Spark's string->long cast would
+    def tokenLong(j0: Int): java.lang.Long = {
+      var j = j0
+      if (j >= n) return null
+      val quoted = s.getByte(j) == '"'
+      if (quoted) j += 1
+      val start = j
+      if (quoted) {
+        while (j < n && s.getByte(j) != '"') {
+          if (s.getByte(j) == '\\') return null // escaped content: not an integer
+          j += 1
+        }
+      } else {
+        while (j < n && { val b = s.getByte(j)
+          b != ',' && b != '}' && b != ']' && !ws(b) }) j += 1
+      }
+      if (j == start) return null
+      val tok = new Array[Byte](j - start)
+      var k = 0
+      while (k < tok.length) {
+        val b = s.getByte(start + k)
+        // integer tokens only: UTF8String.toLong TRUNCATES "1.5" to 1 (the
+        // Hive LazyLong lineage) where try_cast rejects it — pre-reject so
+        // the parity with try_cast(... AS long) holds on non-integers too
+        if (b == '.' || b == 'e' || b == 'E') return null
+        tok(k) = b; k += 1
+      }
+      val w = new UTF8String.LongWrapper
+      if (UTF8String.fromBytes(tok).toLong(w)) java.lang.Long.valueOf(w.value) else null
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      if (inStr) {
+        if (b == '\\') i += 1
+        else if (b == '"') inStr = false
+        i += 1
+      } else if (b == '{' || b == '[') { depth += 1; i += 1 }
+      else if (b == '}' || b == ']') { depth -= 1; i += 1 }
+      else if (b == '"') {
+        if (depth == 1 && matchesKey(i + 1)) {
+          var j = i + 1 + key.length + 1 // past the closing quote
+          while (j < n && ws(s.getByte(j))) j += 1
+          if (j < n && s.getByte(j) == ':') {
+            j += 1
+            while (j < n && ws(s.getByte(j))) j += 1
+            return tokenLong(j) // first top-level occurrence wins, like Jackson
+          }
+        }
+        inStr = true; i += 1 // an ordinary string (value, or a non-matching key)
+      } else i += 1
+    }
+    null
+  }
+
   /** Static entry the generated code calls: text → distinct shingle hashes. */
   def shingleData(s: UTF8String, shingleSize: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Dedup.shingleHashes(s.toString, shingleSize))
@@ -546,6 +635,38 @@ case class RegexTokens(child: Expression, pattern: String = "\\W+",
   override protected def withNewChildInternal(newChild: Expression): RegexTokens =
     copy(child = newChild)
   override def prettyName: String = "regex_tokens"
+}
+
+/** `JSON_LONG_FIELD(record)` — top-level `"field": <integer>` extract plus
+  * long cast in ONE byte scan of the raw record: the fused form of
+  * `get_json_object(record, '$.field').cast('long')`, whose Jackson parse
+  * of the whole record per row dominated the startup-offset filter
+  * ([[graft.sources.StartupOptions]], r20; guide §4's expensive-expression
+  * stance — the envelope scan is the expression). Parity contract with the
+  * fused pair is documented on [[CdcExprHelpers.jsonLongField]].
+  */
+case class JsonLongField(child: Expression, field: String)
+    extends UnaryExpression {
+  @transient private lazy val keyBytes = field.getBytes("UTF-8")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // absent field, or non-integer value
+  override def nullSafeEval(input: Any): Any =
+    CdcExprHelpers.jsonLongField(input.asInstanceOf[UTF8String], keyBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonKey", keyBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("jlf")
+      s"""java.lang.Long $boxed = graft.functions.CdcExprHelpers.jsonLongField($c, $ref);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonLongField =
+    copy(child = newChild)
+  override def prettyName: String = "json_long_field"
 }
 
 /** `CMS_ESTIMATE(token)` with a bound sketch table — the count-min point
@@ -1248,6 +1369,8 @@ object CdcExpressions {
     GraftBridge.column(CharBitmap64(GraftBridge.expression(text)))
   def hash64(text: Column): Column =
     GraftBridge.column(Hash64(GraftBridge.expression(text)))
+  def jsonLongField(record: Column, field: String): Column =
+    GraftBridge.column(JsonLongField(GraftBridge.expression(record), field))
   def mix64(h: Column): Column =
     GraftBridge.column(Mix64(GraftBridge.expression(h)))
   def shingleHashes(text: Column, shingleSize: Int = 3): Column =

@@ -335,9 +335,25 @@ object Dedup {
     * so no future batch can quadratically explode against them; singleton
     * buckets stay (a new doc can match a so-far-unique one).
     */
+  /** `numPartitions` sentinel: derive the bucket layout's disk-partition
+    * count from the materialized sigs size at build and resolve it from the
+    * index's `_layout` meta at probe/append/compact time (r20; guide §6).
+    */
+  val AutoPartitions: Int = 0
+
+  /** The index's on-disk partition count: its `_layout` meta when present
+    * (layout is ground truth — a mismatched caller constant silently prunes
+    * the wrong partitions), else the caller's value (pre-meta index), with
+    * the historical 64 for [[AutoPartitions]].
+    */
+  private def indexLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                          numPartitions: Int): Int =
+    IndexMaintenance.resolveLayout(IndexMaintenance.fsOf(path, spark), path,
+      if (numPartitions == AutoPartitions) 64 else numPartitions)
+
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                         shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                        maxBucketSize: Int = 64, numPartitions: Int = 64): Unit = {
+                        maxBucketSize: Int = 64, numPartitions: Int = AutoPartitions): Unit = {
     // (r19: pushing the range exchange BELOW the signature projection —
     // hash once, sample on raw text — measured neutral-to-slower here and
     // trades sig-bytes shuffle for text-bytes shuffle at scale; kept the
@@ -345,6 +361,15 @@ object Dedup {
     val sigs = signatures(df, idCol, textCol, shingleSize, numHashes)
     sigs.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$path/sigs")
+    // scale-adaptive layout, pinned in the index meta: derived from the
+    // just-written sigs bytes (driver-side listing, no job) — a 5 MB local
+    // corpus gets ONE bucket dir instead of a constant 64-way small-file
+    // fan-out; a web corpus gets thousands for listing-level probe pruning
+    val fs = IndexMaintenance.fsOf(path, df.sparkSession)
+    val p = if (numPartitions == AutoPartitions)
+      IndexMaintenance.derivePartitions(fs, new org.apache.hadoop.fs.Path(s"$path/sigs"))
+    else numPartitions
+    IndexMaintenance.writeLayout(fs, path, p)
     // derive the band buckets from the JUST-WRITTEN sigs asset, not the
     // lineage: the signature pass already ran twice for the write above
     // (range-sample + output), and re-deriving from lineage would hash the
@@ -359,7 +384,7 @@ object Dedup {
       .withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(p)))
       .repartition(col("pbucket")) // one writer wave per disk partition, no small files
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/buckets")
   }
@@ -377,8 +402,9 @@ object Dedup {
     */
   def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                            shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                           maxBucketSize: Int = 64, numPartitions: Int = 64,
+                           maxBucketSize: Int = 64, numPartitions: Int = AutoPartitions,
                            leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
+    val p = indexLayout(df.sparkSession, path, numPartitions)
     // An append racing a compaction is silent data loss, not a crash: bucket
     // rows landing in the live dir after the rebuild's read are dropped by
     // the swap (their sigs survive, so probes MISS those docs until the next
@@ -406,7 +432,7 @@ object Dedup {
           .withColumn("__bsz", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
           .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-          .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+          .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(p)))
           .repartition(col("pbucket"))
           .write.mode("append").partitionBy("pbucket").parquet(s"$path/buckets")
       } finally { sigs.unpersist(); () }
@@ -446,10 +472,14 @@ object Dedup {
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, idCol: String,
                           path: String, bands: Int = 32, maxBucketSize: Int = 64,
-                          numPartitions: Int = 64,
+                          numPartitions: Int = AutoPartitions,
                           leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
                           maxRebuilds: Int = 5): Unit = {
     val fs = IndexMaintenance.fsOf(path, spark)
+    // layout resolved from the index meta, never re-derived: the meta is
+    // immutable for the index lifetime so probes racing this compaction
+    // keep pruning with the correct modulus
+    val p = indexLayout(spark, path, numPartitions)
     val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
     val old = new org.apache.hadoop.fs.Path(s"$path/buckets.old")
     val next = new org.apache.hadoop.fs.Path(s"$path/buckets.compact")
@@ -463,7 +493,7 @@ object Dedup {
         .withColumn("__bsz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
         .where(col("__bsz") <= maxBucketSize).drop("__bsz")
-        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+        .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(p)))
         .repartition(col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket").parquet(next.toString)
     }
@@ -477,7 +507,7 @@ object Dedup {
     */
   def indexProbe(newDf: DataFrame, idCol: String, textCol: String, path: String,
                  shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                 numPartitions: Int = 64,
+                 numPartitions: Int = AutoPartitions,
                  leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame =
     probeFromSigs(signatures(newDf, idCol, textCol, shingleSize, numHashes),
       idCol, path, bands, numPartitions, leaseMs)
@@ -485,6 +515,7 @@ object Dedup {
   private def probeFromSigs(newSigs: DataFrame, idCol: String, path: String,
                             bands: Int, numPartitions: Int, leaseMs: Long): DataFrame = {
     val spark = newSigs.sparkSession
+    val p = indexLayout(spark, path, numPartitions)
     // A compaction that died between its two swap renames leaves no live
     // buckets dir. When no maintainer is LIVE (no lease, or a stale one —
     // a dead maintainer's lock must not turn every probe into an error),
@@ -501,7 +532,7 @@ object Dedup {
     val newBuckets = newSigs.select(col(idCol).as("id"),
         posexplode(graft.functions.CdcExpressions.minhashBands(col("sig"), bands))
           .as(Seq("band", "bucket")))
-      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(numPartitions)))
+      .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(p)))
     val touched = newBuckets.select("pbucket").distinct()
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(s"$path/buckets")
@@ -528,7 +559,7 @@ object Dedup {
     */
   def incrementalCandidates(newDf: DataFrame, idCol: String, textCol: String, path: String,
                             shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                            threshold: Double = 0.8, numPartitions: Int = 64,
+                            threshold: Double = 0.8, numPartitions: Int = AutoPartitions,
                             maxIdPushdown: Int = 100000,
                             leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     val spark = newDf.sparkSession
@@ -565,7 +596,7 @@ object Dedup {
     */
   def incrementalDedup(newDf: DataFrame, idCol: String, textCol: String, path: String,
                        shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                       threshold: Double = 0.8, numPartitions: Int = 64,
+                       threshold: Double = 0.8, numPartitions: Int = AutoPartitions,
                        maxIdPushdown: Int = 100000,
                        leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     val doomed = incrementalCandidates(newDf, idCol, textCol, path,
@@ -631,6 +662,13 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
         .localCheckpoint()
+      // (r20 measured dead end: fusing this isEmpty probe into the round's
+      // materialization via persist()+changed-count-aggregate — one job per
+      // round instead of two — ran 1.3x SLOWER in-JVM interleaved A/B
+      // (0.94 vs 0.73 s on the sf0.1 minhash-cluster graph): the columnar
+      // InMemoryRelation build costs more than localCheckpoint's block write
+      // plus the limit-1 isEmpty scan of checkpointed blocks. Do not retry
+      // without an RDD-level side-channel for the changed count.)
       converged = round.where(col("__changed")).isEmpty
       labels = round.drop("__changed")
       i += 1

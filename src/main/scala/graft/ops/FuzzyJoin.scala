@@ -241,25 +241,49 @@ object FuzzyJoin {
       col("__len").as("len"), col("__sig").as("sig"),
       pmod(xxhash64(col("gram")), lit(numPartitions)).as("pbucket"))
 
+  /** `numPartitions` sentinel: derive the block layout's disk-partition
+    * count from the materialized string store at build time and resolve it
+    * from the index's `_layout` meta on probe/append/compact (r20; the
+    * Dedup minhash-index contract).
+    */
+  val AutoPartitions: Int = 0
+
+  /** The index's on-disk partition count: its `_layout` meta when present
+    * (layout is ground truth — a mismatched caller constant silently prunes
+    * the wrong partitions), else the caller's value (pre-meta index), with
+    * the historical 64 for [[AutoPartitions]].
+    */
+  private def indexLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+                          numPartitions: Int): Int =
+    IndexMaintenance.resolveLayout(IndexMaintenance.fsOf(path, spark), path,
+      if (numPartitions == AutoPartitions) 64 else numPartitions)
+
   /** Build the persisted index over `df`: freeze the gram order, write the
     * blocking prefix and the string store.
     */
   def writeIndex(df: DataFrame, idCol: String, strCol: String, path: String,
                  n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
-                 numPartitions: Int = 64): Unit = {
+                 numPartitions: Int = AutoPartitions): Unit = {
     val strs = slimStrs(df, idCol, strCol, n)
     strs.select(col("__id").as("id"), col("__s").as("s"))
       .repartitionByRange(col("id")).sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$path/strings")
+    // scale-adaptive layout pinned in the index meta (see AutoPartitions):
+    // derived from the just-written string store (driver-side listing)
+    val fs = IndexMaintenance.fsOf(path, df.sparkSession)
+    val p = if (numPartitions == AutoPartitions)
+      IndexMaintenance.derivePartitions(fs, new org.apache.hadoop.fs.Path(s"$path/strings"))
+    else numPartitions
+    IndexMaintenance.writeLayout(fs, path, p)
     val gramPos = gramsOf(strs, n)
     val gramdf = gramPos.select("gram", "__id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("__df"))
-      .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
+      .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(p)))
     gramdf.repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/gramdf")
     val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
       .select("gram", "__df")
-    withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), numPartitions)
+    withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), p)
       .repartition(col("pbucket")) // one writer wave per disk partition
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/block/prefix")
   }
@@ -273,8 +297,9 @@ object FuzzyJoin {
     */
   def appendToIndex(df: DataFrame, idCol: String, strCol: String, path: String,
                     n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
-                    numPartitions: Int = 64,
+                    numPartitions: Int = AutoPartitions,
                     leaseMs: Long = IndexMaintenance.DefaultLeaseMs): Unit = {
+    val p = indexLayout(df.sparkSession, path, numPartitions)
     val fs = IndexMaintenance.fsOf(path, df.sparkSession)
     val marker = IndexMaintenance.beginAppend(fs, path, leaseMs)
     try {
@@ -284,7 +309,7 @@ object FuzzyJoin {
         .write.mode("append").parquet(s"$path/strings")
       val frozen = df.sparkSession.read.parquet(s"$path/block/gramdf")
         .select("gram", "__df")
-      withBucket(prefixOf(gramsOf(strs, n), frozen, n, maxDist, dfCap), numPartitions)
+      withBucket(prefixOf(gramsOf(strs, n), frozen, n, maxDist, dfCap), p)
         .repartition(col("pbucket"))
         .write.mode("append").partitionBy("pbucket").parquet(s"$path/block/prefix")
     } finally IndexMaintenance.endAppend(fs, marker)
@@ -298,10 +323,13 @@ object FuzzyJoin {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
-                   numPartitions: Int = 64,
+                   numPartitions: Int = AutoPartitions,
                    leaseMs: Long = IndexMaintenance.DefaultLeaseMs,
                    maxRebuilds: Int = 5): Unit = {
     val fs = IndexMaintenance.fsOf(path, spark)
+    // layout resolved from the index meta, never re-derived: probes racing
+    // this compaction must keep pruning with the correct modulus
+    val p = indexLayout(spark, path, numPartitions)
     val live = new org.apache.hadoop.fs.Path(s"$path/block")
     val old = new org.apache.hadoop.fs.Path(s"$path/block.old")
     val next = new org.apache.hadoop.fs.Path(s"$path/block.compact")
@@ -313,11 +341,11 @@ object FuzzyJoin {
       val gramPos = gramsOf(strs, n)
       val gramdf = gramPos.select("gram", "__id").distinct()
         .groupBy("gram").agg(count(lit(1)).as("__df"))
-        .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(numPartitions)))
+        .withColumn("pbucket", pmod(xxhash64(col("gram")), lit(p)))
       gramdf.repartition(col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/gramdf")
       val frozen = spark.read.parquet(s"$next/gramdf").select("gram", "__df")
-      withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), numPartitions)
+      withBucket(prefixOf(gramPos, frozen, n, maxDist, dfCap), p)
         .repartition(col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket").parquet(s"$next/prefix")
     }
@@ -390,7 +418,7 @@ object FuzzyJoin {
     */
   def indexProbe(df: DataFrame, idCol: String, strCol: String, path: String,
                  n: Int = 3, maxDist: Int = 2, dfCap: Int = Int.MaxValue,
-                 numPartitions: Int = 64, maxIdPushdown: Int = 100000,
+                 numPartitions: Int = AutoPartitions, maxIdPushdown: Int = 100000,
                  leaseMs: Long = IndexMaintenance.DefaultLeaseMs): DataFrame = {
     val spark = df.sparkSession
     val fs = IndexMaintenance.fsOf(path, spark)
@@ -398,7 +426,8 @@ object FuzzyJoin {
       new org.apache.hadoop.fs.Path(s"$path/block"),
       new org.apache.hadoop.fs.Path(s"$path/block.old"), leaseMs)
     val strs = slimStrs(df, idCol, strCol, n)
-    val pairs = probePairs(df, idCol, strCol, path, n, maxDist, dfCap, numPartitions)
+    val pairs = probePairs(df, idCol, strCol, path, n, maxDist, dfCap,
+        indexLayout(spark, path, numPartitions))
       .localCheckpoint()
     val strStore = spark.read.parquet(s"$path/strings")
     val candIds = pairs.select("match_id").distinct().limit(maxIdPushdown + 1)

@@ -109,6 +109,67 @@ object IndexMaintenance {
   /** Directory of in-flight append markers under an index root. */
   private[graft] def appendMarkerDir(path: String): Path = new Path(s"$path/_appends")
 
+  // ---------- partition-count layout meta (r20) ----------
+  //
+  // The disk-partition count of a bucketed index is a LAYOUT property of the
+  // index, not of the caller: a probe hashing its keys with a different
+  // modulus than the build prunes the wrong partitions and silently loses
+  // recall. The count is therefore persisted at build time in `_layout`
+  // under the index root and every probe/append/compaction resolves it from
+  // there; the caller's parameter is only the fallback for pre-meta indexes.
+  // The meta is immutable for the index's lifetime (compaction restores the
+  // bucket cap, never the layout — a racing probe would otherwise prune with
+  // a stale modulus), so it is cached per (fs-independent) path.
+
+  private[graft] val LayoutFile = "_layout"
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Persist the index's partition-count layout (build-time; overwrites —
+    * a full index rebuild may re-derive). Also primes the JVM cache.
+    */
+  def writeLayout(fs: FileSystem, path: String, numPartitions: Int): Unit = {
+    val out = fs.create(new Path(s"$path/$LayoutFile"), true)
+    try out.write(numPartitions.toString.getBytes("UTF-8")) finally out.close()
+    layoutCache.put(path, numPartitions)
+    ()
+  }
+
+  /** The index's persisted partition count, else `fallback` (a pre-meta
+    * index laid out by the caller's own constant). Only META-READ values are
+    * cached — a meta-less index stays governed by each caller's parameter
+    * (caching the fallback would pin the FIRST caller's constant on every
+    * later one). The meta itself is immutable, and probes run per
+    * micro-batch, so the cache saves one small-file open per probe.
+    */
+  def resolveLayout(fs: FileSystem, path: String, fallback: => Int): Int = {
+    val cached = layoutCache.get(path)
+    if (cached != null) cached.intValue()
+    else {
+      val lp = new Path(s"$path/$LayoutFile")
+      if (fs.exists(lp)) {
+        val in = fs.open(lp)
+        val p = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+                finally in.close()
+        layoutCache.put(path, p)
+        p
+      } else fallback
+    }
+  }
+
+  /** Scale-adaptive partition count from the materialized source bytes of
+    * the index (driver-side listing, no job): one disk partition per
+    * `bytesPerPartition` of source, clamped to [1, 4096] — small corpora get
+    * one output dir instead of a constant 64-way small-file fan-out, and a
+    * 100 TB corpus gets thousands of partitions for listing-level pruning
+    * (guide §6 file sizing).
+    */
+  def derivePartitions(fs: FileSystem, sourceDir: Path,
+                       bytesPerPartition: Long = 64L * 1024 * 1024): Int = {
+    val bytes = try fs.getContentSummary(sourceDir).getLength
+                catch { case _: java.io.FileNotFoundException => 0L }
+    math.max(1L, math.min(4096L, (bytes + bytesPerPartition - 1) / bytesPerPartition)).toInt
+  }
+
   /** Publish an append-epoch marker, THEN check the maintainer lease —
     * in that order, so that by the time any append data hits the disk its
     * marker is already visible to a compactor's quiescence check. The

@@ -38,6 +38,19 @@ object Spread {
     */
   val ConfKey = "spark.graft.spread"
 
+  /** Probe result per logical plan (r20, advisor note): `optimizedPlan` is
+    * an analyze+optimize pass and the scan-shaped `.rdd` a physical compile —
+    * recurring driver overhead when a hot caller (per-micro-batch wire
+    * encodes, the bench's repeated query builds) re-probes an identical
+    * plan. Weak structural keys: equal plans share one probe, and entries
+    * die with their plans instead of growing per batch. The conf toggle and
+    * the session parallelism are deliberately NOT cached — the A/B
+    * kill-switch must keep working mid-session.
+    */
+  private final case class Probe(scanShaped: Boolean, scanParts: Int)
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Probe]())
+
   def across(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     // a streaming side has no .rdd before execution — it keeps its source
@@ -45,16 +58,22 @@ object Spread {
     if (df.isStreaming) return df
     if (!df.sparkSession.conf.get(ConfKey, "true").toBoolean) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val scanShaped = !df.queryExecution.optimizedPlan.exists {
-      case n if n.subqueries.nonEmpty => true
-      case _: LeafNode | _: Project | _: Filter | _: Generate |
-           _: SubqueryAlias | _: Union | _: Sample | _: Expand |
-           _: SerializeFromObject | _: DeserializeToObject |
-           _: MapElements | _: TypedFilter => false
-      case _ => true
+    val key = df.queryExecution.logical
+    var probe = probeCache.get(key)
+    if (probe == null) {
+      val scanShaped = !df.queryExecution.optimizedPlan.exists {
+        case n if n.subqueries.nonEmpty => true
+        case _: LeafNode | _: Project | _: Filter | _: Generate |
+             _: SubqueryAlias | _: Union | _: Sample | _: Expand |
+             _: SerializeFromObject | _: DeserializeToObject |
+             _: MapElements | _: TypedFilter => false
+        case _ => true
+      }
+      probe = Probe(scanShaped, if (scanShaped) df.rdd.getNumPartitions else -1)
+      probeCache.put(key, probe)
     }
-    if (scanShaped) {
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (probe.scanShaped) {
+      if (probe.scanParts < p) df.repartition(p) else df
     } else {
       val width = scala.util.Try(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)

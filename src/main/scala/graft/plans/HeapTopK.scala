@@ -53,8 +53,18 @@ import org.apache.spark.sql.types.IntegerType
   * (the knn join's is 24 bytes/row) and size the group count per
   * partition (for a broadcast probe side every partition sees every
   * group; a shuffled-on-centroid probe side sees |L|·nprobe/width).
+  * The contract is ENFORCED (r20): retained bytes are accounted per
+  * partition and crossing [[HeapTopK.MaxRetainedBytesConf]] (default
+  * 256 MB) fails FAST with a sizing message naming the levers — a loud
+  * plan-shape error instead of an opaque executor OOM minutes later. A
+  * sort-based fallback was considered and rejected: switching mid-stream
+  * would first have to buffer the very rows whose size is the problem.
   */
 object HeapTopK {
+
+  /** Per-partition retained-bytes budget for the heap pass (Spark conf). */
+  val MaxRetainedBytesConf = "spark.graft.heapTopK.maxRetainedBytes"
+  val DefaultMaxRetainedBytes: Long = 256L * 1024 * 1024
 
   /** Exact per-group top-k with ranks: `k` best rows per `groupCols`
     * group under `orderCols`, plus a 1-based `rankCol` (row_number
@@ -128,6 +138,8 @@ case class HeapTopKPerGroupExec(
     val k = limit
     val childOut = child.output
     val rank = rankAttr
+    val budget = scala.util.Try(conf.getConfString(HeapTopK.MaxRetainedBytesConf).toLong)
+      .getOrElse(HeapTopK.DefaultMaxRetainedBytes)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOut)
       // the EXACT window comparator: codegen'd catalyst ordering over the
@@ -138,15 +150,29 @@ case class HeapTopKPerGroupExec(
       // that enter a heap pay it
       val toUnsafe = UnsafeProjection.create(childOut, childOut)
       val heaps = new java.util.LinkedHashMap[UnsafeRow, BoundedRowHeap]()
+      // retained-rows budget (the documented memory contract, enforced):
+      // groups × k UnsafeRow copies are NOT spillable, so crossing the
+      // budget must fail loudly with the levers, not OOM the executor
+      var retained = 0L
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var h = heaps.get(key)
         if (h == null) {
           h = new BoundedRowHeap(k, cmp)
-          heaps.put(key.copy(), h)
+          val kc = key.copy()
+          heaps.put(kc, h)
+          retained += kc.getSizeInBytes
         }
-        h.offer(row, toUnsafe)
+        retained += h.offer(row, toUnsafe)
+        if (retained > budget) {
+          throw new IllegalStateException(
+            s"HeapTopK retained-rows budget exceeded: ${heaps.size()} groups x k=$k " +
+            s"rows held $retained bytes in one partition (> $budget). The heap pass " +
+            "trades the window sort for non-spillable per-group state — reduce it by " +
+            "projecting the stream to slimmer columns, shuffling the probe side by the " +
+            s"group key before the pass, lowering k, or raising ${HeapTopK.MaxRetainedBytesConf}.")
+        }
       }
       val groups = heaps.values().iterator()
       rank match {
@@ -198,18 +224,27 @@ private[plans] final class BoundedRowHeap(k: Int,
   private var a = new Array[InternalRow](math.min(k, 16))
   private var n = 0
 
-  def offer(row: InternalRow, toUnsafe: UnsafeProjection): Unit = {
+  /** Offers the row; returns the retained-bytes DELTA (admission adds the
+    * copy's size, a replacement adds the size difference, a rejection is 0)
+    * so the partition loop can enforce its budget without re-walking heaps.
+    */
+  def offer(row: InternalRow, toUnsafe: UnsafeProjection): Long = {
     if (n < k) {
       if (n == a.length) {
         a = java.util.Arrays.copyOf(a, math.min(k.toLong, 2L * n).toInt)
       }
-      a(n) = toUnsafe(row).copy()
+      val c = toUnsafe(row).copy()
+      a(n) = c
       siftUp(n)
       n += 1
+      c.getSizeInBytes.toLong
     } else if (cmp.compare(row, a(0)) < 0) {
-      a(0) = toUnsafe(row).copy()
+      val old = a(0).asInstanceOf[UnsafeRow].getSizeInBytes
+      val c = toUnsafe(row).copy()
+      a(0) = c
       siftDown()
-    }
+      c.getSizeInBytes.toLong - old
+    } else 0L
   }
 
   /** Retained rows, heap order (partial pass — downstream re-orders). */

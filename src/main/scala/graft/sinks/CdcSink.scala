@@ -78,25 +78,78 @@ final class ValuesSink(val db: ValuesDatabase) extends CdcSink {
   * the merge path ALSO coerces (cast + null-pad) on read as a belt-and-
   * braces for state that lags after a crash between DDL and rewrite.
   *
-  * `buckets > 0` partitions state by `pmod(xxhash64(pk), buckets)`: a batch
+  * Bucketed mode partitions state by `pmod(xxhash64(pk), buckets)`: a batch
   * then reads and rewrites ONLY the PK-hash partitions it touches (partition
   * pruning on read, dynamic partition overwrite on write) — merge cost scales
   * with batch footprint, not table size. At 100 TB this is the difference
   * between O(state) and O(touched-buckets) per micro-batch; a production
   * deployment swaps in Delta/Iceberg MERGE behind the same interface.
+  *
+  * The bucket count is a LAYOUT property of the table, not of the writer: it
+  * is persisted in a `<table>.layout` meta file at state creation and every
+  * later write/merge resolves it from there — a writer configured with a
+  * different constant can no longer silently prune against the wrong modulus
+  * (r20). Pass [[ParquetUpsertSink.AutoBuckets]] to derive the count from the
+  * first batch's size (one bucket per [[ParquetUpsertSink.RowsPerBucketConf]]
+  * rows, guide §6 scale-adaptive file sizing): a 100 k-row local fixture gets
+  * 1 bucket — one output file per merge, no 32-way small-file fan-out — while
+  * a 10^9-row production snapshot gets ~2000, keeping per-bucket files in the
+  * 10^5-10^6-row (~64-128 MB) range either way.
   */
 class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
+  import ParquetUpsertSink.{AutoBuckets, MaxDerivedBuckets, RowsPerBucketConf, SwapReady}
 
   private val BucketCol = "__bucket"
   // concurrent per-table writes are fine; same-table writes must serialize
   // (N→1 routes can hit one sink table from several sources in a batch)
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // resolved bucket count per table path (meta file wins over the constructor)
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   def tablePath(id: TableId): String =
     s"$rootDir/${Seq(id.namespace, id.schemaName, id.tableName).filter(_.nonEmpty).mkString("__")}"
 
-  private def withBucket(df: DataFrame, pks: Seq[String]): DataFrame =
-    df.withColumn(BucketCol, pmod(xxhash64(pks.map(col): _*), lit(buckets.toLong)).cast("int"))
+  private def layoutPath(path: String) = new org.apache.hadoop.fs.Path(path + ".layout")
+
+  /** Bucket count this table's state is laid out with: the `.layout` meta
+    * file when present (the on-disk layout is ground truth — a writer whose
+    * constant disagrees would prune state reads with the wrong modulus and
+    * lose rows), else the constructor's value, deriving it from the first
+    * batch when that is [[AutoBuckets]]. Cached per table; the meta read is
+    * one small-file open on the table's first write in this JVM.
+    */
+  private def effectiveBuckets(spark: org.apache.spark.sql.SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem, path: String,
+                               stateExists: Boolean, incoming: DataFrame): Int =
+    layoutCache.computeIfAbsent(path, _ => {
+      val lp = layoutPath(path)
+      if (fs.exists(lp)) {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else if (buckets == AutoBuckets) {
+        require(!stateExists, s"state at $path predates its layout meta; " +
+          "recreate it or construct the sink with its explicit bucket count")
+        val target = spark.conf.getOption(RowsPerBucketConf).map(_.toLong).getOrElse(524288L)
+        val rows = incoming.count() // first write only; fills the batch cache
+        math.max(1L, math.min(MaxDerivedBuckets.toLong, (rows + target - 1) / target)).toInt
+      } else buckets
+    }: Integer)
+
+  /** Persist the resolved bucket count next to the state dir (sibling file:
+    * it must survive the per-bucket swaps and the DDL rewrite of the dir).
+    */
+  private def writeLayoutIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String, m: Int): Unit = {
+    val lp = layoutPath(path)
+    if (!fs.exists(lp)) {
+      val out = fs.create(lp, true)
+      try out.write(m.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def withBucket(df: DataFrame, pks: Seq[String], m: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(xxhash64(pks.map(col): _*), lit(m.toLong)).cast("int"))
 
   /** Coerce on-disk state (possibly older schema) to the evolved shape and
     * stamp it as lowest-seq inserts so batch rows win per PK.
@@ -168,7 +221,9 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
           val old = new org.apache.hadoop.fs.Path(path + ".old")
           fs.delete(tmp, true)
           val writer = next.write.mode("overwrite")
-          (if (buckets > 0 && next.columns.contains(BucketCol)) writer.partitionBy(BucketCol)
+          // layout-faithful: the on-disk bucket column, not the constructor
+          // constant, decides whether the rewrite keeps the partitioning
+          (if (next.columns.contains(BucketCol)) writer.partitionBy(BucketCol)
            else writer).parquet(tmp.toString)
           fs.delete(old, true)
           renameOrThrow(fs, dst, old)
@@ -192,8 +247,11 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .getOrElse(throw new IllegalStateException("no SparkSession for sink DDL"))
       val fs = hfs(spark, tablePath(id))
-      Seq("", ".tmp", ".old").foreach(sfx =>
+      Seq("", ".tmp", ".old", ".layout").foreach(sfx =>
         fs.delete(new org.apache.hadoop.fs.Path(tablePath(id) + sfx), true))
+      // a recreated table derives a fresh layout from its new first batch
+      layoutCache.remove(tablePath(id))
+      ()
     }
 
   /** All state moves go through Hadoop [[org.apache.hadoop.fs.FileSystem]] so
@@ -217,22 +275,43 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
     * reading, or the next write would treat the table as empty and destroy
     * the sole copy. A stale `.old` next to a live `dst` (died after commit,
     * before cleanup) is NOT restored; it is deleted by the commit sequence.
+    *
+    * Bucketed states recover in one of two modes (r20):
+    *  - `.tmp/.swap_ready` present — the batch's parquet write completed and
+    *    its swap phase began (the marker is created between the two, and
+    *    deleted if a swap rename fails and is rolled back): roll the batch
+    *    FORWARD by finishing the remaining per-bucket moves. The tmp contents
+    *    are complete by construction, every swap decision is final, and a
+    *    displaced bucket with no replacement dir was emptied by deletes on
+    *    purpose — nothing is ever resurrected, no per-bucket marker needed.
+    *  - no marker — a half-written tmp, or a state left by the pre-r20
+    *    protocol: restore displaced buckets whose dst is absent (rollback),
+    *    honoring that protocol's `.done_N` emptied-bucket markers.
     */
   private def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String,
                                  dst: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (!fs.exists(dst) && fs.exists(old)) renameOrThrow(fs, old, dst)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-    if (buckets > 0 && fs.exists(tmp)) {
-      fs.listStatus(tmp).filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
-        val b = s.getPath.getName.stripPrefix(".old_")
-        val bucketDst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
-        // `.done_N` marks a COMPLETED swap decision: a displaced copy whose
-        // bucket was legitimately emptied by deletes (dst stays absent by
-        // design) must NOT be resurrected — only a marker-less displaced
-        // bucket is a mid-swap crash
-        val done = new org.apache.hadoop.fs.Path(s"${tmp.toString}/.done_$b")
-        if (!fs.exists(bucketDst) && !fs.exists(done)) renameOrThrow(fs, s.getPath, bucketDst)
+    if (fs.exists(tmp)) {
+      val entries = fs.listStatus(tmp)
+      if (entries.exists(_.getPath.getName == SwapReady)) {
+        entries.filter(_.getPath.getName.startsWith(s"$BucketCol=")).foreach { s =>
+          val b = s.getPath.getName.stripPrefix(s"$BucketCol=")
+          val bucketDst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
+          if (fs.exists(bucketDst))
+            renameOrThrow(fs, bucketDst, new org.apache.hadoop.fs.Path(s"${tmp.toString}/.old_$b"))
+          renameOrThrow(fs, s.getPath, bucketDst)
+        }
+        fs.delete(tmp, true)
+        ()
+      } else {
+        entries.filter(_.getPath.getName.startsWith(".old_")).foreach { s =>
+          val b = s.getPath.getName.stripPrefix(".old_")
+          val bucketDst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
+          val done = new org.apache.hadoop.fs.Path(s"${tmp.toString}/.done_$b")
+          if (!fs.exists(bucketDst) && !fs.exists(done)) renameOrThrow(fs, s.getPath, bucketDst)
+        }
       }
     }
   }
@@ -248,10 +327,14 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
     val cols = schema.columnNames.map(col)
     val incoming = changelog.select(cols :+ col(Changelog.OpCol) :+ col(Changelog.SeqCol): _*)
 
-    if (buckets > 0) writeBucketed(spark, path, fs.exists(dst), incoming, schema)
+    val exists = fs.exists(dst)
+    val m =
+      if (buckets == 0 && !layoutCache.containsKey(path) && !fs.exists(layoutPath(path))) 0
+      else effectiveBuckets(spark, fs, path, exists, incoming)
+    if (m > 0) writeBucketed(spark, path, exists, incoming, schema, m)
     else {
       val merged =
-        if (fs.exists(dst))
+        if (exists)
           Changelog.materialize(
             stateAsInserts(spark.read.parquet(path), schema).unionByName(incoming),
             schema.primaryKeys)
@@ -284,26 +367,48 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
     * only rewrites partitions present in the OUTPUT, so a fully-deleted
     * bucket would keep its stale files — and it would read and overwrite the
     * same path in one job.
+    *
+    * Swap-phase FS traffic is batch-constant + one rename per moved dir
+    * (r20): one listing of each side replaces the per-bucket exists probes,
+    * and the single `.swap_ready` marker (created between the completed
+    * parquet write and the first rename, deleted with tmp) replaces the
+    * per-bucket `.done_N` markers — recovery rolls a marker-bearing tmp
+    * FORWARD instead of restoring, see [[recoverCrashedSwap]].
     */
   private def writeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
-                            exists: Boolean, incoming: DataFrame, schema: CdcSchema): Unit = {
-    val bucketed = withBucket(incoming, schema.primaryKeys).cache()
+                            exists: Boolean, incoming: DataFrame, schema: CdcSchema,
+                            m: Int): Unit = {
+    // cache the PRE-bucket projection: both consumers (touched probe, merged
+    // write) re-derive the bucket hash from it, and the Auto-derive count on
+    // a table's first write fills the same cache instead of a second parse
+    val inc = incoming.cache()
     try {
+      val bucketed = withBucket(inc, schema.primaryKeys, m)
       val touched = bucketed.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
       val merged = if (exists) {
         // partition pruning: only the touched __bucket=N dirs are read
         val state = spark.read.parquet(path).where(col(BucketCol).isin(touched: _*))
         Changelog.materialize(
-          withBucket(stateAsInserts(state, schema), schema.primaryKeys).unionByName(bucketed),
+          withBucket(stateAsInserts(state, schema), schema.primaryKeys, m).unionByName(bucketed),
           schema.primaryKeys :+ BucketCol) // bucket is pk-functional: same groups
       } else Changelog.materialize(bucketed, schema.primaryKeys :+ BucketCol)
 
       val fs = hfs(spark, path)
       val tmp = path + ".tmp"
-      merged.repartition(col(BucketCol))
+      // one write task per touched bucket: buckets are sized to the target
+      // file size at layout derivation, so task == output file == bucket
+      // (the previous keyless-width repartition left most tasks empty when
+      // touched ≪ spark.sql.shuffle.partitions)
+      merged.repartition(math.max(touched.size, 1), col(BucketCol))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
 
       fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+      writeLayoutIfAbsent(fs, path, m)
+      val swapReady = new org.apache.hadoop.fs.Path(s"$tmp/$SwapReady")
+      val _ = fs.mkdirs(swapReady)
+      // ONE listing of each side replaces 2×touched exists round-trips
+      val existing = bucketSet(fs, path)
+      val produced = bucketSet(fs, tmp)
       touched.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b")
         val src = new org.apache.hadoop.fs.Path(s"$tmp/$BucketCol=$b")
@@ -311,26 +416,41 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
         // reader-invisible) tmp area first, so a failed swap can restore it —
         // never delete state before its replacement is in place
         val displaced = new org.apache.hadoop.fs.Path(s"$tmp/.old_$b")
-        val hadState = fs.exists(dst)
+        val hadState = existing(b)
         if (hadState) renameOrThrow(fs, dst, displaced)
-        if (fs.exists(src)) { // absent = bucket emptied by deletes
+        if (produced(b)) {
           try renameOrThrow(fs, src, dst)
           catch {
             case e: java.io.IOException =>
               if (hadState && !fs.rename(displaced, dst)) {
                 e.addSuppressed(new java.io.IOException(s"restore of bucket $b also failed"))
               }
+              // the batch did NOT commit: drop the roll-forward marker so
+              // recovery does not silently apply it later (recovery then runs
+              // in rollback mode, where the .done_N markers below protect
+              // this batch's already-final emptied buckets)
+              try { fs.delete(swapReady, true); () }
+              catch { case _: java.io.IOException => () }
               throw e
           }
+        } else if (hadState) {
+          // bucket emptied by deletes: dst stays absent BY DESIGN; the marker
+          // only matters to rollback-mode recovery (see the failure path
+          // above) — roll-forward never resurrects a displaced bucket
+          val _ = fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/.done_$b"))
         }
-        // swap decision for bucket b is final (swapped in, or emptied on
-        // purpose): the marker tells crash recovery not to restore .old_N
-        if (hadState) { val _ = fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/.done_$b")) }
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       ()
-    } finally { bucketed.unpersist(); () }
+    } finally { inc.unpersist(); () }
   }
+
+  /** Bucket ids present as `__bucket=N` child dirs (one listing). */
+  private def bucketSet(fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[Int] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
 
   def read(spark: org.apache.spark.sql.SparkSession, id: TableId): DataFrame = {
     val path = tablePath(id)
@@ -342,6 +462,22 @@ class ParquetUpsertSink(rootDir: String, buckets: Int = 0) extends CdcSink {
     val df = spark.read.parquet(path)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
+}
+
+object ParquetUpsertSink {
+  /** `buckets` sentinel: derive the bucket count from the first batch's row
+    * count — one bucket per [[RowsPerBucketConf]] rows, clamped to
+    * [1, [[MaxDerivedBuckets]]] — and persist it in the table's layout meta.
+    */
+  val AutoBuckets: Int = -1
+  /** Target rows per PK-hash bucket for [[AutoBuckets]] derivation (Spark
+    * conf; default 524288 ≈ 64-128 MB parquet at typical CDC row widths —
+    * guide §6's output-file sizing band).
+    */
+  val RowsPerBucketConf = "spark.graft.upsert.rowsPerBucket"
+  val MaxDerivedBuckets = 4096
+  /** Swap-phase-begun marker inside a batch's tmp dir (see recoverCrashedSwap). */
+  private[sinks] val SwapReady = ".swap_ready"
 }
 
 /** JDBC upsert sink: DDL via [[UpsertSql]], data via [[UpsertWriter]] —

@@ -66,6 +66,15 @@ object ChangelogJson {
     * parallelism (the 100 TB case); row SET is unchanged, row order is
     * not — every consumer keys on the in-band `ts_ms` seq, never on line
     * order (in-JVM A/B at sf0.1: roundtrip/pipeline queries 0.79-0.89x).
+    *
+    * LINE-ORDER CONTRACT (r20, advisor note): the emitted frame makes no
+    * line-order or single-part-file promise — a file sink writes one part
+    * per partition, and events with TIED `ts_ms` values interleave
+    * arbitrarily across them. Per-key replay order is carried ONLY by the
+    * in-band seq; a caller whose sequence column can tie (see the
+    * DebeziumJson caveat: pass a Kafka offset) and who needs deterministic
+    * lines must `coalesce(1).sortWithinPartitions(seq)` itself — at which
+    * point the spread is moot anyway.
     */
   def debezium(changelog: DataFrame, id: TableId): DataFrame = {
     val c = graft.ops.Spread.across(changelog)

@@ -54,7 +54,11 @@ object StartupOptions {
     */
   def apply(feed: DataFrame, mode: Mode, launchPosition: => Long,
             valueCol: String = "value"): DataFrame = {
-    lazy val ts = get_json_object(col(valueCol), "$.ts_ms").cast("long")
+    // fused top-level-field extract + cast: ONE byte scan of the record per
+    // row instead of get_json_object's full Jackson parse (r20; guide §4 —
+    // parity contract on CdcExprHelpers.jsonLongField: the envelope's ts_ms
+    // is always a plain top-level integer)
+    lazy val ts = graft.functions.CdcExpressions.jsonLongField(col(valueCol), "ts_ms")
     // records WITHOUT a ts_ms (in-band schema-change control records,
     // malformed lines) pass through: the position filter only skips
     // positioned data records — control DDL must never be lost to a
@@ -80,7 +84,7 @@ object StartupOptions {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
     if (!files.exists(_.isFile)) return 0L
     spark.read.text(path)
-      .select(max(get_json_object(col("value"), "$.ts_ms").cast("long")))
+      .select(max(graft.functions.CdcExpressions.jsonLongField(col("value"), "ts_ms")))
       .head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)

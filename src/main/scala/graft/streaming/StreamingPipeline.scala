@@ -214,7 +214,6 @@ final class StreamingPipeline(
     * PrePartition-then-buffer layout.
     */
   def processBatch(batch: DataFrame, batchId: Long, seq: Option[Column] = None): Unit = {
-    if (batch.isEmpty) return
     // in-band DDL: control records ({"__graft_schema_change__": ...}) ride
     // the same feed as row events, like the reference's SchemaChangeEvents
     // in the one Event stream (SURVEY.md §1.1). A cheap contains() prefilter
@@ -227,12 +226,21 @@ final class StreamingPipeline(
     // per-table slices all read from it
     val allTagged = DebeziumJson.tableOf(batch).cache()
     try {
+      // ONE aggregate fills the cache and answers emptiness, table discovery,
+      // control detection and the dead-letter presence check together — the
+      // previous shape paid a separate driver action (≈ a scheduling quantum
+      // each, per micro-batch, forever) for each (r20; guide §1/§5: the
+      // steady-state batch loop's driver actions are pure per-batch overhead)
+      val groups = allTagged.groupBy(col("__db"), col("__table"))
+        .agg(collect_list(when(isCtrl, col("value"))).as("__ctrl"),
+             count(lit(1)).as("__n"))
+        .collect()
+      if (groups.isEmpty) return // empty batch
       // `contains` is only a prefilter: a data row whose TEXT mentions the
       // marker also hits it. isControl strictly validates (top-level JSON
       // field), and only the validated lines are excluded from the data
       // path — false hits remain ordinary data rows.
-      val hits = allTagged.where(isCtrl)
-        .select("value").collect().map(_.getString(0))
+      val hits = groups.flatMap(_.getSeq[String](2))
       val (ctrl, falseHits) = hits.partition(graft.model.SchemaChangeJson.isControl)
       // apply in-band DDL BEFORE the batch's data, so a CreateTable and its
       // first rows can share a batch
@@ -244,13 +252,21 @@ final class StreamingPipeline(
                    else if (falseHits.isEmpty) allTagged.where(!isCtrl)
                    else allTagged.where(!isCtrl || col("value").isin(falseHits.toSeq: _*))
 
-      val present = tagged.select("__db", "__table").distinct().collect()
+      val ctrlSet = ctrl.toSet
+      // data rows per (db, table) group = group size minus its VALIDATED
+      // control rows — so a group whose rows were all control records is not
+      // "present" (exactly the old post-exclusion distinct's semantics)
+      def dataRows(r: org.apache.spark.sql.Row): Long =
+        r.getLong(3) - r.getSeq[String](2).count(ctrlSet.contains)
+      val present = groups.filter(dataRows(_) > 0)
         .map(r => TableId.of(Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
 
       // unroutable records (unparseable JSON → null source ids) → dead letter
       deadLetter.foreach { handler =>
-        val bad = tagged.where(col("__db").isNull || col("__table").isNull).select("value")
-        if (!bad.isEmpty) handler(bad, batchId)
+        if (groups.exists(r => (r.isNullAt(0) || r.isNullAt(1)) && dataRows(r) > 0)) {
+          val bad = tagged.where(col("__db").isNull || col("__table").isNull).select("value")
+          handler(bad, batchId)
+        }
       }
 
       val known = present.toSeq.flatMap(src => registry.evolvedSchema(src).map(src -> _))

@@ -282,6 +282,51 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(nulled.isNullAt(0) && nulled.isNullAt(1))
   }
 
+  test("json_long_field equals get_json_object + long cast on envelope-shaped records") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      """{"ts_ms": 500, "op": "c"}""",               // plain
+      """{"ts_ms":-7,"op":"c"}""",                   // negative, no spaces
+      """{"ts_ms" :  12345678901234 }""",            // whitespace, > int range
+      """{"op":"c","ts_ms":0}""",                    // not first
+      """{"ts_ms":"42"}""",                          // quoted integer (string cast)
+      """{"ts_ms":null}""",                          // JSON null
+      """{"ts_ms":1.5}""",                           // non-integer number
+      """{"ts_ms":true}""",                          // boolean
+      """{"op":"c"}""",                              // absent
+      """{"outer":{"ts_ms":9},"op":"c"}""",          // nested only — must NOT match
+      """{"note":"ts_ms","ts_ms":6}""",              // key text as a VALUE first
+      """{"note":"say \"ts_ms\": 1","ts_ms":8}""",   // escaped quotes in another value
+      """{"__graft_schema_change__":{"kind":"add"}}""", // control record
+      """[{"ts_ms":3}]""",                           // array root
+      """not json at all""",
+      "",
+      """{"ts_msx":4,"ts_ms":5}""",                  // prefix-colliding key
+      """{"xts_ms":4}"""                             // suffix-colliding key only
+    ).toDF("value")
+    // reference = try_cast: under ANSI (Spark 4 default) a plain cast of a
+    // malformed token THROWS — the fused expression instead yields null,
+    // the explicitly-wanted semantics for a startup filter (malformed lines
+    // belong to the dead-letter path, never to a pipeline crash)
+    val got = rows.select(
+      graft.functions.CdcExpressions.jsonLongField(col("value"), "ts_ms").as("fused"),
+      expr("try_cast(get_json_object(value, '$.ts_ms') AS long)").as("ref"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.get(0) === r.get(1), s"row $i diverged: fused=${r.get(0)} ref=${r.get(1)}")
+    }
+    // and over a real debezium-encoded changelog: bit-identical filter result
+    val ch = spark.read.parquet(s"$sf/events.parquet").limit(2000).select(
+      col("user_id"), col("event_type"), col("value"),
+      lit("REPLACE").as(graft.operators.Changelog.OpCol),
+      col("event_id").as(graft.operators.Changelog.SeqCol))
+    val feed = graft.sinks.ChangelogJson.debezium(ch, graft.model.TableId.of("db", "events"))
+    val n = feed.where(
+      graft.functions.CdcExpressions.jsonLongField(col("value"), "ts_ms") =!=
+        expr("try_cast(get_json_object(value, '$.ts_ms') AS long)")).count()
+    assert(n === 0)
+  }
+
   test("nearest_centroids equals the literal struct-sort probe selection exactly") {
     // the knnJoin probe projection's exactness contract: replacing the
     // O(k_centroids) literal struct-array/sort_array tree with the single

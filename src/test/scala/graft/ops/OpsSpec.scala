@@ -222,6 +222,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash index layout meta: probe follows the on-disk layout, not its own constant") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again every day"),
+      (2L, "completely different content about spark catalyst optimizer internals here"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhmeta").toString
+    try {
+      // build with an EXPLICIT 8-partition layout; the meta must pin it
+      Dedup.writeMinhashIndex(corpus, "id", "text", dir, numPartitions = 8)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_layout")))
+      val batch = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again every night"))
+        .toDF("id", "text")
+      // a probe passing a WRONG constant must still find the collision:
+      // the layout meta wins over the caller's modulus
+      val got = Dedup.incrementalCandidates(batch, "id", "text", dir,
+        threshold = 0.5, numPartitions = 64)
+        .select("id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 1L)))
+      // Auto build on a small corpus derives a single partition dir
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-mhmeta2").toString
+      try {
+        Dedup.writeMinhashIndex(corpus, "id", "text", dir2)
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir2/buckets"))
+          .count(_.getPath.getName.startsWith("pbucket="))
+        assert(parts === 1, s"small corpus must derive one bucket partition, got $parts")
+      } finally { val _ = fs.delete(new org.apache.hadoop.fs.Path(dir2), true) }
+    } finally {
+      val _ = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
   test("paragraphDedup is invariant under re-partitioning") {
     // second paragraph is a case-variant of the first: a normalized dup both
     // within the doc and across docs — the survivor set must not depend on

@@ -74,6 +74,27 @@ class HeapTopKSpec extends SparkSpec {
     }
   }
 
+  test("retained-rows budget fails FAST with the sizing levers, not an OOM") {
+    // adversarial cardinality: every row its own group (groups × k state),
+    // under a deliberately tiny budget
+    val df = (0 until 20000).map(i => (i.toLong, i, i.toDouble)).toDF("id", "g", "s")
+      .repartition(2)
+    spark.conf.set(HeapTopK.MaxRetainedBytesConf, (64 * 1024).toString)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        HeapTopK.topKPerGroup(df, Seq(col("g")),
+          Seq(col("s").desc, col("id")), k = 5, rankCol = "r").count()
+      }
+      val msg = String.valueOf(e.getMessage) + String.valueOf(e.getCause)
+      assert(msg.contains("retained-rows budget exceeded"), msg.take(500))
+      assert(msg.contains(HeapTopK.MaxRetainedBytesConf), msg.take(500))
+    } finally spark.conf.unset(HeapTopK.MaxRetainedBytesConf)
+    // same shape under the default budget: exact as ever
+    val got = HeapTopK.topKPerGroup(df.where(col("g") < 50), Seq(col("g")),
+      Seq(col("s").desc, col("id")), k = 5, rankCol = "r").count()
+    assert(got === 50)
+  }
+
   test("rank column name colliding with an input column is refused") {
     val df = Seq((1L, 0, 2.0)).toDF("id", "g", "s")
     intercept[IllegalArgumentException] {

@@ -142,6 +142,90 @@ class ParquetSinkCommitSpec extends SparkSpec {
     val _ = fs.delete(new Path(root), true)
   }
 
+  test("swap_ready tmp is rolled FORWARD: crash mid-swap applies the batch, once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fwd").toString
+    val sink = new ParquetUpsertSink(root, buckets = 4)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L),
+      (3L, "c", "INSERT", 3L), (4L, "d", "INSERT", 4L)), schema)
+
+    // simulate a crash between the parquet write (complete, marker created)
+    // and the swaps: tmp holds the batch's full output for one bucket
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tablePath = sink.tablePath(id)
+    val liveBucket = fs.listStatus(new Path(tablePath))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket=")).head
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp")))
+    // the "new" bucket content = a copy of a DIFFERENT live bucket's dir,
+    // moved under tmp as the would-be replacement of liveBucket
+    val other = fs.listStatus(new Path(tablePath))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket=")).apply(1)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$tablePath/$other"), new java.io.File(s"$tablePath.tmp/$liveBucket"))
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp/.swap_ready")))
+
+    // read-path recovery must displace the live bucket, swap the tmp copy in,
+    // and clean tmp — the batch applies exactly once, forward
+    val expectOther = spark.read.parquet(s"$tablePath/$other")
+      .drop("__bucket").as[(Long, String)].collect().toSet
+    val recovered = sink.read(spark, id)
+    val inBucket = spark.read.parquet(s"$tablePath/$liveBucket")
+      .as[(Long, String)].collect().toSet
+    assert(inBucket === expectOther, "tmp replacement must be swapped in forward")
+    assert(!fs.exists(new Path(s"$tablePath.tmp")), "tmp must be cleaned after roll-forward")
+    assert(recovered.count() > 0)
+  }
+
+  test("swap_ready roll-forward does not resurrect a displaced emptied bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fwd-e").toString
+    val sink = new ParquetUpsertSink(root, buckets = 4)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L),
+      (3L, "c", "INSERT", 3L), (4L, "d", "INSERT", 4L)), schema)
+
+    // crash after an emptied bucket's displace, marker present, no
+    // replacement dir in tmp: roll-forward must leave dst absent
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tablePath = sink.tablePath(id)
+    val liveBucket = fs.listStatus(new Path(tablePath))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket=")).head
+    val b = liveBucket.stripPrefix("__bucket=")
+    val before = sink.read(spark, id).as[(Long, String)].collect().toSet
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp")))
+    assert(fs.mkdirs(new Path(s"$tablePath.tmp/.swap_ready")))
+    assert(fs.rename(new Path(s"$tablePath/$liveBucket"), new Path(s"$tablePath.tmp/.old_$b")))
+
+    val after = sink.read(spark, id).as[(Long, String)].collect().toSet
+    assert(after.subsetOf(before) && after.size < before.size,
+      "emptied bucket must stay deleted under roll-forward recovery")
+    assert(!fs.exists(new Path(s"$tablePath.tmp")))
+  }
+
+  test("AutoBuckets derives the layout from the first batch and pins it in meta") {
+    val root = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    val sink = new ParquetUpsertSink(root, buckets = ParquetUpsertSink.AutoBuckets)
+    sink.write(id, batch((1L, "a", "INSERT", 1L), (2L, "b", "INSERT", 2L)), schema)
+
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val tablePath = sink.tablePath(id)
+    val meta = new Path(tablePath + ".layout")
+    assert(fs.exists(meta), "layout meta must be written at state creation")
+    val in = fs.open(meta)
+    val m = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt finally in.close()
+    assert(m === 1, "a 2-row first batch derives a single bucket")
+    assert(fs.listStatus(new Path(tablePath))
+      .count(_.getPath.getName.startsWith("__bucket=")) === 1)
+
+    // a second writer with a DIFFERENT constructor constant must follow the
+    // on-disk layout (meta wins), not prune state with the wrong modulus
+    val sink2 = new ParquetUpsertSink(root, buckets = 32)
+    sink2.write(id, batch((3L, "c", "INSERT", 3L)), schema)
+    assert(sink2.read(spark, id).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(fs.listStatus(new Path(tablePath))
+      .count(_.getPath.getName.startsWith("__bucket=")) === 1,
+      "the merge must keep the meta's 1-bucket layout, not fan out to 32")
+    val _ = fs.delete(new Path(root), true)
+  }
+
   test("displaced bucket WITH a done marker (emptied by deletes) is not resurrected") {
     val root = java.nio.file.Files.createTempDirectory("graft-crash-d").toString
     val sink = new ParquetUpsertSink(root, buckets = 4)
