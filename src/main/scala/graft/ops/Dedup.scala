@@ -367,7 +367,8 @@ object Dedup {
     // fan-out; a web corpus gets thousands for listing-level probe pruning
     val fs = IndexMaintenance.fsOf(path, df.sparkSession)
     val p = if (numPartitions == AutoPartitions)
-      IndexMaintenance.derivePartitions(fs, new org.apache.hadoop.fs.Path(s"$path/sigs"))
+      IndexMaintenance.derivePartitions(df.sparkSession, fs,
+        new org.apache.hadoop.fs.Path(s"$path/sigs"))
     else numPartitions
     IndexMaintenance.writeLayout(fs, path, p)
     // derive the band buckets from the JUST-WRITTEN sigs asset, not the

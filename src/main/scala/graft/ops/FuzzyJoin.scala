@@ -271,8 +271,11 @@ object FuzzyJoin {
     // scale-adaptive layout pinned in the index meta (see AutoPartitions):
     // derived from the just-written string store (driver-side listing)
     val fs = IndexMaintenance.fsOf(path, df.sparkSession)
+    // the gram-prefix relation being partitioned is ~10x its string-store
+    // proxy (n-gram explode), so scale the derivation accordingly
     val p = if (numPartitions == AutoPartitions)
-      IndexMaintenance.derivePartitions(fs, new org.apache.hadoop.fs.Path(s"$path/strings"))
+      IndexMaintenance.derivePartitions(df.sparkSession, fs,
+        new org.apache.hadoop.fs.Path(s"$path/strings"), expansion = 10L)
     else numPartitions
     IndexMaintenance.writeLayout(fs, path, p)
     val gramPos = gramsOf(strs, n)

@@ -157,17 +157,28 @@ object IndexMaintenance {
   }
 
   /** Scale-adaptive partition count from the materialized source bytes of
-    * the index (driver-side listing, no job): one disk partition per
-    * `bytesPerPartition` of source, clamped to [1, 4096] — small corpora get
-    * one output dir instead of a constant 64-way small-file fan-out, and a
-    * 100 TB corpus gets thousands of partitions for listing-level pruning
-    * (guide §6 file sizing).
+    * the index (driver-side listing, no job), clamped to [1, 4096]: one
+    * disk partition per `bytesPerPartition` of source once the index is
+    * big, BUT floored at the session parallelism while the data exceeds
+    * ~1 MB/partition — a mid-size index written as ONE dir lands as one
+    * parquet file with 1-2 row groups, and every later PROBE then scans it
+    * at parallelism 1-2 (measured at sf1: q_fuzzy_join_probe +40%,
+    * q_dedup_incremental +21% under the floor-less first cut — r20). Small
+    * corpora still drop from the constant 64-way small-file fan-out to a
+    * handful of dirs; a 100 TB corpus gets the size-derived thousands for
+    * listing-level pruning (guide §6 file sizing). `expansion` scales the
+    * proxy when the partitioned relation is a blow-up of the source (the
+    * fuzzy index's gram-prefix relation ≈ 10× its string store).
     */
-  def derivePartitions(fs: FileSystem, sourceDir: Path,
-                       bytesPerPartition: Long = 64L * 1024 * 1024): Int = {
-    val bytes = try fs.getContentSummary(sourceDir).getLength
-                catch { case _: java.io.FileNotFoundException => 0L }
-    math.max(1L, math.min(4096L, (bytes + bytesPerPartition - 1) / bytesPerPartition)).toInt
+  def derivePartitions(spark: SparkSession, fs: FileSystem, sourceDir: Path,
+                       bytesPerPartition: Long = 64L * 1024 * 1024,
+                       expansion: Long = 1L): Int = {
+    val bytes = expansion * (try fs.getContentSummary(sourceDir).getLength
+                             catch { case _: java.io.FileNotFoundException => 0L })
+    val bySize = (bytes + bytesPerPartition - 1) / bytesPerPartition
+    val parFloor = math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + (1L << 20) - 1) / (1L << 20))
+    math.max(1L, math.min(4096L, math.max(bySize, parFloor))).toInt
   }
 
   /** Publish an append-epoch marker, THEN check the maintainer lease —
